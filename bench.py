@@ -1,0 +1,79 @@
+"""Benchmark harness: runs the headline operator set at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed with a count()-style full materialization (collect of
+the result — results are small aggregates / bounded top-k outputs) after a
+warm-up of the Spark session on a trivial job so JVM startup is not billed
+to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from db_core_spark.registry import all_queries  # noqa: E402
+from db_core_spark.session import get_spark  # noqa: E402
+
+# Headline set: one representative per operator family, weighted toward the
+# scan/join/agg/window core that dominates real workloads.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q5_multiway_join",
+    "join_inner_agg",
+    "join_left_outer",
+    "agg_count_distinct",
+    "agg_rollup",
+    "window_topk_per_group",
+    "window_running_sum",
+    "mvcc_snapshot_asof",
+    "stream_tumbling_window",
+    "stream_session_window",
+    "dedup_exact_keep",
+    "minhash_lsh_pairs",
+    "knn_bruteforce_topk",
+    "text_stats",
+    "object_reassembly",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    qs = all_queries()
+
+    # Warm up JVM + parquet footer caches with a trivial action.
+    spark.range(1000).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        rq = qs[name]
+        t0 = time.time()
+        df = rq.fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"  {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_set_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,120 @@
+"""Text kernels for the LLM-data-pipeline operators: tokenization, shingles,
+minhash signatures, simhash, rolling-hash fingerprints.
+
+Everything is a Column expression built from pyspark.sql.functions higher-order
+functions (transform/aggregate/filter) — JVM-side, whole-stage-codegen'd, no
+Python UDFs. Deterministic across runs and cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# Tiny English stopword list used by the language-ID heuristic and the
+# quality score. Kept deliberately small + explicit so the DuckDB oracle can
+# repeat it verbatim.
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+
+
+def words(text: Column) -> Column:
+    """Whitespace tokenization (fixture docs are space-separated words)."""
+    return F.split(text, r"\s+")
+
+
+def distinct_words(text: Column) -> Column:
+    return F.array_distinct(words(text))
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles: contiguous n-word windows joined with a space.
+    sequence+transform keeps it JVM-side for arbitrarily long documents."""
+    toks = words(text)
+    return F.when(
+        F.size(toks) < n, F.array(F.array_join(toks, " "))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        )
+    )
+
+
+def _minhash_one(items: Column, seed: int) -> Column:
+    # NB: seed must be captured by closure, not a lambda default arg —
+    # PySpark counts lambda parameters and a 2-arg transform lambda receives
+    # (element, index), silently replacing the seed.
+    return F.array_min(F.transform(items, lambda it: F.xxhash64(it, F.lit(seed))))
+
+
+def minhash_signature(items: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature: for seed i, min over items of xxhash64(item, i).
+    xxhash64 is Spark's 64-bit xxHash (deterministic, seedable via the extra
+    column) — one JVM expression per hash, no UDF. O(|items| * k) per row."""
+    return F.array(*[_minhash_one(items, i) for i in range(num_hashes)])
+
+
+def lsh_bands(signature: Column, num_bands: int, rows_per_band: int) -> Column:
+    """Split a minhash signature into bands and hash each band to a bucket:
+    array of (band_id, bucket) structs. Docs sharing any (band_id, bucket)
+    are near-dup candidates — the standard banding scheme; candidate
+    generation is then a cheap equi-join on the bucket, never a cross join."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(
+                    F.array_join(
+                        F.transform(
+                            F.slice(signature, b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                        ",",
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(num_bands)
+        ]
+    )
+
+
+def _simhash_vote(items: Column, b: int) -> Column:
+    # closure capture, not lambda default args (see _minhash_one)
+    return F.aggregate(
+        items,
+        F.lit(0),
+        lambda acc, it: acc
+        + F.when(F.shiftright(F.xxhash64(it), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+    )
+
+
+def simhash64(items: Column) -> Column:
+    """64-bit SimHash: per bit b, sum +/-1 votes of xxhash64(item) bit b over
+    all items; bit set iff the vote is positive. Near-duplicate docs differ in
+    few bits (compare with hamming distance via bit_count(xor))."""
+    out = F.lit(0).cast("long")
+    for b in range(64):
+        bit = F.when(_simhash_vote(items, b) > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        out = out + F.shiftleft(bit, b)
+    return out
+
+
+def rolling_fingerprint(items: Column) -> Column:
+    """Order-sensitive rolling-hash document fingerprint:
+    acc = (acc * 131 + (ascii(first_char) * 31 + length(tok))) mod 2^31.
+    Uses only arithmetic both Spark and DuckDB implement identically on
+    BIGINT, so it is oracle-checkable (unlike xxhash64)."""
+    tok_val = lambda t: (F.ascii(t) * 31 + F.length(t)).cast("long")  # noqa: E731
+    return F.aggregate(
+        items,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * 131 + tok_val(t)) % F.lit(2147483648).cast("long"),
+    )
+
+
+def stopword_ratio(text: Column) -> Column:
+    """Fraction of tokens that are known-English stopwords."""
+    toks = words(text)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
+    return n_stop.cast("double") / F.size(toks).cast("double")

@@ -1,0 +1,288 @@
+"""Joins: inner/left/right/full/semi/anti/cross, theta (non-equi), broadcast,
+multiway. Absent in the reference (SURVEY.md §2C — db-core has no joins);
+goal-derived surface. Catalyst picks broadcast vs sort-merge vs shuffled-hash;
+we hint broadcast only where it is correct at ANY scale (region/nation are
+fixed-cardinality dims) and let AQE convert the rest at runtime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from db_core_spark.registry import query
+from db_core_spark.tables import table
+
+
+@query(
+    "join_inner_agg",
+    oracle="""
+    SELECT o.o_orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderstatus = 'O'
+    GROUP BY o.o_orderkey
+    HAVING COUNT(*) >= 4
+    """,
+    category="join",
+)
+def join_inner_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join + aggregation + HAVING. Both sides shuffle on the
+    join key; the groupBy reuses the same hash partitioning (one shuffle,
+    not two) because the agg key == join key."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "inner")
+        .groupBy("o_orderkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .filter(F.col("n_items") >= 4)
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, COUNT(o.o_orderkey) AS n_orders
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+    category="join",
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join; COUNT(col) counts only matched rows (NULL-aware)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "join_right_outer",
+    oracle="""
+    SELECT o.o_orderkey, c.c_name
+    FROM customer c RIGHT JOIN orders o ON c.c_custkey = o.o_custkey
+    WHERE o.o_totalprice > 400000
+    """,
+    category="join",
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "right")
+        .filter(F.col("o_totalprice") > 400000)
+        .select("o_orderkey", "c_name")
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    WITH big_cust AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000),
+         big_orders AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n
+                        FROM orders WHERE o_totalprice > 300000 GROUP BY o_custkey)
+    SELECT COALESCE(b.c_custkey, g.o_custkey) AS custkey,
+           b.c_acctbal, g.n
+    FROM big_cust b FULL OUTER JOIN big_orders g ON b.c_custkey = g.o_custkey
+    """,
+    category="join",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two filtered sides with COALESCE'd key."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    big_cust = c.filter(F.col("c_acctbal") > 9000).select("c_custkey", "c_acctbal")
+    big_orders = (
+        o.filter(F.col("o_totalprice") > 300000)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    j = big_cust.join(big_orders, big_cust.c_custkey == big_orders.o_custkey, "full")
+    return j.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"), "c_acctbal", "n"
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 350000)
+    """,
+    category="join",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join == EXISTS. No row duplication, right side only probed."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 350000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    category="join",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join == NOT EXISTS (customers with no orders)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    """,
+    category="join",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product — only ever sane between tiny dimensions; Spark
+    plans BroadcastNestedLoopJoin here."""
+    r = table(spark, sf_dir, "region").select("r_name")
+    n = table(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(n)
+
+
+@query(
+    "join_theta_pairs",
+    oracle="""
+    SELECT n1.n_name AS nation_a, n2.n_name AS nation_b, n1.n_regionkey AS regionkey
+    FROM nation n1 JOIN nation n2
+      ON n1.n_regionkey = n2.n_regionkey AND n1.n_nationkey < n2.n_nationkey
+    """,
+    category="join",
+)
+def join_theta_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta join: equi component (regionkey) + non-equi inequality. The
+    equi part keys the shuffle; the inequality is a post-join filter —
+    the scalable shape for any 'pairs within group' problem."""
+    n1 = table(spark, sf_dir, "nation").alias("n1")
+    n2 = table(spark, sf_dir, "nation").alias("n2")
+    return (
+        n1.join(
+            n2,
+            (F.col("n1.n_regionkey") == F.col("n2.n_regionkey"))
+            & (F.col("n1.n_nationkey") < F.col("n2.n_nationkey")),
+        )
+        .select(
+            F.col("n1.n_name").alias("nation_a"),
+            F.col("n2.n_name").alias("nation_b"),
+            F.col("n1.n_regionkey").alias("regionkey"),
+        )
+    )
+
+
+@query(
+    "join_broadcast_dims",
+    oracle="""
+    SELECT r.r_name AS region_name, ROUND(SUM(c.c_acctbal), 2) AS total_balance,
+           COUNT(*) AS n_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    category="join",
+)
+def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema rollup with explicit broadcast of the fixed-size dims
+    (region=5, nation=25 rows at every SF) — zero shuffle for the joins;
+    the only shuffle is the final 5-group aggregation."""
+    c = table(spark, sf_dir, "customer")
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    r = F.broadcast(table(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )
+
+
+@query(
+    "q5_multiway_join",
+    oracle="""
+    SELECT n.n_name AS nation_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA' AND c.c_nationkey = s.s_nationkey
+    GROUP BY n.n_name
+    ORDER BY revenue DESC
+    """,
+    category="join",
+)
+def q5_multiway_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style 6-table join. The region filter prunes before joining
+    (Catalyst pushes it through the join); nation/region broadcast; supplier
+    and customer are broadcast-eligible at small SF and AQE decides at scale."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    r = F.broadcast(table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc())
+    )
+
+
+@query(
+    "join_range_events",
+    oracle="""
+    SELECT o.o_orderkey, CAST(COUNT(e.event_id) AS BIGINT) AS n_events_next_day
+    FROM orders o
+    JOIN events e
+      ON e.user_id = o.o_custkey
+     AND e.ts >= o.o_orderdate
+     AND e.ts < o.o_orderdate + INTERVAL 1 DAY
+    GROUP BY o.o_orderkey
+    """,
+    category="join",
+)
+def join_range_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: equi key (user) + time-range predicate. Shuffles on the
+    equi key only — the range condition filters within co-located partitions,
+    which scales linearly with per-key density rather than cross-product."""
+    o = table(spark, sf_dir, "orders")
+    e = table(spark, sf_dir, "events")
+    return (
+        o.join(
+            e,
+            (e.user_id == o.o_custkey)
+            & (e.ts >= o.o_orderdate)
+            & (e.ts < F.col("o_orderdate") + F.expr("INTERVAL 1 DAY")),
+        )
+        .groupBy("o_orderkey")
+        .agg(F.count("event_id").alias("n_events_next_day"))
+    )

@@ -1,0 +1,343 @@
+"""LLM-training-data pipeline operators over `documents`: exact dedup,
+near-dup (word-Jaccard, MinHash+LSH, SimHash), text quality/stats, language
+ID, token counting, fingerprinting. Goal-derived (BASELINE.json north star).
+
+Scale design: every near-dup path generates candidates by equi-join on a
+blocking key (hash bucket / LSH band bucket) — never a cross join — so cost
+is bounded by bucket density, not corpus size squared.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from db_core_spark.functions.text import (
+    EN_STOPWORDS,
+    distinct_words,
+    lsh_bands,
+    minhash_signature,
+    rolling_fingerprint,
+    shingles,
+    simhash64,
+    words,
+)
+from db_core_spark.registry import query
+from db_core_spark.tables import table
+
+
+@query(
+    "dedup_exact_groups",
+    oracle="""
+    SELECT sha256(text) AS content_hash,
+           MIN(doc_id) AS keep_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents
+    GROUP BY sha256(text)
+    HAVING COUNT(*) > 1
+    """,
+    category="llm",
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content hash: one shuffle on sha256(text); keeps the
+    smallest doc_id as canonical. Hashing first means the shuffle moves
+    64-byte keys, not document bodies — the right shape at 100 TB."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.sha2("text", 256).alias("content_hash"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+@query(
+    "dedup_exact_keep",
+    oracle="""
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source,
+             ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      FROM documents) WHERE rn = 1
+    """,
+    category="llm",
+)
+def dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The surviving set after exact dedup (first doc_id per distinct text)."""
+    d = table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("text").orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source")
+    )
+
+
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
+
+
+@query(
+    "text_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars,
+           CAST(len(string_split_regex(text, '\\s+')) AS INT) AS n_tokens,
+           CAST(len(list_distinct(string_split_regex(text, '\\s+'))) AS INT) AS n_unique_tokens,
+           ROUND(LENGTH(text) * 1.0 / len(string_split_regex(text, '\\s+')), 4) AS avg_token_len,
+           ROUND(len(list_distinct(string_split_regex(text, '\\s+'))) * 1.0
+                 / len(string_split_regex(text, '\\s+')), 4) AS ttr
+    FROM documents
+    """,
+    category="llm",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics: char/token/unique-token counts, mean
+    token length, type-token ratio (a standard quality signal)."""
+    d = table(spark, sf_dir, "documents")
+    toks = words(F.col("text"))
+    uniq = distinct_words(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(uniq).alias("n_unique_tokens"),
+        F.round(F.length("text") / F.size(toks), 4).alias("avg_token_len"),
+        F.round(F.size(uniq) / F.size(toks), 4).alias("ttr"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             string_split_regex(text, '\\s+') AS toks,
+             LENGTH(text) AS n_chars
+      FROM documents)
+    SELECT doc_id, lang,
+           ROUND(len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) * 1.0
+                 / len(toks), 4) AS stopword_ratio,
+           ROUND(len(list_distinct(toks)) * 1.0 / len(toks), 4) AS ttr,
+           CASE WHEN len(toks) BETWEEN 20 AND 1000
+                 AND len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) * 1.0
+                     / len(toks) > 0.02
+                THEN 'keep' ELSE 'flag' END AS quality_label
+    FROM t
+    """,
+    category="llm",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality gate (length band + stopword-ratio floor) — the
+    standard cheap pre-filter in training-data pipelines."""
+    d = table(spark, sf_dir, "documents")
+    toks = words(F.col("text"))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
+    swr = n_stop / F.size(toks)
+    return d.select(
+        "doc_id",
+        "lang",
+        F.round(swr, 4).alias("stopword_ratio"),
+        F.round(F.size(distinct_words(F.col("text"))) / F.size(toks), 4).alias("ttr"),
+        F.when(F.size(toks).between(20, 1000) & (swr > 0.02), "keep")
+        .otherwise("flag")
+        .alias("quality_label"),
+    )
+
+
+@query(
+    "lang_id_heuristic",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang AS lang_true,
+             string_split_regex(text, '\\s+') AS toks
+      FROM documents)
+    SELECT doc_id, lang_true,
+           CASE WHEN len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) * 1.0
+                     / len(toks) >= 0.05
+                THEN 'en' ELSE 'other' END AS lang_pred
+    FROM t
+    """,
+    category="llm",
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID by English-stopword density — the n-gram-free baseline
+    classifier; real pipelines swap in fastText behind the same column
+    contract."""
+    d = table(spark, sf_dir, "documents")
+    toks = words(F.col("text"))
+    swr = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS))) / F.size(toks)
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("lang_true"),
+        F.when(swr >= 0.05, "en").otherwise("other").alias("lang_pred"),
+    )
+
+
+@query(
+    "token_count_regex",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS INT)
+             AS n_bpe_ish_tokens,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_number_tokens
+    FROM documents
+    """,
+    category="llm",
+)
+def token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token estimator: alpha runs, digit runs, and lone symbols
+    counted via one regexp pass (the usual cheap proxy for tokenizer cost)."""
+    d = table(spark, sf_dir, "documents")
+    pat = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(pat), F.lit(0))).alias("n_bpe_ish_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), F.lit(0))).alias("n_number_tokens"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split_regex(text, '\\s+'),
+                              t -> CAST(ascii(t) * 31 + LENGTH(t) AS BIGINT))),
+             (acc, t) -> (acc * 131 + t) % 2147483648) AS fingerprint
+    FROM documents
+    """,
+    category="llm",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash fingerprint (see functions.text) —
+    arithmetic-only so the oracle reproduces it exactly."""
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", rolling_fingerprint(words(F.col("text"))).alias("fingerprint"))
+
+
+def _jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard over candidate pairs generated by a
+    shared-shingle equi-join (posting-list self-join). Shingles, not raw
+    words: this corpus has a tiny vocabulary, so word sets of unrelated docs
+    overlap heavily while shared 3-gram sequences are rare — the posting
+    join stays selective. Scale note: at corpus scale the blocking key must
+    be rarer still (minhash bands, below); this exact variant is the
+    verification kernel both paths share."""
+    d = table(spark, sf_dir, "documents")
+    docs = d.select("doc_id", F.array_distinct(shingles(F.col("text"), 3)).alias("w"))
+    sizes = docs.select("doc_id", F.size("w").alias("nw"))
+    posting = docs.select("doc_id", F.explode("w").alias("word"))
+    a, b = posting.alias("a"), posting.alias("b")
+    inter = (
+        a.join(b, (F.col("a.word") == F.col("b.word")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("nw").alias("nw_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("nw").alias("nw_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("nw_a") + F.col("nw_b") - F.col("n_inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+_JACCARD_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+    docs AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                    ELSE list_transform(range(1, len(t) - 1),
+                                        i -> array_to_string(t[i:i+2], ' '))
+               END) AS w
+      FROM toks),
+    posting AS (SELECT doc_id, UNNEST(w) AS word FROM docs),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+      FROM posting a JOIN posting b ON a.word = b.word AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    sized AS (SELECT doc_id, len(w) AS nw FROM docs)
+    SELECT id_a, id_b,
+           ROUND(n_inter * 1.0 / (sa.nw + sb.nw - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sized sa ON sa.doc_id = id_a
+    JOIN sized sb ON sb.doc_id = id_b
+    WHERE n_inter * 1.0 / (sa.nw + sb.nw - n_inter) >= {threshold}
+"""
+
+
+@query(
+    "ngram_jaccard_pairs",
+    oracle=_JACCARD_ORACLE.format(threshold=0.6),
+    category="llm",
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by exact 3-gram-shingle Jaccard >= 0.6."""
+    return _jaccard_pairs(spark, sf_dir, 0.6)
+
+
+@query("minhash_lsh_pairs", oracle=None, category="llm")
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup detection, the 100 TB-scale path:
+    shingle -> 64-hash minhash signature -> 16 bands -> candidate pairs via
+    equi-join on (band, bucket) -> exact Jaccard verification >= 0.6.
+
+    Probabilistic candidate generation (P[miss] ~ (1-s^4)^16, <1e-4 at
+    s=0.8) so no SQL oracle; correctness is pytest-checked against the exact
+    ngram_jaccard_pairs result at sf0.001/sf0.01."""
+    d = table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id", F.array_distinct(shingles(F.col("text"), 3)).alias("w")
+    ).withColumn("sig", minhash_signature(F.col("w"), num_hashes=64))
+    banded = docs.select(
+        "doc_id", "w", F.explode(lsh_bands(F.col("sig"), num_bands=16, rows_per_band=4)).alias("band")
+    ).select("doc_id", "w", "band.band_id", "band.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.w").alias("w_a"),
+            F.col("b.w").alias("w_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("w_a", "w_b"))
+    union = F.size("w_a") + F.size("w_b") - inter
+    return (
+        cand.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= 0.6)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+@query("simhash_buckets", oracle=None, category="llm")
+def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document + 4x16-bit band keys. Near-dups collide on
+    at least one band when hamming distance <= 3 (pigeonhole); rows-only
+    check (xxhash64 is Spark-specific, not SQL-oracle-expressible)."""
+    d = table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", simhash64(distinct_words(F.col("text"))).alias("simhash"))
+    return sh.select(
+        "doc_id",
+        "simhash",
+        *[
+            F.shiftright(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias(f"band_{i}")
+            for i in range(4)
+        ],
+    )

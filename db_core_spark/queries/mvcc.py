@@ -1,0 +1,107 @@
+"""MVCC snapshot-visibility semantics expressed as oracle-checkable queries.
+
+These mirror the reference's core read semantics
+(/root/reference/src/storage/block_driver.rs:457-486: a reader at snapshot S
+sees the newest version with csn <= S, unless the entry is deleted) using the
+`orders` fixture as a deterministic version stream: key = o_custkey,
+version number (csn) = o_orderkey (monotone), tombstone = o_orderstatus 'F'.
+The full read/write/commit machinery lives in db_core_spark.plans.versioned;
+these queries prove the *visibility rule* itself against a SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from db_core_spark.registry import query
+from db_core_spark.tables import table
+
+
+@query(
+    "mvcc_latest_per_key",
+    oracle="""
+    SELECT o_custkey AS key, o_orderkey AS csn, o_totalprice AS payload
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn
+      FROM orders)
+    WHERE rn = 1
+    """,
+    category="mvcc",
+)
+def mvcc_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest committed version per key (snapshot = +infinity). This window
+    is exactly find_entry_version's 'newest visible version' resolution.
+    At 100 TB this is the cost center — mitigations: bucket the table by key
+    so the window shuffle is avoided, and periodically compact ('checkpoint')
+    the latest versions (see plans/versioned.py vacuum)."""
+    o = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_orderkey").desc())
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("key"),
+            F.col("o_orderkey").alias("csn"),
+            F.col("o_totalprice").alias("payload"),
+        )
+    )
+
+
+@query(
+    "mvcc_snapshot_asof",
+    oracle="""
+    WITH versions AS (
+      SELECT o_custkey AS key, o_orderkey AS csn, o_totalprice AS payload,
+             (o_orderstatus = 'F') AS is_tombstone
+      FROM orders WHERE o_orderkey <= 7500
+    ), resolved AS (
+      SELECT key, csn, payload, is_tombstone,
+             ROW_NUMBER() OVER (PARTITION BY key ORDER BY csn DESC) AS rn
+      FROM versions)
+    SELECT key, csn, payload FROM resolved WHERE rn = 1 AND NOT is_tombstone
+    """,
+    category="mvcc",
+)
+def mvcc_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot read AS OF csn=7500 with tombstones: filter csn <= S, resolve
+    newest version per key, drop keys whose newest visible version is a
+    delete — the complete visibility rule of block_driver.rs:457-486 plus
+    tombstone semantics of Instance::delete (instance.rs:191-210)."""
+    o = table(spark, sf_dir, "orders")
+    versions = o.filter(F.col("o_orderkey") <= 7500).select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderkey").alias("csn"),
+        F.col("o_totalprice").alias("payload"),
+        (F.col("o_orderstatus") == "F").alias("is_tombstone"),
+    )
+    w = W.partitionBy("key").orderBy(F.col("csn").desc())
+    return (
+        versions.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (~F.col("is_tombstone")))
+        .select("key", "csn", "payload")
+    )
+
+
+@query(
+    "mvcc_version_history",
+    oracle="""
+    SELECT o_custkey AS key,
+           CAST(COUNT(*) AS BIGINT) AS n_versions,
+           MIN(o_orderkey) AS first_csn,
+           MAX(o_orderkey) AS last_csn,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_tombstones
+    FROM orders GROUP BY o_custkey
+    """,
+    category="mvcc",
+)
+def mvcc_version_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version-chain statistics per key — the bookkeeping a vacuum job
+    (version_store.rs:264-309 reclamation) needs to decide what to reclaim."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n_versions"),
+        F.min("o_orderkey").alias("first_csn"),
+        F.max("o_orderkey").alias("last_csn"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_tombstones"),
+    )

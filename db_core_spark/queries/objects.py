@@ -1,0 +1,168 @@
+"""Byte-stream object semantics as oracle-checkable queries: chunked
+storage, reassembly, seek/slice, and binary (multimodal) column plumbing.
+
+Mirrors the reference's object surface — objects are chunked byte streams
+read sequentially (read_next, /root/reference/src/storage/block_driver.rs:
+489-527) and positioned with seek (:530-586) — re-expressed as
+(doc_id, chunk_no, payload) rows, with reassembly an order-preserving
+aggregation and seek an offset computation that prunes chunks before the
+scan. The full transactional object store lives in db_core_spark.plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from db_core_spark.registry import query
+from db_core_spark.tables import table
+
+CHUNK = 64  # chars per chunk; mirrors block-size chunking (datastore.rs:92-96)
+
+
+def _chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode documents into fixed-size (doc_id, chunk_no, payload) rows —
+    the write_next chunking path (instance.rs:429-444) as a set transform."""
+    d = table(spark, sf_dir, "documents")
+    n_chunks = F.ceil(F.length("text") / CHUNK).cast("int")
+    return d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_no"),
+        F.length("text").alias("total_len"),
+    ).join(d.select("doc_id", "text"), "doc_id").select(
+        "doc_id",
+        "chunk_no",
+        F.substring(F.col("text"), F.col("chunk_no") * CHUNK + 1, CHUNK).alias("payload"),
+    )
+
+
+@query(
+    "object_chunked_scan",
+    oracle=f"""
+    WITH chunks AS (
+      SELECT doc_id,
+             UNNEST(range(0, CAST(ceil(LENGTH(text) * 1.0 / {CHUNK}) AS BIGINT))) AS chunk_no,
+             text
+      FROM documents)
+    SELECT doc_id, CAST(chunk_no AS INT) AS chunk_no,
+           SUBSTRING(text, CAST(chunk_no * {CHUNK} + 1 AS INT), {CHUNK}) AS payload,
+           CAST(LENGTH(SUBSTRING(text, CAST(chunk_no * {CHUNK} + 1 AS INT), {CHUNK})) AS INT)
+             AS chunk_len
+    FROM chunks
+    """,
+    category="object",
+)
+def object_chunked_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chunked representation itself (write path output)."""
+    c = _chunked(spark, sf_dir)
+    return c.select(
+        "doc_id", "chunk_no", "payload", F.length("payload").cast("int").alias("chunk_len")
+    )
+
+
+@query(
+    "object_reassembly",
+    oracle="""
+    SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars, TRUE AS matches_original
+    FROM documents
+    """,
+    category="object",
+)
+def object_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """read_next loop as aggregation: collect chunks, order by chunk_no
+    (continuation-pointer order, block.rs:493-495), concatenate, verify the
+    round trip against the original byte stream."""
+    c = _chunked(spark, sf_dir)
+    reasm = (
+        c.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk_no", "payload"))),
+                    lambda s: s.payload,
+                ),
+                "",
+            ).alias("reassembled")
+        )
+    )
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return reasm.join(d, "doc_id").select(
+        "doc_id",
+        F.length("reassembled").cast("long").alias("n_chars"),
+        (F.col("reassembled") == F.col("text")).alias("matches_original"),
+    )
+
+
+@query(
+    "object_seek_slice",
+    oracle=f"""
+    SELECT doc_id,
+           SUBSTRING(text, 33, 48) AS sliced,
+           CAST({32 // CHUNK} AS INT) AS first_chunk,
+           CAST({(32 + 48 - 1) // CHUNK} AS INT) AS last_chunk
+    FROM documents WHERE LENGTH(text) >= 80
+    """,
+    category="object",
+)
+def object_seek_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """seek(32) + read(48): compute the chunk span [first,last] the offset
+    maps to, scan ONLY those chunk rows (predicate on chunk_no — partition/
+    rowgroup pruning at scale), and splice the requested byte range —
+    block_driver.rs:530-586 without touching the full object."""
+    offset, length = 32, 48
+    first_chunk = offset // CHUNK
+    last_chunk = (offset + length - 1) // CHUNK
+    c = _chunked(spark, sf_dir).filter(
+        (F.col("chunk_no") >= first_chunk) & (F.col("chunk_no") <= last_chunk)
+    )
+    spliced = (
+        c.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk_no", "payload"))),
+                    lambda s: s.payload,
+                ),
+                "",
+            ).alias("span"),
+            F.min("chunk_no").alias("min_chunk"),
+        )
+    )
+    return (
+        spliced.withColumn(
+            "sliced", F.substring(F.col("span"), offset - first_chunk * CHUNK + 1, length)
+        )
+        .filter(F.length("sliced") == length)  # only docs long enough for the full read
+        .select(
+            "doc_id",
+            "sliced",
+            F.lit(first_chunk).cast("int").alias("first_chunk"),
+            F.lit(last_chunk).cast("int").alias("last_chunk"),
+        )
+    )
+
+
+@query(
+    "multimodal_binary_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           SUBSTRING(text, 1, 4) AS header_preview,
+           sha256(text) AS content_digest
+    FROM documents WHERE doc_id <= 100
+    """,
+    category="object",
+)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column plumbing: opaque binary payload + typed metadata
+    (size, header bytes, digest). The decode/feature-extract stage for real
+    image/audio payloads is the Pandas-UDF pipeline in
+    db_core_spark.operators.multimodal (decode stubbed — codec libs not in
+    this container); this query proves the binary column contract itself."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 100)
+    payload = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        F.substring("text", 1, 4).alias("header_preview"),
+        F.sha2("text", 256).alias("content_digest"),
+    )

@@ -1,0 +1,193 @@
+"""Scalar function surface: string, date, math, conditional, JSON, array.
+Goal-derived (the reference's only scalar computation is CRC32,
+/root/reference/src/common/crc32.rs). All JVM-side built-ins — these stay
+inside whole-stage codegen; no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from db_core_spark.registry import query
+from db_core_spark.tables import table
+
+
+@query(
+    "scalar_string_funcs",
+    oracle="""
+    SELECT c_custkey,
+           UPPER(c_name) AS name_upper,
+           LOWER(c_mktsegment) AS seg_lower,
+           SUBSTRING(c_name, 1, 8) AS name_prefix,
+           CAST(LENGTH(c_name) AS INT) AS name_len,
+           CONCAT(c_mktsegment, '#', c_name) AS seg_name,
+           TRIM(c_name) AS name_trim,
+           REPLACE(c_name, 'Customer', 'Cust') AS name_replaced,
+           REGEXP_EXTRACT(c_name, '([0-9]+)', 1) AS name_digits
+    FROM customer WHERE c_custkey <= 200
+    """,
+    category="scalar",
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").cast("int").alias("name_len"),
+        F.concat("c_mktsegment", F.lit("#"), "c_name").alias("seg_name"),
+        F.trim(F.col("c_name")).alias("name_trim"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("name_replaced"),
+        F.regexp_extract("c_name", r"([0-9]+)", 1).alias("name_digits"),
+    )
+
+
+@query(
+    "scalar_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(YEAR(o_orderdate) AS INT) AS order_year,
+           CAST(MONTH(o_orderdate) AS INT) AS order_month,
+           CAST(DAY(o_orderdate) AS INT) AS order_day,
+           CAST(QUARTER(o_orderdate) AS INT) AS order_quarter,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+           CAST(date_diff('day', o_orderdate, TIMESTAMP '2000-01-01 00:00:00') AS BIGINT)
+             AS days_to_y2k
+    FROM orders WHERE o_custkey <= 100
+    """,
+    category="scalar",
+)
+def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+        F.datediff(F.lit("2000-01-01").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("long")
+        .alias("days_to_y2k"),
+    )
+
+
+@query(
+    "scalar_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice, 0) AS price_round,
+           ABS(l_discount - 0.05) AS disc_dev,
+           CAST(CEIL(l_quantity) AS BIGINT) AS qty_ceil,
+           CAST(FLOOR(l_quantity / 7) AS BIGINT) AS qty_div7,
+           ROUND(SQRT(l_extendedprice), 6) AS price_sqrt,
+           ROUND(LN(l_extendedprice + 1), 6) AS price_ln,
+           ROUND(POW(1 + l_tax, 2), 6) AS tax_sq,
+           CAST(l_orderkey % 10 AS BIGINT) AS key_mod
+    FROM lineitem WHERE l_orderkey <= 500
+    """,
+    category="scalar",
+)
+def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 500)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 0).alias("price_round"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.floor(F.col("l_quantity") / 7).alias("qty_div7"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+        F.round(F.pow(F.lit(1) + F.col("l_tax"), 2), 6).alias("tax_sq"),
+        (F.col("l_orderkey") % 10).cast("long").alias("key_mod"),
+    )
+
+
+@query(
+    "scalar_conditional",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 300000 THEN 'high'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'low' END AS price_band,
+           COALESCE(NULLIF(o_orderstatus, 'P'), 'not-pending') AS status_or_default,
+           GREATEST(o_totalprice, 150000.0) AS price_floor150k,
+           LEAST(CAST(o_custkey AS BIGINT), CAST(o_orderkey AS BIGINT)) AS min_key,
+           CASE WHEN o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%'
+                THEN TRUE ELSE FALSE END AS is_urgent
+    FROM orders WHERE o_custkey <= 100
+    """,
+    category="scalar",
+)
+def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100)
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 300000, "high")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("not-pending")).alias(
+            "status_or_default"
+        ),
+        F.greatest("o_totalprice", F.lit(150000.0)).alias("price_floor150k"),
+        F.least(F.col("o_custkey").cast("long"), F.col("o_orderkey").cast("long")).alias("min_key"),
+        (F.col("o_orderpriority").like("1%") | F.col("o_orderpriority").like("2%")).alias(
+            "is_urgent"
+        ),
+    )
+
+
+@query(
+    "scalar_json_extract",
+    oracle="""
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract_string(e.props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           ROUND(AVG(CAST(json_extract_string(e.props, '$.k') AS BIGINT)), 4) AS avg_k
+    FROM events e
+    GROUP BY e.event_type
+    """,
+    category="scalar",
+)
+def scalar_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the events.props payload + aggregate. Uses
+    get_json_object (JVM-side JSON path) — at scale prefer from_json with an
+    explicit schema once the payload shape is known."""
+    e = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+    )
+
+
+@query(
+    "scalar_array_funcs",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_elem,
+           ROUND(list_aggregate(CAST(embedding AS DOUBLE[]), 'sum'), 6) AS vec_sum,
+           ROUND(list_aggregate(CAST(embedding AS DOUBLE[]), 'max'), 6) AS vec_max
+    FROM embeddings WHERE vec_id <= 100
+    """,
+    category="scalar",
+)
+def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array ops on the embedding column — size, indexing, fold-style
+    aggregation — all JVM higher-order functions, no UDF."""
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") <= 100)
+    vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at(F.col("embedding"), 1).cast("double"), 6).alias("first_elem"),
+        F.round(F.aggregate(vec_d, F.lit(0.0), lambda acc, x: acc + x), 6).alias("vec_sum"),
+        F.round(F.array_max(vec_d), 6).alias("vec_max"),
+    )

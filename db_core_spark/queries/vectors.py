@@ -1,0 +1,135 @@
+"""Similarity search over the `embeddings` fixture (array<float>):
+brute-force cosine top-k (exact baseline) and an LSH-bucketed ANN variant
+(the scale path). Goal-derived (BASELINE.json north star).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from db_core_spark.functions.vectors import cosine, norm, to_double
+from db_core_spark.registry import query
+from db_core_spark.tables import table
+
+
+@query(
+    "knn_bruteforce_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
+               FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.q_id, e.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(q.q_vec, CAST(e.embedding AS DOUBLE[])), 6)
+               AS cos_sim
+      FROM q JOIN embeddings e ON e.vec_id <> q.q_id),
+    ranked AS (
+      SELECT q_id, neighbor_id, cos_sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rnk
+      FROM scored)
+    SELECT q_id, neighbor_id, cos_sim, rnk FROM ranked WHERE rnk <= 5
+    """,
+    category="vector",
+)
+def knn_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for the first 10 vectors: broadcast the
+    (tiny) query set against the corpus — a map-side nested loop, then a
+    per-query top-k window. At 100 TB the corpus side stays partitioned and
+    only the query set + partial top-k move (no corpus shuffle).
+    Ranking uses the similarity rounded to 6 dp with neighbor_id tie-break so
+    both engines rank identically in double precision."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), to_double(F.col("embedding")).alias("q_vec")
+    )
+    corpus = e.select(F.col("vec_id").alias("neighbor_id"), to_double(F.col("embedding")).alias("vec"))
+    scored = (
+        corpus.join(F.broadcast(q), F.col("neighbor_id") != F.col("q_id"))
+        .withColumn("cos_sim", F.round(cosine(F.col("q_vec"), F.col("vec")), 6))
+        .select("q_id", "neighbor_id", "cos_sim")
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("q_id", "neighbor_id", "cos_sim", "rnk")
+    )
+
+
+@query("ann_lsh_topk", oracle=None, category="vector")
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via random-hyperplane LSH: 8 deterministic hyperplanes
+    (pseudo-random from xxhash64(dim, plane), JVM-side) -> 8-bit bucket sign
+    signature; candidates = corpus vectors in the query's bucket; exact
+    cosine re-rank within candidates. The scale path: bucket equi-join
+    instead of all-pairs; recall tunable by multi-probe (hamming<=1 buckets).
+    Rows-only check (probabilistic recall; pytest asserts containment in the
+    brute-force result)."""
+    e = table(spark, sf_dir, "embeddings")
+    dim = 64  # fixture embedding dimensionality
+
+    def bucket(vec_col):
+        # sign bit per hyperplane: sum_d vec[d] * h(d, p), h in {-1, +1}
+        bits = []
+        for p in range(8):
+            coeff = F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda d, p=p: F.when(
+                    F.xxhash64(d, F.lit(p)).bitwiseAND(F.lit(1)) == 1, F.lit(1.0)
+                ).otherwise(F.lit(-1.0)),
+            )
+            proj = F.aggregate(
+                F.zip_with(vec_col, coeff, lambda x, c: x * c),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(proj > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**p))
+        out = F.lit(0)
+        for b in bits:
+            out = out + b
+        return out
+
+    vecs = e.select(
+        F.col("vec_id"), to_double(F.col("embedding")).alias("vec")
+    ).withColumn("bucket", bucket(F.col("vec")))
+    q = vecs.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec"), F.col("bucket").alias("q_bucket")
+    )
+    cand = vecs.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("q_id")),
+    )
+    scored = cand.withColumn("cos_sim", F.round(cosine(F.col("q_vec"), F.col("vec")), 6))
+    w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "cos_sim", "rnk")
+    )
+
+
+@query(
+    "embedding_norm_stats",
+    oracle="""
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           ROUND(AVG(sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+                                                        x -> x * x), 'sum'))), 6)
+             AS avg_norm,
+           ROUND(MAX(sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+                                                        x -> x * x), 'sum'))), 6)
+             AS max_norm
+    FROM embeddings GROUP BY label
+    """,
+    category="vector",
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm statistics — the sanity profile before any
+    similarity work (catches unnormalized / degenerate embedding batches)."""
+    e = table(spark, sf_dir, "embeddings")
+    n = norm(to_double(F.col("embedding")))
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg(n), 6).alias("avg_norm"),
+        F.round(F.max(n), 6).alias("max_norm"),
+    )

@@ -1,0 +1,183 @@
+"""Window functions: ranking, lag/lead, running and range frames, top-k per
+group. Goal-derived (reference has none, SURVEY.md §2C) — but the same
+latest-per-key window implements the reference's MVCC visibility rule
+(/root/reference/src/storage/block_driver.rs:461-486); see queries/mvcc.py.
+
+Every ORDER BY inside a window here is a TOTAL order (unique tie-break keys)
+so results are deterministic and oracle-comparable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from db_core_spark.registry import query
+from db_core_spark.tables import table
+
+
+@query(
+    "window_topk_per_group",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rn
+      FROM orders)
+    WHERE rn <= 3
+    """,
+    category="window",
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer: the canonical window + filter top-k.
+    One shuffle on the partition key; rank computed within partitions."""
+    o = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("o_custkey").alias("c_custkey"), "o_orderkey", "o_totalprice", "rn"
+        )
+    )
+
+
+@query(
+    "window_rank_dense",
+    oracle="""
+    SELECT p_brand, p_partkey, p_retailprice,
+           CAST(RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS INT) AS price_rank,
+           CAST(DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_size) AS INT) AS size_dense_rank
+    FROM part
+    QUALIFY price_rank <= 5
+    """,
+    category="window",
+)
+def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    w_price = W.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc(), F.col("p_partkey"))
+    w_size = W.partitionBy("p_brand").orderBy("p_size")
+    return (
+        p.withColumn("price_rank", F.rank().over(w_price))
+        .withColumn("size_dense_rank", F.dense_rank().over(w_size))
+        .filter(F.col("price_rank") <= 5)
+        .select("p_brand", "p_partkey", "p_retailprice", "price_rank", "size_dense_rank")
+    )
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           LAG(o_orderkey) OVER w AS prev_orderkey,
+           LEAD(o_orderkey) OVER w AS next_orderkey,
+           CAST(date_diff('day',
+                LAG(o_orderdate) OVER w, o_orderdate) AS BIGINT) AS days_since_prev
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    category="window",
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG/LEAD over each customer's order history (total order by
+    date+key). days_since_prev mirrors inter-arrival analysis."""
+    o = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        ).cast("long").alias("days_since_prev"),
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           ROUND(SUM(l_extendedprice) OVER (
+             PARTITION BY l_suppkey
+             ORDER BY l_shipdate, l_orderkey, l_linenumber
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_revenue,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY l_suppkey
+             ORDER BY l_shipdate, l_orderkey, l_linenumber) AS INT) AS seq
+    FROM lineitem
+    QUALIFY seq <= 20
+    """,
+    category="window",
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running revenue per supplier with an explicit ROWS frame. The ORDER BY
+    is a total order, so both engines accumulate in the same sequence and the
+    rounded running sums are identical."""
+    li = table(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    return (
+        li.select(
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            F.round(
+                F.sum("l_extendedprice").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)), 2
+            ).alias("running_revenue"),
+            F.row_number().over(w).alias("seq"),
+        )
+        .filter(F.col("seq") <= 20)
+    )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           CAST(COUNT(*) OVER (
+             ORDER BY o_totalprice
+             RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_within_10k
+    FROM orders
+    WHERE o_custkey <= 50
+    """,
+    category="window",
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based): count of orders within $10k below each
+    price. Unpartitioned window over a filtered subset — at scale you'd
+    partition this by a bucketing key first."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 50)
+    w = W.orderBy("o_totalprice").rangeBetween(-10000, W.currentRow)
+    return o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.count(F.lit(1)).over(w).alias("n_within_10k"),
+    )
+
+
+@query(
+    "window_share_of_group",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           FLOOR(l_extendedprice / SUM(l_extendedprice) OVER (PARTITION BY l_orderkey)
+                 * 1000000 + 0.5) / 1000000 AS price_share,
+           FLOOR(AVG(l_extendedprice) OVER (PARTITION BY l_orderkey) * 10000 + 0.5) / 10000
+             AS order_avg_price
+    FROM lineitem WHERE l_orderkey <= 1000
+    """,
+    category="window",
+)
+def window_share_of_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered analytic window (whole-partition frame): each line's share
+    of its order's revenue. floor-based rounding in both engines — see
+    scan_projection_filter."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1000)
+    w = W.partitionBy("l_orderkey")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.floor(F.col("l_extendedprice") / F.sum("l_extendedprice").over(w) * 1000000 + 0.5)
+         / 1000000).alias("price_share"),
+        (F.floor(F.avg("l_extendedprice").over(w) * 10000 + 0.5) / 10000).alias("order_avg_price"),
+    )

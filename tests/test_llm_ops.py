@@ -1,0 +1,49 @@
+"""Semantics tests for the probabilistic / rows-only LLM-pipeline operators
+that have no SQL oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from db_core_spark.queries.llm import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_buckets,
+)
+from db_core_spark.queries.vectors import ann_lsh_topk, knn_bruteforce_topk
+from tests.conftest import SF_SMALL
+
+
+def _pairs(df):
+    return {(r.id_a, r.id_b) for r in df.collect()}
+
+
+def test_minhash_lsh_matches_exact_jaccard(spark):
+    """With 64 hashes / 16 bands, P[miss] < 1e-4 per true pair at s>=0.6; on
+    the deterministic fixture LSH must recover the exact pair set."""
+    exact = _pairs(ngram_jaccard_pairs(spark, SF_SMALL))
+    lsh = _pairs(minhash_lsh_pairs(spark, SF_SMALL))
+    assert lsh == exact
+
+
+def test_simhash_identical_for_exact_dups(spark):
+    """Documents with identical text must get identical simhash."""
+    from db_core_spark.tables import table
+
+    d = table(spark, SF_SMALL, "documents")
+    sh = simhash_buckets(spark, SF_SMALL).join(d.select("doc_id", "text"), "doc_id")
+    grp = sh.groupBy("text").agg(F.countDistinct("simhash").alias("n_hashes"))
+    assert grp.filter(F.col("n_hashes") > 1).count() == 0
+
+
+def test_ann_lsh_results_are_valid_neighbors(spark):
+    """Every ANN hit must be a real (non-self) vector with the correct exact
+    cosine — i.e. the approximate path never fabricates scores."""
+    ann = ann_lsh_topk(spark, SF_SMALL)
+    brute = knn_bruteforce_topk(spark, SF_SMALL)
+    exact = {(r.q_id, r.neighbor_id): r.cos_sim for r in brute.collect()}
+    # ANN scores, where the pair also appears in the exact top-k, must agree.
+    for r in ann.collect():
+        assert r.q_id != r.neighbor_id
+        if (r.q_id, r.neighbor_id) in exact:
+            assert abs(exact[(r.q_id, r.neighbor_id)] - r.cos_sim) < 1e-9
