@@ -1,0 +1,428 @@
+"""VersionedTable — ACID, MVCC-snapshot table on Parquet + a JSON commit log.
+
+Reference-parity map (citations into /root/reference):
+- begin/commit/rollback        <- src/system/instance.rs:88-122 (tsn/csn alloc,
+  WAL commit record, flush-on-commit). Here: commit publishes a manifest by
+  atomic hard-link into _commitlog/ — the link either exists or it doesn't,
+  which is the flush+publish of latest_commit_csn (instance.rs:212-219).
+- snapshot visibility          <- src/storage/block_driver.rs:457-486
+  (entry.csn <= reader.csn, else walk prev-version chain). Here: rows carry
+  (_csn, _opseq); 'walk the chain' becomes keep newest version per key with
+  _csn <= S via one window.
+- tombstone delete             <- src/system/instance.rs:191-210 (deleted flag
+  on entries). Here: _deleted=true rows that win the window hide the key.
+- optimistic conflict check    <- src/tran_mgr/tran_mgr.rs:85-127 replaces
+  pessimistic object locks: at commit, write-sets are compared against
+  manifests published since txn start (documented divergence, SURVEY.md §7.3).
+- crash recovery               <- src/system/instance.rs:221-304 (restore
+  checkpoint + redo log + rollback open txns). Here recovery is a *property*:
+  state is the fold of published manifests; staged-but-unpublished files are
+  invisible, a torn tmp manifest is ignored.
+- checkpoint/compaction/vacuum <- src/system/checkpointer.rs + version
+  reclamation (src/storage/version_store.rs:14-17, 264-309): materialize the
+  resolved snapshot at csn C into compact files; reclaim older versions.
+
+Scale design: data files are immutable parquet under data/tsn=<n>/opseq=<k>/;
+snapshot reads list ONLY committed op directories (no directory discovery
+race), attach (_csn,_opseq) via a broadcast join on the tiny manifest map,
+and resolve versions with a single window keyed on the table key — bucket
+the physical layout by key and the shuffle disappears; periodic checkpoints
+bound the window's input to (checkpoint, S] deltas.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F, types as T
+
+META_COLS = ("_csn", "_opseq", "_deleted")
+
+
+class ConflictError(Exception):
+    """Optimistic write-write conflict: another transaction committed an
+    overlapping write-set after this transaction began. Retry the txn."""
+
+
+@dataclass
+class _Op:
+    kind: str  # "upsert" | "delete"
+    df: DataFrame
+    opseq: int
+    keys: list[tuple] | None = None  # collected at commit for conflict check
+
+
+class VersionedTable:
+    MAX_TRACKED_KEYS = 100_000  # above this, write-set degrades to 'conflicts with any'
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self._log_dir = os.path.join(path, "_commitlog")
+        self._data_dir = os.path.join(path, "data")
+        meta = json.load(open(os.path.join(path, "_meta.json")))
+        self.key_cols: list[str] = meta["key_cols"]
+        self.schema: T.StructType = T.StructType.fromJson(meta["schema"])
+
+    # ---------------------------------------------------------------- setup
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        key_cols: list[str],
+        schema: T.StructType,
+    ) -> "VersionedTable":
+        """One-time table creation (mirrors Instance::initialize_datastore,
+        instance.rs:78-80): writes _meta.json + empty commit log."""
+        os.makedirs(os.path.join(path, "_commitlog"), exist_ok=False)
+        os.makedirs(os.path.join(path, "data"), exist_ok=True)
+        for k in key_cols:
+            if k not in schema.fieldNames():
+                raise ValueError(f"key column {k!r} not in schema")
+        with open(os.path.join(path, "_meta.json"), "w") as f:
+            json.dump({"key_cols": key_cols, "schema": schema.jsonValue()}, f)
+        return cls(spark, path)
+
+    @classmethod
+    def open(cls, spark: SparkSession, path: str) -> "VersionedTable":
+        """Open existing table. Recovery is implicit: only published
+        manifests define state (instance.rs:221-304 as a no-op property)."""
+        return cls(spark, path)
+
+    # ------------------------------------------------------------- manifests
+
+    def _manifests(self) -> list[dict]:
+        out = []
+        for name in os.listdir(self._log_dir):
+            if name.endswith(".json") and not name.startswith("_tmp"):
+                with open(os.path.join(self._log_dir, name)) as f:
+                    out.append(json.load(f))
+        return sorted(out, key=lambda m: m["csn"])
+
+    def latest_csn(self) -> int:
+        csns = [m["csn"] for m in self._manifests()]
+        return max(csns) if csns else 0
+
+    # ---------------------------------------------------------------- writes
+
+    def begin(self) -> "Transaction":
+        """Allocate a txn and pin its read snapshot (instance.rs:88-99)."""
+        # 't' prefix keeps partition-column type inference on tsn= dirs
+        # string-typed even when the hex happens to be all digits
+        tsn = "t" + uuid.uuid4().hex[:12]
+        return Transaction(self, tsn=tsn, start_csn=self.latest_csn())
+
+    # ---------------------------------------------------------------- reads
+
+    def _committed_ops(self, as_of: int | None) -> list[dict]:
+        """(dir, csn, opseq, kind) for every committed op visible at as_of,
+        starting from the newest checkpoint <= as_of (if any)."""
+        manifests = self._manifests()
+        if as_of is not None:
+            manifests = [m for m in manifests if m["csn"] <= as_of]
+        ckpts = [m for m in manifests if m.get("type") == "checkpoint"]
+        base = max(ckpts, key=lambda m: m["csn"]) if ckpts else None
+        ops = []
+        if base is not None:
+            ops.append({"dir": base["dir"], "csn": -1, "opseq": -1, "checkpoint": True})
+        floor_csn = base["csn"] if base is not None else 0
+        for m in manifests:
+            if m.get("type") == "checkpoint" or m["csn"] <= floor_csn and base is not None:
+                continue
+            for op in m["ops"]:
+                ops.append(
+                    {"dir": op["dir"], "csn": m["csn"], "opseq": op["opseq"], "checkpoint": False}
+                )
+        return ops
+
+    def _empty(self) -> DataFrame:
+        full = T.StructType(
+            list(self.schema.fields)
+            + [
+                T.StructField("_csn", T.LongType()),
+                T.StructField("_opseq", T.LongType()),
+                T.StructField("_deleted", T.BooleanType()),
+            ]
+        )
+        return self.spark.createDataFrame([], full)
+
+    def _versions(self, as_of: int | None) -> DataFrame:
+        """All visible row versions with (_csn,_opseq,_deleted) attached."""
+        ops = self._committed_ops(as_of)
+        if not ops:
+            return self._empty()
+        parts = []
+        delta_dirs = [o for o in ops if not o["checkpoint"]]
+        ckpt_dirs = [o["dir"] for o in ops if o["checkpoint"]]
+        if ckpt_dirs:
+            # checkpoint files carry physical _csn/_opseq columns already
+            parts.append(self.spark.read.parquet(*ckpt_dirs))
+        if delta_dirs:
+            df = self.spark.read.option("basePath", self._data_dir).parquet(
+                *[o["dir"] for o in delta_dirs]
+            )
+            # partition discovery yields tsn/opseq dir columns; map tsn->csn
+            # via a broadcast join on the (tiny) manifest map
+            mapping = self.spark.createDataFrame(
+                [
+                    (os.path.basename(os.path.dirname(o["dir"])).split("=", 1)[1],
+                     int(o["opseq"]), int(o["csn"]))
+                    for o in delta_dirs
+                ],
+                "tsn string, opseq int, _csn long",
+            )
+            df = (
+                df.withColumn("tsn", F.col("tsn").cast("string"))
+                .withColumn("opseq", F.col("opseq").cast("int"))
+                .join(F.broadcast(mapping), ["tsn", "opseq"])
+                .withColumn("_opseq", F.col("opseq").cast("long"))
+                .drop("tsn", "opseq")
+            )
+            parts.append(df.select(*[f.name for f in self.schema.fields], *META_COLS))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def snapshot(self, as_of_csn: int | None = None) -> DataFrame:
+        """Snapshot read: newest visible version per key, tombstones dropped
+        — the visibility rule of block_driver.rs:457-486 as one window."""
+        vs = self._versions(as_of_csn)
+        w = W.partitionBy(*self.key_cols).orderBy(F.desc("_csn"), F.desc("_opseq"))
+        return (
+            vs.withColumn("_rn", F.row_number().over(w))
+            .filter((F.col("_rn") == 1) & (~F.col("_deleted")))
+            .drop("_rn", *META_COLS)
+        )
+
+    def history(self) -> DataFrame:
+        """Every row version with metadata (the version-store chain view)."""
+        return self._versions(None)
+
+    # ----------------------------------------------------------- maintenance
+
+    def checkpoint(self) -> int:
+        """Materialize the resolved snapshot at the current csn into compact
+        files and publish a checkpoint manifest (checkpointer.rs protocol:
+        begin -> copy -> completed; here a single atomic publish). Readers at
+        S >= C start from the checkpoint instead of folding all history."""
+        csn = self.latest_csn()
+        if csn == 0:
+            return 0
+        vs = self._versions(csn)
+        w = W.partitionBy(*self.key_cols).orderBy(F.desc("_csn"), F.desc("_opseq"))
+        resolved = (
+            vs.withColumn("_rn", F.row_number().over(w))
+            .filter((F.col("_rn") == 1) & (~F.col("_deleted")))
+            .drop("_rn")
+        )
+        out_dir = os.path.join(self._data_dir, f"checkpoint-{csn:010d}")
+        resolved.write.mode("overwrite").parquet(out_dir)
+        manifest = {"type": "checkpoint", "csn": csn, "dir": out_dir, "ts": time.time()}
+        self._publish(f"checkpoint-{csn:010d}.json", manifest)
+        return csn
+
+    def vacuum(self) -> int:
+        """Reclaim op files/manifests fully covered by the newest checkpoint
+        (version_store.rs:264-309 reclamation). As-of reads older than the
+        checkpoint csn become unavailable — retention semantics."""
+        manifests = self._manifests()
+        ckpts = [m for m in manifests if m.get("type") == "checkpoint"]
+        if not ckpts:
+            return 0
+        floor = max(c["csn"] for c in ckpts)
+        removed = 0
+        import shutil
+
+        for m in manifests:
+            if m.get("type") == "checkpoint":
+                if m["csn"] < floor:
+                    shutil.rmtree(m["dir"], ignore_errors=True)
+                    os.remove(os.path.join(self._log_dir, f"checkpoint-{m['csn']:010d}.json"))
+                continue
+            if m["csn"] <= floor:
+                for op in m["ops"]:
+                    shutil.rmtree(op["dir"], ignore_errors=True)
+                    removed += 1
+                os.remove(os.path.join(self._log_dir, f"{m['csn']:010d}.json"))
+        # clean empty tsn= dirs
+        for d in os.listdir(self._data_dir):
+            p = os.path.join(self._data_dir, d)
+            if d.startswith("tsn=") and os.path.isdir(p) and not os.listdir(p):
+                os.rmdir(p)
+        return removed
+
+    # ------------------------------------------------------------- internals
+
+    def _publish(self, name: str, manifest: dict) -> bool:
+        """Atomically publish a manifest: write tmp, hard-link to final name.
+        link(2) fails with EEXIST if another writer claimed it — the lock-free
+        csn allocation (mirrors the CAS publish of latest_commit_csn,
+        instance.rs:212-219). On object stores this becomes a conditional put."""
+        tmp = os.path.join(self._log_dir, f"_tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        final = os.path.join(self._log_dir, name)
+        try:
+            os.link(tmp, final)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.remove(tmp)
+
+
+class Transaction:
+    """Buffered write transaction with read-your-own-writes and optimistic
+    commit (SURVEY.md §7.3 risk 2: pessimistic locks -> optimistic retry)."""
+
+    def __init__(self, table: VersionedTable, tsn: str, start_csn: int):
+        self.table = table
+        self.tsn = tsn
+        self.start_csn = start_csn
+        self._ops: list[_Op] = []
+        self._done = False
+
+    # ------------------------------------------------------------------ ops
+
+    def upsert(self, df: DataFrame) -> None:
+        """INSERT/UPDATE: stage new row versions (open_create/open_write +
+        write_next, instance.rs:141-187, 429-444)."""
+        self._check_open()
+        self._ops.append(_Op("upsert", df, opseq=len(self._ops)))
+
+    def delete_keys(self, keys) -> None:
+        """DELETE: stage tombstones for the given keys (instance.rs:191-210).
+        `keys` is a DataFrame of key columns or a list of dicts/tuples."""
+        self._check_open()
+        kc = self.table.key_cols
+        if not isinstance(keys, DataFrame):
+            key_schema = T.StructType([self.table.schema[k] for k in kc])
+            rows = [tuple(k[c] for c in kc) if isinstance(k, dict) else tuple(k) for k in keys]
+            keys = self.table.spark.createDataFrame(rows, key_schema)
+        self._ops.append(_Op("delete", keys.select(*kc), opseq=len(self._ops)))
+
+    def read(self) -> DataFrame:
+        """Read-your-own-writes snapshot: committed state as of txn start +
+        this txn's buffered ops layered on top (uncommitted data visible only
+        to self — block_driver.rs visibility `entry.tsn == reader.tsn`)."""
+        self._check_open()
+        base = self.table._versions(self.start_csn)
+        parts = [base]
+        big = 1 << 60  # own writes sort above every committed csn
+        for op in self._ops:
+            parts.append(
+                self._full_rows(op).withColumn("_csn", F.lit(big + op.opseq).cast("long"))
+            )
+        vs = parts[0]
+        for p in parts[1:]:
+            vs = vs.unionByName(p)
+        kc = self.table.key_cols
+        w = W.partitionBy(*kc).orderBy(F.desc("_csn"), F.desc("_opseq"))
+        return (
+            vs.withColumn("_rn", F.row_number().over(w))
+            .filter((F.col("_rn") == 1) & (~F.col("_deleted")))
+            .drop("_rn", *META_COLS)
+        )
+
+    # --------------------------------------------------------------- commit
+
+    def commit(self, max_csn_attempts: int = 50) -> int:
+        """Write staged files, then claim the next csn by atomic manifest
+        publish. Conflict rule: if any manifest in (start_csn, claimed_csn)
+        has a write-set overlapping ours -> ConflictError (optimistic
+        replacement for tran_mgr object locks; lost-update test passes via
+        caller retry)."""
+        self._check_open()
+        self._done = True
+        if not self._ops:
+            return self.start_csn
+        t = self.table
+        # 1. write data files (invisible until the manifest publishes)
+        ops_meta = []
+        my_keys: set[tuple] | None = set()
+        for op in self._ops:
+            out_dir = os.path.join(t._data_dir, f"tsn={self.tsn}", f"opseq={op.opseq}")
+            full = self._full_rows(op).drop("_csn")  # csn attached at read via manifest
+            full.write.mode("errorifexists").parquet(out_dir)
+            ops_meta.append({"dir": out_dir, "opseq": op.opseq, "kind": op.kind})
+            if my_keys is not None:
+                ks = (
+                    op.df.select(*t.key_cols).distinct().limit(t.MAX_TRACKED_KEYS + 1).collect()
+                )
+                if len(ks) > t.MAX_TRACKED_KEYS:
+                    my_keys = None  # too big: conservatively conflict with anything
+                else:
+                    my_keys.update(tuple(r) for r in ks)
+        # 2. claim a csn
+        for _ in range(max_csn_attempts):
+            candidate = t.latest_csn() + 1
+            self._check_conflicts(my_keys, upto=candidate)
+            manifest = {
+                "csn": candidate,
+                "tsn": self.tsn,
+                "ops": ops_meta,
+                "write_keys": sorted(my_keys) if my_keys is not None else None,
+                "ts": time.time(),
+            }
+            if t._publish(f"{candidate:010d}.json", manifest):
+                return candidate
+            # lost the race for this csn; re-check conflicts vs the winner
+        raise RuntimeError("could not claim a csn (too much commit contention)")
+
+    def rollback(self) -> None:
+        """Discard staged files (WAL rollback + version-store restore,
+        instance.rs:114-122, collapses to deletion of never-published data)."""
+        self._check_open()
+        self._done = True
+        import shutil
+
+        shutil.rmtree(os.path.join(self.table._data_dir, f"tsn={self.tsn}"), ignore_errors=True)
+
+    # ------------------------------------------------------------ internals
+
+    def _full_rows(self, op: _Op) -> DataFrame:
+        """Normalize an op to the full physical schema (+_opseq,_deleted;
+        _csn is virtual until commit)."""
+        t = self.table
+        if op.kind == "upsert":
+            df = op.df.select(*[f.name for f in t.schema.fields])
+            df = df.withColumn("_deleted", F.lit(False))
+        else:
+            df = op.df
+            for f in t.schema.fields:
+                if f.name not in df.columns:
+                    df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+            df = df.select(*[f.name for f in t.schema.fields]).withColumn(
+                "_deleted", F.lit(True)
+            )
+        return df.withColumn("_opseq", F.lit(op.opseq).cast("long")).withColumn(
+            "_csn", F.lit(None).cast("long")
+        )
+
+    def _check_conflicts(self, my_keys: set[tuple] | None, upto: int) -> None:
+        for m in self.table._manifests():
+            if m.get("type") == "checkpoint" or m["csn"] <= self.start_csn or m["csn"] >= upto:
+                continue
+            theirs = m.get("write_keys")
+            if my_keys is None or theirs is None:
+                raise ConflictError(
+                    f"txn {self.tsn}: concurrent commit csn={m['csn']} with untracked write-set"
+                )
+            if my_keys & {tuple(k) for k in theirs}:
+                raise ConflictError(
+                    f"txn {self.tsn}: write-set overlaps concurrent commit csn={m['csn']}"
+                )
+
+    def _check_open(self) -> None:
+        if self._done:
+            raise RuntimeError("transaction already committed or rolled back")
