@@ -13,4 +13,5 @@ from db_core_spark.queries import (  # noqa: F401
     llm,
     vectors,
     objects,
+    asof,
 )

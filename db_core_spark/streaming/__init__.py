@@ -1,0 +1,15 @@
+"""Structured Streaming operator surface (SURVEY.md §7.1 phase 4): watermarked
+tumbling/sliding/session windows, streaming dedup, stateful per-key counts.
+Batch twins with DuckDB oracles live in db_core_spark.queries.streaming_batch;
+this package compiles the same logic against readStream and is pytest-checked
+(streaming state is not SQL-expressible)."""
+
+from db_core_spark.streaming.ops import (  # noqa: F401
+    dedup_stream,
+    session_counts,
+    sliding_counts,
+    stateful_user_counts,
+    tumbling_counts,
+)
+from db_core_spark.streaming.sources import events_stream, stage_events_files  # noqa: F401
+from db_core_spark.streaming.runner import run_to_memory  # noqa: F401

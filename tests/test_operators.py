@@ -1,0 +1,59 @@
+"""Tests for composite operators: as-of join and the multimodal binary
+pipeline."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from db_core_spark.operators.asof import asof_join
+from db_core_spark.operators.multimodal import decode_binary_features
+from db_core_spark.tables import table
+from tests.conftest import SF_SMALL
+
+
+def test_asof_join_basic_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, 10), (1, 20), (1, 5), (2, 10)], "k long, t long"
+    ).withColumn("t", F.col("t").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, 8, 100), (1, 15, 200), (1, 20, 300), (3, 1, 999)], "k long, t long, v long"
+    ).withColumn("t", F.col("t").cast("timestamp"))
+    out = asof_join(
+        left, right.withColumnRenamed("t", "rt"), on="k",
+        left_time="t", right_time="rt", payload_cols=["v"], tie_break="v",
+    )
+    got = {(r.k, r.t.second if r.t.second else int(r.t.timestamp())): r.v for r in out.collect()}
+    vals = {(r.k, int(r.t.timestamp())): r.v for r in out.collect()}
+    assert vals[(1, 10)] == 100   # newest right at t<=10 is t=8
+    assert vals[(1, 20)] == 300   # equal timestamp included (<=)
+    assert vals[(1, 5)] is None   # nothing before t=5
+    assert vals[(2, 10)] is None  # key with no right rows
+
+
+def test_multimodal_pipeline_fake_decode(spark):
+    d = table(spark, SF_SMALL, "documents").limit(50)
+    binary_df = d.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit("image/fake").alias("modality"),
+    )
+    feats = decode_binary_features(binary_df, fake_decode=True)
+    rows = feats.collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert r.n_bytes > 0
+        assert 16 <= r.width < 80 and 16 <= r.height < 80
+        assert 1 <= r.n_frames <= 4
+    # deterministic: same input -> same checksum on rerun
+    again = {r.doc_id: r.checksum for r in decode_binary_features(binary_df).collect()}
+    assert again == {r.doc_id: r.checksum for r in rows}
+
+
+def test_multimodal_decode_stub_raises_without_fake(spark):
+    d = table(spark, SF_SMALL, "documents").limit(2)
+    binary_df = d.select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload"), F.lit("image").alias("modality")
+    )
+    with pytest.raises(Exception, match="NotImplementedError|codecs not available"):
+        decode_binary_features(binary_df, fake_decode=False).collect()

@@ -1,0 +1,135 @@
+"""Structured Streaming tests: the streaming operators must converge to
+their batch twins over the bounded fixture, watermarks must drop true late
+arrivals in append mode, and stateful/dedup state must behave."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from db_core_spark.streaming import (
+    dedup_stream,
+    events_stream,
+    run_to_memory,
+    session_counts,
+    sliding_counts,
+    stage_events_files,
+    stateful_user_counts,
+    tumbling_counts,
+)
+from db_core_spark.tables import table
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, tmp_path_factory):
+    out = tmp_path_factory.mktemp("events_stream")
+    return stage_events_files(spark, SF_SMALL, str(out), n_files=4)
+
+
+def batch_events(spark):
+    return table(spark, SF_SMALL, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_tumbling_update_mode_converges_to_batch(spark, stream_dir, tmp_path):
+    got = run_to_memory(
+        tumbling_counts(events_stream(spark, stream_dir)), "update", str(tmp_path / "ck")
+    )
+    # update mode re-emits windows as they refine; last emission per key wins
+    final = {}
+    for r in got.collect():
+        final[(r.window_start, r.event_type)] = r.n_events
+    expect = {
+        (r.window_start, r.event_type): r.n_events
+        for r in tumbling_counts(batch_events(spark)).collect()
+    }
+    # every batch window must be present with the final (= batch) count
+    assert final == expect
+
+
+def test_append_mode_watermark_finalizes_only_closed_windows(spark, stream_dir, tmp_path):
+    got = run_to_memory(
+        tumbling_counts(events_stream(spark, stream_dir), watermark="30 minutes"),
+        "append",
+        str(tmp_path / "ck"),
+    )
+    batch = tumbling_counts(batch_events(spark)).collect()
+    max_ts = batch_events(spark).agg(F.max("ts")).collect()[0][0]
+    expect_closed = {
+        (r.window_start, r.event_type): r.n_events
+        for r in batch
+        # append emits windows whose end <= final watermark (max_ts - 30m)
+        if (max_ts - r.window_end).total_seconds() >= 30 * 60
+    }
+    emitted = {(r.window_start, r.event_type): r.n_events for r in got.collect()}
+    for k, v in expect_closed.items():
+        assert emitted.get(k) == v, f"window {k} missing/incomplete in append output"
+    # nothing past the watermark may be emitted
+    for (ws, _et) in emitted:
+        assert (max_ts - ws).total_seconds() >= 30 * 60
+
+
+def test_late_rows_dropped_in_append_mode(spark, tmp_path):
+    """Stage with 20% true late arrivals; append-mode totals must be LESS
+    than the batch totals (late rows dropped), and never greater."""
+    late_dir = stage_events_files(
+        spark, SF_SMALL, str(tmp_path / "late"), n_files=4, late_fraction=0.2
+    )
+    got = run_to_memory(
+        tumbling_counts(events_stream(spark, late_dir), watermark="10 minutes"),
+        "append",
+        str(tmp_path / "ck"),
+    )
+    stream_total = sum(r.n_events for r in got.collect())
+    batch_total = batch_events(spark).count()
+    assert 0 < stream_total < batch_total
+
+
+def test_sliding_counts_converge(spark, stream_dir, tmp_path):
+    got = run_to_memory(
+        sliding_counts(events_stream(spark, stream_dir)), "update", str(tmp_path / "ck")
+    )
+    final = {}
+    for r in got.collect():
+        final[r.window_start] = r.n_events
+    expect = {r.window_start: r.n_events for r in sliding_counts(batch_events(spark)).collect()}
+    assert final == expect
+
+
+def test_session_window_stream_runs(spark, stream_dir, tmp_path):
+    # session-window aggregation only supports append (or complete) mode
+    got = run_to_memory(
+        session_counts(events_stream(spark, stream_dir), watermark="30 minutes"),
+        "append",
+        str(tmp_path / "ck"),
+    )
+    rows = got.collect()
+    assert len(rows) > 0
+    # session invariant: start <= end, positive counts
+    for r in rows:
+        assert r.session_start <= r.session_end
+        assert r.n_events >= 1
+
+
+def test_dedup_stream_matches_batch_distinct(spark, stream_dir, tmp_path):
+    got = run_to_memory(
+        dedup_stream(events_stream(spark, stream_dir)), "append", str(tmp_path / "ck")
+    )
+    n_pairs = batch_events(spark).select("user_id", "event_type").distinct().count()
+    assert got.count() == n_pairs
+    assert got.select("user_id", "event_type").distinct().count() == n_pairs
+
+
+def test_stateful_user_counts(spark, stream_dir, tmp_path):
+    got = run_to_memory(
+        stateful_user_counts(events_stream(spark, stream_dir)), "update", str(tmp_path / "ck")
+    )
+    # last emission per user must equal the total batch count for that user
+    final = {}
+    for r in got.collect():
+        final[r.user_id] = max(final.get(r.user_id, 0), r.n_events)
+    expect = {
+        r.user_id: r.n
+        for r in batch_events(spark).groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert final == expect
