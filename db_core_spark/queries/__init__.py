@@ -14,4 +14,6 @@ from db_core_spark.queries import (  # noqa: F401
     vectors,
     objects,
     asof,
+    extras,
+    udfs,
 )
