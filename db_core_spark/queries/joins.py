@@ -286,3 +286,39 @@ def join_range_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey")
         .agg(F.count("event_id").alias("n_events_next_day"))
     )
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(l.l_quantity), 2) AS qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY l.l_orderkey
+    """,
+    category="join",
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi-join: identical semantics to a plain inner join (the
+    oracle IS the plain join), but the big side's hot keys are spread over
+    salt buckets so no single task owns a pathological key. At 100 TB this is
+    the manual fallback when AQE skew-split can't help (e.g. a single key
+    larger than one executor's memory)."""
+    from db_core_spark.operators.skew import salted_join
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    return (
+        salted_join(li, o, "l_orderkey", salt_buckets=8)
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+        )
+    )

@@ -45,6 +45,10 @@ def get_spark(app_name: str = "db_core_spark", cpus: int | None = None) -> Spark
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/db_core_spark_warehouse"),
+        )
         .config("spark.sql.legacy.parquet.nanosAsLong", "false")
     )
     spark = builder.getOrCreate()

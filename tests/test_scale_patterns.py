@@ -1,0 +1,71 @@
+"""Scale-pattern tests: salted joins (skew), bucketed co-located joins
+(shuffle elimination) — correctness here, plan-shape assertions where the
+pattern's whole point is the plan."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from db_core_spark.operators.skew import salted_join
+from db_core_spark.tables import table
+from tests.conftest import SF_SMALL
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_salted_join_equals_plain_join(spark):
+    li = table(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_quantity")
+    o = table(spark, SF_SMALL, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    plain = li.join(o, "l_orderkey").groupBy("l_orderkey").count()
+    salted = salted_join(li, o, "l_orderkey", salt_buckets=4).groupBy("l_orderkey").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_left_join_preserves_unmatched(spark):
+    c = table(spark, SF_SMALL, "customer").select(F.col("c_custkey").alias("k"), "c_name")
+    o = table(spark, SF_SMALL, "orders").select(F.col("o_custkey").alias("k"), "o_orderkey")
+    plain = c.join(o, "k", "left")
+    salted = salted_join(c, o, "k", salt_buckets=4, how="left")
+    assert plain.count() == salted.count()
+    assert (
+        plain.filter(F.col("o_orderkey").isNull()).count()
+        == salted.filter(F.col("o_orderkey").isNull()).count()
+    )
+
+
+def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
+    """Co-located bucketed tables join without an Exchange — the physical
+    layout that makes repeated 100 TB joins on the same key affordable."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ path
+    try:
+        li = table(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_quantity")
+        o = table(spark, SF_SMALL, "orders").select("o_orderkey", "o_totalprice")
+        li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode("overwrite").saveAsTable(
+            "li_bkt"
+        )
+        o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode("overwrite").saveAsTable(
+            "o_bkt"
+        )
+        j = spark.table("li_bkt").join(
+            spark.table("o_bkt"), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        p = plan_of(j)
+        assert "Exchange" not in p, f"bucketed join still shuffles:\n{p}"
+        # and it's still correct
+        n = j.count()
+        expect = li.join(o, li.l_orderkey == o.o_orderkey).count()
+        assert n == expect
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS li_bkt")
+        spark.sql("DROP TABLE IF EXISTS o_bkt")
