@@ -16,4 +16,5 @@ from db_core_spark.queries import (  # noqa: F401
     asof,
     extras,
     udfs,
+    tpch,
 )
