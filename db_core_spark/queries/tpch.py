@@ -332,3 +332,168 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
         .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
     )
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+    SELECT l_year,
+           ROUND(SUM(CASE WHEN s_nation = 'NATION_7' THEN vol ELSE 0 END)
+                 / SUM(vol), 6) AS mkt_share
+    FROM (
+        SELECT CAST(YEAR(o.o_orderdate) AS INT) AS l_year,
+               l.l_extendedprice * (1 - l.l_discount) AS vol,
+               n2.n_name AS s_nation
+        FROM part p
+        JOIN lineitem l ON l.l_partkey = p.p_partkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+        JOIN region r   ON r.r_regionkey = n1.n_regionkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+        WHERE r.r_name = 'ASIA' AND p.p_type = 'STANDARD'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    )
+    GROUP BY l_year
+    """,
+    category="tpch",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: NATION_7's share of ASIA-region STANDARD-part revenue by
+    year. Seven-way star join where EVERY dimension (part filtered to one
+    type, supplier, customer, nation x2, region) broadcasts; the fact table
+    is never shuffled for the joins — only the final tiny group-by on
+    l_year moves data. The share is a conditional-sum ratio in one pass."""
+    p = F.broadcast(table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD"))
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < _ts("1998-01-01 00:00:00"))
+    )
+    c = F.broadcast(table(spark, sf_dir, "customer"))
+    s = F.broadcast(table(spark, sf_dir, "supplier"))
+    n1 = F.broadcast(table(spark, sf_dir, "nation")).select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = F.broadcast(table(spark, sf_dir, "nation")).select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("s_nation")
+    )
+    r = F.broadcast(table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n1, c.c_nationkey == F.col("n1_key"))
+        .join(r, F.col("n1_region") == r.r_regionkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(n2, F.col("s_nationkey") == F.col("n2_key"))
+        .withColumn("l_year", F.year("o_orderdate"))
+        .groupBy("l_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("s_nation") == "NATION_7", vol).otherwise(F.lit(0.0)))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "q19_disjunctive_revenue",
+    oracle="""
+    SELECT FLOOR(SUM(l.l_extendedprice * (1 - l.l_discount)) * 100 + 0.5) / 100
+             AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    category="tpch",
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (container-free adaptation): revenue matching an OR of
+    brand/size/quantity conjunctions. The part side is pre-filtered to the
+    union of the three brand terms (derivable superset predicate) so the
+    broadcast build is three brands, not the whole catalog; the residual
+    disjunction evaluates post-join inside one codegen stage. At 100 TB the
+    l_quantity bounds (1..30) also push to the scan as a range filter."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity").between(1, 30))
+    p = F.broadcast(
+        table(spark, sf_dir, "part").filter(
+            F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
+        )
+    )
+    term = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .filter(term)
+        .agg((F.floor(rev * 100 + 0.5) / 100).alias("revenue"))
+    )
+
+
+@query(
+    "q22_idle_customers",
+    oracle="""
+    SELECT n.n_name AS cntry,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           FLOOR(SUM(c.c_acctbal) * 100 + 0.5) / 100 AS totacctbal
+    FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE c.c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY n.n_name
+    """,
+    category="tpch",
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (nation-keyed adaptation: fixtures lack c_phone): wealthy
+    customers with no RECENT order (lapsed accounts), by nation. The AVG
+    scalar subquery is a one-row broadcast (cross join); the NOT EXISTS is a
+    left_anti join — at 100 TB orders is date-pruned THEN projected to the
+    single join column, so the anti-join shuffle moves 8 bytes per recent
+    order; nation broadcasts."""
+    c = table(spark, sf_dir, "customer")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("_avg_bal")
+    )
+    o_keys = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= _ts("2000-01-01 00:00:00"))
+        .select("o_custkey")
+    )
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(o_keys, c.c_custkey == o_keys.o_custkey, "left_anti")
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("cntry"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (F.floor(F.sum("c_acctbal") * 100 + 0.5) / 100).alias("totacctbal"),
+        )
+    )

@@ -133,3 +133,94 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(n), 6).alias("avg_norm"),
         F.round(F.max(n), 6).alias("max_norm"),
     )
+
+
+@query(
+    "embedding_neardup_pairs",
+    oracle="""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+    """,
+    category="vector",
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection: all pairs with cosine >=
+    threshold (0.4 — the fixture vectors are near-orthogonal, max pair
+    ~0.51, so a production-style 0.95 would be vacuously empty). This exact
+    variant is the oracle-checkable ground truth; the 100 TB path is the
+    same rescoring after LSH candidate generation (ann_lsh_topk's bucketing
+    / simhash banding) so candidates come from an equi-join on bucket id,
+    not this O(n^2) id-ordered self-join. Threshold compares the ROUNDED
+    similarity on both engines so borderline pairs can't flip."""
+    e = table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"), to_double("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_b"), to_double("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos_sim") >= 0.4)
+        .select("vec_a", "vec_b", "cos_sim")
+    )
+
+
+@query("ann_ivf_topk", oracle=None, category="vector")
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via IVF (inverted-file) partitioning: ~16 deterministic
+    seed centroids (every 31st vec_id); each corpus vector is assigned to its
+    nearest centroid (broadcast nested-loop over 16 rows + max_by partial
+    agg — no shuffle of the corpus); each query probes its nprobe=4 nearest
+    cells and rescores exact cosine inside them. At 100 TB the corpus is
+    written partitioned BY cell id, so a probe reads only nprobe/K of the
+    data — the classic IVF pruning — and candidate generation is an
+    equi-join on cell. Rows-only check; pytest asserts scores are exact and
+    recall vs brute force."""
+    e = table(spark, sf_dir, "embeddings")
+    vecs = e.select(F.col("vec_id"), to_double("embedding").alias("vec"))
+    cents = F.broadcast(
+        vecs.filter(F.col("vec_id") % 31 == 0).select(
+            F.col("vec_id").alias("cent_id"), F.col("vec").alias("cent_vec")
+        )
+    )
+
+    def nearest_cells(df, id_col, vec_col, n_cells, out):
+        scored = df.join(cents).withColumn(
+            "_sim", cosine(F.col(vec_col), F.col("cent_vec"))
+        )
+        ranked = scored.groupBy(id_col, vec_col).agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("_sim"), F.col("cent_id"))), asc=False
+                ),
+                1,
+                n_cells,
+            ).alias("_top")
+        )
+        return ranked.select(
+            id_col, vec_col, F.explode(F.col("_top").getField("cent_id")).alias(out)
+        )
+
+    assigned = nearest_cells(vecs, "vec_id", "vec", 1, "cell")
+    queries = nearest_cells(
+        vecs.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec")
+        ),
+        "q_id",
+        "q_vec",
+        4,
+        "q_cell",
+    )
+    cand = assigned.join(
+        F.broadcast(queries),
+        (F.col("cell") == F.col("q_cell")) & (F.col("vec_id") != F.col("q_id")),
+    )
+    scored = cand.withColumn("cos_sim", F.round(cosine(F.col("q_vec"), F.col("vec")), 6))
+    w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "cos_sim", "rnk")
+    )

@@ -47,3 +47,24 @@ def test_ann_lsh_results_are_valid_neighbors(spark):
         assert r.q_id != r.neighbor_id
         if (r.q_id, r.neighbor_id) in exact:
             assert abs(exact[(r.q_id, r.neighbor_id)] - r.cos_sim) < 1e-9
+
+
+def test_ann_ivf_results_are_valid_neighbors_with_recall(spark):
+    """IVF hits must carry the exact cosine (no fabricated scores) and the
+    nprobe=4/16-cell probe must recover a reasonable share of the true
+    top-5 on the fixture."""
+    from db_core_spark.queries.vectors import ann_ivf_topk
+
+    ivf = ann_ivf_topk(spark, SF_SMALL).collect()
+    brute = knn_bruteforce_topk(spark, SF_SMALL)
+    exact = {(r.q_id, r.neighbor_id): r.cos_sim for r in brute.collect()}
+    assert len(ivf) > 0
+    hits = 0
+    for r in ivf:
+        assert r.q_id != r.neighbor_id
+        if (r.q_id, r.neighbor_id) in exact:
+            assert abs(exact[(r.q_id, r.neighbor_id)] - r.cos_sim) < 1e-9
+            hits += 1
+    # near-orthogonal fixture => weak cluster structure; still expect >=20%
+    # of true top-5 pairs to fall inside the probed cells
+    assert hits >= 0.2 * len(exact)
