@@ -83,3 +83,87 @@ def decode_binary_features(binary_df: DataFrame, fake_decode: bool = True) -> Da
             )
 
     return binary_df.mapInPandas(extract, schema=FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_no int, frame_len long, frame_digest string"
+
+
+def sample_frames(binary_df: DataFrame, stride: int = 2) -> DataFrame:
+    """Frame sampling over video-like binary payloads: a flatMap-shaped
+    mapInPandas — each input row fans out to one output row per SAMPLED
+    frame (frame_no 0, stride, 2*stride, ...).
+
+    Stub codec model (deterministic, matches the SQL oracle): a payload of
+    n bytes holds `1 + n % 8` equal frames; frame i spans bytes
+    [i*n//k, (i+1)*n//k). A real demuxer (pyav etc.) replaces only the
+    boundary computation; the fan-out plumbing, Arrow batching, and
+    digest-per-frame contract stay identical. No shuffle: fan-out happens
+    inside the partition that holds the payload — at 100 TB frames never
+    leave the executor that read the video bytes."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib  # noqa: PLC0415
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload) if payload is not None else b""
+                n = len(data)
+                k = 1 + n % 8
+                for i in range(0, k, stride):
+                    start, end = i * n // k, (i + 1) * n // k
+                    frame = data[start:end]
+                    out.append(
+                        (doc_id, i, len(frame), hashlib.sha256(frame).hexdigest())
+                    )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "frame_no", "frame_len", "frame_digest"]
+            )
+
+    return binary_df.mapInPandas(gen, schema=FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "doc_id long, src_w int, src_h int, out_w int, out_h int, "
+    "out_n_bytes long, out_digest string"
+)
+
+
+def resize_images(binary_df: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFrame:
+    """Resize stub over image-like binary payloads via mapInPandas.
+
+    Stub codec model (deterministic, oracle-matched): source dims derive
+    from byte length (w = 16 + n % 64, h = 16 + (n//64) % 64); the "resized"
+    payload is the first min(n, out_w*out_h) bytes. A real implementation
+    swaps in PIL decode->resize->encode per element of the pandas batch;
+    schema, batching, and partition inheritance are unchanged."""
+
+    def rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib  # noqa: PLC0415
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload) if payload is not None else b""
+                n = len(data)
+                resized = data[: min(n, out_w * out_h)]
+                out.append(
+                    (
+                        doc_id,
+                        16 + n % 64,
+                        16 + (n // 64) % 64,
+                        out_w,
+                        out_h,
+                        len(resized),
+                        hashlib.sha256(resized).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "src_w", "src_h", "out_w", "out_h",
+                    "out_n_bytes", "out_digest",
+                ],
+            )
+
+    return binary_df.mapInPandas(rs, schema=RESIZE_SCHEMA)

@@ -17,4 +17,5 @@ from db_core_spark.queries import (  # noqa: F401
     extras,
     udfs,
     tpch,
+    sampling,
 )

@@ -166,3 +166,62 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("text", 1, 4).alias("header_preview"),
         F.sha2("text", 256).alias("content_digest"),
     )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH src AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n,
+             1 + octet_length(encode(text)) % 8 AS k
+      FROM documents WHERE doc_id <= 50),
+    frames AS (
+      SELECT doc_id, CAST(i AS INT) AS frame_no,
+             (i * n) // k AS s, ((i + 1) * n) // k AS e, text
+      FROM src, UNNEST(range(0, k, 2)) AS t(i))
+    SELECT doc_id, frame_no,
+           CAST(e - s AS BIGINT) AS frame_len,
+           sha256(substring(text, CAST(s + 1 AS BIGINT), CAST(e - s AS BIGINT)))
+             AS frame_digest
+    FROM frames
+    """,
+    category="multimodal",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling through the stubbed video codec: every 2nd frame of
+    each payload, one output row per frame (flatMap fan-out inside
+    mapInPandas — operators/multimodal.py:sample_frames). Fixture text is
+    pure ASCII so the SQL oracle's varchar slicing is byte-exact against
+    the pandas byte slicing."""
+    from db_core_spark.operators.multimodal import sample_frames
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 50)
+    binary_df = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return sample_frames(binary_df, stride=2)
+
+
+@query(
+    "multimodal_resize_stub",
+    oracle="""
+    SELECT doc_id,
+           CAST(16 + octet_length(encode(text)) % 64 AS INT) AS src_w,
+           CAST(16 + (octet_length(encode(text)) // 64) % 64 AS INT) AS src_h,
+           CAST(32 AS INT) AS out_w, CAST(32 AS INT) AS out_h,
+           CAST(LEAST(octet_length(encode(text)), 1024) AS BIGINT) AS out_n_bytes,
+           sha256(substring(text, 1, LEAST(octet_length(encode(text)), 1024)))
+             AS out_digest
+    FROM documents WHERE doc_id <= 50
+    """,
+    category="multimodal",
+)
+def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize through the stubbed codec: deterministic fake decode
+    (dims from byte length) + truncation "resample" to 32x32, digest of the
+    resized payload (operators/multimodal.py:resize_images). Proves the
+    batch shape, schema contract, and partition inheritance a real
+    PIL-backed resize drops into."""
+    from db_core_spark.operators.multimodal import resize_images
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 50)
+    binary_df = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return resize_images(binary_df, out_w=32, out_h=32)

@@ -1,0 +1,104 @@
+"""Deterministic sampling / dataset-split operators for training-data
+pipelines. Goal-derived (BASELINE.json north star — absent in the reference,
+SURVEY.md §2C: db-core has no relational operators).
+
+All sampling here is HASH-BASED, not RNG-based: bucket(id) = first 4 hex
+digits of md5(id) -> int in [0, 65536) -> percent bucket. Reproducible
+across runs, engines (same md5 on Spark and DuckDB), cluster sizes, and
+data re-partitioning — the property a 100 TB training pipeline needs so a
+re-run selects the SAME sample (RNG-based `df.sample` depends on partition
+layout). The filter is a plain codegen'd expression on the scan, so a 10%
+sample reads-and-drops at full scan speed with zero shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from db_core_spark.registry import query
+from db_core_spark.tables import table
+
+
+def hash_pct(id_col: F.Column) -> F.Column:
+    """Deterministic percent bucket in [0, 100): md5 of the stringified id,
+    top 16 bits, scaled. Engine-portable (Spark `conv` == DuckDB hex cast)."""
+    h16 = F.conv(F.substring(F.md5(id_col.cast("string")), 1, 4), 16, 10).cast("int")
+    return (h16 * 100) / 65536  # float percent, compare with integer cutoffs
+
+
+_HASH_PCT_SQL = "(CAST(('0x' || substr(md5(CAST({id} AS VARCHAR)), 1, 4)) AS INT) * 100) / 65536"
+
+
+@query(
+    "sample_hash_deterministic",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE {_HASH_PCT_SQL.format(id='doc_id')} < 10
+    """,
+    category="sampling",
+)
+def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% reproducible sample of documents by id-hash bucket. The
+    predicate is pure row-local expression — no shuffle, no state, and the
+    same rows are selected no matter how the table is partitioned."""
+    d = table(spark, sf_dir, "documents")
+    return d.filter(hash_pct(F.col("doc_id")) < 10).select("doc_id", "lang", "source")
+
+
+@query(
+    "train_test_split_stats",
+    oracle=f"""
+    SELECT CASE WHEN {_HASH_PCT_SQL.format(id='doc_id')} < 90
+                THEN 'train' ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(n_chars), 4) AS avg_chars,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM documents
+    GROUP BY 1
+    """,
+    category="sampling",
+)
+def train_test_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """90/10 train/test split by id-hash with per-split balance stats
+    (doc count, mean length, language coverage). Because membership is a
+    function of doc_id alone, the split never leaks rows between sides on
+    re-runs or after repartitioning — the invariant that matters when the
+    corpus is rebuilt incrementally at 100 TB."""
+    d = table(spark, sf_dir, "documents")
+    split = F.when(hash_pct(F.col("doc_id")) < 90, "train").otherwise("test")
+    return (
+        d.select(split.alias("split"), "n_chars", "lang")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
+
+
+@query(
+    "sample_stratified_downsample",
+    oracle=f"""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sampled
+    FROM documents
+    WHERE {_HASH_PCT_SQL.format(id='doc_id')}
+          < (CASE WHEN lang = 'en' THEN 25 ELSE 75 END)
+    GROUP BY lang
+    """,
+    category="sampling",
+)
+def sample_stratified_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified downsampling: keep ~25% of the majority language (en) and
+    ~75% of the rest — the class-rebalancing pass of a training-data mix.
+    Per-stratum rates ride in a CASE expression over the SAME hash bucket,
+    so strata stay consistent with each other (a doc kept at 25% is also
+    kept at any higher rate — nested samples for curriculum scaling)."""
+    d = table(spark, sf_dir, "documents")
+    rate = F.when(F.col("lang") == "en", F.lit(25)).otherwise(F.lit(75))
+    return (
+        d.filter(hash_pct(F.col("doc_id")) < rate)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )

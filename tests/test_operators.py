@@ -57,3 +57,39 @@ def test_multimodal_decode_stub_raises_without_fake(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|codecs not available"):
         decode_binary_features(binary_df, fake_decode=False).collect()
+
+
+def test_frame_sample_fanout_counts(spark):
+    """sample_frames emits exactly ceil(k/2) rows per doc where
+    k = 1 + n_bytes % 8, and frame lengths partition the payload."""
+    from db_core_spark.operators.multimodal import sample_frames
+    from db_core_spark.tables import table
+    from tests.conftest import SF_SMALL
+
+    d = table(spark, SF_SMALL, "documents").filter(F.col("doc_id") <= 20)
+    src = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    out = sample_frames(src, stride=2)
+    per_doc = {r.doc_id: r.cnt for r in
+               out.groupBy("doc_id").agg(F.count("*").alias("cnt")).collect()}
+    sizes = {r.doc_id: r.n for r in
+             d.select("doc_id", F.octet_length(F.encode("text", "UTF-8")).alias("n")).collect()}
+    assert per_doc, "no output rows"
+    for doc_id, n in sizes.items():
+        k = 1 + n % 8
+        assert per_doc[doc_id] == (k + 1) // 2
+
+
+def test_resize_stub_dims_and_truncation(spark):
+    """resize_images caps out_n_bytes at out_w*out_h and reports fixed
+    output dims."""
+    from db_core_spark.operators.multimodal import resize_images
+    from db_core_spark.tables import table
+    from tests.conftest import SF_SMALL
+
+    d = table(spark, SF_SMALL, "documents").filter(F.col("doc_id") <= 20)
+    src = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    rows = resize_images(src, out_w=8, out_h=8).collect()
+    assert rows
+    for r in rows:
+        assert (r.out_w, r.out_h) == (8, 8)
+        assert r.out_n_bytes <= 64
