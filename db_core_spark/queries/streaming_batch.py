@@ -185,3 +185,63 @@ def stream_watermark_latedrop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(_epoch_secs(F.col("window.start")).alias("window_start"), "n_events")
     )
+
+
+@query(
+    "stream_static_enrich_batch",
+    oracle="""
+    SELECT e.event_type, c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(e.value), 2) AS sum_value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1, 2
+    """,
+    category="streaming",
+)
+def stream_static_enrich_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming.stream_static_enrich (stream-static dim
+    join), rolled up per (event_type, segment). The dim side broadcasts —
+    in streaming it re-broadcasts per micro-batch, so the stream side is
+    never shuffled."""
+    from db_core_spark.streaming.ops import stream_static_enrich
+
+    e = table(spark, sf_dir, "events")
+    dim = table(spark, sf_dir, "customer")
+    return (
+        stream_static_enrich(e, dim)
+        .groupBy("event_type", "segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "stream_stream_join_batch",
+    oracle="""
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+           ROUND(p.value, 4) AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '1 hour'
+    """,
+    category="streaming",
+)
+def stream_stream_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming.stream_stream_join: click->purchase pairs
+    within 1 hour per user. In streaming both sides are watermarked and the
+    interval bound lets Spark expire join state — O(window) state, the only
+    viable shape for unbounded sides."""
+    from db_core_spark.streaming.ops import stream_stream_join
+
+    e = table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    return stream_stream_join(clicks, purchases).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.round("purchase_value", 4).alias("purchase_value"),
+    )

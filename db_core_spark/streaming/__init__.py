@@ -9,6 +9,9 @@ from db_core_spark.streaming.ops import (  # noqa: F401
     session_counts,
     sliding_counts,
     stateful_user_counts,
+    stream_into_versioned_table,
+    stream_static_enrich,
+    stream_stream_join,
     tumbling_counts,
 )
 from db_core_spark.streaming.sources import events_stream, stage_events_files  # noqa: F401

@@ -95,3 +95,90 @@ def stateful_user_counts(events: DataFrame) -> DataFrame:
     return events.groupBy("user_id").applyInPandasWithState(
         update, output_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def stream_static_enrich(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static join: enrich the event stream with a dimension table
+    (events.user_id -> customer). The static side is re-resolved every
+    micro-batch (picks up dim updates) and broadcast — the stream side is
+    never shuffled, which is the only sustainable shape when the stream is
+    the 100 TB side. Stateless: no watermark needed for an inner
+    stream-static join."""
+    d = F.broadcast(
+        dim.select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_nationkey").alias("nation_key"),
+        )
+    )
+    return events.join(d, "user_id").select(
+        "event_id", "ts", "user_id", "event_type", "value", "segment", "nation_key"
+    )
+
+
+def stream_stream_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    max_gap: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: click followed by a purchase from the same
+    user within max_gap. Both sides are watermarked and the join condition
+    bounds event-time distance, so Spark can expire buffered state — the
+    required discipline for an unbounded x unbounded join (state is
+    O(watermark window), not O(stream))."""
+    c = (
+        clicks.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+    )
+    p = (
+        purchases.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {max_gap}")),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
+def stream_into_versioned_table(events: DataFrame, vt, checkpoint_dir: str):
+    """foreachBatch sink into a VersionedTable: each micro-batch commits as
+    ONE ACID transaction (mirrors the reference's group commit — WAL flush
+    per commit record, log_mgr/io.rs:99-103 — with the micro-batch as the
+    group). Exactly-once lands via idempotent re-commit: a replayed batch
+    re-upserts the same keys, and MVCC latest-per-key resolution makes the
+    second version win with identical content.
+
+    Returns the started StreamingQuery; caller awaits/stops it."""
+
+    def commit_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        txn = vt.begin()
+        txn.upsert(batch_df)
+        txn.commit()
+
+    return (
+        events.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )

@@ -1,0 +1,105 @@
+"""Physical-plan audits: the scale claims in query docstrings must be
+visible in `explain` output — broadcasts actually broadcast, filters
+actually push to the parquet scan, top-k actually avoids a global sort,
+and nothing degenerates to a cartesian product. These are the properties
+that decide whether a plan survives a 100x scale-up, so they are asserted,
+not assumed."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from db_core_spark.registry import all_queries
+from tests.conftest import SF_SMALL
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return all_queries()
+
+
+BROADCAST_QUERIES = [
+    # every TPC-H adaptation that joins a dimension table must broadcast it
+    "q3_shipping_priority",
+    "q5_multiway_join",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q14_promo_effect",
+    "q19_disjunctive_revenue",
+]
+
+
+@pytest.mark.parametrize("name", BROADCAST_QUERIES)
+def test_dim_joins_are_broadcast(spark, queries, name):
+    plan = plan_of(queries[name].fn(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan, f"{name}: no broadcast join in plan"
+
+
+def test_q6_filters_push_to_parquet_scan(spark, queries):
+    plan = plan_of(queries["q6_forecast_revenue"].fn(spark, SF_SMALL))
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and m.group(1).strip(), "q6: no pushed filters on the scan"
+    pushed = m.group(1)
+    assert "l_shipdate" in pushed and "l_quantity" in pushed
+
+
+def test_scan_projection_prunes_columns(spark, queries):
+    """The projection needs 5 of lineitem's 11 columns; the scan must read
+    exactly those, not the full schema."""
+    plan = plan_of(queries["scan_projection_filter"].fn(spark, SF_SMALL))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, "no ReadSchema in plan"
+    assert len(m.group(1).split(",")) <= 5, f"scan reads too wide: {m.group(1)}"
+
+
+def test_orderby_limit_uses_topk_not_global_sort(spark, queries):
+    plan = plan_of(queries["orderby_limit"].fn(spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_topk_per_group_uses_window_group_limit(spark, queries):
+    plan = plan_of(queries["window_topk_per_group"].fn(spark, SF_SMALL))
+    assert "WindowGroupLimit" in plan, "per-group top-k should prune pre-shuffle"
+
+
+def test_no_cartesian_products_anywhere(spark, queries):
+    """No oracle-checked relational query may plan a CartesianProduct.
+    (BroadcastNestedLoop is allowed: the intentionally-theta joins bound one
+    side; a CartesianProduct would shuffle both full sides.)"""
+    offenders = []
+    for name, rq in queries.items():
+        if rq.category in ("llm", "vector", "object", "multimodal"):
+            continue  # pair generators audited separately (bounded by design)
+        plan = plan_of(rq.fn(spark, SF_SMALL))
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, f"cartesian products in: {offenders}"
+
+
+def test_semi_anti_joins_stay_semi(spark, queries):
+    """q18's HAVING subquery and q22's NOT EXISTS must plan as semi/anti
+    joins (not inner joins against materialized subqueries)."""
+    p18 = plan_of(queries["q18_large_orders"].fn(spark, SF_SMALL))
+    assert "LeftSemi" in p18
+    p22 = plan_of(queries["q22_idle_customers"].fn(spark, SF_SMALL))
+    assert "LeftAnti" in p22
+
+
+def test_exact_dedup_shuffles_hashes_not_bodies(spark, queries):
+    """dedup_exact_groups must hash-then-shuffle: the exchange key is the
+    sha256, and document text must not survive past the scan stage."""
+    plan = plan_of(queries["dedup_exact_groups"].fn(spark, SF_SMALL))
+    m = re.search(r"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]", plan)
+    assert m, "no exchange in dedup plan"
+    assert "text#" not in m.group(1), f"document bodies ride the shuffle: {m.group(1)}"
+    # and the partial aggregate (map-side combine) must run before it
+    assert plan.index("HashAggregate") < plan.index("Exchange")

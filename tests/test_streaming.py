@@ -133,3 +133,66 @@ def test_stateful_user_counts(spark, stream_dir, tmp_path):
         for r in batch_events(spark).groupBy("user_id").agg(F.count("*").alias("n")).collect()
     }
     assert final == expect
+
+
+def test_stream_static_join_converges_to_batch(spark, stream_dir, tmp_path):
+    from db_core_spark.streaming import events_stream, stream_static_enrich
+
+    dim = table(spark, SF_SMALL, "customer")
+    got = run_to_memory(
+        stream_static_enrich(events_stream(spark, stream_dir), dim),
+        "append",
+        str(tmp_path / "ck_ss"),
+    )
+    want = stream_static_enrich(batch_events(spark), dim)
+    assert got.count() == want.count()
+    assert sorted(got.columns) == sorted(want.columns)
+    assert got.agg(F.sum("value")).first()[0] == pytest.approx(
+        want.agg(F.sum("value")).first()[0]
+    )
+
+
+def test_stream_stream_join_converges_to_batch(spark, stream_dir, tmp_path):
+    from db_core_spark.streaming import events_stream, stream_stream_join
+
+    def split(src):
+        return (
+            src.filter(F.col("event_type") == "click"),
+            src.filter(F.col("event_type") == "purchase"),
+        )
+
+    sc, sp = split(events_stream(spark, stream_dir))
+    got = run_to_memory(
+        stream_stream_join(sc, sp), "append", str(tmp_path / "ck_s2s")
+    )
+    bc, bp = split(batch_events(spark))
+    want = stream_stream_join(bc, bp)
+    # bounded source + processAllAvailable: every in-window pair must emit
+    assert got.count() == want.count() > 0
+
+
+def test_foreachbatch_versioned_sink_commits_per_batch(spark, stream_dir, tmp_path):
+    """Each micro-batch lands as one ACID commit; the final snapshot holds
+    exactly the staged events (latest version per event_id)."""
+    from db_core_spark.plans.versioned import VersionedTable
+    from db_core_spark.streaming import events_stream, stream_into_versioned_table
+
+    src = events_stream(spark, stream_dir)
+    vt = VersionedTable.create(
+        spark, str(tmp_path / "vt_events"), key_cols=["event_id"], schema=src.schema
+    )
+    q = stream_into_versioned_table(src, vt, str(tmp_path / "ck_vt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    want = batch_events(spark)
+    snap = vt.snapshot()
+    assert snap.count() == want.count()
+    # one commit per (non-empty) micro-batch; staged as 4 files w/ 1/trigger
+    assert len([m for m in vt._manifests() if m.get("type") != "checkpoint"]) >= 2
+    # spot-check content equality on a aggregate fingerprint
+    assert snap.agg(F.sum("value")).first()[0] == pytest.approx(
+        want.agg(F.sum("value")).first()[0]
+    )
