@@ -18,4 +18,5 @@ from db_core_spark.queries import (  # noqa: F401
     udfs,
     tpch,
     sampling,
+    udtf_ops,
 )

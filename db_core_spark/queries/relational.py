@@ -152,3 +152,35 @@ def orderby_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(25)
     )
+
+
+@query(
+    "unpivot_melt_measures",
+    oracle="""
+    SELECT measure, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(val), 2) AS total, ROUND(AVG(val), 6) AS mean
+    FROM (
+      UNPIVOT (SELECT l_quantity, l_extendedprice, l_discount, l_tax
+               FROM lineitem)
+      ON l_quantity, l_extendedprice, l_discount, l_tax
+      INTO NAME measure VALUE val)
+    GROUP BY measure
+    """,
+    category="relational",
+)
+def unpivot_melt_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long unpivot (melt) of the four lineitem measures, then a
+    per-measure profile. Unpivot is a row-local Expand (4x fan-out inside
+    the scan stage, no shuffle); only the 4-group aggregate exchanges."""
+    li = table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=[],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+    return long.groupBy("measure").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("val"), 2).alias("total"),
+        F.round(F.avg("val"), 6).alias("mean"),
+    )
