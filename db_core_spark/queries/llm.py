@@ -391,3 +391,84 @@ def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(4)
         ],
     )
+
+
+@query(
+    "dedup_cluster_components",
+    oracle="""
+    WITH RECURSIVE
+    pairs AS ("""
+    + _JACCARD_ORACLE.format(threshold=0.6)
+    + """),
+    bi AS (SELECT id_a AS u, id_b AS v FROM pairs
+           UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(u, v) AS (
+      SELECT DISTINCT u, u FROM bi
+      UNION
+      SELECT bi.u, r.v FROM bi JOIN reach r ON bi.v = r.u),
+    comp AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u)
+    SELECT c.cluster_id, c.doc_id,
+           (c.doc_id = c.cluster_id) AS is_canonical
+    FROM comp c
+    """,
+    category="llm",
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRANSITIVE near-dup clustering: connected components over the
+    Jaccard>=0.6 pair graph, canonical = min doc_id per component. Pairwise
+    near-dup flags aren't enough for corpus dedup — if A~B and B~C, all
+    three must land in one cluster even when A!~C; this is the closure step
+    every production dedup pipeline runs between 'find pairs' and 'drop
+    non-canonical'.
+
+    Implementation: iterative min-label propagation (driver-bounded loop,
+    each round one shuffle on doc_id; rounds = graph diameter, which for
+    near-dup graphs is tiny — dup clusters are dense). Convergence is an
+    aggregated count, not collected data. At 100 TB scale the same loop
+    runs with the edge list bucketed on u; the large-star/small-star
+    variant (alternating min-label by degree) bounds rounds to
+    O(log diameter) if diameters ever grow."""
+    pairs = _jaccard_pairs(spark, sf_dir, 0.6).select("id_a", "id_b")
+    # undirected edge list, both directions; localCheckpoint truncates
+    # lineage so each propagation round re-plans a FLAT frame instead of
+    # nesting the whole loop history (plan size stays O(1) in rounds)
+    bi = pairs.union(pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")))
+    edges = (
+        bi.withColumnRenamed("id_a", "u").withColumnRenamed("id_b", "v").localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("u").alias("doc_id")).distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(20):  # diameter bound; fixture graphs converge in 2-3
+        # each vertex adopts min(own label, neighbors' labels)
+        msgs = (
+            edges.join(labels, edges.v == labels.doc_id)
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(msgs, labels.doc_id == msgs.u, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("label").alias("cluster_id"),
+        "doc_id",
+        (F.col("doc_id") == F.col("label")).alias("is_canonical"),
+    )
