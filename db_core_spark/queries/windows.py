@@ -114,20 +114,29 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running revenue per supplier with an explicit ROWS frame. The ORDER BY
     is a total order, so both engines accumulate in the same sequence and the
-    rounded running sums are identical."""
+    rounded running sums are identical.
+
+    Two-pass shape: rank-prune FIRST (row_number <= 20 alone triggers
+    WindowGroupLimit — each input task forwards at most 20 rows per
+    supplier, so the window shuffle moves O(suppliers x 20), not the fact
+    table), then the running sum runs over the survivors. Correct because
+    the frame is backward-only: the running sum over the first 20 rows
+    equals the full-table value on those rows."""
     li = table(spark, sf_dir, "lineitem")
     w = W.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
-    return (
-        li.select(
-            "l_suppkey",
-            "l_orderkey",
-            "l_linenumber",
-            F.round(
-                F.sum("l_extendedprice").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)), 2
-            ).alias("running_revenue"),
-            F.row_number().over(w).alias("seq"),
-        )
+    top = (
+        li.select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate")
+        .withColumn("seq", F.row_number().over(w))
         .filter(F.col("seq") <= 20)
+    )
+    return top.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.sum("l_extendedprice").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)), 2
+        ).alias("running_revenue"),
+        "seq",
     )
 
 
