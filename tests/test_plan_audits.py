@@ -103,3 +103,31 @@ def test_exact_dedup_shuffles_hashes_not_bodies(spark, queries):
     assert "text#" not in m.group(1), f"document bodies ride the shuffle: {m.group(1)}"
     # and the partial aggregate (map-side combine) must run before it
     assert plan.index("HashAggregate") < plan.index("Exchange")
+
+
+def test_partitioned_layout_prunes_partitions(spark, tmp_path):
+    """Hive-partitioned writes must prune at planning time: a predicate on
+    the partition column appears under PartitionFilters and the scan reads
+    only matching directories — the mechanism that turns a 100 TB scan into
+    a single-partition read."""
+    from db_core_spark.sources.formats import write_parquet
+    from db_core_spark.tables import table
+    from pyspark.sql import functions as F
+
+    li = table(spark, SF_SMALL, "lineitem").withColumn(
+        "ship_year", F.year("l_shipdate")
+    )
+    out = str(tmp_path / "lineitem_by_year")
+    write_parquet(li, out, partition_by=["ship_year"])
+
+    df = spark.read.parquet(out).filter(F.col("ship_year") == 1996)
+    plan = plan_of(df)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "ship_year" in m.group(1), f"no partition filter: {plan[:500]}"
+    # and it is handled at the directory level, NOT as a row-level data
+    # filter (PushedFilters must not mention the partition column)
+    d = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert d is None or "ship_year" not in d.group(1)
+    # values survive the partitioned roundtrip
+    want = li.filter(F.col("ship_year") == 1996).count()
+    assert df.count() == want > 0
