@@ -362,7 +362,12 @@ class Transaction:
                 if len(ks) > t.MAX_TRACKED_KEYS:
                     my_keys = None  # too big: conservatively conflict with anything
                 else:
-                    my_keys.update(tuple(r) for r in ks)
+                    # canonical string form: JSON-safe for any key type
+                    # (timestamps, dates, ...) and identical on both sides
+                    # of the conflict comparison. Cross-type str collisions
+                    # (1 vs "1") can only cause a SPURIOUS conflict — the
+                    # safe direction.
+                    my_keys.update(tuple(str(v) for v in r) for r in ks)
         # 2. claim a csn
         for _ in range(max_csn_attempts):
             candidate = t.latest_csn() + 1

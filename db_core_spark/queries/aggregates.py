@@ -248,3 +248,33 @@ def agg_conditional_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@query(
+    "agg_corr_regression",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           ROUND(covar_pop(l_quantity, l_extendedprice), 4) AS qty_price_covar,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS price_per_qty,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS price_at_zero,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    category="aggregate",
+)
+def agg_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistical aggregates per group: Pearson correlation,
+    population covariance, and OLS slope/intercept/R2 — all single-pass
+    partial-aggregatable (sum/sum-of-squares/cross-product moments combine
+    associatively), so the shuffle carries one moment tuple per group, the
+    same shape as a SUM at any scale."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("qty_price_covar"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("price_per_qty"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias("price_at_zero"),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+    )

@@ -196,3 +196,43 @@ def test_foreachbatch_versioned_sink_commits_per_batch(spark, stream_dir, tmp_pa
     assert snap.agg(F.sum("value")).first()[0] == pytest.approx(
         want.agg(F.sum("value")).first()[0]
     )
+
+
+def test_incremental_rollup_materialization_converges(spark, stream_dir, tmp_path):
+    """Continuous-aggregate pattern (hypertable-rollup style): the streaming
+    tumbling aggregate is folded into a VersionedTable via foreachBatch in
+    update mode — each micro-batch upserts the windows it touched, MVCC
+    latest-per-key resolution keeps the newest partial, and after the
+    bounded stream drains the materialized rollup equals the batch rollup
+    exactly."""
+    from db_core_spark.plans.versioned import VersionedTable
+    from db_core_spark.streaming import (
+        events_stream,
+        stream_into_versioned_table,
+        tumbling_counts,
+    )
+
+    agg = tumbling_counts(events_stream(spark, stream_dir))
+    vt = VersionedTable.create(
+        spark,
+        str(tmp_path / "rollup"),
+        key_cols=["window_start", "event_type"],
+        schema=agg.schema,
+    )
+    q = stream_into_versioned_table(agg, vt, str(tmp_path / "ck_rollup"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in tumbling_counts(batch_events(spark)).collect()
+    }
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in vt.snapshot().collect()
+    }
+    assert got == want
+    # incremental: the table saw multiple commits, not one bulk load
+    assert len([m for m in vt._manifests() if m.get("type") != "checkpoint"]) >= 2
