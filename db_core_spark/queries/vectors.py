@@ -32,21 +32,59 @@ from db_core_spark.tables import table
     category="vector",
 )
 def knn_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact top-5 cosine neighbors for the first 10 vectors: broadcast the
-    (tiny) query set against the corpus — a map-side nested loop, then a
-    per-query top-k window. At 100 TB the corpus side stays partitioned and
-    only the query set + partial top-k move (no corpus shuffle).
-    Ranking uses the similarity rounded to 6 dp with neighbor_id tie-break so
-    both engines rank identically in double precision."""
+    """Exact top-5 cosine neighbors for the first 10 vectors.
+
+    Scale shape: the tiny query matrix ships to every corpus partition
+    (closure broadcast); each Arrow batch scores against ALL queries with
+    ONE numpy matmul and forwards only its LOCAL top-5 per query — so the
+    final per-query window ranks O(batches x 5) candidate rows, and the
+    corpus itself never shuffles. Local top-5 preserves exactness: the
+    global top-5 is a subset of the union of local top-5s. Ranking uses
+    the similarity rounded to 6 dp with neighbor_id tie-break so both
+    engines rank identically in double precision."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
     e = table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("q_id"), to_double(F.col("embedding")).alias("q_vec")
+    qrows = (
+        e.filter(F.col("vec_id") < 10)
+        .select("vec_id", to_double("embedding").alias("vec"))
+        .collect()
     )
-    corpus = e.select(F.col("vec_id").alias("neighbor_id"), to_double(F.col("embedding")).alias("vec"))
-    scored = (
-        corpus.join(F.broadcast(q), F.col("neighbor_id") != F.col("q_id"))
-        .withColumn("cos_sim", F.round(cosine(F.col("q_vec"), F.col("vec")), 6))
-        .select("q_id", "neighbor_id", "cos_sim")
+    q_ids = np.array([r.vec_id for r in qrows])
+    Q = np.stack([np.asarray(r.vec) for r in qrows])
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    def score(batches):
+        for pdf in batches:
+            C = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"].to_numpy()]
+            )
+            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+            S = np.round(Cn @ Qn.T, 6)  # (batch, n_queries)
+            ids = pdf["vec_id"].to_numpy()
+            out = []
+            for j, qid in enumerate(q_ids):
+                col = S[:, j]
+                mask = ids != qid
+                cand_ids, cand_s = ids[mask], col[mask]
+                # local top-5 (sim desc, id asc) — exact-containment prune
+                order = np.lexsort((cand_ids, -cand_s))[:5]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "q_id": qid,
+                            "neighbor_id": cand_ids[order],
+                            "cos_sim": cand_s[order],
+                        }
+                    )
+                )
+            yield pd.concat(out) if out else pd.DataFrame(
+                {"q_id": [], "neighbor_id": [], "cos_sim": []}
+            )
+
+    scored = e.select("vec_id", "embedding").mapInPandas(
+        score, "q_id long, neighbor_id long, cos_sim double"
     )
     w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (
