@@ -357,8 +357,19 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # never a posting self-join. (no persist: exchange reuse covers it, and
     # caching a corpus-size posting list would be wrong at 100 TB)
     sizes = pd_.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nw"))
-    pa = pd_.select(F.col("doc_id").alias("id_a"), "sh")
-    pb = pd_.select(F.col("doc_id").alias("id_b"), "sh")
+    # prune BOTH posting sides to candidate docs via broadcast semi-joins
+    # before the (id, sh) equi-join — the wide shuffle then carries only
+    # candidate postings (a few hundred docs), not the whole corpus
+    pa = pd_.join(
+        F.broadcast(cand.select("id_a").distinct()),
+        pd_.doc_id == F.col("id_a"),
+        "left_semi",
+    ).select(F.col("doc_id").alias("id_a"), "sh")
+    pb = pd_.join(
+        F.broadcast(cand.select("id_b").distinct()),
+        pd_.doc_id == F.col("id_b"),
+        "left_semi",
+    ).select(F.col("doc_id").alias("id_b"), "sh")
     inter = (
         F.broadcast(cand)
         .join(pa, "id_a")
