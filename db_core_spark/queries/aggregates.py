@@ -278,3 +278,61 @@ def agg_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias("price_at_zero"),
         F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
     )
+
+
+@query(
+    "agg_median_iqr",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(median(l_quantity), 4) AS median_qty,
+           ROUND(quantile_cont(l_quantity, 0.25), 4) AS q1_qty,
+           ROUND(quantile_cont(l_quantity, 0.75), 4) AS q3_qty,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS median_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    category="aggregate",
+)
+def agg_median_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median + interquartile range per group (continuous
+    interpolation, matching quantile_cont). Exact quantiles need the full
+    per-group value multiset — at 100 TB swap in percentile_approx (GK
+    sketch: mergeable partial state, shuffle = one sketch per group) and
+    accept the documented error bound; both surfaces are exposed
+    (agg_percentiles uses the same exact path, agg_approx_distinct shows
+    the sketch pattern)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 4).alias("median_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.25)), 4).alias("q1_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.75)), 4).alias("q3_qty"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("median_price"),
+    )
+
+
+@query(
+    "agg_histogram_fixed_buckets",
+    oracle="""
+    SELECT CAST(LEAST(FLOOR(l_extendedprice / 10000), 9) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(l_extendedprice), 2) AS lo,
+           ROUND(MAX(l_extendedprice), 2) AS hi
+    FROM lineitem
+    GROUP BY 1
+    """,
+    category="aggregate",
+)
+def agg_histogram_fixed_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via bucket arithmetic in the scan stage — the
+    bucket id is a row-local expression, so the histogram costs exactly one
+    partial-agg shuffle of (bucket -> counts), independent of data size."""
+    li = table(spark, sf_dir, "lineitem")
+    bucket = F.least(F.floor(F.col("l_extendedprice") / 10000), F.lit(9)).cast("long")
+    return (
+        li.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("l_extendedprice"), 2).alias("lo"),
+            F.round(F.max("l_extendedprice"), 2).alias("hi"),
+        )
+    )
