@@ -267,3 +267,33 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exploded.groupBy("label", "dim").agg(
         (F.floor(F.avg("val") * 1000000 + 0.5) / 1000000).alias("centroid_val")
     )
+
+
+_SQL_Q3 = """
+    SELECT o.o_orderkey,
+           FLOOR(SUM(l.l_extendedprice * (1 - l.l_discount)) * 100 + 0.5) / 100
+             AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+"""
+
+
+@query("sql_api_shipping_priority", oracle=_SQL_Q3, category="relational")
+def sql_api_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-entry parity: the EXACT oracle text executes through spark.sql
+    over registered views — one parser/planner path for users who speak SQL
+    rather than DataFrame. Catalyst compiles it to the same broadcast-join +
+    TakeOrderedAndProject physical plan as the DataFrame twin
+    (q3_shipping_priority); timestamps parse as timestamp_ntz under the UTC
+    session so literals agree with DuckDB."""
+    for t in ("customer", "orders", "lineitem"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_SQL_Q3)
