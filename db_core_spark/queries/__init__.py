@@ -19,4 +19,5 @@ from db_core_spark.queries import (  # noqa: F401
     tpch,
     sampling,
     udtf_ops,
+    analytics,
 )

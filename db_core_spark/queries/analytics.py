@@ -1,0 +1,310 @@
+"""Third-wave analytics coverage: time-series gap fill (date spine),
+arg_max/arg_min aggregates, TF-IDF term ranking, cohort retention, and
+bitwise scalar functions. Goal-derived (the reference has no relational
+operators at all, SURVEY.md §2C); the TF-IDF entry extends the LLM-pipeline
+text-analysis family (SURVEY.md §2B last row)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from db_core_spark.registry import query
+from db_core_spark.tables import table
+
+
+@query(
+    "gapfill_daily_revenue",
+    oracle="""
+    WITH bounds AS (
+      SELECT MIN(CAST(o_orderdate AS DATE)) AS lo,
+             MAX(CAST(o_orderdate AS DATE)) AS hi
+      FROM orders
+    ),
+    spine AS (
+      SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds
+    ),
+    daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             COUNT(*) AS n_orders,
+             FLOOR(SUM(o_totalprice) * 100 + 0.5) / 100 AS revenue
+      FROM orders
+      GROUP BY 1
+    )
+    SELECT s.day,
+           COALESCE(d.n_orders, 0) AS n_orders,
+           COALESCE(d.revenue, 0.0) AS revenue
+    FROM spine s LEFT JOIN daily d ON d.day = s.day
+    """,
+    category="timeseries",
+)
+def gapfill_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: generate a contiguous date spine from the data's
+    own min/max, left-join the daily aggregate onto it, and fill gaps with
+    zeros. The spine comes from ``F.sequence`` + ``explode`` over a single
+    aggregate row — at 100 TB the spine is still only O(days) rows and the
+    daily aggregate is a map-side-combinable groupBy, so the only shuffle is
+    the tiny spine-side broadcast join."""
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("day"), "o_totalprice"
+    )
+    daily = o.groupBy("day").agg(
+        F.count("*").alias("n_orders"),
+        (F.floor(F.sum("o_totalprice") * 100 + 0.5) / 100).alias("revenue"),
+    )
+    spine = (
+        o.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.expr("interval 1 day"))
+            ).alias("day")
+        )
+    )
+    return (
+        spine.join(F.broadcast(daily), "day", "left")
+        .select(
+            "day",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "agg_argmax_argmin",
+    oracle="""
+    SELECT c_nationkey,
+           ARG_MAX(c_name, c_acctbal) AS richest_customer,
+           ARG_MIN(c_name, c_acctbal) AS poorest_customer,
+           FLOOR(MAX(c_acctbal) * 100 + 0.5) / 100 AS max_bal,
+           FLOOR(MIN(c_acctbal) * 100 + 0.5) / 100 AS min_bal
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+    category="aggregate",
+)
+def agg_argmax_argmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg_max / arg_min (a.k.a. max_by/min_by): the value of one column at
+    the extremum of another, in a single hash aggregate — no self-join, no
+    window. Deterministic because c_acctbal is continuous (no exact ties in
+    the fixtures). One partial-aggregable shuffle on c_nationkey."""
+    c = table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.max_by("c_name", "c_acctbal").alias("richest_customer"),
+        F.min_by("c_name", "c_acctbal").alias("poorest_customer"),
+        (F.floor(F.max("c_acctbal") * 100 + 0.5) / 100).alias("max_bal"),
+        (F.floor(F.min("c_acctbal") * 100 + 0.5) / 100).alias("min_bal"),
+    )
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             UNNEST(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+      FROM documents
+    ),
+    toks2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks2 GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks2 GROUP BY term
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             FLOOR(tf.tf * ln(n.n_docs / df.df) * 1000000 + 0.5) / 1000000
+               AS tfidf
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf
+    FROM (
+      SELECT doc_id, term, tfidf,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+      FROM scored
+    )
+    WHERE rn <= 3
+    """,
+    category="llm",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF term ranking over the documents corpus: tokenize → term
+    frequency per doc → document frequency per term → tf*ln(N/df) → top-3
+    terms per doc. The df table is tiny (vocabulary-sized) so it broadcasts;
+    ties in rounded scores break deterministically on the term string.
+    At 100 TB the only large shuffle is the (doc_id, term) tf aggregate,
+    which partial-aggregates map-side; df and the top-k window are
+    vocabulary- and doc-partitioned respectively."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # one scalar; scan is count-star-only (footer metadata)
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        (
+            F.floor(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")) * 1000000
+                + 0.5
+            )
+            / 1000000
+        ).alias("tfidf"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf")
+    )
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH cohorts AS (
+      SELECT user_id,
+             CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS DATE) AS event_week
+      FROM events
+    )
+    SELECT c.cohort_week,
+           CAST(date_diff('day', c.cohort_week, a.event_week) / 7 AS INT)
+             AS week_offset,
+           COUNT(DISTINCT a.user_id) AS active_users
+    FROM cohorts c JOIN activity a ON a.user_id = c.user_id
+    GROUP BY 1, 2
+    """,
+    category="timeseries",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: bucket users by first-seen week, count distinct
+    active users per (cohort_week, week_offset). Both the cohort assignment
+    and the activity dedup shuffle on user_id, so Spark reuses one exchange
+    for the equi-join; the final aggregate is tiny (weeks x offsets)."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("event_week")
+    )
+    cohorts = e.groupBy("user_id").agg(F.min("event_week").alias("cohort_week"))
+    activity = e.distinct()
+    return (
+        activity.join(cohorts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.datediff("event_week", "cohort_week") / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+@query(
+    "scalar_bitwise_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255 AS lo_byte,
+           o_orderkey | 4096 AS set_bit,
+           xor(o_orderkey, o_custkey) AS key_xor,
+           o_orderkey << 2 AS shl2,
+           o_orderkey >> 3 AS shr3
+    FROM orders
+    WHERE o_orderkey < 1000
+    """,
+    category="scalar",
+)
+def scalar_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise AND/OR/XOR and shifts on integer keys — JVM-side codegen
+    expressions (hash-partitioner building blocks; the reference's only
+    computations over bytes are likewise bit-level: CRC32 at
+    /root/reference/src/common/crc32.rs:1-123)."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("lo_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("set_bit"),
+        k.bitwiseXOR(F.col("o_custkey")).alias("key_xor"),
+        F.shiftleft(k, 2).alias("shl2"),
+        F.shiftright(k, 3).alias("shr3"),
+    )
+
+
+@query(
+    "window_fill_forward",
+    oracle="""
+    SELECT event_id, user_id,
+           LAST_VALUE(purchase_value IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS last_purchase_value
+    FROM (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_type = 'purchase' THEN value END AS purchase_value
+      FROM events
+    )
+    WHERE user_id < 100
+    """,
+    category="window",
+)
+def window_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill (LOCF): carry the most recent non-null observation
+    forward within each user's event timeline — ``last(ignorenulls=True)``
+    over an unbounded-preceding running frame. The canonical sensor/ticker
+    imputation pattern; partitions on user_id so state never crosses keys."""
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    pv = F.when(F.col("event_type") == "purchase", F.col("value"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.last(pv, ignorenulls=True).over(w).alias("last_purchase_value"),
+    )
+
+
+@query(
+    "agg_bool_predicates",
+    oracle="""
+    SELECT l_orderkey,
+           BOOL_AND(l_discount > 0) AS all_discounted,
+           BOOL_OR(l_returnflag = 'R') AS any_returned,
+           COUNT(*) FILTER (WHERE l_quantity > 25) AS n_bulk_lines
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING COUNT(*) >= 5
+    """,
+    category="aggregate",
+)
+def agg_bool_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean predicate aggregates (every/any) + filtered count, one hash
+    aggregate over the order key — all partial-aggregable, so the shuffle
+    carries one boolean pair + two counters per key regardless of row
+    count."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.bool_and(F.col("l_discount") > 0).alias("all_discounted"),
+            F.bool_or(F.col("l_returnflag") == "R").alias("any_returned"),
+            F.count_if(F.col("l_quantity") > 25).alias("n_bulk_lines"),
+            F.count("*").alias("_n"),
+        )
+        .filter(F.col("_n") >= 5)
+        .drop("_n")
+    )
