@@ -49,6 +49,26 @@ class ConflictError(Exception):
     overlapping write-set after this transaction began. Retry the txn."""
 
 
+def publish_manifest(log_dir: str, name: str, manifest: dict) -> bool:
+    """Atomically publish a manifest: write tmp, hard-link to final name.
+    link(2) fails with EEXIST if another writer claimed it — the lock-free
+    csn allocation (mirrors the CAS publish of latest_commit_csn,
+    instance.rs:212-219). On object stores this becomes a conditional put."""
+    tmp = os.path.join(log_dir, f"_tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+        f.flush()
+        os.fsync(f.fileno())
+    final = os.path.join(log_dir, name)
+    try:
+        os.link(tmp, final)
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.remove(tmp)
+
+
 @dataclass
 class _Op:
     kind: str  # "upsert" | "delete"
@@ -262,23 +282,7 @@ class VersionedTable:
     # ------------------------------------------------------------- internals
 
     def _publish(self, name: str, manifest: dict) -> bool:
-        """Atomically publish a manifest: write tmp, hard-link to final name.
-        link(2) fails with EEXIST if another writer claimed it — the lock-free
-        csn allocation (mirrors the CAS publish of latest_commit_csn,
-        instance.rs:212-219). On object stores this becomes a conditional put."""
-        tmp = os.path.join(self._log_dir, f"_tmp-{uuid.uuid4().hex}.json")
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-            f.flush()
-            os.fsync(f.fileno())
-        final = os.path.join(self._log_dir, name)
-        try:
-            os.link(tmp, final)
-            return True
-        except FileExistsError:
-            return False
-        finally:
-            os.remove(tmp)
+        return publish_manifest(self._log_dir, name, manifest)
 
 
 class Transaction:

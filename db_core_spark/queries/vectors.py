@@ -304,3 +304,48 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("q_id", F.col("vec_id").alias("neighbor_id"), "cos_sim", "rnk")
     )
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+    SELECT vec_id,
+           list_transform(embedding,
+             x -> CAST(FLOOR(CAST(x AS DOUBLE) * scale + 0.5) AS INT)) AS q_int8,
+           FLOOR(scale * 1000000 + 0.5) / 1000000 AS scale_r
+    FROM (
+      SELECT vec_id, embedding,
+             CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END AS scale
+      FROM (
+        SELECT vec_id, embedding,
+               CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+                 AS mx
+        FROM embeddings
+      )
+    )
+    """,
+    category="vector",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of embedding vectors: per-vector scale
+    127/max|x|, round-half-up. The storage path for ANN at 100 TB — 4x
+    smaller vectors, and int8 dot products SIMD-vectorize in the scoring
+    kernels. Pure codegen expressions (transform/array_max/floor), no UDF,
+    no shuffle at all: embarrassingly parallel over input partitions."""
+    e = table(spark, sf_dir, "embeddings")
+    mx = F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x))).cast(
+        "double"
+    )
+    scaled = e.select(
+        "vec_id",
+        "embedding",
+        F.when(mx > 0, F.lit(127.0) / mx).otherwise(F.lit(0.0)).alias("scale"),
+    )
+    return scaled.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * F.col("scale") + 0.5).cast("int"),
+        ).alias("q_int8"),
+        (F.floor(F.col("scale") * 1000000 + 0.5) / 1000000).alias("scale_r"),
+    )

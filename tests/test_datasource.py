@@ -1,0 +1,174 @@
+"""Python DataSource connector tests: format('versioned') batch snapshot /
+time-travel reads, transactional append writes, and CDC streaming reads —
+the Spark-native surface over the VersionedTable commit log.
+
+Parity concerns mirrored (citations into /root/reference):
+- snapshot + time travel    src/storage/block_driver.rs:457-486 (visibility)
+- atomic group commit       src/system/instance.rs:102-111
+- WAL tail (CDC)            src/log_mgr/io.rs:254-441
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from db_core_spark.plans import VersionedTable
+from db_core_spark.sources import register_versioned_format
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType(), False),
+        T.StructField("v", T.StringType(), True),
+        T.StructField("amount", T.DoubleType(), True),
+    ]
+)
+
+
+@pytest.fixture
+def vt(spark, tmp_path):
+    register_versioned_format(spark)
+    return VersionedTable.create(
+        spark, str(tmp_path / "tbl"), key_cols=["k"], schema=SCHEMA
+    )
+
+
+def _commit(vt, spark, rows):
+    t = vt.begin()
+    t.upsert(spark.createDataFrame(rows, SCHEMA))
+    return t.commit()
+
+
+def rows_of(df):
+    return {r.k: (r.v, r.amount) for r in df.collect()}
+
+
+def test_snapshot_read_matches_table_api(vt, spark):
+    _commit(vt, spark, [(1, "a", 1.0), (2, "b", 2.0)])
+    _commit(vt, spark, [(2, "b2", 2.5), (3, "c", 3.0)])
+    df = spark.read.format("versioned").option("path", vt.path).load()
+    assert df.schema == SCHEMA
+    assert rows_of(df) == rows_of(vt.snapshot())
+    assert rows_of(df) == {1: ("a", 1.0), 2: ("b2", 2.5), 3: ("c", 3.0)}
+
+
+def test_as_of_time_travel(vt, spark):
+    c1 = _commit(vt, spark, [(1, "a", 1.0)])
+    _commit(vt, spark, [(1, "a2", 9.9)])
+    old = (
+        spark.read.format("versioned")
+        .option("path", vt.path)
+        .option("asOfCsn", c1)
+        .load()
+    )
+    assert rows_of(old) == {1: ("a", 1.0)}
+
+
+def test_tombstones_hidden(vt, spark):
+    _commit(vt, spark, [(1, "a", 1.0), (2, "b", 2.0)])
+    t = vt.begin()
+    t.delete_keys([(1,)])
+    t.commit()
+    df = spark.read.format("versioned").option("path", vt.path).load()
+    assert rows_of(df) == {2: ("b", 2.0)}
+
+
+def test_reader_folds_checkpoint_plus_deltas(vt, spark):
+    _commit(vt, spark, [(1, "a", 1.0), (2, "b", 2.0)])
+    vt.checkpoint()
+    _commit(vt, spark, [(2, "b2", 2.5)])
+    df = spark.read.format("versioned").option("path", vt.path).load()
+    assert rows_of(df) == {1: ("a", 1.0), 2: ("b2", 2.5)}
+
+
+def test_partitioned_read_no_dup_no_loss(vt, spark):
+    rows = [(i, f"v{i}", float(i)) for i in range(200)]
+    _commit(vt, spark, rows)
+    # update half of them in a second commit
+    _commit(vt, spark, [(i, f"u{i}", float(i) * 2) for i in range(0, 200, 2)])
+    df = (
+        spark.read.format("versioned")
+        .option("path", vt.path)
+        .option("numPartitions", 5)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 5
+    got = rows_of(df)
+    assert len(got) == 200
+    assert got[3] == ("v3", 3.0) and got[4] == ("u4", 8.0)
+
+
+def test_append_write_then_read(vt, spark):
+    df = spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)], SCHEMA)
+    df.write.format("versioned").mode("append").option("path", vt.path).save()
+    # connector commit is one manifest — visible to the table API too
+    assert vt.latest_csn() == 1
+    assert rows_of(vt.snapshot()) == {1: ("a", 1.0), 2: ("b", 2.0)}
+    # a second append upserts over the first (newer csn wins per key)
+    df2 = spark.createDataFrame([(2, "b2", 2.5)], SCHEMA)
+    df2.write.format("versioned").mode("append").option("path", vt.path).save()
+    back = spark.read.format("versioned").option("path", vt.path).load()
+    assert rows_of(back) == {1: ("a", 1.0), 2: ("b2", 2.5)}
+
+
+def test_overwrite_mode_rejected(vt, spark):
+    df = spark.createDataFrame([(1, "a", 1.0)], SCHEMA)
+    with pytest.raises(Exception, match="overwrite"):
+        df.write.format("versioned").mode("overwrite").option("path", vt.path).save()
+
+
+def test_cdc_stream_tails_commit_log(vt, spark, tmp_path):
+    _commit(vt, spark, [(1, "a", 1.0), (2, "b", 2.0)])
+    t = vt.begin()
+    t.delete_keys([(1,)])
+    t.commit()
+    _commit(vt, spark, [(3, "c", 3.0)])
+    got: list[tuple] = []
+
+    def run_once():
+        # foreachBatch sink: supports checkpoint recovery (memory sink
+        # does not), runs on the driver in local mode
+        q = (
+            spark.readStream.format("versioned")
+            .option("path", vt.path)
+            .option("readChanges", "true")
+            .load()
+            .writeStream.foreachBatch(
+                lambda df, _id: got.extend(
+                    (r.k, r._csn, r._change) for r in df.collect()
+                )
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert set(got) == {
+        (1, 1, "upsert"),
+        (2, 1, "upsert"),
+        (1, 2, "delete"),
+        (3, 3, "upsert"),
+    }
+    # incremental restart from the same checkpoint: only NEW commits arrive
+    got.clear()
+    _commit(vt, spark, [(4, "d", 4.0)])
+    run_once()
+    assert set(got) == {(4, 4, "upsert")}
+
+
+def test_stream_requires_cdc_option(vt, spark, tmp_path):
+    _commit(vt, spark, [(1, "a", 1.0)])
+    # the guard fires when the stream reader is instantiated at query start
+    with pytest.raises(Exception, match="readChanges"):
+        q = (
+            spark.readStream.format("versioned")
+            .option("path", vt.path)
+            .load()
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ckpt2"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
