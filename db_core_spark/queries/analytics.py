@@ -308,3 +308,77 @@ def agg_bool_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_n") >= 5)
         .drop("_n")
     )
+
+
+@query(
+    "text_clean_normalize",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                               '\\s+', ' ', 'g')) AS clean_text
+    FROM documents
+    WHERE doc_id < 100
+    """,
+    category="llm",
+)
+def text_clean_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization for dedup/tokenization: lowercase, strip
+    non-alphanumerics, collapse whitespace — the canonical pre-shingle
+    cleanup pass of a training-data pipeline. Pure codegen regexp
+    expressions, embarrassingly parallel (no shuffle)."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), r"[^a-z0-9\s]", ""), r"\s+", " "
+        )
+    )
+    return d.select("doc_id", clean.alias("clean_text"))
+
+
+@query(
+    "versioned_datasource_agg",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           FLOOR(SUM(o_totalprice) * 100 + 0.5) / 100 AS total
+    FROM orders
+    WHERE o_orderkey % 10 = 0
+    GROUP BY o_orderstatus
+    """,
+    category="object",
+)
+def versioned_datasource_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end connector roundtrip: a deterministic slice of orders is
+    bulk-appended through the format('versioned') transactional writer
+    (staged parquet parts + one-manifest group commit, instance.rs:102-111),
+    read back through the MVCC snapshot reader, and aggregated. The oracle
+    aggregates the same slice straight from the source table — equality
+    proves the connector loses/duplicates nothing."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from db_core_spark.plans import VersionedTable
+    from db_core_spark.sources import register_versioned_format
+
+    register_versioned_format(spark)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+        ]
+    )
+    path = tempfile.mkdtemp(prefix="vds_query_") + "/orders_v"
+    VersionedTable.create(spark, path, key_cols=["o_orderkey"], schema=schema)
+    src = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    src.write.format("versioned").mode("append").option("path", path).save()
+    back = spark.read.format("versioned").option("path", path).load()
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        (F.floor(F.sum("o_totalprice") * 100 + 0.5) / 100).alias("total"),
+    )
