@@ -189,9 +189,10 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: bucket users by first-seen week, count distinct
-    active users per (cohort_week, week_offset). Both the cohort assignment
-    and the activity dedup shuffle on user_id, so Spark reuses one exchange
-    for the equi-join; the final aggregate is tiny (weeks x offsets)."""
+    active users per (cohort_week, week_offset). The cohort table is
+    one-row-per-user (small relative to events), so Catalyst broadcasts it
+    into the activity side — no second shuffle of the event stream; the
+    final aggregate is tiny (weeks x offsets)."""
     e = table(spark, sf_dir, "events").select(
         "user_id", F.date_trunc("week", "ts").cast("date").alias("event_week")
     )
@@ -381,4 +382,35 @@ def versioned_datasource_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("o_orderstatus").agg(
         F.count("*").alias("n"),
         (F.floor(F.sum("o_totalprice") * 100 + 0.5) / 100).alias("total"),
+    )
+
+
+@query(
+    "scalar_datetime_formats",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m') AS month_str,
+           strftime(o_orderdate, '%Y-%m-%d') AS day_str,
+           dayname(o_orderdate) AS day_name,
+           CAST(isodow(o_orderdate) AS INT) AS iso_dow,
+           CAST(floor(epoch(o_orderdate)) AS BIGINT) AS epoch_s
+    FROM orders
+    WHERE o_orderkey < 2000
+    """,
+    category="scalar",
+)
+def scalar_datetime_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime formatting/extraction parity: pattern formatting, day names,
+    ISO day-of-week (Mon=1..Sun=7 — Spark's weekday()+1), epoch seconds.
+    All JVM-side codegen; the UTC session timezone makes epoch_s engine-
+    independent."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_format(d, "yyyy-MM").alias("month_str"),
+        F.date_format(d, "yyyy-MM-dd").alias("day_str"),
+        F.date_format(d, "EEEE").alias("day_name"),
+        (F.weekday(d) + 1).cast("int").alias("iso_dow"),
+        F.unix_timestamp(d).alias("epoch_s"),
     )

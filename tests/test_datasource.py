@@ -172,3 +172,57 @@ def test_stream_requires_cdc_option(vt, spark, tmp_path):
             .start()
         )
         q.awaitTermination(60)
+
+
+def test_cdc_to_incremental_rollup(vt, spark, tmp_path):
+    """End-to-end incremental materialized view: CDC stream from one
+    versioned table drives a foreachBatch rollup into another — each
+    micro-batch is one ACID commit (the reference's checkpointer cadence,
+    checkpointer.rs:44-176, as a streaming pipeline)."""
+    agg_schema = T.StructType(
+        [
+            T.StructField("v", T.StringType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
+    out = VersionedTable.create(
+        spark, str(tmp_path / "rollup"), key_cols=["v"], schema=agg_schema
+    )
+
+    def fold_batch(df, _id):
+        # upserts only; group deltas by v and merge into the rollup table
+        delta = (
+            df.filter(F.col("_change") == "upsert")
+            .groupBy("v")
+            .agg(F.sum("amount").alias("total"))
+        )
+        rows = {r.v: r.total for r in delta.collect()}
+        if not rows:
+            return
+        current = {r.v: r.total for r in out.snapshot().collect()}
+        merged = [(v, current.get(v, 0.0) + t) for v, t in rows.items()]
+        t = out.begin()
+        t.upsert(spark.createDataFrame(merged, agg_schema))
+        t.commit()
+
+    def run_stream():
+        q = (
+            spark.readStream.format("versioned")
+            .option("path", vt.path)
+            .option("readChanges", "true")
+            .load()
+            .writeStream.foreachBatch(fold_batch)
+            .option("checkpointLocation", str(tmp_path / "ckpt_rollup"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _commit(vt, spark, [(1, "a", 1.0), (2, "b", 2.0), (3, "a", 4.0)])
+    run_stream()
+    assert {r.v: r.total for r in out.snapshot().collect()} == {"a": 5.0, "b": 2.0}
+
+    # incremental: new commits fold on top without reprocessing history
+    _commit(vt, spark, [(4, "b", 10.0)])
+    run_stream()
+    assert {r.v: r.total for r in out.snapshot().collect()} == {"a": 5.0, "b": 12.0}

@@ -131,3 +131,31 @@ def test_partitioned_layout_prunes_partitions(spark, tmp_path):
     # values survive the partitioned roundtrip
     want = li.filter(F.col("ship_year") == 1996).count()
     assert df.count() == want > 0
+
+
+def test_tfidf_df_join_is_broadcast(spark, queries):
+    """tfidf's document-frequency side is vocabulary-sized -> must broadcast;
+    a sort-merge join here would shuffle the whole tf table twice."""
+    plan = plan_of(queries["tfidf_top_terms"].fn(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_gapfill_spine_join_is_broadcast(spark, queries):
+    plan = plan_of(queries["gapfill_daily_revenue"].fn(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cohort_retention_broadcasts_cohorts(spark, queries):
+    """the one-row-per-user cohort table must broadcast into the activity
+    side — a sort-merge join here would re-shuffle the event stream."""
+    plan = plan_of(queries["cohort_retention"].fn(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_quantize_has_no_shuffle(spark, queries):
+    """int8 quantization is embarrassingly parallel: any Exchange in the
+    plan would be a scale bug."""
+    plan = plan_of(queries["embedding_quantize_int8"].fn(spark, SF_SMALL))
+    assert "Exchange" not in plan
