@@ -414,3 +414,168 @@ def scalar_datetime_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.weekday(d) + 1).cast("int").alias("iso_dow"),
         F.unix_timestamp(d).alias("epoch_s"),
     )
+
+
+@query(
+    "scalar_try_safe",
+    oracle="""
+    SELECT o_orderkey,
+           o_totalprice / NULLIF(CAST(o_orderkey % 7 AS DOUBLE), 0.0) AS safe_div,
+           TRY_CAST(o_orderstatus AS INT) AS bad_cast,
+           TRY_CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS good_cast
+    FROM orders
+    WHERE o_orderkey < 3000
+    """,
+    category="scalar",
+)
+def scalar_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression semantics: try_divide returns NULL on /0 (not
+    an exception or Inf), try_cast returns NULL on malformed input. The
+    ANSI-mode-safe idioms a 100 TB batch job needs — one poison row must
+    not kill a 6-hour pipeline."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    return o.select(
+        "o_orderkey",
+        F.try_divide(
+            F.col("o_totalprice"), (F.col("o_orderkey") % 7).cast("double")
+        ).alias("safe_div"),
+        F.try_to_number(F.col("o_orderstatus"), F.lit("999")).cast("int").alias("bad_cast"),
+        F.col("o_orderkey").cast("string").cast("bigint").alias("good_cast"),
+    )
+
+
+@query(
+    "setop_union_by_name",
+    oracle="""
+    SELECT * FROM (
+      SELECT c_custkey AS entity_key, c_acctbal AS balance, c_mktsegment AS segment
+      FROM customer WHERE c_custkey < 200
+    )
+    UNION ALL BY NAME
+    (SELECT s_suppkey AS entity_key, s_acctbal AS balance FROM supplier)
+    """,
+    category="setop",
+)
+def setop_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution-tolerant union: columns align by NAME, missing
+    columns null-fill (unionByName allowMissingColumns) — the pattern for
+    appending a new-schema partition to an old table."""
+    c = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 200)
+        .select(
+            F.col("c_custkey").alias("entity_key"),
+            F.col("c_acctbal").alias("balance"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("entity_key"), F.col("s_acctbal").alias("balance")
+    )
+    return c.unionByName(s, allowMissingColumns=True)
+
+
+@query(
+    "scalar_map_funcs",
+    oracle="""
+    SELECT event_id,
+           map_keys(m) AS ks,
+           map_values(m) AS vs,
+           m['type'][1] AS type_val
+    FROM (
+      SELECT event_id,
+             map(['type', 'uid'], [event_type, CAST(user_id AS VARCHAR)]) AS m
+      FROM events
+      WHERE event_id < 500
+    )
+    """,
+    category="scalar",
+)
+def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type construction and access: create_map / map_keys / map_values
+    / element_at — the key-value column toolkit (typed props, feature
+    maps). Output flattens to arrays + a scalar so the value hash is
+    engine-independent."""
+    e = table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"), F.lit("uid"), F.col("user_id").cast("string")
+    )
+    return e.select(
+        "event_id",
+        F.map_keys(m).alias("ks"),
+        F.map_values(m).alias("vs"),
+        F.element_at(m, "type").alias("type_val"),
+    )
+
+
+@query(
+    "agg_skew_kurtosis",
+    oracle="""
+    WITH stats AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             AVG(l_quantity) AS mu,
+             AVG(l_quantity * l_quantity) AS m2r
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    moments AS (
+      SELECT s.l_returnflag,
+             s.n,
+             AVG(POWER(l.l_quantity - s.mu, 2)) AS m2,
+             AVG(POWER(l.l_quantity - s.mu, 3)) AS m3,
+             AVG(POWER(l.l_quantity - s.mu, 4)) AS m4
+      FROM lineitem l JOIN stats s ON l.l_returnflag = s.l_returnflag
+      GROUP BY s.l_returnflag, s.n
+    )
+    SELECT l_returnflag,
+           n,
+           FLOOR(m3 / POWER(m2, 1.5) * 1000000 + 0.5) / 1000000 AS skew,
+           FLOOR((m4 / (m2 * m2) - 3) * 1000000 + 0.5) / 1000000 AS kurt
+    FROM moments
+    """,
+    category="aggregate",
+)
+def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-moment aggregates: population skewness g1 = m3/m2^1.5 and
+    excess kurtosis g2 = m4/m2^2 - 3 (Spark's definitions). The oracle
+    spells out the raw moments so the check pins the DEFINITION, not just
+    the number — engines disagree on sample-vs-population corrections.
+    Single-pass partial-aggregable on Spark's side (central-moment merge)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        (F.floor(F.skewness("l_quantity") * 1000000 + 0.5) / 1000000).alias("skew"),
+        (F.floor(F.kurtosis("l_quantity") * 1000000 + 0.5) / 1000000).alias("kurt"),
+    )
+
+
+@query(
+    "scalar_string_funcs2",
+    oracle="""
+    SELECT p_partkey,
+           lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS padded_key,
+           reverse(p_brand) AS rev_brand,
+           translate(p_type, 'AEIOU', 'aeiou') AS lowered_vowels,
+           repeat('*', p_size % 5) AS stars,
+           left(p_name, 8) AS name_prefix,
+           right(p_name, 4) AS name_suffix,
+           CAST(strpos(p_type, 'STEEL') AS INT) AS steel_pos
+    FROM part
+    WHERE p_partkey < 1000
+    """,
+    category="scalar",
+)
+def scalar_string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string pack: padding, reverse, character translation, repeat,
+    left/right slices, substring position — all JVM codegen expressions."""
+    p = table(spark, sf_dir, "part").filter(F.col("p_partkey") < 1000)
+    return p.select(
+        "p_partkey",
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("padded_key"),
+        F.reverse("p_brand").alias("rev_brand"),
+        F.translate("p_type", "AEIOU", "aeiou").alias("lowered_vowels"),
+        F.repeat(F.lit("*"), (F.col("p_size") % 5).cast("int")).alias("stars"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.col("p_name").substr(F.length("p_name") - 3, F.lit(4)).alias("name_suffix"),
+        F.instr("p_type", "STEEL").cast("int").alias("steel_pos"),
+    )
