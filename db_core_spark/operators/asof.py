@@ -25,9 +25,19 @@ def asof_join(
     right_time: str,
     payload_cols: list[str],
     tie_break: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Returns `left` plus `payload_cols` from the as-of matched right row
-    (null when no right row precedes the left row's time)."""
+    """Returns `left` plus `payload_cols` from the as-of matched right row.
+
+    direction="backward" (default): newest right row with
+    right_time <= left_time (null when none precedes); ties on right_time
+    break toward the LARGEST tie_break.
+    direction="forward": earliest right row with right_time >= left_time
+    (null when none follows); ties break toward the SMALLEST tie_break.
+    Same plan shape either way — one shuffle on the key, a single running
+    window pass per partition (the scan direction flips, nothing else)."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     lcols = left.columns
     tagged_left = left.select(
         F.col(on).alias("_k"),
@@ -47,9 +57,16 @@ def asof_join(
         *[F.col(c).alias(f"_p_{c}") for c in payload_cols],
     )
     unioned = tagged_left.unionByName(tagged_right)
+    if direction == "backward":
+        order = [F.asc("_t"), F.asc("_side"), F.asc("_tb")]
+    else:
+        # scan times descending: the running last_value then carries the
+        # EARLIEST right row >= left time; desc(_tb) makes the smallest
+        # tie-break the last scanned (deterministic winner) at equal times
+        order = [F.desc("_t"), F.asc("_side"), F.desc("_tb")]
     w = (
         W.partitionBy("_k")
-        .orderBy("_t", "_side", "_tb")
+        .orderBy(*order)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     filled = unioned.select(

@@ -579,3 +579,90 @@ def scalar_string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_name").substr(F.length("p_name") - 3, F.lit(4)).alias("name_suffix"),
         F.instr("p_type", "STEEL").cast("int").alias("steel_pos"),
     )
+
+
+_SQL_NOT_IN = """
+    SELECT o_orderkey, o_custkey
+    FROM orders
+    WHERE o_custkey NOT IN
+          (SELECT NULLIF(c_custkey, 7) FROM customer WHERE c_custkey < 100)
+      AND o_orderkey < 500
+"""
+
+
+@query("sql_not_in_null_semantics", oracle=_SQL_NOT_IN, category="subquery")
+def sql_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI NOT IN with a nullable subquery: one NULL in the list makes
+    every membership test UNKNOWN, so the result is EMPTY — the classic
+    three-valued-logic trap. Runs through spark.sql (the DataFrame API has
+    no null-aware anti join); Catalyst plans a NullAwareAntiJoin. Asserting
+    the empty result against the oracle pins the semantics."""
+    for t in ("orders", "customer"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_SQL_NOT_IN)
+
+
+@query(
+    "scalar_array_setops",
+    oracle="""
+    SELECT doc_id,
+           list_sort(list_distinct(list_intersect(a, b))) AS common_toks,
+           list_sort(list_distinct(list_filter(a, x -> NOT list_contains(b, x))))
+             AS only_first,
+           list_sort(list_distinct(list_concat(a, b))) AS all_toks
+    FROM (
+      SELECT doc_id,
+             string_split(text, ' ')[1:20] AS a,
+             string_split(text, ' ')[21:40] AS b
+      FROM documents WHERE doc_id < 200
+    )
+    """,
+    category="scalar",
+)
+def scalar_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra (intersect / except / union) between the first and
+    second 20-token windows of each document — token-overlap primitives for
+    near-dup scoring. Sorted+distinct on both engines so the value hash is
+    order-independent. Codegen array expressions, zero shuffle."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    toks = F.split(F.col("text"), " ")
+    d = d.select(
+        "doc_id",
+        F.slice(toks, 1, 20).alias("a"),
+        F.slice(toks, 21, 20).alias("b"),
+    )
+    return d.select(
+        "doc_id",
+        F.array_sort(F.array_intersect("a", "b")).alias("common_toks"),
+        F.array_sort(F.array_except("a", "b")).alias("only_first"),
+        F.array_sort(F.array_union("a", "b")).alias("all_toks"),
+    )
+
+
+@query(
+    "join_shuffle_hash_hint",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           FLOOR(SUM(l.l_extendedprice) * 100 + 0.5) / 100 AS gross
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'O'
+    GROUP BY l.l_orderkey
+    """,
+    category="join",
+)
+def join_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy control: SHUFFLE_HASH hint forces a shuffled hash join
+    instead of sort-merge — the right call when one side is too big to
+    broadcast but small enough to hash per partition (skips BOTH sort
+    passes). The audit test pins ShuffledHashJoin in the physical plan."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return (
+        li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
+        .groupBy(li.l_orderkey)
+        .agg(
+            F.count("*").alias("n_lines"),
+            (F.floor(F.sum("l_extendedprice") * 100 + 0.5) / 100).alias("gross"),
+        )
+    )

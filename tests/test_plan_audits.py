@@ -159,3 +159,8 @@ def test_quantize_has_no_shuffle(spark, queries):
     plan would be a scale bug."""
     plan = plan_of(queries["embedding_quantize_int8"].fn(spark, SF_SMALL))
     assert "Exchange" not in plan
+
+
+def test_shuffle_hash_hint_respected(spark, queries):
+    plan = plan_of(queries["join_shuffle_hash_hint"].fn(spark, SF_SMALL))
+    assert "ShuffledHashJoin" in plan
