@@ -666,3 +666,62 @@ def join_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(F.sum("l_extendedprice") * 100 + 0.5) / 100).alias("gross"),
         )
     )
+
+
+@query(
+    "agg_multi_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS n_days,
+           COUNT(DISTINCT o_orderstatus) AS n_statuses,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    category="aggregate",
+)
+def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Several COUNT(DISTINCT x) over different columns in ONE aggregate:
+    Catalyst plans an Expand (one replica of each row per distinct column)
+    + two-phase aggregate — still a single shuffle, versus the naive
+    three-self-join formulation. The expansion factor (3x here) is the
+    scale cost to watch; per-column approx_count_distinct is the sketch
+    fallback when it bites."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct(F.col("o_orderdate").cast("date")).alias("n_days"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+_SQL_CTE_WINDOW = """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             FLOOR(SUM(o_totalprice) * 100 + 0.5) / 100 AS revenue
+      FROM orders
+      GROUP BY 1
+    )
+    SELECT day, revenue,
+           FLOOR(SUM(revenue) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100 + 0.5) / 100
+             AS cum_revenue,
+           FLOOR(AVG(revenue) OVER (ORDER BY day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) * 100 + 0.5) / 100
+             AS ma7
+    FROM daily
+    ORDER BY day
+    LIMIT 365
+"""
+
+
+@query("sql_api_cte_window", oracle=_SQL_CTE_WINDOW, category="relational")
+def sql_api_cte_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second SQL-entry query: CTE + running-total and 7-day moving-average
+    window frames, the identical text on both engines (one parser/planner
+    path). The unpartitioned window is bounded: it runs over the
+    days-sized daily aggregate, never the raw orders."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_SQL_CTE_WINDOW)
