@@ -43,6 +43,7 @@ HEADLINE = [
     "stream_tumbling_window",
     "stream_session_window",
     "dedup_exact_keep",
+    "pipeline_corpus_prepare",
     "minhash_lsh_pairs",
     "knn_bruteforce_topk",
     "text_stats",

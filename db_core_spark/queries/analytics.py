@@ -725,3 +725,70 @@ def sql_api_cte_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     days-sized daily aggregate, never the raw orders."""
     table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_SQL_CTE_WINDOW)
+
+
+@query(
+    "pipeline_corpus_prepare",
+    oracle="""
+    WITH cleaned AS (
+      SELECT doc_id, lang, source,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                                 '\\s+', ' ', 'g')) AS clean_text
+      FROM documents
+    ),
+    deduped AS (
+      SELECT doc_id, lang, source, clean_text,
+             len(string_split(clean_text, ' ')) AS n_tokens
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                 PARTITION BY md5(clean_text) ORDER BY doc_id) AS rn
+        FROM cleaned
+      )
+      WHERE rn = 1
+    ),
+    quality AS (
+      SELECT doc_id, lang, source, n_tokens,
+             (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
+              * 100) / 65536 AS pct_bucket
+      FROM deduped
+      WHERE n_tokens >= 20
+    )
+    SELECT doc_id, lang, source, n_tokens,
+           CASE WHEN pct_bucket < 80 THEN 'train' ELSE 'eval' END AS split
+    FROM quality
+    """,
+    category="llm",
+)
+def pipeline_corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-corpus preparation chain as ONE declarative plan:
+    normalize -> exact-dedup (keep lowest doc_id per content hash) ->
+    quality filter (min token count) -> deterministic md5-bucket train/eval
+    split. Catalyst fuses the scalar stages into the scan projection; the
+    only shuffle is the dedup hash — at 100 TB this runs as a single
+    map -> shuffle -> map pipeline, and every stage is individually
+    oracle-checked elsewhere (text_clean_normalize, dedup_exact_keep,
+    text_stats, sample_hash_deterministic)."""
+    d = table(spark, sf_dir, "documents")
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), r"[^a-z0-9\s]", ""), r"\s+", " "
+        )
+    )
+    cleaned = d.select("doc_id", "lang", "source", clean.alias("clean_text"))
+    w = W.partitionBy(F.md5("clean_text")).orderBy("doc_id")
+    deduped = (
+        cleaned.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .withColumn("n_tokens", F.size(F.split("clean_text", " ")))
+    )
+    h16 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+    quality = deduped.filter(F.col("n_tokens") >= 20).withColumn(
+        "pct_bucket", (h16.cast("int") * 100) / F.lit(65536)
+    )
+    return quality.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_tokens",
+        F.when(F.col("pct_bucket") < 80, "train").otherwise("eval").alias("split"),
+    )
