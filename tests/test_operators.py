@@ -93,3 +93,63 @@ def test_resize_stub_dims_and_truncation(spark):
     for r in rows:
         assert (r.out_w, r.out_h) == (8, 8)
         assert r.out_n_bytes <= 64
+
+
+def test_asof_join_forward_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, 10), (1, 20), (1, 25), (2, 10)], "k long, t long"
+    ).withColumn("t", F.col("t").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, 8, 100), (1, 15, 200), (1, 20, 300), (3, 1, 999)], "k long, t long, v long"
+    ).withColumn("t", F.col("t").cast("timestamp"))
+    out = asof_join(
+        left, right.withColumnRenamed("t", "rt"), on="k",
+        left_time="t", right_time="rt", payload_cols=["v"], tie_break="v",
+        direction="forward",
+    )
+    vals = {(r.k, int(r.t.timestamp())): r.v for r in out.collect()}
+    assert vals[(1, 10)] == 200   # earliest right at t>=10 is t=15
+    assert vals[(1, 20)] == 300   # equal timestamp included (>=)
+    assert vals[(1, 25)] is None  # nothing after t=25
+    assert vals[(2, 10)] is None  # key with no right rows
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Property check against pandas' reference implementation on a pseudo-
+    random dataset (seeded): both directions, many keys, duplicate left
+    times, right times outside the left range."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(42)
+    left_pd = pd.DataFrame(
+        {
+            "k": rng.randint(0, 20, 400),
+            "t": rng.randint(0, 1000, 400).astype("datetime64[s]"),
+        }
+    )
+    right_pd = pd.DataFrame(
+        {
+            "k": rng.randint(0, 25, 300),
+            "rt": rng.randint(-100, 1100, 300).astype("datetime64[s]"),
+            "v": np.arange(300, dtype="int64"),
+        }
+    )
+    # unique (k, rt) so the as-of match is unambiguous without tie-breaks
+    right_pd = right_pd.drop_duplicates(["k", "rt"])
+    left = spark.createDataFrame(left_pd.assign(idx=np.arange(400, dtype="int64")))
+    right = spark.createDataFrame(right_pd)
+    for direction in ("backward", "forward"):
+        got = asof_join(
+            left, right, on="k", left_time="t", right_time="rt",
+            payload_cols=["v"], tie_break="v", direction=direction,
+        ).toPandas().sort_values("idx").reset_index(drop=True)
+        want = pd.merge_asof(
+            left_pd.assign(idx=np.arange(400)).sort_values("t"),
+            right_pd.sort_values("rt"),
+            left_on="t", right_on="rt", by="k", direction=direction,
+        ).sort_values("idx").reset_index(drop=True)
+        assert (
+            got["v"].astype("float64").fillna(-1).tolist()
+            == want["v"].astype("float64").fillna(-1).tolist()
+        ), f"direction={direction} diverges from pandas merge_asof"
