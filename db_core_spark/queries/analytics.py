@@ -792,3 +792,75 @@ def pipeline_corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.when(F.col("pct_bucket") < 80, "train").otherwise("eval").alias("split"),
     )
+
+
+@query(
+    "agg_rollup_grouping_id",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+    category="aggregate",
+)
+def agg_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() indicator columns distinguish real NULL group keys from
+    rollup-generated subtotal rows — required for unambiguous cube/rollup
+    consumption. Single Expand + one shuffle, like any grouping-set plan."""
+    o = table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "explode_outer_tokens",
+    oracle="""
+    SELECT doc_id,
+           unnest(CASE WHEN len(z) = 0 THEN [NULL] ELSE z END) AS z_tok
+    FROM (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x LIKE 'w%') AS z
+      FROM documents WHERE doc_id < 100
+    )
+    """,
+    category="scalar",
+)
+def explode_outer_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer: rows with EMPTY arrays survive as a single null row
+    (inner explode drops them) — the left-join-shaped flatten needed when
+    the unmatched entities must stay visible."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    z = F.filter(F.split("text", " "), lambda x: x.startswith("w"))
+    return d.select("doc_id", F.explode_outer(z).alias("z_tok"))
+
+
+@query("agg_hll_mergeable_sketch", oracle=None, category="aggregate")
+def agg_hll_mergeable_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL): build a
+    per-group sketch with hll_sketch_agg, then union the group sketches
+    with hll_union_agg to a global estimate — the 100 TB incremental
+    pattern: per-partition/per-day sketches are tiny, mergeable, and
+    re-aggregable without touching raw data (an exact COUNT(DISTINCT)
+    re-scan is the thing this avoids). Probabilistic output -> rows-only
+    check here; the pytest asserts estimate-vs-exact error and the
+    merge identity (union of group sketches == whole-table sketch)."""
+    o = table(spark, sf_dir, "orders")
+    per_group = o.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk")
+    )
+    merged = per_group.agg(
+        F.round(F.hll_sketch_estimate(F.hll_union_agg("sk"))).alias("est"),
+        F.count("*").alias("n_groups"),
+    ).select(F.lit("ALL").alias("o_orderpriority"), "est", "n_groups")
+    groups = per_group.select(
+        "o_orderpriority",
+        F.round(F.hll_sketch_estimate("sk")).alias("est"),
+        F.lit(1).cast("long").alias("n_groups"),
+    )
+    return groups.unionByName(merged)

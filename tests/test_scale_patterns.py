@@ -69,3 +69,30 @@ def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS li_bkt")
         spark.sql("DROP TABLE IF EXISTS o_bkt")
+
+
+def test_hll_sketch_merge_identity_and_accuracy(spark):
+    """union of per-group HLL sketches must estimate the same cardinality
+    as one whole-table sketch, and both within 5% of exact."""
+    from pyspark.sql import functions as F
+
+    from db_core_spark.tables import table
+    from tests.conftest import SF_MED
+
+    o = table(spark, SF_MED, "orders")
+    exact = o.select("o_custkey").distinct().count()
+    whole = o.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("e")
+    ).collect()[0].e
+    merged = (
+        o.groupBy("o_orderpriority")
+        .agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e"))
+        .collect()[0]
+        .e
+    )
+    # union-of-parts and one-pass sketches agree to sketch precision (they
+    # are not bit-identical: sparse->dense promotion differs by build order)
+    assert abs(whole - merged) / exact < 0.01
+    assert abs(whole - exact) / exact < 0.05
+    assert abs(merged - exact) / exact < 0.05
