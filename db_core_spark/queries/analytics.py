@@ -864,3 +864,69 @@ def agg_hll_mergeable_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).cast("long").alias("n_groups"),
     )
     return groups.unionByName(merged)
+
+
+@query(
+    "window_nth_value",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           NTH_VALUE(o_orderkey, 2) OVER w AS second_order,
+           NTH_VALUE(o_orderkey, 3) OVER w AS third_order
+    FROM orders
+    WHERE o_custkey < 150
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    category="window",
+)
+def window_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value over a running frame: each row sees the customer's 2nd and
+    3rd order keys once reached (null before) — positional access within
+    ordered groups without a self-join."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 150)
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+        F.nth_value("o_orderkey", 3).over(w).alias("third_order"),
+    )
+
+
+@query(
+    "fuzzy_levenshtein_pairs",
+    oracle="""
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+      AND a.p_name <> b.p_name
+    """,
+    category="llm",
+)
+def fuzzy_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy near-match pairs by edit distance <= 3, BLOCKED on brand —
+    the blocking-key pattern that turns an O(n^2) fuzzy-dedup cross join
+    into per-block equi-joins (same shape as LSH banding; at 100 TB the
+    blocking key is what keeps candidate generation tractable)."""
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    a, b = p.alias("a"), p.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .filter((dist <= 3) & (F.col("a.p_name") != F.col("b.p_name")))
+        .select(
+            F.col("a.p_partkey").alias("id_a"),
+            F.col("b.p_partkey").alias("id_b"),
+            dist.cast("int").alias("edit_dist"),
+        )
+    )
