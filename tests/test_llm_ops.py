@@ -68,3 +68,43 @@ def test_ann_ivf_results_are_valid_neighbors_with_recall(spark):
     # near-orthogonal fixture => weak cluster structure; still expect >=20%
     # of true top-5 pairs to fall inside the probed cells
     assert hits >= 0.2 * len(exact)
+
+
+def test_minhash_signature_estimates_jaccard(spark):
+    """Signature quality property: the fraction of agreeing minhash slots
+    estimates the true Jaccard within ~2/sqrt(64) for similar pairs — the
+    guarantee LSH banding depends on."""
+    from db_core_spark.functions.text import shingle_posting
+    from db_core_spark.queries.llm import NUM_HASHES
+    from db_core_spark.tables import table
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMALL
+
+    d = table(spark, SF_SMALL, "documents")
+    pd_ = shingle_posting(d, n=3).distinct()
+    based = pd_.withColumn("base", F.xxhash64("sh"))
+    mins = based.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64("base", F.lit(i))).alias(f"h{i}")
+            for i in range(NUM_HASHES)
+        ]
+    )
+    sigs = {r.doc_id: [r[f"h{i}"] for i in range(NUM_HASHES)] for r in mins.collect()}
+    sets = (
+        pd_.groupBy("doc_id").agg(F.collect_set("sh").alias("s")).collect()
+    )
+    shingles = {r.doc_id: set(r.s) for r in sets}
+    ids = sorted(sigs)[:60]
+    checked = 0
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(shingles[a] & shingles[b])
+            if inter == 0:
+                continue
+            true_j = inter / len(shingles[a] | shingles[b])
+            est = sum(
+                x == y for x, y in zip(sigs[a], sigs[b])
+            ) / NUM_HASHES
+            assert abs(est - true_j) <= 0.30, (a, b, true_j, est)
+            checked += 1
+    assert checked > 0, "fixture has no overlapping pairs to check"

@@ -164,3 +164,12 @@ def test_quantize_has_no_shuffle(spark, queries):
 def test_shuffle_hash_hint_respected(spark, queries):
     plan = plan_of(queries["join_shuffle_hash_hint"].fn(spark, SF_SMALL))
     assert "ShuffledHashJoin" in plan
+
+
+def test_corpus_pipeline_is_single_shuffle(spark, queries):
+    """pipeline_corpus_prepare claims scan -> ONE dedup shuffle -> map; any
+    extra Exchange means a stage got un-fused (e.g. the split bucketing
+    accidentally repartitioning)."""
+    plan = plan_of(queries["pipeline_corpus_prepare"].fn(spark, SF_SMALL))
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 1, f"expected 1 shuffle, saw {n_exchanges}"
