@@ -930,3 +930,83 @@ def fuzzy_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.cast("int").alias("edit_dist"),
         )
     )
+
+
+@query(
+    "scalar_regexp_extract_all",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract_all(text, '[a-z]*a[a-z]*') AS a_words,
+           CAST(len(regexp_extract_all(text, '[a-z]*a[a-z]*')) AS INT) AS n_a_words
+    FROM documents WHERE doc_id < 100
+    """,
+    category="scalar",
+)
+def scalar_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract_all: every match as an array (entity/pattern mining
+    over text at scan time — no explode needed until the caller wants
+    rows)."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    pat = r"[a-z]*a[a-z]*"
+    return d.select(
+        "doc_id",
+        F.regexp_extract_all("text", F.lit(pat), 0).alias("a_words"),
+        F.size(F.regexp_extract_all("text", F.lit(pat), 0)).alias("n_a_words"),
+    )
+
+
+@query(
+    "scalar_array_predicates",
+    oracle="""
+    SELECT doc_id,
+           list_contains(toks, 'spark') AS has_spark,
+           list_has_any(toks, ['join', 'merge', 'sort']) AS has_verb,
+           CAST(list_position(toks, 'table') AS INT) AS table_pos
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+          FROM documents WHERE doc_id < 200)
+    """,
+    category="scalar",
+)
+def scalar_array_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array membership predicates: contains / overlap / first position —
+    the filterable forms of token-set queries (array_contains pushes into
+    the scan filter when used in WHERE)."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.arrays_overlap(toks, F.array(F.lit("join"), F.lit("merge"), F.lit("sort"))).alias(
+            "has_verb"
+        ),
+        F.array_position(toks, "table").cast("int").alias("table_pos"),
+    )
+
+
+@query(
+    "scalar_date_arith",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus_2m,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(CAST(o_orderdate AS DATE) - INTERVAL 30 DAY AS DATE) AS minus_30d,
+           CAST(date_diff('month', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+                AS INT) AS months_since_95
+    FROM orders WHERE o_orderkey < 2000
+    """,
+    category="scalar",
+)
+def scalar_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar arithmetic: month addition (end-of-month clamped the same
+    way on both engines), last_day, day offsets, whole-month differences."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.add_months(d, 2).alias("plus_2m"),
+        F.last_day(d).alias("month_end"),
+        F.date_sub(d, 30).alias("minus_30d"),
+        (
+            (F.year(d) - F.lit(1995)) * 12 + (F.month(d) - F.lit(1))
+        ).cast("int").alias("months_since_95"),
+    )
