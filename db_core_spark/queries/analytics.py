@@ -1010,3 +1010,24 @@ def scalar_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.year(d) - F.lit(1995)) * 12 + (F.month(d) - F.lit(1))
         ).cast("int").alias("months_since_95"),
     )
+
+
+_SQL_LATERAL_TOPK = """
+    SELECT n.n_name, t.c_name, t.c_acctbal
+    FROM nation n, LATERAL (
+      SELECT c_name, c_acctbal FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_name LIMIT 2
+    ) t
+"""
+
+
+@query("sql_lateral_topk", oracle=_SQL_LATERAL_TOPK, category="relational")
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (top-2 customers per nation), identical
+    text on both engines. Catalyst decorrelates it into a window-ranked
+    join — same physical shape as window_topk_per_group, proving the
+    rewrite; no per-row re-execution survives into the plan."""
+    for t in ("nation", "customer"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_SQL_LATERAL_TOPK)
