@@ -1031,3 +1031,68 @@ def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("nation", "customer"):
         table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_SQL_LATERAL_TOPK)
+
+
+@query(
+    "versioned_cdc_feed",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(1 AS BIGINT) AS _csn,
+           'upsert' AS _change
+    FROM orders
+    WHERE o_orderkey % 25 = 0
+    """,
+    category="object",
+)
+def versioned_cdc_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC surface end-to-end: one transactional append (csn=1) into a fresh
+    versioned table, then the format('versioned') STREAM reader tails the
+    commit log (availableNow) and the captured change rows are returned as
+    a batch. The oracle derives the same change set relationally — row
+    identity, csn stamping, and change kind all pinned. WAL-tail parity:
+    /root/reference/src/log_mgr/io.rs:254-441."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from db_core_spark.plans import VersionedTable
+    from db_core_spark.sources import register_versioned_format
+
+    register_versioned_format(spark)
+    schema = T.StructType([T.StructField("o_orderkey", T.LongType())])
+    base = tempfile.mkdtemp(prefix="vds_cdc_")
+    path = base + "/orders_cdc"
+    vt = VersionedTable.create(spark, path, key_cols=["o_orderkey"], schema=schema)
+    src = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 25 == 0)
+        .select("o_orderkey")
+    )
+    t = vt.begin()
+    t.upsert(src)
+    t.commit()
+
+    captured: list[tuple] = []
+    q = (
+        spark.readStream.format("versioned")
+        .option("path", path)
+        .option("readChanges", "true")
+        .load()
+        .writeStream.foreachBatch(
+            lambda df, _id: captured.extend(
+                (r.o_orderkey, r._csn, r._change) for r in df.collect()
+            )
+        )
+        .option("checkpointLocation", base + "/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out_schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("_csn", T.LongType()),
+            T.StructField("_change", T.StringType()),
+        ]
+    )
+    return spark.createDataFrame(captured, out_schema)
