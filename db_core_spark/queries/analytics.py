@@ -1096,3 +1096,59 @@ def versioned_cdc_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.createDataFrame(captured, out_schema)
+
+
+@query(
+    "agg_product_discount",
+    oracle="""
+    SELECT l_orderkey,
+           FLOOR(sum(ln(1 - l_discount)) * 1000000 + 0.5) / 1000000
+             AS log_keep_factor,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING COUNT(*) >= 4
+    """,
+    category="aggregate",
+)
+def agg_product_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiplicative aggregate (compound keep-factor per order): Spark has
+    no product() aggregate, so it is derived as exp(sum(ln x)), legal while
+    1-l_discount > 0. Compared in LOG space: the products themselves are
+    exact decimal half-grid values (products of 2-decimal discounts), so
+    any fixed-grid rounding of the product flips on representation — the
+    log sums are off-grid and compare bit-stably. One partial-aggregable
+    shuffle."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            (
+                F.floor(
+                    F.sum(F.log(F.lit(1.0) - F.col("l_discount"))) * 1000000 + 0.5
+                )
+                / 1000000
+            ).alias("log_keep_factor"),
+            F.count("*").alias("n_lines"),
+        )
+        .filter(F.col("n_lines") >= 4)
+    )
+
+
+@query(
+    "setop_except_all_bag",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus IN ('O', 'F')
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    category="setop",
+)
+def setop_except_all_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag (multiset) semantics: each duplicate survives as
+    many times as its multiplicity difference, unlike distinct EXCEPT.
+    Plans as a count-difference aggregate, not an anti join."""
+    o = table(spark, sf_dir, "orders")
+    lhs = o.filter(F.col("o_orderstatus").isin("O", "F")).select("o_custkey")
+    rhs = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return lhs.exceptAll(rhs)
