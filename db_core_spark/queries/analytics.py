@@ -1152,3 +1152,55 @@ def setop_except_all_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
     lhs = o.filter(F.col("o_orderstatus").isin("O", "F")).select("o_custkey")
     rhs = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     return lhs.exceptAll(rhs)
+
+
+@query(
+    "join_range_bucketed_pure",
+    oracle="""
+    SELECT s.event_id, CAST(COUNT(p.event_id) AS BIGINT) AS n_purchases_next_hour
+    FROM (SELECT event_id, ts FROM events WHERE event_type = 'signup') s
+    JOIN (SELECT event_id, ts FROM events WHERE event_type = 'purchase') p
+      ON p.ts >= s.ts AND p.ts < s.ts + INTERVAL 1 HOUR
+    GROUP BY s.event_id
+    """,
+    category="join",
+)
+def join_range_bucketed_pure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PURE range join (no equi key): purchases in the hour after each
+    signup, across ALL users. The naive plan is a BroadcastNestedLoop /
+    cartesian — quadratic at scale. Decomposition: explode each signup's
+    1-hour window into the hour BUCKETS it spans (<= 2), bucket each
+    purchase by its hour, equi-join on bucket, refine with the exact range
+    predicate. Each (signup, purchase) pair meets exactly once because a
+    purchase lives in exactly one bucket — no dedup shuffle needed. Work
+    scales with rows x per-bucket density instead of |s| x |p|; the bucket
+    width trades replication (left) against selectivity (right)."""
+    e = table(spark, sf_dir, "events")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .select(F.col("event_id").alias("s_id"), F.col("ts").alias("s_ts"))
+        .withColumn("s_epoch", F.unix_timestamp("s_ts"))
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("s_epoch") / 3600),
+                    F.floor((F.col("s_epoch") + 3599) / 3600),
+                )
+            ),
+        )
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts"))
+        .withColumn("bucket", F.floor(F.unix_timestamp("p_ts") / 3600))
+    )
+    return (
+        s.join(p, "bucket")
+        .filter(
+            (F.col("p_ts") >= F.col("s_ts"))
+            & (F.col("p_ts") < F.col("s_ts") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy(F.col("s_id").alias("event_id"))
+        .agg(F.count("p_id").alias("n_purchases_next_hour"))
+    )

@@ -173,3 +173,12 @@ def test_corpus_pipeline_is_single_shuffle(spark, queries):
     plan = plan_of(queries["pipeline_corpus_prepare"].fn(spark, SF_SMALL))
     n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n_exchanges == 1, f"expected 1 shuffle, saw {n_exchanges}"
+
+
+def test_pure_range_join_avoids_nested_loop(spark, queries):
+    """the bucketed decomposition must plan as an equi hash/merge join on
+    the bucket — BroadcastNestedLoop or CartesianProduct would mean the
+    rewrite regressed to quadratic."""
+    plan = plan_of(queries["join_range_bucketed_pure"].fn(spark, SF_SMALL))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
