@@ -260,12 +260,12 @@ def q5_multiway_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "join_range_events",
     oracle="""
-    SELECT o.o_orderkey, CAST(COUNT(e.event_id) AS BIGINT) AS n_events_next_day
+    SELECT o.o_orderkey, CAST(COUNT(e.event_id) AS BIGINT) AS n_events_month_after
     FROM orders o
     JOIN events e
       ON e.user_id = o.o_custkey
-     AND e.ts >= o.o_orderdate
-     AND e.ts < o.o_orderdate + INTERVAL 1 DAY
+     AND e.ts - INTERVAL 29 YEAR >= o.o_orderdate
+     AND e.ts - INTERVAL 29 YEAR < o.o_orderdate + INTERVAL 30 DAY
     GROUP BY o.o_orderkey
     """,
     category="join",
@@ -273,18 +273,23 @@ def q5_multiway_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_range_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join: equi key (user) + time-range predicate. Shuffles on the
     equi key only — the range condition filters within co-located partitions,
-    which scales linearly with per-key density rather than cross-product."""
+    which scales linearly with per-key density rather than cross-product.
+    The 29-year shift aligns the events fixture's 2024 epoch onto the
+    orders' 1995+ calendar so the range predicate actually selects rows
+    (identical expression on both engines)."""
     o = table(spark, sf_dir, "orders")
-    e = table(spark, sf_dir, "events")
+    e = table(spark, sf_dir, "events").withColumn(
+        "ts_aligned", F.expr("ts - INTERVAL 29 YEAR")
+    )
     return (
         o.join(
             e,
             (e.user_id == o.o_custkey)
-            & (e.ts >= o.o_orderdate)
-            & (e.ts < F.col("o_orderdate") + F.expr("INTERVAL 1 DAY")),
+            & (F.col("ts_aligned") >= o.o_orderdate)
+            & (F.col("ts_aligned") < F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")),
         )
         .groupBy("o_orderkey")
-        .agg(F.count("event_id").alias("n_events_next_day"))
+        .agg(F.count("event_id").alias("n_events_month_after"))
     )
 
 
