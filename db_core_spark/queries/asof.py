@@ -66,7 +66,8 @@ def asof_join_event_order(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROW_NUMBER() OVER (
                PARTITION BY e.event_id
                ORDER BY o.o_orderdate ASC, o.o_orderkey ASC) AS rn
-      FROM events e JOIN orders o
+      FROM (SELECT event_id, user_id, ts - INTERVAL 29 YEAR AS ts
+            FROM events) e JOIN orders o
         ON o.o_custkey = e.user_id AND o.o_orderdate >= e.ts
       WHERE e.event_id <= 2000)
     SELECT e.event_id, e.user_id,
@@ -83,7 +84,13 @@ def asof_join_forward_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (
         table(spark, sf_dir, "events")
         .filter(F.col("event_id") <= 2000)
-        .select("event_id", "user_id", F.col("ts").cast("timestamp_ntz").alias("ts"))
+        # align the events fixture's 2024 epoch onto the orders calendar so
+        # forward matches exist (identical shift in the oracle)
+        .select(
+            "event_id",
+            "user_id",
+            F.expr("ts - INTERVAL 29 YEAR").cast("timestamp_ntz").alias("ts"),
+        )
     )
     o = table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"
