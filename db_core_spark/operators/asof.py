@@ -39,15 +39,19 @@ def asof_join(
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     lcols = left.columns
+    # the tie-break column orders natively in its own type (string ids order
+    # lexically, numerics numerically) — casting to long would NULL out
+    # non-numeric tie-breaks and silently lose determinism
+    tb_type = right.schema[tie_break].dataType if tie_break else None
     tagged_left = left.select(
         F.col(on).alias("_k"),
         F.col(left_time).alias("_t"),
         F.lit(1).alias("_side"),  # left sorts after right at equal _t
-        F.lit(None).cast("long").alias("_tb"),
+        (F.lit(None).cast(tb_type) if tb_type is not None else F.lit(0)).alias("_tb"),
         *[F.col(c) for c in lcols],
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"_p_{c}") for c in payload_cols],
     )
-    tb = F.col(tie_break).cast("long") if tie_break else F.lit(0).cast("long")
+    tb = F.col(tie_break) if tie_break else F.lit(0)
     tagged_right = right.select(
         F.col(on).alias("_k"),
         F.col(right_time).alias("_t"),

@@ -24,8 +24,12 @@ def salted_join(
     inner/left are safe (small side is replicated exactly once per salt)."""
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left joins")
+    # pmod, not abs(hash) % n: xxhash64 can return Long.MIN_VALUE, whose abs
+    # stays negative (or throws under ANSI), which would yield a salt with no
+    # replicated small-side partner — a silent row drop. pmod is always >= 0.
     salted_big = big.withColumn(
-        "_salt", (F.abs(F.xxhash64(*[F.col(c) for c in big.columns])) % salt_buckets).cast("int")
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_buckets)).cast("int"),
     )
     salts = F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
     salted_small = small.withColumn("_salt", salts)

@@ -340,12 +340,13 @@ class Transaction:
 
     # --------------------------------------------------------------- commit
 
-    def commit(self, max_csn_attempts: int = 50) -> int:
+    def commit(self, max_csn_attempts: int = 50, extra: dict | None = None) -> int:
         """Write staged files, then claim the next csn by atomic manifest
         publish. Conflict rule: if any manifest in (start_csn, claimed_csn)
         has a write-set overlapping ours -> ConflictError (optimistic
         replacement for tran_mgr object locks; lost-update test passes via
-        caller retry)."""
+        caller retry). `extra` merges additional fields into the manifest
+        (e.g. streaming writer/epoch identity for exactly-once sinks)."""
         self._check_open()
         self._done = True
         if not self._ops:
@@ -382,6 +383,7 @@ class Transaction:
                 "ops": ops_meta,
                 "write_keys": sorted(my_keys) if my_keys is not None else None,
                 "ts": time.time(),
+                **(extra or {}),
             }
             if t._publish(f"{candidate:010d}.json", manifest):
                 return candidate

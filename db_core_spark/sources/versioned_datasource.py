@@ -215,13 +215,22 @@ class VersionedChangeStreamReader(SimpleDataSourceStreamReader):
 class StagedPart(WriterCommitMessage):
     file_path: str
     n_rows: int
+    # canonical-string write-set of this part; None = too large to track
+    keys: list | None = None
 
 
 class VersionedAppendWriter(DataSourceWriter):
     """Transactional bulk append: executors stage independent parquet parts
     under one tsn (the WAL-buffer appends); the driver's commit() publishes
     ONE manifest for all of them (group commit, instance.rs:102-111). A
-    failed job leaves only unpublished files — invisible by construction."""
+    failed job leaves only unpublished files — invisible by construction.
+
+    Conflict protection is symmetric with Transaction (tran_mgr parity):
+    each part enumerates its distinct key set (degrading to 'conflicts with
+    anything' above MAX_TRACKED_KEYS, same rule as Transaction.commit);
+    commit() aborts with ConflictError when any manifest published after the
+    writer was planned overlaps — so two concurrent bulk appends upserting
+    the same keys can no longer both win (no silent last-csn lost update)."""
 
     def __init__(self, schema: T.StructType, options: dict):
         self.path = options["path"]
@@ -233,6 +242,10 @@ class VersionedAppendWriter(DataSourceWriter):
             )
         self.tsn = "t" + uuid.uuid4().hex[:12]
         self.op_dir = os.path.join(self.path, "data", f"tsn={self.tsn}", "opseq=0")
+        # snapshot pin at plan time: manifests committed after this are
+        # 'concurrent' for the optimistic conflict check in commit()
+        csns = [m["csn"] for m in _manifests(self.path)]
+        self.start_csn = max(csns) if csns else 0
 
     def write(self, iterator) -> StagedPart:
         import pandas as pd
@@ -258,24 +271,59 @@ class VersionedAppendWriter(DataSourceWriter):
         )
         tbl = pa.Table.from_pandas(pdf, preserve_index=False).cast(arrow_schema)
         pq.write_table(tbl, fname)
-        return StagedPart(file_path=fname, n_rows=len(rows))
+        # canonical string form of the part's write-set (same encoding as
+        # Transaction.commit so the two writer kinds compare like-for-like);
+        # arrow to_pylist yields python-native values (datetime, int, str)
+        # matching what Spark Rows stringify to on the txn side
+        cap = 100_000  # VersionedTable.MAX_TRACKED_KEYS (no driver-side import here)
+        key_tbl = tbl.select(self.key_cols)
+        part_keys: list | None = list(
+            {tuple(str(r[c]) for c in self.key_cols) for r in key_tbl.to_pylist()}
+        )
+        if len(part_keys) > cap:
+            part_keys = None
+        return StagedPart(file_path=fname, n_rows=len(rows), keys=part_keys)
 
     def commit(self, messages) -> None:
-        from db_core_spark.plans.versioned import publish_manifest
+        from db_core_spark.plans.versioned import ConflictError, VersionedTable, publish_manifest
 
         n = sum(m.n_rows for m in messages if m is not None)
+        my_keys: set | None = set()
+        for m in messages:
+            if m is None:
+                continue
+            if m.keys is None:
+                my_keys = None
+                break
+            my_keys.update(tuple(k) for k in m.keys)
+        if my_keys is not None and len(my_keys) > VersionedTable.MAX_TRACKED_KEYS:
+            my_keys = None  # degrade, same rule as Transaction.commit
         log_dir = os.path.join(self.path, "_commitlog")
         manifest_ops = [{"dir": self.op_dir, "opseq": 0, "kind": "upsert"}]
         for _ in range(50):
             csns = [m["csn"] for m in _manifests(self.path)]
             candidate = (max(csns) if csns else 0) + 1
+            # optimistic conflict check vs everything committed since plan
+            # time (mirrors Transaction._check_conflicts)
+            for m in _manifests(self.path):
+                if m.get("type") == "checkpoint" or not (self.start_csn < m["csn"] < candidate):
+                    continue
+                theirs = m.get("write_keys")
+                if my_keys is None or theirs is None:
+                    raise ConflictError(
+                        f"bulk append {self.tsn}: concurrent commit csn={m['csn']} "
+                        "with untracked write-set"
+                    )
+                if my_keys & {tuple(k) for k in theirs}:
+                    raise ConflictError(
+                        f"bulk append {self.tsn}: write-set overlaps concurrent "
+                        f"commit csn={m['csn']}"
+                    )
             manifest = {
                 "csn": candidate,
                 "tsn": self.tsn,
                 "ops": manifest_ops,
-                # bulk load: write-set not enumerated -> conservatively
-                # conflicts with any overlapping optimistic txn (safe side)
-                "write_keys": None,
+                "write_keys": sorted(my_keys) if my_keys is not None else None,
                 "rows": n,
                 "ts": time.time(),
             }

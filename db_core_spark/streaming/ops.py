@@ -159,22 +159,51 @@ def stream_stream_join(
     )
 
 
+def commit_microbatch(vt, batch_df: DataFrame, epoch_id: int, writer_id: str) -> bool:
+    """Commit one micro-batch into a VersionedTable exactly once.
+
+    Idempotence: the manifest records (writer, epoch); a replayed batch whose
+    (writer, epoch) already has a published manifest is skipped entirely, so
+    CDC readers (readChanges=true) never observe duplicate change rows — a
+    dedup-at-read-time strategy would fix snapshots but not the change feed.
+    A ConflictError from a concurrent writer is retried with a fresh txn
+    (the staged data is re-written; the stream does not die).
+
+    Returns True if this call published, False if the epoch was already
+    committed."""
+    from db_core_spark.plans.versioned import ConflictError  # noqa: PLC0415
+
+    if batch_df.isEmpty():
+        return False
+    if any(
+        m.get("writer") == writer_id and m.get("epoch") == epoch_id
+        for m in vt._manifests()
+    ):
+        return False  # replayed epoch: already durable, skip (exactly-once)
+    for attempt in range(5):
+        txn = vt.begin()
+        txn.upsert(batch_df)
+        try:
+            txn.commit(extra={"writer": writer_id, "epoch": epoch_id})
+            return True
+        except ConflictError:
+            if attempt == 4:
+                raise
+    return False
+
+
 def stream_into_versioned_table(events: DataFrame, vt, checkpoint_dir: str):
     """foreachBatch sink into a VersionedTable: each micro-batch commits as
     ONE ACID transaction (mirrors the reference's group commit — WAL flush
     per commit record, log_mgr/io.rs:99-103 — with the micro-batch as the
-    group). Exactly-once lands via idempotent re-commit: a replayed batch
-    re-upserts the same keys, and MVCC latest-per-key resolution makes the
-    second version win with identical content.
+    group). Exactly-once: the manifest carries (writer, epoch) identity and
+    a replayed epoch is skipped before any commit (see commit_microbatch),
+    which holds for CDC readers too, not just snapshot reads.
 
     Returns the started StreamingQuery; caller awaits/stops it."""
 
     def commit_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        txn = vt.begin()
-        txn.upsert(batch_df)
-        txn.commit()
+        commit_microbatch(vt, batch_df, epoch_id, writer_id=checkpoint_dir)
 
     return (
         events.writeStream.foreachBatch(commit_batch)

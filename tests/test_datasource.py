@@ -226,3 +226,51 @@ def test_cdc_to_incremental_rollup(vt, spark, tmp_path):
     _commit(vt, spark, [(4, "b", 10.0)])
     run_stream()
     assert {r.v: r.total for r in out.snapshot().collect()} == {"a": 5.0, "b": 12.0}
+
+
+def test_bulk_append_conflict_with_concurrent_commit(vt, spark):
+    """Two-directional conflict protection for the bulk writer (tran_mgr
+    parity): a bulk append planned before a concurrent overlapping commit
+    must abort instead of silently winning last-csn (lost update)."""
+    from db_core_spark.plans.versioned import ConflictError
+    from db_core_spark.sources.versioned_datasource import VersionedAppendWriter
+
+    _commit(vt, spark, [(1, "a", 1.0)])
+    # plan the bulk writer (pins start_csn), stage a part touching k=1
+    w = VersionedAppendWriter(SCHEMA, {"path": vt.path})
+    msg = w.write(iter([(1, "bulk", 5.0), (9, "new", 9.0)]))
+    assert msg.keys is not None and ("1",) in {tuple(k) for k in msg.keys}
+    # concurrent txn commits an overlapping key after the writer was planned
+    _commit(vt, spark, [(1, "other", 2.0)])
+    with pytest.raises(ConflictError):
+        w.commit([msg])
+    # non-overlapping bulk append still succeeds
+    w2 = VersionedAppendWriter(SCHEMA, {"path": vt.path})
+    msg2 = w2.write(iter([(7, "ok", 7.0)]))
+    w2.commit([msg2])
+    assert rows_of(vt.snapshot())[7] == ("ok", 7.0)
+
+
+def test_bulk_append_conflicts_optimistic_txn_both_ways(vt, spark):
+    """A txn that began before a bulk append committed overlapping keys must
+    abort at commit — the writer now enumerates write_keys so the txn-side
+    check sees real overlap, not just the conservative None."""
+    from db_core_spark.plans.versioned import ConflictError
+
+    _commit(vt, spark, [(1, "a", 1.0)])
+    t = vt.begin()
+    t.upsert(spark.createDataFrame([(1, "txn", 3.0)], SCHEMA))
+    # bulk append lands first, touching the same key
+    spark.createDataFrame([(1, "bulk", 5.0)], SCHEMA).write.format("versioned").mode(
+        "append"
+    ).option("path", vt.path).save()
+    with pytest.raises(ConflictError):
+        t.commit()
+    # disjoint txn is NOT blocked by the enumerated bulk write-set
+    t2 = vt.begin()
+    t2.upsert(spark.createDataFrame([(42, "free", 0.5)], SCHEMA))
+    spark.createDataFrame([(2, "bulk2", 6.0)], SCHEMA).write.format("versioned").mode(
+        "append"
+    ).option("path", vt.path).save()
+    t2.commit()
+    assert rows_of(vt.snapshot())[42] == ("free", 0.5)

@@ -153,3 +153,26 @@ def test_asof_join_matches_pandas_merge_asof(spark):
             got["v"].astype("float64").fillna(-1).tolist()
             == want["v"].astype("float64").fillna(-1).tolist()
         ), f"direction={direction} diverges from pandas merge_asof"
+
+
+def test_asof_join_string_tie_break(spark):
+    """Non-numeric tie-break columns order natively (a long-cast would NULL
+    them out and make the winner arbitrary): at equal right times the
+    lexically largest id wins backward, smallest wins forward."""
+    left = spark.createDataFrame([(1, 10)], "k long, t long").withColumn(
+        "t", F.col("t").cast("timestamp")
+    )
+    right = spark.createDataFrame(
+        [(1, 8, "id_b", 100), (1, 8, "id_a", 200), (1, 12, "id_z", 300), (1, 12, "id_c", 400)],
+        "k long, rt long, rid string, v long",
+    ).withColumn("rt", F.col("rt").cast("timestamp"))
+    back = asof_join(
+        left, right, on="k", left_time="t", right_time="rt",
+        payload_cols=["rid", "v"], tie_break="rid",
+    ).collect()[0]
+    assert (back.rid, back.v) == ("id_b", 100)  # largest rid at rt=8
+    fwd = asof_join(
+        left, right, on="k", left_time="t", right_time="rt",
+        payload_cols=["rid", "v"], tie_break="rid", direction="forward",
+    ).collect()[0]
+    assert (fwd.rid, fwd.v) == ("id_c", 400)  # smallest rid at rt=12

@@ -236,3 +236,28 @@ def test_incremental_rollup_materialization_converges(spark, stream_dir, tmp_pat
     assert got == want
     # incremental: the table saw multiple commits, not one bulk load
     assert len([m for m in vt._manifests() if m.get("type") != "checkpoint"]) >= 2
+
+
+def test_microbatch_replay_is_exactly_once_for_cdc(spark, tmp_path):
+    """A replayed micro-batch (same writer, same epoch) must not publish a
+    second manifest: CDC readers observe each change row once, not just
+    snapshot-level dedup. ConflictError from a concurrent writer is retried
+    instead of killing the stream."""
+    from pyspark.sql import types as T
+
+    from db_core_spark.plans import VersionedTable
+    from db_core_spark.streaming.ops import commit_microbatch
+
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    vt = VersionedTable.create(spark, str(tmp_path / "eo"), key_cols=["k"], schema=schema)
+    batch = spark.createDataFrame([(1, "a"), (2, "b")], schema)
+    assert commit_microbatch(vt, batch, epoch_id=0, writer_id="ck") is True
+    # replay of the same epoch: no new manifest, no duplicate change rows
+    assert commit_microbatch(vt, batch, epoch_id=0, writer_id="ck") is False
+    assert vt.latest_csn() == 1
+    assert vt.history().count() == 2
+    # a different epoch from the same writer commits normally
+    assert commit_microbatch(vt, batch, epoch_id=1, writer_id="ck") is True
+    assert vt.latest_csn() == 2
