@@ -40,7 +40,14 @@ class ObjectStore:
 
     @classmethod
     def create(cls, spark: SparkSession, path: str, chunk_size: int = 4096) -> "ObjectStore":
-        vt = VersionedTable.create(spark, path, key_cols=["obj_id", "chunk_no"], schema=OBJECT_SCHEMA)
+        # bucket by obj_id only: every chunk + version of one object lands
+        # in a single bucket, so a read/seek of that object is a one-bucket
+        # file listing — the per-object version-chain walk of the reference
+        # (block_driver.rs:461-486) as physical layout
+        vt = VersionedTable.create(
+            spark, path, key_cols=["obj_id", "chunk_no"], schema=OBJECT_SCHEMA,
+            bucket_cols=["obj_id"],
+        )
         return cls(vt, chunk_size)
 
     @classmethod

@@ -22,12 +22,19 @@ Reference-parity map (citations into /root/reference):
   reclamation (src/storage/version_store.rs:14-17, 264-309): materialize the
   resolved snapshot at csn C into compact files; reclaim older versions.
 
-Scale design: data files are immutable parquet under data/tsn=<n>/opseq=<k>/;
-snapshot reads list ONLY committed op directories (no directory discovery
-race), attach (_csn,_opseq) via a broadcast join on the tiny manifest map,
-and resolve versions with a single window keyed on the table key — bucket
-the physical layout by key and the shuffle disappears; periodic checkpoints
-bound the window's input to (checkpoint, S] deltas.
+Scale design: data files are immutable parquet under
+data/tsn=<n>/opseq=<k>/bucket=<crc32(key)%B>/ — a key-hash-bucketed layout
+shared by BOTH writers (JVM txn commits and the pyarrow bulk-append parts).
+Snapshot reads go through the `versioned` Python DataSource: one input
+partition per bucket group, each listing ONLY its buckets' files and
+resolving "newest visible version per key" in-partition — zero shuffle, the
+Spark analog of the reference's O(versions-of-that-object) chain walk
+(block_driver.rs:461-486). Point lookups (`lookup()`) plan a single
+partition for the key's bucket. Checkpoints resolve per-bucket through the
+same reader and write partitionBy(bucket) — shuffle-free end to end — and
+bound reader input to (checkpoint, S] deltas. The legacy window resolution
+(one global shuffle on the key) remains as `snapshot(engine="window")` and
+for unbucketed (num_buckets=0) tables.
 """
 
 from __future__ import annotations
@@ -43,10 +50,50 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F, ty
 
 META_COLS = ("_csn", "_opseq", "_deleted")
 
+DEFAULT_NUM_BUCKETS = 16  # at 100 TB you'd size this so a bucket is ~10-50 GB
+
 
 class ConflictError(Exception):
     """Optimistic write-write conflict: another transaction committed an
     overlapping write-set after this transaction began. Retry the txn."""
+
+
+class SnapshotUnavailableError(Exception):
+    """The requested as-of snapshot needs commit history that vacuum has
+    reclaimed (reference: a reader older than the version-store retention
+    window, version_store.rs:264-309). Raised instead of silently returning
+    a partial fold."""
+
+
+def bucket_expr(cols: list[str], num_buckets: int) -> F.Column:
+    """JVM-side bucket id for a row: crc32 of the canonical key string mod B.
+
+    crc32 (not xxhash64) because the SAME function must be computable by the
+    pyarrow bulk-append writer (zlib.crc32) — both writers must land a key in
+    the same bucket=<b>/ subdir or in-partition version resolution breaks.
+    Canonical form: each column cast to string, NULL -> 'None', joined with
+    NUL. Stick to int/string bucket columns; float formatting differs across
+    engines (documented constraint, enforced nowhere — keys are ints/strings
+    in practice)."""
+    canon = F.concat_ws(
+        "\x00", *[F.coalesce(F.col(c).cast("string"), F.lit("None")) for c in cols]
+    )
+    return (F.crc32(F.encode(canon, "UTF-8")) % num_buckets).cast("int")
+
+
+def bucket_of_py(values, num_buckets: int) -> int:
+    """Python twin of bucket_expr — identical canonicalization, zlib.crc32."""
+    import zlib
+
+    def canon(v):
+        if v is None:
+            return "None"
+        if isinstance(v, bool):
+            return "true" if v else "false"  # JVM casts booleans lowercase
+        return str(v)
+
+    s = "\x00".join(canon(v) for v in values)
+    return zlib.crc32(s.encode("utf-8")) % num_buckets
 
 
 def publish_manifest(log_dir: str, name: str, manifest: dict) -> bool:
@@ -88,6 +135,9 @@ class VersionedTable:
         meta = json.load(open(os.path.join(path, "_meta.json")))
         self.key_cols: list[str] = meta["key_cols"]
         self.schema: T.StructType = T.StructType.fromJson(meta["schema"])
+        # 0 = legacy unbucketed layout (round-1 tables); bucketed is default
+        self.num_buckets: int = meta.get("num_buckets", 0)
+        self.bucket_cols: list[str] = meta.get("bucket_cols", self.key_cols)
 
     # ---------------------------------------------------------------- setup
 
@@ -98,16 +148,41 @@ class VersionedTable:
         path: str,
         key_cols: list[str],
         schema: T.StructType,
+        num_buckets: int = DEFAULT_NUM_BUCKETS,
+        bucket_cols: list[str] | None = None,
     ) -> "VersionedTable":
         """One-time table creation (mirrors Instance::initialize_datastore,
-        instance.rs:78-80): writes _meta.json + empty commit log."""
+        instance.rs:78-80): writes _meta.json + empty commit log.
+
+        `num_buckets` fixes the physical key-hash layout: every op writes its
+        rows under bucket=<crc32(bucket_cols)%B>/ subdirs so readers prune
+        file lists per bucket and resolve versions in-partition — the Spark
+        analog of the reference's O(versions-of-that-object) chain walk
+        (block_driver.rs:461-486) instead of a full-table window shuffle.
+        `bucket_cols` may be a PREFIX/subset of key_cols (default: all of
+        them) — e.g. byte-stream objects bucket by obj_id only, co-locating
+        all chunks + versions of one object. num_buckets=0 keeps the legacy
+        unbucketed layout."""
         os.makedirs(os.path.join(path, "_commitlog"), exist_ok=False)
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
         for k in key_cols:
             if k not in schema.fieldNames():
                 raise ValueError(f"key column {k!r} not in schema")
+        bucket_cols = list(bucket_cols) if bucket_cols is not None else list(key_cols)
+        if not set(bucket_cols) <= set(key_cols):
+            raise ValueError(f"bucket_cols {bucket_cols} must be a subset of key_cols")
+        if "bucket" in schema.fieldNames():
+            raise ValueError("column name 'bucket' is reserved for the physical layout")
         with open(os.path.join(path, "_meta.json"), "w") as f:
-            json.dump({"key_cols": key_cols, "schema": schema.jsonValue()}, f)
+            json.dump(
+                {
+                    "key_cols": key_cols,
+                    "schema": schema.jsonValue(),
+                    "num_buckets": num_buckets,
+                    "bucket_cols": bucket_cols,
+                },
+                f,
+            )
         return cls(spark, path)
 
     @classmethod
@@ -143,22 +218,43 @@ class VersionedTable:
 
     def _committed_ops(self, as_of: int | None) -> list[dict]:
         """(dir, csn, opseq, kind) for every committed op visible at as_of,
-        starting from the newest checkpoint <= as_of (if any)."""
-        manifests = self._manifests()
+        starting from the newest checkpoint <= as_of (if any).
+
+        Completeness guard: csns are contiguous integers, so a gap between
+        the fold base and the target csn proves vacuum reclaimed history the
+        snapshot needs -> SnapshotUnavailableError, never a silent partial
+        fold (ADVICE r1: pre-vacuum readers must fail loudly)."""
+        all_manifests = self._manifests()
+        manifests = all_manifests
         if as_of is not None:
             manifests = [m for m in manifests if m["csn"] <= as_of]
         ckpts = [m for m in manifests if m.get("type") == "checkpoint"]
         base = max(ckpts, key=lambda m: m["csn"]) if ckpts else None
+        delta_csns = {m["csn"] for m in manifests if m.get("type") != "checkpoint"}
+        overall_max = max((m["csn"] for m in all_manifests), default=0)
+        hi = min(as_of, overall_max) if as_of is not None else overall_max
+        lo = base["csn"] if base is not None else 0
+        missing = set(range(lo + 1, hi + 1)) - delta_csns
+        if missing:
+            raise SnapshotUnavailableError(
+                f"snapshot as_of={as_of} needs reclaimed commits {sorted(missing)} "
+                f"(vacuum retention window passed); oldest available fold base is "
+                f"csn {lo}"
+            )
         ops = []
         if base is not None:
-            ops.append({"dir": base["dir"], "csn": -1, "opseq": -1, "checkpoint": True})
+            ops.append(
+                {"dir": base["dir"], "csn": -1, "opseq": -1, "checkpoint": True,
+                 "buckets": base.get("buckets", 0)}
+            )
         floor_csn = base["csn"] if base is not None else 0
         for m in manifests:
             if m.get("type") == "checkpoint" or m["csn"] <= floor_csn and base is not None:
                 continue
             for op in m["ops"]:
                 ops.append(
-                    {"dir": op["dir"], "csn": m["csn"], "opseq": op["opseq"], "checkpoint": False}
+                    {"dir": op["dir"], "csn": m["csn"], "opseq": op["opseq"],
+                     "checkpoint": False, "buckets": op.get("buckets", 0)}
                 )
         return ops
 
@@ -182,8 +278,13 @@ class VersionedTable:
         delta_dirs = [o for o in ops if not o["checkpoint"]]
         ckpt_dirs = [o["dir"] for o in ops if o["checkpoint"]]
         if ckpt_dirs:
-            # checkpoint files carry physical _csn/_opseq columns already
-            parts.append(self.spark.read.parquet(*ckpt_dirs))
+            # checkpoint files carry physical _csn/_opseq columns already;
+            # the select drops the bucket partition-dir column if bucketed
+            parts.append(
+                self.spark.read.parquet(*ckpt_dirs).select(
+                    *[f.name for f in self.schema.fields], *META_COLS
+                )
+            )
         if delta_dirs:
             df = self.spark.read.option("basePath", self._data_dir).parquet(
                 *[o["dir"] for o in delta_dirs]
@@ -211,15 +312,63 @@ class VersionedTable:
             out = out.unionByName(p)
         return out
 
-    def snapshot(self, as_of_csn: int | None = None) -> DataFrame:
+    def snapshot(self, as_of_csn: int | None = None, engine: str = "auto") -> DataFrame:
         """Snapshot read: newest visible version per key, tombstones dropped
-        — the visibility rule of block_driver.rs:457-486 as one window."""
+        — the visibility rule of block_driver.rs:457-486.
+
+        Bucketed tables (the default) read through the `versioned` Python
+        DataSource: one input partition per bucket group, each listing ONLY
+        its buckets' files and resolving versions in-partition — no global
+        window shuffle, the per-object chain-walk cost model of the
+        reference. engine="window" forces the legacy JVM window resolution
+        (the only path for unbucketed tables)."""
+        if engine not in ("auto", "window", "bucketed"):
+            raise ValueError(f"engine must be auto|window|bucketed, got {engine!r}")
+        if engine == "bucketed" and self.num_buckets <= 0:
+            raise ValueError("table has no bucketed layout (created with num_buckets=0)")
+        if engine != "window" and self.num_buckets > 0:
+            from db_core_spark.sources import register_versioned_format  # noqa: PLC0415
+
+            # availability check runs here, driver-side, so vacuum-reclaimed
+            # history raises a typed SnapshotUnavailableError (exceptions
+            # inside DataSource planning surface as opaque PythonExceptions)
+            self._committed_ops(as_of_csn)
+            register_versioned_format(self.spark)
+            reader = self.spark.read.format("versioned").option("path", self.path)
+            if as_of_csn is not None:
+                reader = reader.option("asOfCsn", str(as_of_csn))
+            return reader.load()
         vs = self._versions(as_of_csn)
         w = W.partitionBy(*self.key_cols).orderBy(F.desc("_csn"), F.desc("_opseq"))
         return (
             vs.withColumn("_rn", F.row_number().over(w))
             .filter((F.col("_rn") == 1) & (~F.col("_deleted")))
             .drop("_rn", *META_COLS)
+        )
+
+    def lookup(self, key: dict) -> DataFrame:
+        """Point/prefix lookup by bucket-column values: computes the key's
+        bucket, plans a SINGLE input partition, and reads only that bucket's
+        files — O(versions of that key's bucket), the direct analog of the
+        reference's per-object version-chain walk (block_driver.rs:461-486).
+        `key` must provide every bucket column; extra key columns narrow the
+        row filter further."""
+        if self.num_buckets <= 0:
+            sn = self.snapshot(engine="window")
+            for c, v in key.items():
+                sn = sn.filter(F.col(c) == F.lit(v))
+            return sn
+        missing = [c for c in self.bucket_cols if c not in key]
+        if missing:
+            raise ValueError(f"lookup needs all bucket columns; missing {missing}")
+        from db_core_spark.sources import register_versioned_format  # noqa: PLC0415
+
+        register_versioned_format(self.spark)
+        return (
+            self.spark.read.format("versioned")
+            .option("path", self.path)
+            .option("keyEquals", json.dumps(key))
+            .load()
         )
 
     def history(self) -> DataFrame:
@@ -236,32 +385,61 @@ class VersionedTable:
         csn = self.latest_csn()
         if csn == 0:
             return 0
-        vs = self._versions(csn)
-        w = W.partitionBy(*self.key_cols).orderBy(F.desc("_csn"), F.desc("_opseq"))
-        resolved = (
-            vs.withColumn("_rn", F.row_number().over(w))
-            .filter((F.col("_rn") == 1) & (~F.col("_deleted")))
-            .drop("_rn")
-        )
         out_dir = os.path.join(self._data_dir, f"checkpoint-{csn:010d}")
-        resolved.write.mode("overwrite").parquet(out_dir)
-        manifest = {"type": "checkpoint", "csn": csn, "dir": out_dir, "ts": time.time()}
+        if self.num_buckets > 0:
+            # bucketed: resolve in-partition via the datasource reader (each
+            # task folds only its buckets' files) and write partitionBy the
+            # carried bucket id — end-to-end shuffle-free checkpointing
+            from db_core_spark.sources import register_versioned_format  # noqa: PLC0415
+
+            register_versioned_format(self.spark)
+            resolved = (
+                self.spark.read.format("versioned")
+                .option("path", self.path)
+                .option("asOfCsn", str(csn))
+                .option("includeMeta", "true")
+                .load()
+            )
+            resolved.write.partitionBy("bucket").mode("overwrite").parquet(out_dir)
+        else:
+            vs = self._versions(csn)
+            w = W.partitionBy(*self.key_cols).orderBy(F.desc("_csn"), F.desc("_opseq"))
+            resolved = (
+                vs.withColumn("_rn", F.row_number().over(w))
+                .filter((F.col("_rn") == 1) & (~F.col("_deleted")))
+                .drop("_rn")
+            )
+            resolved.write.mode("overwrite").parquet(out_dir)
+        manifest = {
+            "type": "checkpoint", "csn": csn, "dir": out_dir, "ts": time.time(),
+            "buckets": self.num_buckets,
+        }
         self._publish(f"checkpoint-{csn:010d}.json", manifest)
         return csn
 
-    def vacuum(self) -> int:
+    def vacuum(self, retain_seconds: float = 3600.0) -> int:
         """Reclaim op files/manifests fully covered by the newest checkpoint
-        (version_store.rs:264-309 reclamation). As-of reads older than the
-        checkpoint csn become unavailable — retention semantics."""
+        AND older than the retention window (version_store.rs:264-309
+        reclamation; `version_retain_time` default 3600 s, config.rs:162).
+
+        A version inside the window survives even below the checkpoint
+        floor, so any as-of read younger than `retain_seconds` keeps
+        working after vacuum; readers needing reclaimed history get a loud
+        SnapshotUnavailableError (see _committed_ops), and an open txn whose
+        conflict window extends below the reclaim line aborts with
+        ConflictError instead of silently losing lost-update protection."""
         manifests = self._manifests()
         ckpts = [m for m in manifests if m.get("type") == "checkpoint"]
         if not ckpts:
             return 0
         floor = max(c["csn"] for c in ckpts)
+        cutoff = time.time() - retain_seconds
         removed = 0
         import shutil
 
         for m in manifests:
+            if m.get("ts", cutoff + 1) >= cutoff:
+                continue  # inside the retention window: keep
             if m.get("type") == "checkpoint":
                 if m["csn"] < floor:
                     shutil.rmtree(m["dir"], ignore_errors=True)
@@ -358,8 +536,21 @@ class Transaction:
         for op in self._ops:
             out_dir = os.path.join(t._data_dir, f"tsn={self.tsn}", f"opseq={op.opseq}")
             full = self._full_rows(op).drop("_csn")  # csn attached at read via manifest
-            full.write.mode("errorifexists").parquet(out_dir)
-            ops_meta.append({"dir": out_dir, "opseq": op.opseq, "kind": op.kind})
+            if t.num_buckets > 0:
+                # key-hash layout: rows land under bucket=<b>/ so readers
+                # prune file lists per bucket; the repartition bounds output
+                # to one file per non-empty bucket (at real scale you'd
+                # repartition(N >= B, "bucket") to keep write parallelism)
+                full = full.withColumn("bucket", bucket_expr(t.bucket_cols, t.num_buckets))
+                full.repartition(t.num_buckets, F.col("bucket")).write.partitionBy(
+                    "bucket"
+                ).mode("errorifexists").parquet(out_dir)
+            else:
+                full.write.mode("errorifexists").parquet(out_dir)
+            ops_meta.append(
+                {"dir": out_dir, "opseq": op.opseq, "kind": op.kind,
+                 "buckets": t.num_buckets}
+            )
             if my_keys is not None:
                 ks = (
                     op.df.select(*t.key_cols).distinct().limit(t.MAX_TRACKED_KEYS + 1).collect()
@@ -421,7 +612,20 @@ class Transaction:
         )
 
     def _check_conflicts(self, my_keys: set[tuple] | None, upto: int) -> None:
-        for m in self.table._manifests():
+        manifests = self.table._manifests()
+        # completeness: every commit in (start_csn, upto) must still have a
+        # manifest, else vacuum reclaimed part of our conflict window and
+        # lost-update detection would be silently one-eyed -> abort loudly
+        # (ADVICE r1: open txn spanning a checkpoint+vacuum)
+        present = {m["csn"] for m in manifests if m.get("type") != "checkpoint"}
+        missing = set(range(self.start_csn + 1, upto)) - present
+        if missing:
+            raise ConflictError(
+                f"txn {self.tsn}: conflict window (start_csn={self.start_csn}, "
+                f"{upto}) includes vacuum-reclaimed commits {sorted(missing)}; "
+                "cannot verify write-set isolation — retry on a fresh snapshot"
+            )
+        for m in manifests:
             if m.get("type") == "checkpoint" or m["csn"] <= self.start_csn or m["csn"] >= upto:
                 continue
             theirs = m.get("write_keys")

@@ -21,15 +21,15 @@ Reference-parity map (citations into /root/reference):
   double-buffered WAL appends), the driver's single `commit()` publishes one
   manifest atomically (flush-on-commit).
 
-Scale design: the snapshot reader parallelizes by hashing the table key into
-`numPartitions` buckets; every bucket reads the op files it needs and resolves
-versions locally (no global shuffle — the same co-location argument as the
-reference's per-object version chains). With a key-bucketed physical layout
-each bucket would prune to its own files; here each bucket row-filters after
-the (columnar, projected) scan, which is the correct fallback when the layout
-is unbucketed. The CDC reader is a SimpleDataSourceStreamReader — increments
-are manifest-sized; a partition-planning DataSourceStreamReader is the
-scale-out upgrade path and keeps the same offset contract.
+Scale design: the snapshot reader's partitions are key-hash bucket groups
+matching the physical bucket=<b>/ layout: each partition LISTS ONLY its
+buckets' files across ops and resolves versions locally — pruned IO and no
+shuffle (the same co-location argument as the reference's per-object version
+chains). keyEquals=<json> plans a single partition for a point lookup;
+includeMeta=true emits (_csn,_opseq,_deleted,bucket) winners so checkpoints
+write partitionBy(bucket) without a shuffle. Unbucketed (legacy) tables fall
+back to full-scan + seedless row-hash filtering; ops whose bucket count
+differs from the table meta (layout migration) fall back per-op.
 """
 
 from __future__ import annotations
@@ -57,9 +57,15 @@ META_FIELDS = [
 ]
 
 
-def _load_meta(path: str) -> tuple[list[str], T.StructType]:
+def _load_meta(path: str) -> tuple[list[str], T.StructType, int, list[str]]:
     meta = json.load(open(os.path.join(path, "_meta.json")))
-    return meta["key_cols"], T.StructType.fromJson(meta["schema"])
+    key_cols = meta["key_cols"]
+    return (
+        key_cols,
+        T.StructType.fromJson(meta["schema"]),
+        meta.get("num_buckets", 0),
+        meta.get("bucket_cols", key_cols),
+    )
 
 
 def _manifests(path: str) -> list[dict]:
@@ -75,17 +81,30 @@ def _manifests(path: str) -> list[dict]:
 def _committed_ops(path: str, as_of: int | None) -> list[dict]:
     """(dir, csn, opseq, kind, checkpoint) visible at as_of, starting from
     the newest checkpoint <= as_of — same resolution as
-    VersionedTable._committed_ops (kept file-format compatible)."""
-    manifests = _manifests(path)
+    VersionedTable._committed_ops (kept file-format compatible), including
+    the completeness guard: a csn gap between the fold base and the target
+    proves vacuum reclaimed needed history -> error, never a partial fold."""
+    all_manifests = _manifests(path)
+    manifests = all_manifests
     if as_of is not None:
         manifests = [m for m in manifests if m["csn"] <= as_of]
     ckpts = [m for m in manifests if m.get("type") == "checkpoint"]
     base = max(ckpts, key=lambda m: m["csn"]) if ckpts else None
+    delta_csns = {m["csn"] for m in manifests if m.get("type") != "checkpoint"}
+    overall_max = max((m["csn"] for m in all_manifests), default=0)
+    hi = min(as_of, overall_max) if as_of is not None else overall_max
+    lo = base["csn"] if base is not None else 0
+    missing = set(range(lo + 1, hi + 1)) - delta_csns
+    if missing:
+        raise RuntimeError(
+            f"snapshot as_of={as_of} needs vacuum-reclaimed commits "
+            f"{sorted(missing)}; oldest available fold base is csn {lo}"
+        )
     ops = []
     if base is not None:
         ops.append(
             {"dir": base["dir"], "csn": -1, "opseq": -1, "kind": "checkpoint",
-             "checkpoint": True}
+             "checkpoint": True, "buckets": base.get("buckets", 0)}
         )
     floor_csn = base["csn"] if base is not None else 0
     for m in manifests:
@@ -94,20 +113,22 @@ def _committed_ops(path: str, as_of: int | None) -> list[dict]:
         for op in m["ops"]:
             ops.append(
                 {"dir": op["dir"], "csn": m["csn"], "opseq": op["opseq"],
-                 "kind": op["kind"], "checkpoint": False}
+                 "kind": op["kind"], "checkpoint": False,
+                 "buckets": op.get("buckets", 0)}
             )
     return ops
 
 
-def _op_table(op: dict, data_cols: list[str]):
-    """Load one op dir as a pyarrow table with _csn/_opseq/_deleted attached.
-    Op part files physically carry (data cols, _deleted, _opseq); checkpoints
-    carry _csn too. Column projection happens at the parquet reader."""
+def _op_table_dir(dir_path: str, op: dict, data_cols: list[str]):
+    """Load one directory (an op dir, or one bucket=<b>/ subdir of it) as a
+    pyarrow table with _csn/_opseq/_deleted attached. Op part files
+    physically carry (data cols, _deleted, _opseq); checkpoints carry _csn
+    too. Column projection happens at the parquet reader."""
     import pyarrow as pa
     import pyarrow.dataset as pads
 
     want = data_cols + ["_deleted", "_opseq"] + (["_csn"] if op["checkpoint"] else [])
-    tbl = pads.dataset(op["dir"], format="parquet").to_table(columns=want)
+    tbl = pads.dataset(dir_path, format="parquet").to_table(columns=want)
     if not op["checkpoint"]:
         tbl = tbl.append_column(
             "_csn", pa.array([op["csn"]] * len(tbl), type=pa.int64())
@@ -115,50 +136,163 @@ def _op_table(op: dict, data_cols: list[str]):
     return tbl
 
 
+def _op_table(op: dict, data_cols: list[str]):
+    return _op_table_dir(op["dir"], op, data_cols)
+
+
 @dataclass
 class KeyBucketPartition(InputPartition):
+    """Legacy-layout partition: reads every op file, row-filters its hash
+    slice (the correct fallback when the physical layout is unbucketed)."""
+
     bucket: int
     num_buckets: int
+
+
+@dataclass
+class BucketSetPartition(InputPartition):
+    """Bucketed-layout partition: owns a set of physical buckets and lists
+    ONLY their bucket=<b>/ files — layout-pruned IO, the 100 TB path."""
+
+    buckets: tuple
+
+
+META_SCHEMA_FIELDS = [
+    T.StructField("_csn", T.LongType()),
+    T.StructField("_opseq", T.LongType()),
+    T.StructField("_deleted", T.BooleanType()),
+    T.StructField("bucket", T.IntegerType()),
+]
 
 
 class VersionedSnapshotReader(DataSourceReader):
     """Batch reader: MVCC snapshot at asOfCsn (default: latest). The op list
     is resolved once at planning time (driver) so every task folds the same
-    manifest set — a consistent read even while writers keep committing."""
+    manifest set — a consistent read even while writers keep committing.
+
+    Bucketed tables (meta num_buckets > 0): partitions are bucket groups;
+    each lists only its buckets' bucket=<b>/ subdirs of each op — pruned
+    file listings + in-partition version resolution, no shuffle anywhere
+    (parity: per-object chain walk, block_driver.rs:461-486). A keyEquals
+    option plans a SINGLE partition for the key's bucket. Ops written with a
+    different bucket count than the table meta (layout migration) fall back
+    to read+row-filter for that op only.
+
+    includeMeta=true emits (_csn, _opseq, _deleted, bucket) winners for the
+    shuffle-free checkpoint writer."""
 
     def __init__(self, schema: T.StructType, options: dict):
         self.path = options["path"]
         as_of = options.get("asofcsn")
         self.as_of = int(as_of) if as_of is not None else None
-        self.num_buckets = int(options.get("numpartitions", 8))
-        self.key_cols, self.data_schema = _load_meta(self.path)
+        self.include_meta = str(options.get("includemeta", "false")).lower() == "true"
+        self.key_cols, self.data_schema, self.num_buckets, self.bucket_cols = _load_meta(
+            self.path
+        )
+        key_eq = options.get("keyequals")
+        self.key_equals: dict | None = json.loads(key_eq) if key_eq else None
         self.ops = _committed_ops(self.path, self.as_of)
+        if self.num_buckets > 0:
+            if self.key_equals is not None:
+                missing = [c for c in self.bucket_cols if c not in self.key_equals]
+                if missing:
+                    raise ValueError(
+                        f"keyEquals must bind every bucket column; missing {missing}"
+                    )
+                from db_core_spark.plans.versioned import bucket_of_py
+
+                target = bucket_of_py(
+                    [self.key_equals[c] for c in self.bucket_cols], self.num_buckets
+                )
+                self.bucket_groups = [(target,)]
+            else:
+                p = int(options.get("numpartitions", self.num_buckets))
+                p = max(1, min(p, self.num_buckets))
+                self.bucket_groups = [
+                    tuple(b for b in range(self.num_buckets) if b % p == i)
+                    for i in range(p)
+                ]
+        else:
+            if self.include_meta:
+                raise ValueError("includeMeta requires a bucketed table layout")
+            self.legacy_parts = int(options.get("numpartitions", 8))
+            self.bucket_groups = None
+
+    # ------------------------------------------------------------- planning
 
     def partitions(self):
+        if self.bucket_groups is not None:
+            return [BucketSetPartition(buckets=g) for g in self.bucket_groups]
         return [
-            KeyBucketPartition(b, self.num_buckets) for b in range(self.num_buckets)
+            KeyBucketPartition(b, self.legacy_parts) for b in range(self.legacy_parts)
         ]
 
-    def read(self, partition: KeyBucketPartition):
+    def dirs_for_partition(self, partition) -> list[tuple[str, dict, bool]]:
+        """(dir, op, pruned) listing this partition will read — planning is
+        inspectable so tests can assert single-bucket IO pruning."""
+        out = []
+        for op in self.ops:
+            if (
+                isinstance(partition, BucketSetPartition)
+                and op["buckets"] == self.num_buckets
+            ):
+                for b in partition.buckets:
+                    d = os.path.join(op["dir"], f"bucket={b}")
+                    if os.path.isdir(d):
+                        out.append((d, op, True))
+            else:
+                out.append((op["dir"], op, False))
+        return out
+
+    # -------------------------------------------------------------- reading
+
+    def read(self, partition):
         import pandas as pd
         import pyarrow as pa
         from pyspark.sql.pandas.types import to_arrow_schema
 
+        from db_core_spark.plans.versioned import bucket_of_py
+
         data_cols = [f.name for f in self.data_schema.fields]
         if not self.ops:
             return
-        tables = [_op_table(op, data_cols) for op in self.ops]
+        tables = []
+        for d, op, pruned in self.dirs_for_partition(partition):
+            tbl = _op_table_dir(d, op, data_cols)
+            if pruned:
+                b = int(os.path.basename(d).split("=", 1)[1])
+                tbl = tbl.append_column(
+                    "bucket", pa.array([b] * len(tbl), type=pa.int32())
+                )
+            tables.append(tbl)
+        if not tables:
+            return
         tbl = pa.concat_tables(tables, promote_options="permissive")
         pdf = tbl.to_pandas()
-        # deterministic key-hash bucketing (stable across workers/runs —
-        # hash_pandas_object is seedless, unlike Python's str hash)
-        bucket = (
-            pd.util.hash_pandas_object(
-                pdf[self.key_cols].astype(str).agg("\x00".join, axis=1), index=False
-            )
-            % partition.num_buckets
-        )
-        pdf = pdf[bucket == partition.bucket]
+        if "bucket" not in pdf.columns or pdf["bucket"].isna().any():
+            # unpruned rows: compute the bucket (bucketed layout) or the
+            # legacy seedless pandas hash slice, then filter to ours
+            if self.bucket_groups is not None:
+                key_vals = pdf[self.bucket_cols].itertuples(index=False, name=None)
+                computed = pd.Series(
+                    [bucket_of_py(list(kv), self.num_buckets) for kv in key_vals],
+                    index=pdf.index,
+                    dtype="int64",
+                )
+                if "bucket" in pdf.columns:
+                    pdf["bucket"] = pdf["bucket"].fillna(computed).astype("int64")
+                else:
+                    pdf["bucket"] = computed
+                pdf = pdf[pdf["bucket"].isin(list(partition.buckets))]
+            else:
+                h = (
+                    pd.util.hash_pandas_object(
+                        pdf[self.key_cols].astype(str).agg("\x00".join, axis=1),
+                        index=False,
+                    )
+                    % partition.num_buckets
+                )
+                pdf = pdf[h == partition.bucket]
         if len(pdf) == 0:
             return
         # visibility rule (block_driver.rs:457-486): newest (_csn,_opseq)
@@ -167,9 +301,21 @@ class VersionedSnapshotReader(DataSourceReader):
             pdf.sort_values(["_csn", "_opseq"], ascending=False, kind="mergesort")
             .drop_duplicates(self.key_cols, keep="first")
         )
-        pdf = pdf[~pdf["_deleted"]][data_cols]
-        out_schema = to_arrow_schema(self.data_schema)
-        out = pa.Table.from_pandas(pdf, preserve_index=False).select(data_cols)
+        pdf = pdf[~pdf["_deleted"]]
+        if self.key_equals is not None:
+            for c, v in self.key_equals.items():
+                pdf = pdf[pdf[c] == v]
+        if len(pdf) == 0:
+            return
+        if self.include_meta:
+            out_cols = data_cols + ["_csn", "_opseq", "_deleted", "bucket"]
+            out_schema = to_arrow_schema(
+                T.StructType(list(self.data_schema.fields) + META_SCHEMA_FIELDS)
+            )
+        else:
+            out_cols = data_cols
+            out_schema = to_arrow_schema(self.data_schema)
+        out = pa.Table.from_pandas(pdf[out_cols], preserve_index=False).select(out_cols)
         yield from out.cast(out_schema).to_batches()
 
 
@@ -180,7 +326,7 @@ class VersionedChangeStreamReader(SimpleDataSourceStreamReader):
 
     def __init__(self, schema: T.StructType, options: dict):
         self.path = options["path"]
-        self.key_cols, self.data_schema = _load_meta(self.path)
+        self.key_cols, self.data_schema, _, _ = _load_meta(self.path)
         start = options.get("startingcsn")
         self.start_csn = int(start) if start is not None else 0
 
@@ -234,7 +380,9 @@ class VersionedAppendWriter(DataSourceWriter):
 
     def __init__(self, schema: T.StructType, options: dict):
         self.path = options["path"]
-        self.key_cols, self.data_schema = _load_meta(self.path)
+        self.key_cols, self.data_schema, self.num_buckets, self.bucket_cols = _load_meta(
+            self.path
+        )
         if [f.name for f in schema.fields] != [f.name for f in self.data_schema.fields]:
             raise ValueError(
                 f"schema mismatch: table has {self.data_schema.fieldNames()}, "
@@ -250,13 +398,14 @@ class VersionedAppendWriter(DataSourceWriter):
     def write(self, iterator) -> StagedPart:
         import pandas as pd
         import pyarrow as pa
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import to_arrow_schema
 
+        from db_core_spark.plans.versioned import bucket_of_py
+
         data_cols = [f.name for f in self.data_schema.fields]
         rows = [tuple(r) for r in iterator]
-        os.makedirs(self.op_dir, exist_ok=True)
-        fname = os.path.join(self.op_dir, f"part-{uuid.uuid4().hex}.parquet")
         pdf = pd.DataFrame(rows, columns=data_cols)
         pdf["_deleted"] = False
         pdf["_opseq"] = 0
@@ -270,7 +419,30 @@ class VersionedAppendWriter(DataSourceWriter):
             )
         )
         tbl = pa.Table.from_pandas(pdf, preserve_index=False).cast(arrow_schema)
-        pq.write_table(tbl, fname)
+        part_id = uuid.uuid4().hex
+        if self.num_buckets > 0:
+            # bucketed layout: the python twin of the JVM bucket_expr writes
+            # each row's slice under bucket=<b>/ — both writer kinds MUST
+            # agree or in-partition version resolution breaks (tested)
+            key_vals = tbl.select(self.bucket_cols).to_pylist()
+            buckets = pa.array(
+                [
+                    bucket_of_py([r[c] for c in self.bucket_cols], self.num_buckets)
+                    for r in key_vals
+                ],
+                type=pa.int32(),
+            )
+            for b in pc.unique(buckets).to_pylist():
+                mask = pc.equal(buckets, b)
+                sub = tbl.filter(mask)
+                bdir = os.path.join(self.op_dir, f"bucket={b}")
+                os.makedirs(bdir, exist_ok=True)
+                pq.write_table(sub, os.path.join(bdir, f"part-{part_id}.parquet"))
+            fname = self.op_dir
+        else:
+            os.makedirs(self.op_dir, exist_ok=True)
+            fname = os.path.join(self.op_dir, f"part-{part_id}.parquet")
+            pq.write_table(tbl, fname)
         # canonical string form of the part's write-set (same encoding as
         # Transaction.commit so the two writer kinds compare like-for-like);
         # arrow to_pylist yields python-native values (datetime, int, str)
@@ -299,7 +471,10 @@ class VersionedAppendWriter(DataSourceWriter):
         if my_keys is not None and len(my_keys) > VersionedTable.MAX_TRACKED_KEYS:
             my_keys = None  # degrade, same rule as Transaction.commit
         log_dir = os.path.join(self.path, "_commitlog")
-        manifest_ops = [{"dir": self.op_dir, "opseq": 0, "kind": "upsert"}]
+        manifest_ops = [
+            {"dir": self.op_dir, "opseq": 0, "kind": "upsert",
+             "buckets": self.num_buckets}
+        ]
         for _ in range(50):
             csns = [m["csn"] for m in _manifests(self.path)]
             candidate = (max(csns) if csns else 0) + 1
@@ -349,9 +524,11 @@ class VersionedDataSource(DataSource):
         return self.options.get("readchanges", "false").lower()
 
     def schema(self):
-        _, data_schema = _load_meta(self.options["path"])
+        _, data_schema, _, _ = _load_meta(self.options["path"])
         if self._mode() == "true":
             return T.StructType(list(data_schema.fields) + META_FIELDS)
+        if str(self.options.get("includemeta", "false")).lower() == "true":
+            return T.StructType(list(data_schema.fields) + META_SCHEMA_FIELDS)
         return data_schema
 
     def reader(self, schema: T.StructType) -> DataSourceReader:

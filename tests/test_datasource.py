@@ -274,3 +274,53 @@ def test_bulk_append_conflicts_optimistic_txn_both_ways(vt, spark):
     ).option("path", vt.path).save()
     t2.commit()
     assert rows_of(vt.snapshot())[42] == ("free", 0.5)
+
+
+def test_jvm_and_python_writers_agree_on_buckets(vt, spark):
+    """The JVM bucket_expr (txn commits) and python bucket_of_py (bulk
+    append parts) MUST place a key in the same bucket=<b>/ dir, or
+    in-partition version resolution would miss cross-writer versions."""
+    import glob
+    import os
+
+    from db_core_spark.plans.versioned import bucket_of_py
+
+    _commit(vt, spark, [(5, "txn_v1", 1.0)])  # JVM writer
+    spark.createDataFrame([(5, "bulk_v2", 2.0)], SCHEMA).write.format("versioned").mode(
+        "append"
+    ).option("path", vt.path).save()  # python writer, same key
+    dirs = set()
+    for f in glob.glob(os.path.join(vt.path, "data", "tsn=*", "opseq=*", "bucket=*", "*.parquet")):
+        dirs.add(os.path.basename(os.path.dirname(f)))
+    assert dirs == {f"bucket={bucket_of_py([5], vt.num_buckets)}"}
+    # the bucketed (shuffle-free) snapshot sees the newer bulk version win
+    assert rows_of(vt.snapshot()) == {5: ("bulk_v2", 2.0)}
+
+
+def test_lookup_on_composite_bucket_prefix(spark, tmp_path):
+    """bucket_cols as a strict prefix of key_cols: ObjectStore-style layout
+    where all chunks of one object co-locate; lookup by the prefix alone."""
+    from db_core_spark.plans import VersionedTable
+
+    schema = T.StructType(
+        [
+            T.StructField("obj", T.LongType()),
+            T.StructField("chunk", T.LongType()),
+            T.StructField("payload", T.StringType()),
+        ]
+    )
+    vt = VersionedTable.create(
+        spark, str(tmp_path / "pfx"), key_cols=["obj", "chunk"],
+        schema=schema, num_buckets=4, bucket_cols=["obj"],
+    )
+    t = vt.begin()
+    t.upsert(
+        spark.createDataFrame(
+            [(o, c, f"{o}:{c}") for o in range(10) for c in range(3)], schema
+        )
+    )
+    t.commit()
+    got = {(r.obj, r.chunk) for r in vt.lookup({"obj": 4}).collect()}
+    assert got == {(4, 0), (4, 1), (4, 2)}
+    with pytest.raises(ValueError, match="bucket columns"):
+        vt.lookup({"chunk": 1})

@@ -182,3 +182,99 @@ def test_pure_range_join_avoids_nested_loop(spark, queries):
     plan = plan_of(queries["join_range_bucketed_pure"].fn(spark, SF_SMALL))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Bucketed VersionedTable layout: IO pruning audits (VERDICT r1 item #1).
+# Parity target: per-object chain walk, /root/reference/src/storage/
+# block_driver.rs:461-486 — a single-key read touches O(that bucket), not
+# O(table).
+
+
+def _mk_bucketed_table(spark, tmp_path, n=200):
+    from pyspark.sql import types as T
+
+    from db_core_spark.plans import VersionedTable
+
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    vt = VersionedTable.create(
+        spark, str(tmp_path / "bkt"), key_cols=["k"], schema=schema, num_buckets=8
+    )
+    for batch in range(3):
+        t = vt.begin()
+        t.upsert(
+            spark.createDataFrame(
+                [(i, f"v{batch}_{i}") for i in range(n)], schema
+            )
+        )
+        t.commit()
+    return vt, schema
+
+
+def test_single_key_lookup_reads_one_bucket_only(spark, tmp_path):
+    """A keyEquals read plans exactly ONE partition whose file listing
+    contains only the target key's bucket=<b>/ dirs — layout-pruned IO."""
+    import json as _json
+
+    from db_core_spark.plans.versioned import bucket_of_py
+    from db_core_spark.sources.versioned_datasource import VersionedSnapshotReader
+
+    vt, schema = _mk_bucketed_table(spark, tmp_path)
+    reader = VersionedSnapshotReader(
+        schema, {"path": vt.path, "keyequals": _json.dumps({"k": 7})}
+    )
+    parts = reader.partitions()
+    assert len(parts) == 1
+    want_bucket = bucket_of_py([7], 8)
+    listed = reader.dirs_for_partition(parts[0])
+    assert listed, "lookup partition lists no dirs"
+    for d, _op, pruned in listed:
+        assert pruned, f"unpruned full-op scan in lookup path: {d}"
+        assert d.endswith(f"bucket={want_bucket}"), d
+    # and the lookup answers correctly
+    rows = vt.lookup({"k": 7}).collect()
+    assert [(r.k, r.v) for r in rows] == [(7, "v2_7")]
+
+
+def test_full_snapshot_partitions_cover_each_bucket_dir_exactly_once(spark, tmp_path):
+    """No partition reads another partition's files, and together they read
+    every bucket dir exactly once (no overlap => no duplicate rows, full
+    cover => no lost rows)."""
+    from db_core_spark.sources.versioned_datasource import VersionedSnapshotReader
+
+    vt, schema = _mk_bucketed_table(spark, tmp_path)
+    reader = VersionedSnapshotReader(schema, {"path": vt.path})
+    seen = []
+    for p in reader.partitions():
+        for d, _op, pruned in reader.dirs_for_partition(p):
+            assert pruned
+            seen.append(d)
+    assert len(seen) == len(set(seen)), "bucket dir read by two partitions"
+    import glob
+    import os
+
+    on_disk = {
+        d
+        for d in glob.glob(os.path.join(vt.path, "data", "tsn=*", "opseq=*", "bucket=*"))
+        if os.path.isdir(d)
+    }
+    assert set(seen) == on_disk
+    # correctness: bucketed in-partition resolution == window resolution
+    got = {(r.k, r.v) for r in vt.snapshot().collect()}
+    want = {(r.k, r.v) for r in vt.snapshot(engine="window").collect()}
+    assert got == want and len(got) == 200
+
+
+def test_snapshot_plan_has_no_exchange(spark, tmp_path):
+    """The bucketed snapshot read resolves versions in-partition: the
+    physical plan contains NO shuffle exchange (the round-1 global window
+    shuffle is gone — the 100 TB win)."""
+    vt, _schema = _mk_bucketed_table(spark, tmp_path)
+    plan = vt.snapshot()._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    legacy = (
+        vt.snapshot(engine="window")._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" in legacy  # the old cost, kept only as explicit fallback

@@ -192,9 +192,75 @@ def test_checkpoint_and_vacuum(vt, spark):
     t.upsert(spark.createDataFrame([(1, "post-ck", 9.0)], SCHEMA))
     t.commit()
     assert rows_of(vt.snapshot())[1] == ("post-ck", 9.0)
-    # vacuum reclaims pre-checkpoint ops; current reads unaffected
-    removed = vt.vacuum()
+    # vacuum with a zero retention window reclaims pre-checkpoint ops;
+    # current reads unaffected (default retention mirrors the reference's
+    # version_retain_time=3600s, config.rs:162 — tested separately)
+    removed = vt.vacuum(retain_seconds=0.0)
     assert removed > 0
     after = rows_of(vt.snapshot())
     assert after[1] == ("post-ck", 9.0)
     assert 2 not in after
+
+
+def test_vacuum_retention_window_protects_recent_versions(vt, spark):
+    """Time-based retention (version_retain_time parity, config.rs:162 +
+    version_store.rs:264-309): below-checkpoint versions INSIDE the window
+    survive vacuum, so recent as-of reads keep working; versions outside
+    the window reclaim, and reads needing them fail loudly instead of
+    returning a partial fold."""
+    import json
+    import os
+
+    from db_core_spark.plans import SnapshotUnavailableError
+
+    def commit_rows(rows):
+        t = vt.begin()
+        t.upsert(spark.createDataFrame(rows, SCHEMA))
+        return t.commit()
+
+    c1 = commit_rows([(1, "v1", 1.0)])
+    c2 = commit_rows([(1, "v2", 2.0)])
+    c3 = commit_rows([(1, "v3", 3.0)])
+    vt.checkpoint()
+    # default window: nothing is old enough to reclaim
+    assert vt.vacuum() == 0
+    assert rows_of(vt.snapshot(c1)) == {1: ("v1", 1.0)}
+    # age out ONLY the first commit, then vacuum with a 1h window
+    mpath = os.path.join(vt.path, "_commitlog", f"{c1:010d}.json")
+    m = json.load(open(mpath))
+    m["ts"] -= 7200
+    os.remove(mpath)
+    json.dump(m, open(mpath, "w"))
+    assert vt.vacuum(retain_seconds=3600.0) == 1
+    # inside the window: c3 resolves via the checkpoint base
+    assert rows_of(vt.snapshot(c3)) == {1: ("v3", 3.0)}
+    assert rows_of(vt.snapshot()) == {1: ("v3", 3.0)}
+    # c2 needs the reclaimed c1 delta (no checkpoint <= c2): loud failure
+    with pytest.raises(SnapshotUnavailableError, match="reclaimed"):
+        vt.snapshot(c2).collect()
+    with pytest.raises(SnapshotUnavailableError):
+        vt.snapshot(c1).collect()
+
+
+def test_open_txn_aborts_when_vacuum_ate_its_conflict_window(vt, spark):
+    """ADVICE r1 (medium): an open txn that began before a concurrent
+    checkpoint+vacuum must NOT silently lose conflict detection — commit
+    aborts with ConflictError when manifests in its window were reclaimed."""
+    def commit_rows(rows):
+        t = vt.begin()
+        t.upsert(spark.createDataFrame(rows, SCHEMA))
+        return t.commit()
+
+    commit_rows([(1, "a", 1.0)])
+    txn = vt.begin()  # start_csn = 1
+    txn.upsert(spark.createDataFrame([(5, "mine", 5.0)], SCHEMA))
+    commit_rows([(2, "concurrent", 2.0)])  # csn 2
+    vt.checkpoint()
+    vt.vacuum(retain_seconds=0.0)  # reclaims deltas 1..2
+    with pytest.raises(ConflictError, match="reclaimed"):
+        txn.commit()
+    # a fresh txn on the post-vacuum snapshot proceeds normally
+    t2 = vt.begin()
+    t2.upsert(spark.createDataFrame([(5, "mine", 5.0)], SCHEMA))
+    t2.commit()
+    assert rows_of(vt.snapshot())[5] == ("mine", 5.0)
