@@ -493,6 +493,68 @@ class Transaction:
             keys = self.table.spark.createDataFrame(rows, key_schema)
         self._ops.append(_Op("delete", keys.select(*kc), opseq=len(self._ops)))
 
+    def update_read_csn(self) -> int:
+        """Refresh this transaction's read snapshot to the latest published
+        commit (Transaction::update_read_csn, instance.rs:378-387): a
+        long-running txn can observe commits that landed after it began.
+        Subsequent read()/merge() calls fold the newer base; the commit-time
+        conflict window shrinks to (new start_csn, commit csn) — refreshing
+        acknowledges concurrent history, it does not bypass conflicts for
+        keys written AFTER the refresh."""
+        self._check_open()
+        self.start_csn = self.table.latest_csn()
+        return self.start_csn
+
+    def merge(
+        self,
+        source: DataFrame,
+        when_matched: str = "update",
+        when_not_matched: str = "insert",
+        matched_condition: str | None = None,
+    ) -> None:
+        """Conditional upsert (MERGE) against the txn's read-your-own-writes
+        view: source rows whose key exists in read() are updates (applied
+        only where `matched_condition` — a SQL expression over src.<col> /
+        tgt.<col> — holds, if given); unseen keys are inserts. Stages ONE
+        upsert op, so commit atomicity and conflict detection are inherited
+        unchanged. when_matched/when_not_matched: 'update'|'ignore' /
+        'insert'|'ignore'."""
+        self._check_open()
+        if when_matched not in ("update", "ignore"):
+            raise ValueError(f"when_matched must be update|ignore, got {when_matched!r}")
+        if when_not_matched not in ("insert", "ignore"):
+            raise ValueError(
+                f"when_not_matched must be insert|ignore, got {when_not_matched!r}"
+            )
+        kc = self.table.key_cols
+        data_cols = [f.name for f in self.table.schema.fields]
+        tgt = self.read().alias("tgt")
+        src = source.select(*data_cols).alias("src")
+        on = None
+        for k in kc:
+            clause = F.col(f"src.{k}").eqNullSafe(F.col(f"tgt.{k}"))
+            on = clause if on is None else (on & clause)
+        joined = src.join(tgt, on=on, how="left")
+        is_matched = F.col(f"tgt.{kc[0]}").isNotNull()
+        parts = []
+        if when_matched == "update":
+            m = joined.filter(is_matched)
+            if matched_condition:
+                m = m.filter(F.expr(matched_condition))
+            parts.append(m.select(*[F.col(f"src.{c}").alias(c) for c in data_cols]))
+        if when_not_matched == "insert":
+            parts.append(
+                joined.filter(~is_matched).select(
+                    *[F.col(f"src.{c}").alias(c) for c in data_cols]
+                )
+            )
+        if not parts:
+            return
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        self.upsert(out)
+
     def read(self) -> DataFrame:
         """Read-your-own-writes snapshot: committed state as of txn start +
         this txn's buffered ops layered on top (uncommitted data visible only

@@ -84,6 +84,69 @@ def mvcc_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "versioned_merge_upsert",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey AS key, MAX(o_orderkey) AS hi, CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders WHERE o_orderkey % 2 = 0 GROUP BY o_custkey
+    ), src AS (
+      SELECT o_custkey AS key, MAX(o_orderkey) AS hi, CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders WHERE o_orderkey % 3 = 0 GROUP BY o_custkey
+    )
+    SELECT b.key,
+           CASE WHEN s.key IS NOT NULL AND s.hi > b.hi THEN s.hi ELSE b.hi END AS hi,
+           CASE WHEN s.key IS NOT NULL AND s.hi > b.hi THEN s.n ELSE b.n END AS n
+    FROM base b LEFT JOIN src s ON b.key = s.key
+    UNION ALL
+    SELECT s.key, s.hi, s.n
+    FROM src s LEFT JOIN base b ON s.key = b.key
+    WHERE b.key IS NULL
+    """,
+    category="mvcc",
+)
+def versioned_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE (conditional upsert) end-to-end on a real VersionedTable:
+    commit a base aggregate, then Transaction.merge() a second slice with
+    matched_condition 'src.hi > tgt.hi' — matched keys update only when the
+    source is newer, unseen keys insert, and the snapshot read returns the
+    merged state. The oracle replays the same decision table relationally.
+    Reference parity: conditional upsert layered on read-your-own-writes +
+    optimistic commit (instance.rs:141-168 open_write + 102-111 commit);
+    integer measures keep the condition bit-stable across engines."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from db_core_spark.plans import VersionedTable
+
+    o = table(spark, sf_dir, "orders")
+
+    def agg_slice(mod: int) -> DataFrame:
+        return (
+            o.filter(F.col("o_orderkey") % mod == 0)
+            .groupBy(F.col("o_custkey").alias("key"))
+            .agg(F.max("o_orderkey").alias("hi"), F.count(F.lit(1)).alias("n"))
+        )
+
+    schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("hi", T.LongType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    path = tempfile.mkdtemp(prefix="vt_merge_") + "/t"
+    vt = VersionedTable.create(spark, path, key_cols=["key"], schema=schema)
+    t0 = vt.begin()
+    t0.upsert(agg_slice(2))
+    t0.commit()
+    t1 = vt.begin()
+    t1.merge(agg_slice(3), matched_condition="src.hi > tgt.hi")
+    t1.commit()
+    return vt.snapshot()
+
+
+@query(
     "mvcc_version_history",
     oracle="""
     SELECT o_custkey AS key,

@@ -264,3 +264,70 @@ def test_open_txn_aborts_when_vacuum_ate_its_conflict_window(vt, spark):
     t2.upsert(spark.createDataFrame([(5, "mine", 5.0)], SCHEMA))
     t2.commit()
     assert rows_of(vt.snapshot())[5] == ("mine", 5.0)
+
+
+def test_update_read_csn_refreshes_snapshot(vt, spark):
+    """Port of the reference visibility test (block_driver.rs:955-1008) plus
+    the snapshot-refresh half (instance.rs:378-387): a reader pinned at S
+    stays stable across concurrent commits and rollbacks; update_read_csn()
+    moves it to the latest commit."""
+    t0 = vt.begin()
+    t0.upsert(spark.createDataFrame([(1, "v1", 1.0)], SCHEMA))
+    t0.commit()
+    reader = vt.begin()  # pins start_csn = 1
+    writer = vt.begin()
+    writer.upsert(spark.createDataFrame([(1, "v2", 2.0)], SCHEMA))
+    # uncommitted writer data invisible to the reader
+    assert rows_of(reader.read()) == {1: ("v1", 1.0)}
+    writer.commit()
+    # still invisible: the snapshot is pinned (no read-committed drift)
+    assert rows_of(reader.read()) == {1: ("v1", 1.0)}
+    assert reader.update_read_csn() == 2
+    assert rows_of(reader.read()) == {1: ("v2", 2.0)}
+    # a rolled-back txn never becomes visible, refresh or not
+    aborter = vt.begin()
+    aborter.upsert(spark.createDataFrame([(1, "never", 9.0)], SCHEMA))
+    aborter.rollback()
+    reader.update_read_csn()
+    assert rows_of(reader.read()) == {1: ("v2", 2.0)}
+    # the refreshed reader's own staged writes still layer on top
+    reader.upsert(spark.createDataFrame([(3, "mine", 3.0)], SCHEMA))
+    assert rows_of(reader.read()) == {1: ("v2", 2.0), 3: ("mine", 3.0)}
+    reader.commit()
+
+
+def test_merge_conditional_upsert_semantics(vt, spark):
+    """merge(): matched keys update only where the condition holds, unseen
+    keys insert, 'ignore' arms skip their branch; everything stages as one
+    op so conflict detection/atomicity are inherited."""
+    t0 = vt.begin()
+    t0.upsert(spark.createDataFrame([(1, "old", 10.0), (2, "old", 20.0)], SCHEMA))
+    t0.commit()
+    src = spark.createDataFrame(
+        [(1, "new", 15.0), (2, "new", 5.0), (3, "new", 30.0)], SCHEMA
+    )
+    t1 = vt.begin()
+    t1.merge(src, matched_condition="src.amount > tgt.amount")
+    t1.commit()
+    got = rows_of(vt.snapshot())
+    assert got[1] == ("new", 15.0)   # matched, condition true -> updated
+    assert got[2] == ("old", 20.0)   # matched, condition false -> kept
+    assert got[3] == ("new", 30.0)   # unmatched -> inserted
+    # insert-only merge (when_matched='ignore')
+    t2 = vt.begin()
+    t2.merge(
+        spark.createDataFrame([(1, "x", 0.0), (4, "ins", 4.0)], SCHEMA),
+        when_matched="ignore",
+    )
+    t2.commit()
+    got = rows_of(vt.snapshot())
+    assert got[1] == ("new", 15.0) and got[4] == ("ins", 4.0)
+    # update-only merge (when_not_matched='ignore')
+    t3 = vt.begin()
+    t3.merge(
+        spark.createDataFrame([(4, "upd", 40.0), (9, "no", 9.0)], SCHEMA),
+        when_not_matched="ignore",
+    )
+    t3.commit()
+    got = rows_of(vt.snapshot())
+    assert got[4] == ("upd", 40.0) and 9 not in got
