@@ -225,3 +225,37 @@ def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 50)
     binary_df = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     return resize_images(binary_df, out_w=32, out_h=32)
+
+
+@query(
+    "multimodal_audio_chunks",
+    oracle="""
+    WITH src AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n
+      FROM documents WHERE doc_id % 5 = 0 AND doc_id <= 250),
+    chunks AS (
+      SELECT doc_id, CAST(t.i AS INT) AS chunk_no,
+             CAST(t.i * 256 AS BIGINT) AS start_byte,
+             CAST(LEAST(512, n - t.i * 256) AS BIGINT) AS chunk_len, text
+      FROM src, UNNEST(range(0, (n - 1) // 256 + 1)) AS t(i)
+      WHERE n > 0)
+    SELECT doc_id, chunk_no, start_byte, chunk_len,
+           sha256(substring(text, CAST(start_byte + 1 AS BIGINT), chunk_len))
+             AS chunk_digest
+    FROM chunks
+    """,
+    category="multimodal",
+)
+def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio window-chunking through the stubbed codec: 512-byte windows at
+    256-byte hop (50% overlap, STFT-style framing), one output row per
+    chunk with its sha256 — operators/multimodal.py:chunk_audio. Fixture
+    text is pure ASCII so the SQL oracle's varchar slicing is byte-exact
+    against the pandas byte slicing."""
+    from db_core_spark.operators.multimodal import chunk_audio
+
+    d = table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 5 == 0) & (F.col("doc_id") <= 250)
+    )
+    binary_df = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return chunk_audio(binary_df, window_bytes=512, hop_bytes=256)

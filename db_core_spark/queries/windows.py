@@ -190,3 +190,49 @@ def window_share_of_group(spark: SparkSession, sf_dir: str) -> DataFrame:
          / 1000000).alias("price_share"),
         (F.floor(F.avg("l_extendedprice").over(w) * 10000 + 0.5) / 10000).alias("order_avg_price"),
     )
+
+
+@query(
+    "window_moving_median",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           FLOOR(MEDIAN(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderkey
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) * 100 + 0.5) / 100
+             AS med4
+    FROM orders WHERE o_custkey % 10 = 0
+    """,
+    category="window",
+)
+def window_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving MEDIAN over an ordered row frame — Spark forbids median with
+    an ORDER BY frame (no partial aggregation exists), so this is the
+    canonical applyInPandas escape hatch: one shuffle on the partition key,
+    then pandas rolling(4).median() per group — O(rows in group) memory,
+    which holds at scale because groups are per-customer, not per-table.
+    Both engines interpolate even-count medians as the two-middle average of
+    IDENTICAL doubles, so the floor-pinned comparison is bit-stable."""
+    import pandas as pd
+
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 10 == 0)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+    def rolling_median(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("o_orderkey")
+        med = pdf["o_totalprice"].rolling(4, min_periods=1).median()
+        import numpy as np
+
+        return pd.DataFrame(
+            {
+                "o_custkey": pdf["o_custkey"],
+                "o_orderkey": pdf["o_orderkey"],
+                "med4": np.floor(med * 100 + 0.5) / 100,
+            }
+        )
+
+    return o.groupBy("o_custkey").applyInPandas(
+        rolling_median, "o_custkey long, o_orderkey long, med4 double"
+    )

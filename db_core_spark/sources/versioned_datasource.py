@@ -68,13 +68,32 @@ def _load_meta(path: str) -> tuple[list[str], T.StructType, int, list[str]]:
     )
 
 
-def _manifests(path: str) -> list[dict]:
+def _log_names(path: str) -> list[tuple[int, bool, str]]:
+    """(csn, is_checkpoint, filename) parsed from commit-log names only —
+    no JSON reads (same bound as VersionedTable._log_names)."""
     log_dir = os.path.join(path, "_commitlog")
     out = []
     for name in os.listdir(log_dir):
-        if name.endswith(".json") and not name.startswith("_tmp"):
-            with open(os.path.join(log_dir, name)) as f:
-                out.append(json.load(f))
+        if not name.endswith(".json") or name.startswith("_tmp"):
+            continue
+        stem = name[:-5]
+        try:
+            if stem.startswith("checkpoint-"):
+                out.append((int(stem.split("-", 1)[1]), True, name))
+            elif stem != "_last_checkpoint":
+                out.append((int(stem), False, name))
+        except ValueError:
+            continue
+    return sorted(out)
+
+
+def _read_manifest(path: str, name: str) -> dict:
+    with open(os.path.join(path, "_commitlog", name)) as f:
+        return json.load(f)
+
+
+def _manifests(path: str) -> list[dict]:
+    out = [_read_manifest(path, name) for _, _, name in _log_names(path)]
     return sorted(out, key=lambda m: m["csn"])
 
 
@@ -83,17 +102,15 @@ def _committed_ops(path: str, as_of: int | None) -> list[dict]:
     the newest checkpoint <= as_of — same resolution as
     VersionedTable._committed_ops (kept file-format compatible), including
     the completeness guard: a csn gap between the fold base and the target
-    proves vacuum reclaimed needed history -> error, never a partial fold."""
-    all_manifests = _manifests(path)
-    manifests = all_manifests
-    if as_of is not None:
-        manifests = [m for m in manifests if m["csn"] <= as_of]
-    ckpts = [m for m in manifests if m.get("type") == "checkpoint"]
-    base = max(ckpts, key=lambda m: m["csn"]) if ckpts else None
-    delta_csns = {m["csn"] for m in manifests if m.get("type") != "checkpoint"}
-    overall_max = max((m["csn"] for m in all_manifests), default=0)
+    proves vacuum reclaimed needed history -> error, never a partial fold.
+    IO bound: name-only planning, opens 1 checkpoint + the deltas above it."""
+    names = _log_names(path)
+    in_scope = [e for e in names if as_of is None or e[0] <= as_of]
+    ckpt = max((e for e in in_scope if e[1]), default=None, key=lambda e: e[0])
+    delta_csns = {c for c, is_ck, _ in in_scope if not is_ck}
+    overall_max = max((c for c, _, _ in names), default=0)
     hi = min(as_of, overall_max) if as_of is not None else overall_max
-    lo = base["csn"] if base is not None else 0
+    lo = ckpt[0] if ckpt is not None else 0
     missing = set(range(lo + 1, hi + 1)) - delta_csns
     if missing:
         raise RuntimeError(
@@ -101,15 +118,16 @@ def _committed_ops(path: str, as_of: int | None) -> list[dict]:
             f"{sorted(missing)}; oldest available fold base is csn {lo}"
         )
     ops = []
-    if base is not None:
+    if ckpt is not None:
+        base = _read_manifest(path, ckpt[2])
         ops.append(
             {"dir": base["dir"], "csn": -1, "opseq": -1, "kind": "checkpoint",
              "checkpoint": True, "buckets": base.get("buckets", 0)}
         )
-    floor_csn = base["csn"] if base is not None else 0
-    for m in manifests:
-        if m.get("type") == "checkpoint" or (base is not None and m["csn"] <= floor_csn):
+    for csn, is_ck, name in in_scope:
+        if is_ck or csn <= lo:
             continue
+        m = _read_manifest(path, name)
         for op in m["ops"]:
             ops.append(
                 {"dir": op["dir"], "csn": m["csn"], "opseq": op["opseq"],
@@ -347,15 +365,17 @@ class VersionedChangeStreamReader(DataSourceStreamReader):
         return {"csn": self.start_csn}
 
     def latestOffset(self) -> dict:
-        manifests = [m for m in _manifests(self.path) if m.get("type") != "checkpoint"]
-        return {"csn": max([m["csn"] for m in manifests], default=self.start_csn)}
+        deltas = [c for c, is_ck, _ in _log_names(self.path) if not is_ck]
+        return {"csn": max(deltas, default=self.start_csn)}
 
     def partitions(self, start: dict, end: dict) -> list[CDCPartition]:
         lo, hi = start["csn"], end["csn"]
         parts: list[CDCPartition] = []
-        for m in _manifests(self.path):
-            if m.get("type") == "checkpoint" or not (lo < m["csn"] <= hi):
+        # name-bounded: only manifests inside the batch window are opened
+        for csn, is_ck, name in _log_names(self.path):
+            if is_ck or not (lo < csn <= hi):
                 continue
+            m = _read_manifest(self.path, name)
             for op in m["ops"]:
                 bucket_dirs = (
                     sorted(
@@ -419,8 +439,7 @@ class VersionedAppendWriter(DataSourceWriter):
         self.op_dir = os.path.join(self.path, "data", f"tsn={self.tsn}", "opseq=0")
         # snapshot pin at plan time: manifests committed after this are
         # 'concurrent' for the optimistic conflict check in commit()
-        csns = [m["csn"] for m in _manifests(self.path)]
-        self.start_csn = max(csns) if csns else 0
+        self.start_csn = max((c for c, _, _ in _log_names(self.path)), default=0)
 
     def write(self, iterator) -> StagedPart:
         import pandas as pd
@@ -503,13 +522,15 @@ class VersionedAppendWriter(DataSourceWriter):
              "buckets": self.num_buckets}
         ]
         for _ in range(50):
-            csns = [m["csn"] for m in _manifests(self.path)]
-            candidate = (max(csns) if csns else 0) + 1
+            names = _log_names(self.path)
+            candidate = max((c for c, _, _ in names), default=0) + 1
             # optimistic conflict check vs everything committed since plan
-            # time (mirrors Transaction._check_conflicts)
-            for m in _manifests(self.path):
-                if m.get("type") == "checkpoint" or not (self.start_csn < m["csn"] < candidate):
+            # time (mirrors Transaction._check_conflicts); only manifests
+            # inside the window are opened
+            for csn, is_ck, name in names:
+                if is_ck or not (self.start_csn < csn < candidate):
                     continue
+                m = _read_manifest(self.path, name)
                 theirs = m.get("write_keys")
                 if my_keys is None or theirs is None:
                     raise ConflictError(

@@ -331,3 +331,66 @@ def test_merge_conditional_upsert_semantics(vt, spark):
     t3.commit()
     got = rows_of(vt.snapshot())
     assert got[4] == ("upd", 40.0) and 9 not in got
+
+
+def test_commit_log_reads_bounded_by_checkpoint(vt, spark, monkeypatch):
+    """Log-listing scalability (VERDICT r1 item #9): manifest names encode
+    csns, so latest_csn() opens ZERO manifest JSONs, a snapshot fold opens
+    1 checkpoint + O(commits since checkpoint), and a conflict check opens
+    only its window — with 500 fabricated commits the counts stay bounded."""
+    import time as _time
+
+    from db_core_spark.plans.versioned import publish_manifest
+
+    N = 500
+    for c in range(1, N + 1):
+        publish_manifest(
+            vt._log_dir,
+            f"{c:010d}.json",
+            {
+                "csn": c, "tsn": f"t{c}",
+                "ops": [{"dir": f"{vt._data_dir}/fake{c}", "opseq": 0,
+                         "kind": "upsert", "buckets": 16}],
+                "write_keys": [[str(c)]], "ts": _time.time(),
+            },
+        )
+    publish_manifest(
+        vt._log_dir,
+        f"checkpoint-{490:010d}.json",
+        {"type": "checkpoint", "csn": 490, "dir": f"{vt._data_dir}/ck",
+         "ts": _time.time(), "buckets": 16},
+    )
+    calls: list[str] = []
+    orig = VersionedTable._read_manifest
+
+    def counting(self, name):
+        calls.append(name)
+        return orig(self, name)
+
+    monkeypatch.setattr(VersionedTable, "_read_manifest", counting)
+    assert vt.latest_csn() == N
+    assert calls == []  # names only, zero JSON opens
+    ops = vt._committed_ops(None)
+    assert len(calls) == 1 + (N - 490)  # checkpoint base + 10 deltas
+    assert sum(o["checkpoint"] for o in ops) == 1
+    calls.clear()
+    txn = vt.begin()
+    txn.start_csn = 495
+    txn._check_conflicts({("nope",)}, upto=N + 1)
+    assert len(calls) == N - 495  # only the conflict window is opened
+
+
+def test_checkpoint_publishes_last_checkpoint_pointer(vt, spark):
+    """Delta-style _last_checkpoint pointer: object-store readers start
+    their listing here instead of scanning the whole log prefix."""
+    import json
+    import os
+
+    t = vt.begin()
+    t.upsert(spark.createDataFrame([(1, "a", 1.0)], SCHEMA))
+    t.commit()
+    csn = vt.checkpoint()
+    ptr = json.load(open(os.path.join(vt._log_dir, "_last_checkpoint")))
+    assert ptr == {"csn": csn, "name": f"checkpoint-{csn:010d}.json"}
+    # the pointer is invisible to the manifest listing itself
+    assert vt.latest_csn() == csn
