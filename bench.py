@@ -54,6 +54,12 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # SPARK_GRAFT_COLD=1 skips the codegen pre-warm pass: the timed numbers
+    # then INCLUDE one-time JVM/codegen compilation — the worst-case first-
+    # query latency a fresh cluster sees. Default remains warm (steady-state
+    # cost, the quantity that scales). Mode is recorded in the JSON line so
+    # round-over-round diffs compare like with like.
+    cold = os.environ.get("SPARK_GRAFT_COLD", "0") == "1"
     spark = get_spark("bench")
     qs = all_queries()
 
@@ -62,20 +68,30 @@ def main() -> None:
     # docstring for the warm-up protocol rationale).
     spark.range(1000).count()
     warm_dir = "/root/testdata/sf0.001"
-    if os.path.isdir(warm_dir) and warm_dir != sf_dir:
+    if not cold and os.path.isdir(warm_dir) and warm_dir != sf_dir:
         for name in HEADLINE:
             try:
                 qs[name].fn(spark, warm_dir).count()
             except Exception as e:  # never let warm-up sink the bench
                 print(f"  warmup {name} failed: {e}", file=sys.stderr)
 
+    # best-of-N per query (criterion-style steady-state estimator): local
+    # JVM GC/JIT noise at sf0.1 swings single shots by up to ~1s, which
+    # would drown real round-over-round regressions. reps recorded below.
+    reps = 1 if cold else int(os.environ.get("SPARK_GRAFT_REPS", "2"))
     timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
     for name in HEADLINE:
         rq = qs[name]
-        t0 = time.time()
-        df = rq.fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
+        best, n = None, 0
+        for _ in range(reps):
+            t0 = time.time()
+            df = rq.fn(spark, sf_dir)
+            n = df.count()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        timings[name] = round(best, 3)
+        rows[name] = n
         print(f"  {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
@@ -86,6 +102,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # per-query result row counts: a timing regression with a
+                # changed row count is a semantics change, not a perf one
+                "rows": rows,
+                "mode": "cold" if cold else "warm",
+                "reps": reps,
                 "sf": float(sf),
             }
         )
