@@ -48,9 +48,11 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F, types as T
 
+from db_core_spark.config import DEFAULT_CONFIG, EngineConfig
+
 META_COLS = ("_csn", "_opseq", "_deleted")
 
-DEFAULT_NUM_BUCKETS = 16  # at 100 TB you'd size this so a bucket is ~10-50 GB
+DEFAULT_NUM_BUCKETS = DEFAULT_CONFIG.num_buckets  # sized so a bucket is ~10-50 GB at scale
 
 
 class ConflictError(Exception):
@@ -125,11 +127,12 @@ class _Op:
 
 
 class VersionedTable:
-    MAX_TRACKED_KEYS = 100_000  # above this, write-set degrades to 'conflicts with any'
+    MAX_TRACKED_KEYS = DEFAULT_CONFIG.max_tracked_keys  # back-compat alias
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str, config: EngineConfig | None = None):
         self.spark = spark
         self.path = path
+        self.config = config or DEFAULT_CONFIG
         self._log_dir = os.path.join(path, "_commitlog")
         self._data_dir = os.path.join(path, "data")
         meta = json.load(open(os.path.join(path, "_meta.json")))
@@ -148,8 +151,9 @@ class VersionedTable:
         path: str,
         key_cols: list[str],
         schema: T.StructType,
-        num_buckets: int = DEFAULT_NUM_BUCKETS,
+        num_buckets: int | None = None,
         bucket_cols: list[str] | None = None,
+        config: EngineConfig | None = None,
     ) -> "VersionedTable":
         """One-time table creation (mirrors Instance::initialize_datastore,
         instance.rs:78-80): writes _meta.json + empty commit log.
@@ -163,6 +167,9 @@ class VersionedTable:
         them) — e.g. byte-stream objects bucket by obj_id only, co-locating
         all chunks + versions of one object. num_buckets=0 keeps the legacy
         unbucketed layout."""
+        config = config or DEFAULT_CONFIG
+        if num_buckets is None:
+            num_buckets = config.num_buckets
         os.makedirs(os.path.join(path, "_commitlog"), exist_ok=False)
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
         for k in key_cols:
@@ -183,13 +190,15 @@ class VersionedTable:
                 },
                 f,
             )
-        return cls(spark, path)
+        return cls(spark, path, config=config)
 
     @classmethod
-    def open(cls, spark: SparkSession, path: str) -> "VersionedTable":
+    def open(
+        cls, spark: SparkSession, path: str, config: EngineConfig | None = None
+    ) -> "VersionedTable":
         """Open existing table. Recovery is implicit: only published
         manifests define state (instance.rs:221-304 as a no-op property)."""
-        return cls(spark, path)
+        return cls(spark, path, config=config)
 
     # ------------------------------------------------------------- manifests
     #
@@ -455,7 +464,26 @@ class VersionedTable:
         os.replace(tmp, ptr)
         return csn
 
-    def vacuum(self, retain_seconds: float = 3600.0) -> int:
+    def deltas_since_checkpoint(self) -> int:
+        """Commits above the newest checkpoint — name-parse only, no JSON."""
+        names = self._log_names()
+        floor = max((c for c, is_ck, _ in names if is_ck), default=0)
+        return sum(1 for c, is_ck, _ in names if not is_ck and c > floor)
+
+    def maybe_checkpoint(self) -> int:
+        """Threshold-triggered checkpoint (the reference checkpointer's
+        wake-on-threshold protocol, src/system/checkpointer.rs:86-94, with
+        config.checkpoint_every_commits as the group-commit analog of
+        checkpoint_data_threshold): materializes only when enough commits
+        accumulated since the last checkpoint, so callers — e.g. a streaming
+        foreachBatch sink — can invoke it after every commit and pay only a
+        name listing most of the time. Returns the checkpoint csn, or 0 if
+        below threshold."""
+        if self.deltas_since_checkpoint() < self.config.checkpoint_every_commits:
+            return 0
+        return self.checkpoint()
+
+    def vacuum(self, retain_seconds: float | None = None) -> int:
         """Reclaim op files/manifests fully covered by the newest checkpoint
         AND older than the retention window (version_store.rs:264-309
         reclamation; `version_retain_time` default 3600 s, config.rs:162).
@@ -466,6 +494,8 @@ class VersionedTable:
         SnapshotUnavailableError (see _committed_ops), and an open txn whose
         conflict window extends below the reclaim line aborts with
         ConflictError instead of silently losing lost-update protection."""
+        if retain_seconds is None:
+            retain_seconds = self.config.version_retain_seconds
         manifests = self._manifests()
         ckpts = [m for m in manifests if m.get("type") == "checkpoint"]
         if not ckpts:
@@ -653,9 +683,9 @@ class Transaction:
             )
             if my_keys is not None:
                 ks = (
-                    op.df.select(*t.key_cols).distinct().limit(t.MAX_TRACKED_KEYS + 1).collect()
+                    op.df.select(*t.key_cols).distinct().limit(t.config.max_tracked_keys + 1).collect()
                 )
-                if len(ks) > t.MAX_TRACKED_KEYS:
+                if len(ks) > t.config.max_tracked_keys:
                     my_keys = None  # too big: conservatively conflict with anything
                 else:
                     # canonical string form: JSON-safe for any key type

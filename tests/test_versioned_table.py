@@ -394,3 +394,32 @@ def test_checkpoint_publishes_last_checkpoint_pointer(vt, spark):
     assert ptr == {"csn": csn, "name": f"checkpoint-{csn:010d}.json"}
     # the pointer is invisible to the manifest listing itself
     assert vt.latest_csn() == csn
+
+
+def test_engine_config_and_threshold_checkpoint(spark, tmp_path):
+    """EngineConfig (ConfigMt parity, config.rs:149-164) drives layout and
+    maintenance: custom bucket count lands in the layout, vacuum defaults
+    to the configured retention, and maybe_checkpoint() fires only once
+    checkpoint_every_commits commits accumulated (checkpointer.rs:86-94
+    threshold wake-up)."""
+    from db_core_spark.config import EngineConfig
+
+    cfg = EngineConfig(num_buckets=4, checkpoint_every_commits=3,
+                       version_retain_seconds=0.0)
+    vt = VersionedTable.create(
+        spark, str(tmp_path / "cfg"), key_cols=["k"], schema=SCHEMA, config=cfg
+    )
+    assert vt.num_buckets == 4
+    for i in range(2):
+        t = vt.begin()
+        t.upsert(spark.createDataFrame([(i, "v", float(i))], SCHEMA))
+        t.commit()
+        assert vt.maybe_checkpoint() == 0  # below threshold: name-listing only
+    t = vt.begin()
+    t.upsert(spark.createDataFrame([(9, "v", 9.0)], SCHEMA))
+    t.commit()
+    assert vt.maybe_checkpoint() == 3  # threshold reached -> materialize
+    assert vt.deltas_since_checkpoint() == 0
+    # configured zero retention: vacuum reclaims below the checkpoint now
+    assert vt.vacuum() == 3
+    assert {r.k for r in vt.snapshot().collect()} == {0, 1, 9}
