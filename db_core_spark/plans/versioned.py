@@ -464,6 +464,31 @@ class VersionedTable:
         os.replace(tmp, ptr)
         return csn
 
+    def rebucket(self, new_num_buckets: int, bucket_cols: list[str] | None = None) -> int:
+        """Layout migration: change the bucket count (and optionally the
+        bucket columns) of the physical layout, then checkpoint so the new
+        layout is materialized. Readers are correct THROUGHOUT the
+        migration: ops written under the old bucket count carry their own
+        `buckets` field, and the snapshot reader falls back to
+        read+row-filter for exactly those ops (mixed-layout tolerance),
+        while new writes land under the new layout immediately. Old-layout
+        files are reclaimed by the next vacuum once outside retention.
+        Returns the checkpoint csn (0 if the table is empty)."""
+        bucket_cols = list(bucket_cols) if bucket_cols is not None else self.bucket_cols
+        if not set(bucket_cols) <= set(self.key_cols):
+            raise ValueError(f"bucket_cols {bucket_cols} must be a subset of key_cols")
+        meta_path = os.path.join(self.path, "_meta.json")
+        meta = json.load(open(meta_path))
+        meta["num_buckets"] = new_num_buckets
+        meta["bucket_cols"] = bucket_cols
+        tmp = meta_path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, meta_path)
+        self.num_buckets = new_num_buckets
+        self.bucket_cols = bucket_cols
+        return self.checkpoint()
+
     def deltas_since_checkpoint(self) -> int:
         """Commits above the newest checkpoint — name-parse only, no JSON."""
         names = self._log_names()

@@ -487,3 +487,46 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         (F.col("doc_id") == F.col("label")).alias("is_canonical"),
     )
+
+
+@query(
+    "text_redact_pii",
+    oracle="""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || ' contact: user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com ph 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               AS raw
+      FROM documents WHERE doc_id <= 200)
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(raw,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
+    FROM seeded
+    """,
+    category="llm",
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing for training-corpus prep: regex redaction of emails and
+    phone-shaped tokens, the standard pre-tokenization pass. Deterministic
+    fake PII is seeded from doc_id (both engines concatenate the identical
+    suffix) so the redaction paths are actually exercised on lorem-style
+    fixture text. Patterns stay in the Java/RE2 common subset so Spark and
+    DuckDB agree byte-for-byte; pure codegen, no UDF, no shuffle."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 200)
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com ph 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            raw, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"
+        ),
+        r"[0-9]{3}-[0-9]{4}",
+        "<PHONE>",
+    )
+    return d.select("doc_id", redacted.alias("redacted"))

@@ -236,3 +236,69 @@ def window_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_custkey").applyInPandas(
         rolling_median, "o_custkey long, o_orderkey long, med4 double"
     )
+
+
+@query(
+    "window_filtered_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           FLOOR(COALESCE(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'O')
+             OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1)
+             * 100 + 0.5) / 100 AS open_running
+    FROM orders WHERE o_custkey % 15 = 0
+    """,
+    category="window",
+)
+def window_filtered_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate FILTER clause inside a window — Spark has no window FILTER,
+    so the canonical emulation is a conditional projection feeding the
+    aggregate: sum(when(cond, x)) with NO otherwise, which keeps SQL's
+    FILTER null semantics (no qualifying rows in the frame -> NULL, not 0;
+    both engines then coalesce to -1 to pin the hash). Same single shuffle
+    as the plain running sum; the condition never leaves codegen."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 15 == 0)
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filtered_sum = F.sum(
+        F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice"))
+    ).over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.floor(F.coalesce(filtered_sum, F.lit(-1.0)) * 100 + 0.5) / 100).alias(
+            "open_running"
+        ),
+    )
+
+
+@query(
+    "window_rolling_count_distinct",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(COUNT(DISTINCT o_orderstatus) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderkey
+             ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS INT) AS d_status
+    FROM orders WHERE o_custkey % 15 = 0
+    """,
+    category="window",
+)
+def window_rolling_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) over a moving frame — Spark forbids DISTINCT
+    aggregates in windows, so the emulation collects the frame into an
+    array and counts distinct elements: size(array_distinct(collect_list
+    OVER frame)). Frame width bounds the array (6 rows here), so memory is
+    O(frame), not O(partition) — the constraint that makes this shape safe
+    at scale. DuckDB runs the real DISTINCT window as the oracle."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 15 == 0)
+    w = W.partitionBy("o_custkey").orderBy("o_orderkey").rowsBetween(-5, W.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.size(F.array_distinct(F.collect_list("o_orderstatus").over(w))).alias(
+            "d_status"
+        ),
+    )

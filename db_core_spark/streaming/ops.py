@@ -192,7 +192,9 @@ def commit_microbatch(vt, batch_df: DataFrame, epoch_id: int, writer_id: str) ->
     return False
 
 
-def stream_into_versioned_table(events: DataFrame, vt, checkpoint_dir: str):
+def stream_into_versioned_table(
+    events: DataFrame, vt, checkpoint_dir: str, auto_maintain: bool = False
+):
     """foreachBatch sink into a VersionedTable: each micro-batch commits as
     ONE ACID transaction (mirrors the reference's group commit — WAL flush
     per commit record, log_mgr/io.rs:99-103 — with the micro-batch as the
@@ -200,10 +202,18 @@ def stream_into_versioned_table(events: DataFrame, vt, checkpoint_dir: str):
     a replayed epoch is skipped before any commit (see commit_microbatch),
     which holds for CDC readers too, not just snapshot reads.
 
+    auto_maintain=True runs maybe_checkpoint() after each commit — the
+    write-volume-driven maintenance of the reference's checkpointer thread
+    (checkpointer.rs:86-94) riding the stream itself; below threshold it
+    costs one name listing. Vacuum stays a deliberate operator action
+    (retention windows are a policy decision, not sink plumbing).
+
     Returns the started StreamingQuery; caller awaits/stops it."""
 
     def commit_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        commit_microbatch(vt, batch_df, epoch_id, writer_id=checkpoint_dir)
+        published = commit_microbatch(vt, batch_df, epoch_id, writer_id=checkpoint_dir)
+        if published and auto_maintain:
+            vt.maybe_checkpoint()
 
     return (
         events.writeStream.foreachBatch(commit_batch)

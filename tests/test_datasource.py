@@ -352,3 +352,39 @@ def test_cdc_backfill_plans_multiple_partitions(vt, spark):
     assert {(r[0], r[3], r[4]) for r in rows} == {
         (i, c, "upsert") for i in range(40) for c in (1, 2)
     }
+
+
+def test_rebucket_layout_migration(spark, tmp_path):
+    """rebucket(): readers stay correct across a live layout migration —
+    old-B ops fall back to read+row-filter with the NEW bucket function,
+    the migration checkpoint materializes the new layout, and post-
+    migration lookups prune to single new-layout buckets."""
+    import glob
+    import os
+
+    from db_core_spark.plans import VersionedTable
+
+    vt = VersionedTable.create(
+        spark, str(tmp_path / "rb"), key_cols=["k"], schema=SCHEMA, num_buckets=4
+    )
+    _commit(vt, spark, [(i, f"a{i}", float(i)) for i in range(30)])
+    _commit(vt, spark, [(i, f"b{i}", float(i)) for i in range(0, 30, 2)])
+    before = rows_of(vt.snapshot())
+    ck = vt.rebucket(8)
+    assert ck == 2 and vt.num_buckets == 8
+    # checkpoint materialized under the new layout
+    ck_buckets = {
+        os.path.basename(d)
+        for d in glob.glob(os.path.join(vt.path, "data", f"checkpoint-{ck:010d}", "bucket=*"))
+    }
+    assert ck_buckets and all(int(b.split("=")[1]) < 8 for b in ck_buckets)
+    assert rows_of(vt.snapshot()) == before
+    assert rows_of(vt.snapshot(engine="window")) == before
+    # new writes land under the new bucket count and lookups prune to one
+    _commit(vt, spark, [(99, "post", 9.0)])
+    got = vt.lookup({"k": 99}).collect()
+    assert [(r.k, r.v) for r in got] == [(99, "post")]
+    # old-layout files reclaim after vacuum; reads stay correct
+    vt.vacuum(retain_seconds=0.0)
+    after = rows_of(vt.snapshot())
+    assert after[99] == ("post", 9.0) and after[1] == ("a1", 1.0) and after[2] == ("b2", 2.0)
