@@ -438,7 +438,14 @@ class VersionedTable:
                 .option("includeMeta", "true")
                 .load()
             )
-            resolved.write.partitionBy("bucket").mode("overwrite").parquet(out_dir)
+            if resolved.limit(1).count() == 0:
+                # partitionBy writes NO files for empty input, which would
+                # leave an unreadable checkpoint dir (e.g. every key
+                # tombstoned): write one empty non-partitioned file so the
+                # fold base always parses; bucket-pruned readers skip it
+                resolved.drop("bucket").write.mode("overwrite").parquet(out_dir)
+            else:
+                resolved.write.partitionBy("bucket").mode("overwrite").parquet(out_dir)
         else:
             vs = self._versions(csn)
             w = W.partitionBy(*self.key_cols).orderBy(F.desc("_csn"), F.desc("_opseq"))

@@ -423,3 +423,27 @@ def test_engine_config_and_threshold_checkpoint(spark, tmp_path):
     # configured zero retention: vacuum reclaims below the checkpoint now
     assert vt.vacuum() == 3
     assert {r.k for r in vt.snapshot().collect()} == {0, 1, 9}
+
+
+def test_checkpoint_of_fully_deleted_table(vt, spark):
+    """Edge: every key tombstoned -> the resolved snapshot is EMPTY, and a
+    partitionBy write would emit zero files, leaving an unreadable
+    checkpoint. The empty-file fallback keeps the fold base parseable for
+    both read engines, through vacuum."""
+    t = vt.begin()
+    t.upsert(spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)], SCHEMA))
+    t.commit()
+    t = vt.begin()
+    t.delete_keys([{"k": 1}, {"k": 2}])
+    t.commit()
+    ck = vt.checkpoint()
+    assert ck == 2
+    assert vt.snapshot().count() == 0
+    assert vt.snapshot(engine="window").count() == 0
+    vt.vacuum(retain_seconds=0.0)
+    assert vt.snapshot().count() == 0
+    # and the table keeps working after
+    t = vt.begin()
+    t.upsert(spark.createDataFrame([(3, "c", 3.0)], SCHEMA))
+    t.commit()
+    assert rows_of(vt.snapshot()) == {3: ("c", 3.0)}
