@@ -168,3 +168,47 @@ def mvcc_version_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_orderkey").alias("last_csn"),
         F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_tombstones"),
     )
+
+
+@query(
+    "versioned_point_lookup",
+    oracle="""
+    SELECT o_custkey AS key, MAX(o_orderkey) AS hi, CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    WHERE o_custkey = (SELECT MIN(o_custkey) FROM orders)
+    GROUP BY o_custkey
+    """,
+    category="mvcc",
+)
+def versioned_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-key read through the bucketed layout end-to-end: commit a
+    per-customer aggregate into a fresh VersionedTable, then lookup() one
+    key — which plans exactly ONE input partition and lists only that
+    key's bucket=<b>/ files (the per-object version-chain walk of
+    block_driver.rs:461-486 as physical IO; pruning asserted separately in
+    tests/test_plan_audits.py). The oracle recomputes the same row
+    relationally."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from db_core_spark.plans import VersionedTable
+
+    o = table(spark, sf_dir, "orders")
+    agg = o.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.max("o_orderkey").alias("hi"), F.count(F.lit(1)).alias("n")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("hi", T.LongType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    path = tempfile.mkdtemp(prefix="vt_lookup_") + "/t"
+    vt = VersionedTable.create(spark, path, key_cols=["key"], schema=schema)
+    t0 = vt.begin()
+    t0.upsert(agg)
+    t0.commit()
+    target = o.agg(F.min("o_custkey")).first()[0]
+    return vt.lookup({"key": int(target)})
