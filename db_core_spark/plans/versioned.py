@@ -714,18 +714,25 @@ class Transaction:
                  "buckets": t.num_buckets}
             )
             if my_keys is not None:
-                ks = (
-                    op.df.select(*t.key_cols).distinct().limit(t.config.max_tracked_keys + 1).collect()
-                )
-                if len(ks) > t.config.max_tracked_keys:
-                    my_keys = None  # too big: conservatively conflict with anything
-                else:
-                    # canonical string form: JSON-safe for any key type
-                    # (timestamps, dates, ...) and identical on both sides
-                    # of the conflict comparison. Cross-type str collisions
-                    # (1 vs "1") can only cause a SPURIOUS conflict — the
-                    # safe direction.
-                    my_keys.update(tuple(str(v) for v in r) for r in ks)
+                # write-set keys come from the FILES JUST WRITTEN (pyarrow
+                # column read, streamed in batches), not from re-executing
+                # op.df — one plan execution per op instead of two, and the
+                # tracked set is exactly what landed on disk even if the
+                # source plan were nondeterministic. Canonical string form:
+                # JSON-safe for any key type and identical on both sides of
+                # the conflict comparison (cross-type str collisions can
+                # only cause a SPURIOUS conflict — the safe direction).
+                import pyarrow.dataset as pads  # noqa: PLC0415
+
+                cap = t.config.max_tracked_keys
+                for batch in pads.dataset(out_dir, format="parquet").to_batches(
+                    columns=t.key_cols, batch_size=65536
+                ):
+                    rows = zip(*(batch.column(c).to_pylist() for c in t.key_cols))
+                    my_keys.update(tuple(str(v) for v in r) for r in rows)
+                    if len(my_keys) > cap:
+                        my_keys = None  # degrade: conflicts with anything
+                        break
         # 2. claim a csn
         for _ in range(max_csn_attempts):
             candidate = t.latest_csn() + 1
