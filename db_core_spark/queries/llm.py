@@ -530,3 +530,64 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         "<PHONE>",
     )
     return d.select("doc_id", redacted.alias("redacted"))
+
+
+@query("agg_cms_heavy_hitters", oracle=None, category="llm")
+def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch heavy-hitter estimation over corpus tokens — the
+    mergeable-counter companion of agg_hll_mergeable_sketch: D=4 hash rows
+    x W=1024 buckets, built as codegen'd xxhash64 aggregates (the same
+    vectorized-sketch pattern as the minhash signatures; no UDF anywhere).
+    The sketch table (D*W cells) merges cell-wise-additively across
+    partitions/shards/days, so corpus-frequency tracking at 100 TB is one
+    partial-aggregable shuffle of 4096 cells, not a full token groupBy.
+    est(token) = min_r cells[r][xxhash64(token, r) % W] — one-sided error
+    (est >= true; overshoot <= e/W * N w.h.p., pinned by pytest).
+
+    Probabilistic bucket collisions are engine-specific (xxhash64), so no
+    SQL oracle: rows-only check here; tests/test_llm_ops.py pins the
+    estimate bounds against exact counts."""
+    D, WIDTH = 4, 1024
+    d = table(spark, sf_dir, "documents")
+    toks = (
+        d.select(F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    pairs = toks.select(
+        "tok",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        F.pmod(F.xxhash64("tok", F.lit(r)), F.lit(WIDTH)).alias("b"),
+                    )
+                    for r in range(D)
+                ]
+            )
+        ).alias("cell"),
+    ).select("tok", "cell.r", "cell.b")
+    cells = pairs.groupBy("r", "b").agg(F.count(F.lit(1)).alias("cell_n"))
+    true_counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("true_n"))
+    probe = true_counts.orderBy(F.desc("true_n"), F.asc("tok")).limit(30)
+    probe_cells = probe.select(
+        "tok",
+        "true_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        F.pmod(F.xxhash64("tok", F.lit(r)), F.lit(WIDTH)).alias("b"),
+                    )
+                    for r in range(D)
+                ]
+            )
+        ).alias("cell"),
+    ).select("tok", "true_n", "cell.r", "cell.b")
+    return (
+        probe_cells.join(F.broadcast(cells), ["r", "b"])
+        .groupBy("tok", "true_n")
+        .agg(F.min("cell_n").alias("est_n"))
+        .orderBy(F.desc("true_n"), F.asc("tok"))
+    )

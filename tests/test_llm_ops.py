@@ -108,3 +108,31 @@ def test_minhash_signature_estimates_jaccard(spark):
             assert abs(est - true_j) <= 0.30, (a, b, true_j, est)
             checked += 1
     assert checked > 0, "fixture has no overlapping pairs to check"
+
+
+def test_cms_heavy_hitters_bounds(spark):
+    """CMS guarantees: one-sided error (est >= true) and bounded
+    overestimate (<= e/W * N with W=1024 — asserted at 3x slack for the
+    w.h.p. tail)."""
+    from db_core_spark.registry import all_queries
+
+    from tests.conftest import SF_SMALL
+
+    rows = all_queries()["agg_cms_heavy_hitters"].fn(spark, SF_SMALL).collect()
+    assert len(rows) == 30
+    import math
+
+    # recompute N exactly from the same tokenization
+    from pyspark.sql import functions as F
+    from db_core_spark.tables import table
+
+    d = table(spark, SF_SMALL, "documents")
+    N = (
+        d.select(F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .count()
+    )
+    slack = 3 * math.e / 1024 * N
+    for r in rows:
+        assert r.est_n >= r.true_n, (r.tok, r.est_n, r.true_n)
+        assert r.est_n - r.true_n <= slack, (r.tok, r.est_n, r.true_n, slack)
