@@ -245,3 +245,33 @@ def stream_stream_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id",
         F.round("purchase_value", 4).alias("purchase_value"),
     )
+
+
+@query(
+    "stream_left_outer_join_batch",
+    oracle="""
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+           ROUND(p.value, 4) AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '1 hour'
+    """,
+    category="streaming",
+)
+def stream_left_outer_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming.stream_stream_left_outer: every click with
+    its in-window purchase or nulls. Batch computes the full outer result
+    directly; in streaming the null-padded rows emit with watermark+gap
+    delay (finalization, pinned in tests/test_streaming.py)."""
+    from db_core_spark.streaming.ops import stream_stream_left_outer
+
+    e = table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    return stream_stream_left_outer(clicks, purchases).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.round("purchase_value", 4).alias("purchase_value"),
+    )

@@ -221,3 +221,65 @@ def stream_into_versioned_table(
         .outputMode("update")
         .start()
     )
+
+
+def stream_stream_left_outer(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    max_gap: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join: every click, paired with a purchase
+    from the same user within max_gap when one exists, null-padded
+    otherwise. The outer (null) result for a click can only emit once the
+    watermark proves no matching purchase can still arrive — so unmatched
+    rows surface with watermark+gap delay, which is inherent to the
+    semantics, not an implementation choice. Same bounded-state shape as
+    the inner variant: both sides watermarked, event-time-bounded
+    condition, state is O(watermark window)."""
+    c = (
+        clicks.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+    )
+    p = (
+        purchases.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {max_gap}")),
+        "leftOuter",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "click_ts",
+        "purchase_id",
+        "purchase_value",
+    )
+
+
+def dedup_stream_within_watermark(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming dedup with TIME-BOUNDED keys: dropDuplicatesWithinWatermark
+    deduplicates (user_id, event_type) only among rows whose event times
+    fall within the watermark delay of each other, then EXPIRES the key —
+    unlike dropDuplicates (dedup_stream), whose per-key state lives until
+    the key's watermark passes and which therefore keeps one state entry
+    per distinct key ever seen. For an unbounded key universe (e.g.
+    event_id-level dedup over months of traffic) the WithinWatermark
+    variant is the only shape whose state stays O(keys per window)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )

@@ -261,3 +261,77 @@ def test_microbatch_replay_is_exactly_once_for_cdc(spark, tmp_path):
     # a different epoch from the same writer commits normally
     assert commit_microbatch(vt, batch, epoch_id=1, writer_id="ck") is True
     assert vt.latest_csn() == 2
+
+
+def test_stream_stream_left_outer_inner_part_and_closed_nulls(spark, stream_dir, tmp_path):
+    """Stream-stream LEFT OUTER: the matched (inner) rows all emit, and
+    null-padded rows (a) never appear for clicks that DO have an in-window
+    purchase (no spurious nulls, asserted globally) and (b) match the batch
+    result exactly for clicks old enough that the watermark provably closed
+    AND evicted their join state — eviction lags one watermark advance on a
+    bounded source, so the comparison cut carries a 3h slack beyond
+    watermark+gap."""
+    from pyspark.sql import functions as F
+
+    from db_core_spark.streaming import events_stream
+    from db_core_spark.streaming.ops import stream_stream_left_outer
+
+    def split(src):
+        return (
+            src.filter(F.col("event_type") == "click"),
+            src.filter(F.col("event_type") == "purchase"),
+        )
+
+    sc, sp = split(events_stream(spark, stream_dir))
+    got = run_to_memory(
+        stream_stream_left_outer(sc, sp), "append", str(tmp_path / "ck_s2slo")
+    )
+    bc, bp = split(batch_events(spark))
+    want = stream_stream_left_outer(bc, bp)
+    # matched pairs: identical to the batch inner result
+    assert (
+        got.filter(F.col("purchase_id").isNotNull()).count()
+        == want.filter(F.col("purchase_id").isNotNull()).count()
+        > 0
+    )
+    # no spurious nulls anywhere: streamed null click_ids are a subset of
+    # the batch null click_ids
+    got_null_ids = {r.click_id for r in got.filter(F.col("purchase_id").isNull()).collect()}
+    want_null_ids = {
+        r.click_id for r in want.filter(F.col("purchase_id").isNull()).collect()
+    }
+    assert got_null_ids <= want_null_ids
+    cutoff = batch_events(spark).agg(
+        (F.max("ts") - F.expr("INTERVAL 6 hours")).alias("c")
+    ).first()[0]
+    got_nulls = got.filter(F.col("purchase_id").isNull() & (F.col("click_ts") < cutoff))
+    want_nulls = want.filter(
+        F.col("purchase_id").isNull() & (F.col("click_ts") < cutoff)
+    )
+    assert got_nulls.count() == want_nulls.count() > 0
+
+
+def test_dedup_within_watermark_bounds(spark, stream_dir, tmp_path):
+    """dropDuplicatesWithinWatermark: output is between global-distinct
+    (every re-occurrence outside the window survives -> more rows) and the
+    raw input; and within any single watermark window a key appears once."""
+    from db_core_spark.streaming.ops import dedup_stream_within_watermark
+
+    got = run_to_memory(
+        dedup_stream_within_watermark(events_stream(spark, stream_dir)),
+        "append",
+        str(tmp_path / "ck_ddw"),
+    )
+    total = batch_events(spark).count()
+    distinct = batch_events(spark).dropDuplicates(["user_id", "event_type"]).count()
+    assert distinct <= got.count() <= total
+    # no duplicate (user, type) pair within one 2h window of first arrival
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    w = W.partitionBy("user_id", "event_type").orderBy("ts")
+    gaps = got.withColumn("prev", F.lag("ts").over(w)).filter(
+        F.col("prev").isNotNull()
+        & (F.col("ts") < F.col("prev") + F.expr("INTERVAL 2 hours"))
+    )
+    assert gaps.count() == 0
