@@ -471,6 +471,24 @@ class VersionedTable:
         os.replace(tmp, ptr)
         return csn
 
+    def restore(self, as_of_csn: int) -> int:
+        """RESTORE the table to an earlier snapshot as a NEW commit — the
+        append-only analog of the reference's checkpoint restore
+        (restore_checkpoint, block_driver.rs:604-621; its test resurrects a
+        deleted object, block_driver.rs:1045-1056): rows from the target
+        snapshot are re-upserted and keys that exist now but not then are
+        tombstoned, so history is preserved (the restore itself is
+        time-travelable and conflict-checked like any txn). Requires the
+        target snapshot to still be within vacuum retention."""
+        old = self.snapshot(as_of_csn)
+        cur = self.snapshot()
+        kc = self.key_cols
+        gone = cur.select(*kc).exceptAll(old.select(*kc))
+        txn = self.begin()
+        txn.upsert(old)
+        txn.delete_keys(gone)
+        return txn.commit()
+
     def rebucket(self, new_num_buckets: int, bucket_cols: list[str] | None = None) -> int:
         """Layout migration: change the bucket count (and optionally the
         bucket columns) of the physical layout, then checkpoint so the new

@@ -447,3 +447,27 @@ def test_checkpoint_of_fully_deleted_table(vt, spark):
     t.upsert(spark.createDataFrame([(3, "c", 3.0)], SCHEMA))
     t.commit()
     assert rows_of(vt.snapshot()) == {3: ("c", 3.0)}
+
+
+def test_restore_resurrects_earlier_state(vt, spark):
+    """Port of the reference's checkpoint-restore test concern
+    (block_driver.rs:1045-1056: restoring makes a deleted object visible
+    again), as an append-only RESTORE commit: deleted keys resurrect,
+    later inserts disappear, and the restore itself is a normal versioned
+    commit — history before it remains time-travelable."""
+    t = vt.begin()
+    t.upsert(spark.createDataFrame([(1, "keep", 1.0), (2, "victim", 2.0)], SCHEMA))
+    target = t.commit()
+    t = vt.begin()
+    t.delete_keys([{"k": 2}])
+    t.commit()
+    t = vt.begin()
+    t.upsert(spark.createDataFrame([(3, "later", 3.0), (1, "edited", 9.0)], SCHEMA))
+    pre_restore = t.commit()
+    assert rows_of(vt.snapshot()) == {1: ("edited", 9.0), 3: ("later", 3.0)}
+    restore_csn = vt.restore(target)
+    assert restore_csn == pre_restore + 1
+    # deleted key resurrected, later insert gone, edit reverted
+    assert rows_of(vt.snapshot()) == {1: ("keep", 1.0), 2: ("victim", 2.0)}
+    # the pre-restore state is still readable as-of (append-only restore)
+    assert rows_of(vt.snapshot(pre_restore)) == {1: ("edited", 9.0), 3: ("later", 3.0)}
