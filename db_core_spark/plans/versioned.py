@@ -307,6 +307,15 @@ class VersionedTable:
         )
         return self.spark.createDataFrame([], full)
 
+    def _pad_missing(self, df: DataFrame) -> DataFrame:
+        """Schema evolution: files written before an alter_add_column lack
+        the new columns; reads null-fill them (latest schema governs every
+        read, Delta-style)."""
+        for f in self.schema.fields:
+            if f.name not in df.columns:
+                df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+        return df
+
     def _versions(self, as_of: int | None) -> DataFrame:
         """All visible row versions with (_csn,_opseq,_deleted) attached."""
         ops = self._committed_ops(as_of)
@@ -317,16 +326,29 @@ class VersionedTable:
         ckpt_dirs = [o["dir"] for o in ops if o["checkpoint"]]
         if ckpt_dirs:
             # checkpoint files carry physical _csn/_opseq columns already;
+            # single uniform-schema dir, so inference + null-padding is safe;
             # the select drops the bucket partition-dir column if bucketed
             parts.append(
-                self.spark.read.parquet(*ckpt_dirs).select(
+                self._pad_missing(self.spark.read.parquet(*ckpt_dirs)).select(
                     *[f.name for f in self.schema.fields], *META_COLS
                 )
             )
         if delta_dirs:
-            df = self.spark.read.option("basePath", self._data_dir).parquet(
-                *[o["dir"] for o in delta_dirs]
-            )
+            # EXPLICIT read schema, not inference: after alter_add_column the
+            # op dirs have mixed schemas, and inference samples one file — a
+            # sampled OLD file would silently drop the new column from NEW
+            # files. The explicit schema null-fills it per-file instead.
+            read_fields = list(self.schema.fields) + [
+                T.StructField("_deleted", T.BooleanType()),
+                T.StructField("_opseq", T.LongType()),
+                T.StructField("tsn", T.StringType()),
+                T.StructField("opseq", T.IntegerType()),
+            ]
+            if self.num_buckets > 0:
+                read_fields.append(T.StructField("bucket", T.IntegerType()))
+            df = self.spark.read.schema(T.StructType(read_fields)).option(
+                "basePath", self._data_dir
+            ).parquet(*[o["dir"] for o in delta_dirs])
             # partition discovery yields tsn/opseq dir columns; map tsn->csn
             # via a broadcast join on the (tiny) manifest map
             mapping = self.spark.createDataFrame(
@@ -471,6 +493,33 @@ class VersionedTable:
         os.replace(tmp, ptr)
         return csn
 
+    def alter_add_column(self, name: str, data_type: T.DataType) -> None:
+        """Schema evolution: append a nullable column (the closest analog of
+        the reference's schema-less flexibility — clients there reinterpret
+        bytes at will; here the schema widens, never breaks). The LATEST
+        schema governs every read including as-of time travel
+        (Delta-style): rows written before the alter read back with the new
+        column null on both read engines. Existing files are never
+        rewritten. Drops/renames are deliberately unsupported — they would
+        change the meaning of already-written bytes."""
+        if name in self.schema.fieldNames():
+            raise ValueError(f"column {name!r} already exists")
+        if name == "bucket" or name in META_COLS:
+            raise ValueError(f"column name {name!r} is reserved")
+        if name in ("tsn", "opseq"):
+            raise ValueError(f"column name {name!r} collides with the physical layout")
+        new_schema = T.StructType(
+            list(self.schema.fields) + [T.StructField(name, data_type, True)]
+        )
+        meta_path = os.path.join(self.path, "_meta.json")
+        meta = json.load(open(meta_path))
+        meta["schema"] = new_schema.jsonValue()
+        tmp = meta_path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, meta_path)
+        self.schema = new_schema
+
     def restore(self, as_of_csn: int) -> int:
         """RESTORE the table to an earlier snapshot as a NEW commit — the
         append-only analog of the reference's checkpoint restore
@@ -499,6 +548,12 @@ class VersionedTable:
         while new writes land under the new layout immediately. Old-layout
         files are reclaimed by the next vacuum once outside retention.
         Returns the checkpoint csn (0 if the table is empty)."""
+        if self.num_buckets <= 0:
+            raise ValueError(
+                "rebucket from an unbucketed legacy layout is unsupported "
+                "(mixed partition structures cannot share one scan); "
+                "recreate the table bucketed instead"
+            )
         bucket_cols = list(bucket_cols) if bucket_cols is not None else self.bucket_cols
         if not set(bucket_cols) <= set(self.key_cols):
             raise ValueError(f"bucket_cols {bucket_cols} must be a subset of key_cols")

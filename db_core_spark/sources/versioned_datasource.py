@@ -137,16 +137,32 @@ def _committed_ops(path: str, as_of: int | None) -> list[dict]:
     return ops
 
 
-def _op_table_dir(dir_path: str, op: dict, data_cols: list[str]):
+def _op_table_dir(dir_path: str, op: dict, data_cols: list[str], data_schema=None):
     """Load one directory (an op dir, or one bucket=<b>/ subdir of it) as a
     pyarrow table with _csn/_opseq/_deleted attached. Op part files
     physically carry (data cols, _deleted, _opseq); checkpoints carry _csn
-    too. Column projection happens at the parquet reader."""
+    too. Column projection happens at the parquet reader. Columns added by
+    alter_add_column after this op was written are null-filled (pass
+    `data_schema` to type the fill)."""
     import pyarrow as pa
     import pyarrow.dataset as pads
 
     want = data_cols + ["_deleted", "_opseq"] + (["_csn"] if op["checkpoint"] else [])
-    tbl = pads.dataset(dir_path, format="parquet").to_table(columns=want)
+    ds = pads.dataset(dir_path, format="parquet")
+    avail = set(ds.schema.names)
+    present = [c for c in want if c in avail]
+    tbl = ds.to_table(columns=present)
+    missing = [c for c in want if c not in avail]
+    if missing:
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow_types = {
+            f.name: f.type for f in to_arrow_schema(data_schema)
+        } if data_schema is not None else {}
+        for c in missing:
+            tbl = tbl.append_column(
+                c, pa.nulls(len(tbl), type=arrow_types.get(c, pa.null()))
+            )
     if not op["checkpoint"]:
         tbl = tbl.append_column(
             "_csn", pa.array([op["csn"]] * len(tbl), type=pa.int64())
@@ -272,7 +288,7 @@ class VersionedSnapshotReader(DataSourceReader):
             return
         tables = []
         for d, op, pruned in self.dirs_for_partition(partition):
-            tbl = _op_table_dir(d, op, data_cols)
+            tbl = _op_table_dir(d, op, data_cols, data_schema=self.data_schema)
             if pruned:
                 b = int(os.path.basename(d).split("=", 1)[1])
                 tbl = tbl.append_column(
@@ -396,6 +412,7 @@ class VersionedChangeStreamReader(DataSourceStreamReader):
             partition.dir,
             {"csn": partition.csn, "checkpoint": False},
             data_cols,
+            data_schema=self.data_schema,
         )
         for row in tbl.select(data_cols).to_pylist():
             yield tuple(row[c] for c in data_cols) + (partition.csn, partition.kind)

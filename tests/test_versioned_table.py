@@ -471,3 +471,54 @@ def test_restore_resurrects_earlier_state(vt, spark):
     assert rows_of(vt.snapshot()) == {1: ("keep", 1.0), 2: ("victim", 2.0)}
     # the pre-restore state is still readable as-of (append-only restore)
     assert rows_of(vt.snapshot(pre_restore)) == {1: ("edited", 9.0), 3: ("later", 3.0)}
+
+
+def test_alter_add_column_schema_evolution(vt, spark):
+    """Schema evolution: after alter_add_column, rows written earlier read
+    back with the new column null on BOTH engines (bucketed in-partition
+    reader and JVM window fold), through checkpoints, as-of reads, and the
+    CDC reader; new commits carry values. Existing files are not
+    rewritten."""
+    import pytest as _pytest
+
+    t = vt.begin()
+    t.upsert(spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)], SCHEMA))
+    c1 = t.commit()
+    vt.alter_add_column("note", T.StringType())
+    with _pytest.raises(ValueError):
+        vt.alter_add_column("note", T.StringType())
+    with _pytest.raises(ValueError):
+        vt.alter_add_column("bucket", T.StringType())
+    new_schema = vt.schema
+    t = vt.begin()
+    t.upsert(
+        spark.createDataFrame([(2, "b2", 2.5, "edited"), (3, "c", 3.0, "fresh")], new_schema)
+    )
+    t.commit()
+
+    def rows_with_note(df):
+        return {r.k: (r.v, r.note) for r in df.collect()}
+
+    want = {1: ("a", None), 2: ("b2", "edited"), 3: ("c", "fresh")}
+    assert rows_with_note(vt.snapshot()) == want
+    assert rows_with_note(vt.snapshot(engine="window")) == want
+    # as-of before the alter: latest schema governs, old rows padded
+    assert rows_with_note(vt.snapshot(c1)) == {1: ("a", None), 2: ("b", None)}
+    # checkpoint folds mixed-schema ops; reads stay correct after
+    vt.checkpoint()
+    assert rows_with_note(vt.snapshot()) == want
+    t = vt.begin()
+    t.upsert(spark.createDataFrame([(4, "d", 4.0, None)], new_schema))
+    t.commit()
+    assert rows_with_note(vt.snapshot())[4] == ("d", None)
+    # CDC backfill across the alter pads old commits too
+    from db_core_spark.sources.versioned_datasource import VersionedChangeStreamReader
+
+    rdr = VersionedChangeStreamReader(new_schema, {"path": vt.path})
+    rows = [r for p in rdr.partitions({"csn": 0}, {"csn": 2}) for r in rdr.read(p)]
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r[0], []).append(r)
+    # old commit rows have None note at position 3 (k, v, amount, note, csn, kind)
+    assert all(r[3] is None for r in by_key[1])
+    assert any(r[3] == "edited" for r in by_key[2])
