@@ -84,7 +84,11 @@ def bucket_expr(cols: list[str], num_buckets: int) -> F.Column:
 
 
 def bucket_of_py(values, num_buckets: int) -> int:
-    """Python twin of bucket_expr — identical canonicalization, zlib.crc32."""
+    """Python twin of bucket_expr — identical canonicalization, zlib.crc32.
+    Property-tested elementwise against the JVM expression across ints,
+    strings, NULLs, booleans, dates and timestamps
+    (tests/test_scale_patterns.py)."""
+    import datetime as _dt
     import zlib
 
     def canon(v):
@@ -92,6 +96,13 @@ def bucket_of_py(values, num_buckets: int) -> int:
             return "None"
         if isinstance(v, bool):
             return "true" if v else "false"  # JVM casts booleans lowercase
+        if isinstance(v, _dt.datetime):
+            # JVM timestamp->string trims trailing zeros of the fraction
+            # and omits it entirely at .000000; python str() keeps 6 digits
+            s = v.strftime("%Y-%m-%d %H:%M:%S")
+            if v.microsecond:
+                s += "." + f"{v.microsecond:06d}".rstrip("0")
+            return s
         return str(v)
 
     s = "\x00".join(canon(v) for v in values)

@@ -96,3 +96,42 @@ def test_hll_sketch_merge_identity_and_accuracy(spark):
     assert abs(whole - merged) / exact < 0.01
     assert abs(whole - exact) / exact < 0.05
     assert abs(merged - exact) / exact < 0.05
+
+
+def test_bucket_hash_jvm_python_equivalence(spark):
+    """bucket_expr (JVM crc32 of the canonical string) and bucket_of_py
+    (zlib.crc32) MUST agree for every supported key type — the invariant
+    the whole bucketed layout rests on. Checked elementwise over ints
+    (incl. negatives/extremes), strings (unicode, NUL-adjacent), NULLs,
+    booleans, dates and timestamps, in one Spark job."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from db_core_spark.plans.versioned import bucket_expr, bucket_of_py
+
+    rows = [
+        (0, "a", True, dt.datetime(2020, 1, 1, 0, 0, 0)),
+        (-1, "", False, dt.datetime(2020, 1, 1, 12, 34, 56, 789000)),
+        (2**62, "héllo wörld", True, dt.datetime(1999, 12, 31, 23, 59, 59)),
+        (-(2**62), "x" * 500, False, dt.datetime(2024, 2, 29, 6, 7, 8, 123456)),
+        (42, None, None, None),
+        (7, "None", True, dt.datetime(1970, 1, 1)),
+        (8, "tab\tand\nnewline", False, dt.datetime(2030, 6, 15, 1, 2, 3)),
+    ] + [(i * 7919, f"key_{i}", i % 2 == 0, dt.datetime(2021, 1, 1) + dt.timedelta(hours=i)) for i in range(200)]
+    schema = T.StructType(
+        [
+            T.StructField("a", T.LongType()),
+            T.StructField("b", T.StringType()),
+            T.StructField("c", T.BooleanType()),
+            T.StructField("d", T.TimestampType()),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    B = 64
+    got = df.select(
+        "a", "b", "c", "d", bucket_expr(["a", "b", "c", "d"], B).alias("jvm")
+    ).collect()
+    for r in got:
+        py = bucket_of_py([r.a, r.b, r.c, r.d], B)
+        assert py == r.jvm, (r.a, r.b, r.c, r.d, py, r.jvm)
