@@ -793,6 +793,20 @@ class Transaction:
                 ).mode("errorifexists").parquet(out_dir)
             else:
                 full.write.mode("errorifexists").parquet(out_dir)
+            # an op that staged ZERO rows (empty upsert / delete of nothing)
+            # writes no parquet files under partitionBy — referencing its
+            # dir would break every reader, so it is dropped from the
+            # manifest (the commit still publishes, possibly with ops: [])
+            has_files = any(
+                f.endswith(".parquet")
+                for _, _, files in os.walk(out_dir)
+                for f in files
+            )
+            if not has_files:
+                import shutil  # noqa: PLC0415
+
+                shutil.rmtree(out_dir, ignore_errors=True)
+                continue
             ops_meta.append(
                 {"dir": out_dir, "opseq": op.opseq, "kind": op.kind,
                  "buckets": t.num_buckets}

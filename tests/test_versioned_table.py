@@ -522,3 +522,27 @@ def test_alter_add_column_schema_evolution(vt, spark):
     # old commit rows have None note at position 3 (k, v, amount, note, csn, kind)
     assert all(r[3] is None for r in by_key[1])
     assert any(r[3] == "edited" for r in by_key[2])
+
+
+def test_empty_op_commit_is_harmless(vt, spark):
+    """An op that stages zero rows (empty upsert, delete of nothing) must
+    not leave a file-less dir in the manifest — both read engines and the
+    CDC reader keep working, and the commit still claims its csn."""
+    t = vt.begin()
+    t.upsert(spark.createDataFrame([(1, "a", 1.0)], SCHEMA))
+    t.commit()
+    t = vt.begin()
+    t.upsert(spark.createDataFrame([], SCHEMA))
+    t.delete_keys([])
+    assert t.commit() == 2
+    assert rows_of(vt.snapshot()) == {1: ("a", 1.0)}
+    assert rows_of(vt.snapshot(engine="window")) == {1: ("a", 1.0)}
+    from db_core_spark.sources.versioned_datasource import VersionedChangeStreamReader
+
+    rdr = VersionedChangeStreamReader(SCHEMA, {"path": vt.path})
+    rows = [r for p in rdr.partitions({"csn": 0}, {"csn": 2}) for r in rdr.read(p)]
+    assert [(r[0], r[3]) for r in rows] == [(1, 1)]
+    # and life continues on top of the empty commit
+    t = vt.begin()
+    t.upsert(spark.createDataFrame([(2, "b", 2.0)], SCHEMA))
+    assert t.commit() == 3
