@@ -45,6 +45,14 @@ class EngineConfig:
     #: optimistic-commit retries for streaming sinks (the optimistic analog
     #: of pessimistic lock wait timeouts, tran_mgr.rs:108-127)
     conflict_retry_attempts: int = 5
+    #: bounded-pending window for multi-table group commits: a reader that
+    #: finds a per-table manifest whose group marker is still undecided
+    #: waits until the manifest is this old, then force-aborts the group
+    #: (decide-by-atomic-link, first writer wins). Must exceed the healthy
+    #: gap between per-table manifest publish and the group marker publish
+    #: (seconds); the analog of the reference's lock wait timeout
+    #: (tran_mgr.rs:108-127) applied to the commit point itself.
+    group_pending_grace_seconds: float = 60.0
 
 
 DEFAULT_CONFIG = EngineConfig()

@@ -11,3 +11,4 @@ from db_core_spark.plans.versioned import (  # noqa: F401
     VersionedTable,
 )
 from db_core_spark.plans.objects import ObjectStore  # noqa: F401
+from db_core_spark.plans.group import Database, GroupTransaction  # noqa: F401

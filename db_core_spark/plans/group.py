@@ -1,0 +1,259 @@
+"""Multi-table group transactions — one atomic commit spanning several
+VersionedTables.
+
+Reference parity: a db-core transaction writes MANY objects across MANY
+files and commits them with one WAL commit record
+(/root/reference/src/system/instance.rs:102-111 — the commit csn covers
+every Vector the txn logged, src/log_mgr/io.rs:75-217). The per-table
+Transaction in plans/versioned.py only covers one table; this module
+restores the reference's cross-object atomicity for the multi-table case.
+
+Protocol (commit-marker, decide-by-atomic-link):
+
+1. STAGE    — every table txn writes its data files (invisible: no
+              manifest yet). Mirrors the WAL-buffered writes before the
+              commit record (src/log_mgr/buf.rs).
+2. CLAIM    — each table txn claims its csn by publishing its manifest
+              with a ``group: {dir, id}`` field. Such a manifest is
+              INVISIBLE to every reader until the group marker exists
+              (plans/versioned.py resolve_group_status).
+3. DECIDE   — publish ``<group_dir>/<gid>.json`` with status=committed by
+              atomic hard-link: the single commit point for the whole
+              group — it either exists or it doesn't, exactly like the
+              flush of the reference's commit record (instance.rs:212-219).
+              On any claim failure (conflict in table k of n), the
+              coordinator links status=aborted instead: tables that
+              already claimed keep their manifests as hole-filling empty
+              commits (csn contiguity preserved, data never visible).
+
+Crash safety: a coordinator that dies between CLAIM and DECIDE leaves
+pending manifests; any reader that needs the affected csn window waits
+out ``group_pending_grace_seconds`` and then force-aborts by linking the
+marker itself — first link wins, the decision is immutable, so every
+reader and every future as-of read agrees forever (bounded-pending
+window; the optimistic analog of tran_mgr.rs:108-127 lock-wait timeouts).
+
+Cross-table consistency: both tables' rows from one group commit become
+visible atomically — a reader can never see table A's half without table
+B's, because both manifests consult the same marker file.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, types as T
+
+from db_core_spark.config import DEFAULT_CONFIG, EngineConfig
+from db_core_spark.plans.versioned import (
+    ConflictError,
+    Transaction,
+    VersionedTable,
+    publish_manifest,
+)
+
+
+class Database:
+    """A directory of VersionedTables sharing one group-commit log
+    (``_groupcommits/``) — the unit within which multi-table transactions
+    are atomic. Mirrors the reference's single datastore containing many
+    objects (src/storage/datastore.rs:777-782: one store, many files)."""
+
+    def __init__(self, spark: SparkSession, path: str, config: EngineConfig | None = None):
+        self.spark = spark
+        self.path = path
+        self.config = config or DEFAULT_CONFIG
+        self.group_dir = os.path.join(path, "_groupcommits")
+        if not os.path.isdir(self.group_dir):
+            raise FileNotFoundError(f"{path} is not a Database (no _groupcommits/)")
+        self._tables: dict[str, VersionedTable] = {}
+
+    @classmethod
+    def create(
+        cls, spark: SparkSession, path: str, config: EngineConfig | None = None
+    ) -> "Database":
+        os.makedirs(os.path.join(path, "_groupcommits"), exist_ok=False)
+        return cls(spark, path, config=config)
+
+    def create_table(
+        self,
+        name: str,
+        key_cols: list[str],
+        schema: T.StructType,
+        num_buckets: int | None = None,
+        bucket_cols: list[str] | None = None,
+    ) -> VersionedTable:
+        t = VersionedTable.create(
+            self.spark,
+            os.path.join(self.path, name),
+            key_cols=key_cols,
+            schema=schema,
+            num_buckets=num_buckets,
+            bucket_cols=bucket_cols,
+            config=self.config,
+        )
+        self._tables[name] = t
+        return t
+
+    def table(self, name: str) -> VersionedTable:
+        if name not in self._tables:
+            self._tables[name] = VersionedTable.open(
+                self.spark, os.path.join(self.path, name), config=self.config
+            )
+        return self._tables[name]
+
+    def table_names(self) -> list[str]:
+        return sorted(
+            d for d in os.listdir(self.path)
+            if os.path.isfile(os.path.join(self.path, d, "_meta.json"))
+        )
+
+    def begin(self) -> "GroupTransaction":
+        return GroupTransaction(self)
+
+    def snapshot_pin(self) -> dict[str, int]:
+        """A mutually consistent read point: {table: latest_csn} captured in
+        one pass. Because group commits become visible atomically (one
+        marker file), reading each table ``as_of`` its pinned csn can never
+        observe half of a group commit that straddles the pin."""
+        return {n: self.table(n).latest_csn() for n in self.table_names()}
+
+    def vacuum_groups(self, retain_seconds: float | None = None) -> int:
+        """Reclaim group marker files no longer referenced by any live
+        manifest of any table in the database AND older than the retention
+        window. A marker must outlive every manifest that points at it:
+        deleting a still-referenced committed marker would make readers
+        treat the group as pending and force-abort it — so referenced gids
+        are never touched, regardless of age."""
+        if retain_seconds is None:
+            retain_seconds = self.config.version_retain_seconds
+        live: set[str] = set()
+        for n in self.table_names():
+            t = self.table(n)
+            for m in t._manifests():
+                g = m.get("group")
+                if g is not None:
+                    live.add(g["id"])
+        cutoff = time.time() - retain_seconds
+        removed = 0
+        for f in os.listdir(self.group_dir):
+            if not f.endswith(".json"):
+                continue
+            gid = f[:-5]
+            p = os.path.join(self.group_dir, f)
+            if gid in live or os.path.getmtime(p) >= cutoff:
+                continue
+            os.remove(p)
+            removed += 1
+        return removed
+
+
+class GroupTransaction:
+    """One atomic transaction across several tables of a Database. Per-table
+    ops (upsert/delete_keys/merge/read) delegate to a private per-table
+    Transaction, so read-your-own-writes and conflict semantics are
+    inherited unchanged; only the commit point is shared."""
+
+    def __init__(self, db: Database):
+        self.db = db
+        self.gid = "g" + uuid.uuid4().hex[:16]
+        self._txns: dict[str, Transaction] = {}
+        self._done = False
+
+    def txn(self, name: str) -> Transaction:
+        """The per-table sub-transaction (begun lazily at first touch,
+        pinning that table's snapshot — instance.rs:88-99)."""
+        self._check_open()
+        if name not in self._txns:
+            self._txns[name] = self.db.table(name).begin()
+        return self._txns[name]
+
+    # ------------------------------------------------------------- op sugar
+
+    def upsert(self, name: str, df: DataFrame) -> None:
+        self.txn(name).upsert(df)
+
+    def delete_keys(self, name: str, keys) -> None:
+        self.txn(name).delete_keys(keys)
+
+    def merge(self, name: str, source: DataFrame, **kwargs) -> None:
+        self.txn(name).merge(source, **kwargs)
+
+    def read(self, name: str) -> DataFrame:
+        return self.txn(name).read()
+
+    # --------------------------------------------------------------- commit
+
+    def commit(self) -> dict[str, int]:
+        """Atomically commit every touched table; returns {table: csn}.
+        Raises ConflictError (whole group aborted, no table's data visible)
+        if any table's optimistic check fails — retry the group."""
+        self._check_open()
+        self._done = True
+        touched = {n: t for n, t in self._txns.items() if t._ops}
+        for t in touched.values():
+            t._done = True
+        if not touched:
+            return {}
+        if len(touched) == 1:
+            # degenerate group: a single-table commit IS already atomic;
+            # skip the marker round-trip entirely
+            (name, txn), = touched.items()
+            ops_meta, keys = txn._stage()
+            return {name: txn._claim(ops_meta, keys)}
+        # 1. STAGE everything before claiming anything: a conflict found
+        # while staging table k must not leave tables 1..k-1 published
+        staged = {n: t._stage() for n, t in touched.items()}
+        group_field = {"dir": self.db.group_dir, "id": self.gid}
+        claimed: dict[str, int] = {}
+        try:
+            # 2. CLAIM per-table csns; manifests carry the group field and
+            # are invisible until the marker decides
+            for name, txn in touched.items():
+                ops_meta, keys = staged[name]
+                claimed[name] = txn._claim(ops_meta, keys, extra={"group": group_field})
+        except Exception:
+            # 3a. DECIDE: abort. Already-claimed manifests stay as empty
+            # commits; never-claimed tables just delete their staged files.
+            publish_manifest(
+                self.db.group_dir, f"{self.gid}.json",
+                {"status": "aborted", "ts": time.time(), "by": "coordinator"},
+            )
+            for name, txn in touched.items():
+                if name not in claimed:
+                    shutil.rmtree(
+                        os.path.join(txn.table._data_dir, f"tsn={txn.tsn}"),
+                        ignore_errors=True,
+                    )
+            raise
+        # 3b. DECIDE: commit — the single atomic publish for the whole group
+        if not publish_manifest(
+            self.db.group_dir, f"{self.gid}.json",
+            {"status": "committed", "ts": time.time(), "by": "coordinator"},
+        ):
+            # lost the decide race: a reader force-aborted us (we exceeded
+            # the pending grace window). The abort is immutable — honor it.
+            with open(os.path.join(self.db.group_dir, f"{self.gid}.json")) as f:
+                status = json.load(f)["status"]
+            if status != "committed":
+                raise ConflictError(
+                    f"group {self.gid}: force-aborted by a reader after exceeding "
+                    "the pending grace window; retry the group"
+                )
+        return claimed
+
+    def rollback(self) -> None:
+        """Discard all staged files across tables; nothing was published."""
+        self._check_open()
+        self._done = True
+        for txn in self._txns.values():
+            if not txn._done:
+                txn.rollback()
+
+    def _check_open(self) -> None:
+        if self._done:
+            raise RuntimeError("group transaction already committed or rolled back")

@@ -129,6 +129,43 @@ def publish_manifest(log_dir: str, name: str, manifest: dict) -> bool:
         os.remove(tmp)
 
 
+def resolve_group_status(group: dict, manifest_ts: float, grace: float) -> str:
+    """Resolve a group-commit marker to 'committed' or 'aborted' — the
+    visibility decision point for multi-table transactions.
+
+    Protocol (see plans/group.py): per-table manifests carrying a `group`
+    field are invisible until `<group.dir>/<group.id>.json` exists; that
+    marker is published by atomic hard-link, first writer wins, and is
+    immutable afterwards — so once decided, every reader (and every future
+    as-of read) sees the same answer forever.
+
+    A still-undecided marker means the coordinator is between its per-table
+    claims and the marker publish — or died there. We poll until the
+    manifest is `grace` seconds old, then force-abort by publishing the
+    marker ourselves (the optimistic analog of the reference's lock wait
+    timeout, tran_mgr.rs:108-127: a reader never blocks forever on a dead
+    writer). If the coordinator wins the link race at the last moment, its
+    'committed' stands and we honor it."""
+    path = os.path.join(group["dir"], f"{group['id']}.json")
+    deadline = manifest_ts + grace
+    while True:
+        try:
+            with open(path) as f:
+                return json.load(f)["status"]
+        except (FileNotFoundError, json.JSONDecodeError):
+            pass
+        if time.time() >= deadline:
+            publish_manifest(
+                group["dir"], f"{group['id']}.json",
+                {"status": "aborted", "ts": time.time(), "by": "reader-timeout"},
+            )
+            # read back: the publish may have lost the race to the
+            # coordinator's 'committed' — whichever linked first is truth
+            with open(path) as f:
+                return json.load(f)["status"]
+        time.sleep(0.05)
+
+
 @dataclass
 class _Op:
     kind: str  # "upsert" | "delete"
@@ -300,6 +337,16 @@ class VersionedTable:
             if is_ck or csn <= lo:
                 continue
             m = self._read_manifest(name)
+            if m.get("group") is not None:
+                # multi-table commit: visible iff the group marker says
+                # committed; an aborted group's manifest stays as a
+                # hole-filling empty commit (csn contiguity preserved)
+                status = resolve_group_status(
+                    m["group"], m.get("ts", 0.0),
+                    self.config.group_pending_grace_seconds,
+                )
+                if status != "committed":
+                    continue
             for op in m["ops"]:
                 ops.append(
                     {"dir": op["dir"], "csn": m["csn"], "opseq": op["opseq"],
@@ -775,8 +822,15 @@ class Transaction:
         self._done = True
         if not self._ops:
             return self.start_csn
+        ops_meta, my_keys = self._stage()
+        return self._claim(ops_meta, my_keys, max_csn_attempts, extra)
+
+    def _stage(self) -> tuple[list[dict], set[tuple] | None]:
+        """Phase 1 of commit: write every op's data files (invisible until a
+        manifest publishes) and collect the write-set. Split out so a
+        multi-table GroupTransaction can stage ALL tables before claiming
+        any csn (plans/group.py)."""
         t = self.table
-        # 1. write data files (invisible until the manifest publishes)
         ops_meta = []
         my_keys: set[tuple] | None = set()
         for op in self._ops:
@@ -831,7 +885,18 @@ class Transaction:
                     if len(my_keys) > cap:
                         my_keys = None  # degrade: conflicts with anything
                         break
-        # 2. claim a csn
+        return ops_meta, my_keys
+
+    def _claim(
+        self,
+        ops_meta: list[dict],
+        my_keys: set[tuple] | None,
+        max_csn_attempts: int = 50,
+        extra: dict | None = None,
+    ) -> int:
+        """Phase 2 of commit: claim the next csn by atomic manifest publish,
+        conflict-checking the (start_csn, candidate) window on every attempt."""
+        t = self.table
         for _ in range(max_csn_attempts):
             candidate = t.latest_csn() + 1
             self._check_conflicts(my_keys, upto=candidate)
@@ -898,6 +963,17 @@ class Transaction:
             if is_ck or csn <= self.start_csn or csn >= upto:
                 continue
             m = self.table._read_manifest(name)
+            if m.get("group") is not None:
+                # a concurrent multi-table commit only conflicts if its
+                # group actually committed; pending groups are resolved
+                # first (bounded wait + force-abort) so the check is never
+                # one-eyed
+                status = resolve_group_status(
+                    m["group"], m.get("ts", 0.0),
+                    self.table.config.group_pending_grace_seconds,
+                )
+                if status != "committed":
+                    continue
             theirs = m.get("write_keys")
             if my_keys is None or theirs is None:
                 raise ConflictError(

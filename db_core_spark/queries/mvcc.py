@@ -212,3 +212,79 @@ def versioned_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t0.commit()
     target = o.agg(F.min("o_custkey")).first()[0]
     return vt.lookup({"key": int(target)})
+
+
+@query(
+    "group_txn_two_tables",
+    oracle="""
+    SELECT 'evens' AS side, o_custkey AS key, MAX(o_orderkey) AS hi,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders WHERE o_orderkey % 2 = 0 GROUP BY o_custkey
+    UNION ALL
+    SELECT 'odds' AS side, o_custkey AS key, MAX(o_orderkey) AS hi,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders WHERE o_orderkey % 2 = 1 GROUP BY o_custkey
+    """,
+    category="mvcc",
+)
+def group_txn_two_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table group transaction end-to-end: ONE atomic commit spans two
+    VersionedTables (plans/group.py — per-table manifests + a single
+    group-marker publish, the Spark analog of the reference's one WAL
+    commit record covering every object a txn wrote, instance.rs:102-111).
+    After the good group commits, a second group CLAIMS manifests on both
+    tables with poison rows but its coordinator 'crashes' before deciding;
+    readers force-abort it after the grace window, so the poison must be
+    invisible on BOTH tables. The oracle recomputes the committed state
+    relationally — any leaked poison row or half-visible group breaks the
+    hash."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from db_core_spark.config import EngineConfig
+    from db_core_spark.plans import Database
+
+    o = table(spark, sf_dir, "orders")
+
+    def slice_agg(parity: int) -> DataFrame:
+        return (
+            o.filter(F.col("o_orderkey") % 2 == parity)
+            .groupBy(F.col("o_custkey").alias("key"))
+            .agg(F.max("o_orderkey").alias("hi"), F.count(F.lit(1)).alias("n"))
+        )
+
+    schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("hi", T.LongType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    db = Database.create(
+        spark,
+        tempfile.mkdtemp(prefix="vt_group_") + "/db",
+        config=EngineConfig(group_pending_grace_seconds=0.2),
+    )
+    db.create_table("evens", key_cols=["key"], schema=schema)
+    db.create_table("odds", key_cols=["key"], schema=schema)
+    g = db.begin()
+    g.upsert("evens", slice_agg(0))
+    g.upsert("odds", slice_agg(1))
+    g.commit()
+    # a second group claims manifests on both tables, then its coordinator
+    # dies before publishing the marker: readers must force-abort it
+    poison = spark.createDataFrame([(-1, -1, -1)], schema)
+    dead = db.begin()
+    dead.upsert("evens", poison)
+    dead.upsert("odds", poison)
+    for name, txn in dead._txns.items():
+        ops_meta, keys = txn._stage()
+        txn._done = True
+        txn._claim(
+            ops_meta, keys, extra={"group": {"dir": db.group_dir, "id": dead.gid}}
+        )
+    dead._done = True
+    evens = db.table("evens").snapshot().withColumn("side", F.lit("evens"))
+    odds = db.table("odds").snapshot().withColumn("side", F.lit("odds"))
+    return evens.unionByName(odds).select("side", "key", "hi", "n")

@@ -128,6 +128,8 @@ def _committed_ops(path: str, as_of: int | None) -> list[dict]:
         if is_ck or csn <= lo:
             continue
         m = _read_manifest(path, name)
+        if not _group_visible(m):
+            continue
         for op in m["ops"]:
             ops.append(
                 {"dir": op["dir"], "csn": m["csn"], "opseq": op["opseq"],
@@ -135,6 +137,26 @@ def _committed_ops(path: str, as_of: int | None) -> list[dict]:
                  "buckets": op.get("buckets", 0)}
             )
     return ops
+
+
+def _group_visible(manifest: dict) -> bool:
+    """Multi-table commit visibility: a manifest carrying a `group` field
+    counts only if its group marker resolved to committed (pending groups
+    are force-resolved after the grace window — plans/versioned.py
+    resolve_group_status). Runs at planning time on the driver, same place
+    VersionedTable's own read path resolves it."""
+    if manifest.get("group") is None:
+        return True
+    from db_core_spark.config import DEFAULT_CONFIG
+    from db_core_spark.plans.versioned import resolve_group_status
+
+    return (
+        resolve_group_status(
+            manifest["group"], manifest.get("ts", 0.0),
+            DEFAULT_CONFIG.group_pending_grace_seconds,
+        )
+        == "committed"
+    )
 
 
 def _op_table_dir(dir_path: str, op: dict, data_cols: list[str], data_schema=None):
@@ -392,6 +414,8 @@ class VersionedChangeStreamReader(DataSourceStreamReader):
             if is_ck or not (lo < csn <= hi):
                 continue
             m = _read_manifest(self.path, name)
+            if not _group_visible(m):
+                continue  # aborted/force-aborted group: no change rows
             for op in m["ops"]:
                 bucket_dirs = (
                     sorted(
@@ -548,6 +572,8 @@ class VersionedAppendWriter(DataSourceWriter):
                 if is_ck or not (self.start_csn < csn < candidate):
                     continue
                 m = _read_manifest(self.path, name)
+                if not _group_visible(m):
+                    continue  # aborted multi-table commit: nothing to conflict with
                 theirs = m.get("write_keys")
                 if my_keys is None or theirs is None:
                     raise ConflictError(

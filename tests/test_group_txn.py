@@ -1,0 +1,283 @@
+"""Multi-table group transactions: atomicity, abort semantics, crash
+recovery via the bounded-pending force-abort, and conflict interaction with
+single-table writers.
+
+Reference parity: a db-core transaction spans many objects and commits with
+ONE WAL commit record (/root/reference/src/system/instance.rs:102-111);
+these tests pin the same all-or-nothing visibility for commits spanning
+VersionedTables (plans/group.py protocol docstring)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from db_core_spark.config import EngineConfig
+from db_core_spark.plans import ConflictError, Database, VersionedTable
+from db_core_spark.plans.versioned import resolve_group_status
+
+SCHEMA = T.StructType(
+    [T.StructField("k", T.LongType()), T.StructField("v", T.StringType())]
+)
+
+# tiny grace so pending-group resolution is fast in tests
+FAST = EngineConfig(group_pending_grace_seconds=0.2, num_buckets=4)
+
+
+@pytest.fixture
+def db(spark, tmp_path):
+    d = Database.create(spark, str(tmp_path / "db"), config=FAST)
+    d.create_table("a", key_cols=["k"], schema=SCHEMA)
+    d.create_table("b", key_cols=["k"], schema=SCHEMA)
+    return d
+
+
+def rows(spark, *pairs):
+    return spark.createDataFrame([(k, v) for k, v in pairs], SCHEMA)
+
+
+def state(db, name, as_of=None):
+    return {
+        (r.k, r.v) for r in db.table(name).snapshot(as_of_csn=as_of).collect()
+    }
+
+
+def test_group_commit_atomic_across_tables(db, spark):
+    g = db.begin()
+    g.upsert("a", rows(spark, (1, "a1"), (2, "a2")))
+    g.upsert("b", rows(spark, (10, "b1")))
+    csns = g.commit()
+    assert set(csns) == {"a", "b"}
+    assert state(db, "a") == {(1, "a1"), (2, "a2")}
+    assert state(db, "b") == {(10, "b1")}
+    # marker exists and is committed
+    gid = g.gid
+    status = json.load(open(os.path.join(db.group_dir, f"{gid}.json")))
+    assert status["status"] == "committed"
+
+
+def test_single_table_group_skips_marker(db, spark):
+    g = db.begin()
+    g.upsert("a", rows(spark, (1, "solo")))
+    csns = g.commit()
+    assert csns == {"a": 1}
+    # degenerate group publishes no marker at all
+    assert os.listdir(db.group_dir) == []
+    assert state(db, "a") == {(1, "solo")}
+
+
+def test_group_abort_on_conflict_leaves_no_half_commit(db, spark):
+    # seed table b, then open a group txn and a rival single-table txn
+    t0 = db.table("b").begin()
+    t0.upsert(rows(spark, (10, "base")))
+    t0.commit()
+
+    g = db.begin()
+    g.upsert("a", rows(spark, (1, "ga")))
+    g.upsert("b", rows(spark, (10, "gb")))  # will conflict
+
+    rival = db.table("b").begin()
+    rival.upsert(rows(spark, (10, "rival")))
+    rival.commit()
+
+    with pytest.raises(ConflictError):
+        g.commit()
+    # NOTHING from the group is visible — not even table a's half,
+    # whose manifest may have been claimed before b's conflict surfaced
+    assert state(db, "a") == set()
+    assert state(db, "b") == {(10, "rival")}
+    # the group marker records the abort
+    status = json.load(open(os.path.join(db.group_dir, f"{g.gid}.json")))
+    assert status["status"] == "aborted"
+
+
+def test_aborted_group_manifest_is_hole_filling_empty_commit(db, spark):
+    """After an aborted group, the affected table keeps committing normally:
+    the orphan manifest fills its csn slot so contiguity guards never fire."""
+    t0 = db.table("b").begin()
+    t0.upsert(rows(spark, (10, "base")))
+    t0.commit()
+    g = db.begin()
+    g.upsert("a", rows(spark, (1, "ga")))
+    g.upsert("b", rows(spark, (10, "gb")))
+    rival = db.table("b").begin()
+    rival.upsert(rows(spark, (10, "rival")))
+    rival.commit()
+    with pytest.raises(ConflictError):
+        g.commit()
+    # table a likely holds an aborted-group manifest at csn 1; new commits
+    # and as-of reads across that hole must work
+    t1 = db.table("a").begin()
+    t1.upsert(rows(spark, (2, "after")))
+    csn = t1.commit()
+    assert state(db, "a") == {(2, "after")}
+    assert state(db, "a", as_of=csn) == {(2, "after")}
+    # history/as-of below the hole also fine
+    names = [n for n in os.listdir(db.table("a")._log_dir) if n.endswith(".json")]
+    assert len(names) >= 2  # orphan + real commit
+
+
+def test_crashed_coordinator_force_aborted_by_reader(db, spark):
+    """Coordinator dies between CLAIM and DECIDE: manifests published, no
+    marker. A reader waits out the grace window and force-aborts."""
+    g = db.begin()
+    g.upsert("a", rows(spark, (1, "ga")))
+    g.upsert("b", rows(spark, (10, "gb")))
+    touched = {n: t for n, t in g._txns.items()}
+    staged = {n: t._stage() for n, t in touched.items()}
+    group_field = {"dir": db.group_dir, "id": g.gid}
+    for name, txn in touched.items():
+        ops_meta, keys = staged[name]
+        txn._done = True
+        txn._claim(ops_meta, keys, extra={"group": group_field})
+    # crash here: no marker. Readers resolve after grace (0.2 s).
+    assert state(db, "a") == set()
+    assert state(db, "b") == set()
+    status = json.load(open(os.path.join(db.group_dir, f"{g.gid}.json")))
+    assert status["status"] == "aborted"
+    # decision is immutable: repeated reads agree
+    assert state(db, "a") == set()
+
+
+def test_late_coordinator_loses_decide_race(db, spark):
+    """If a reader force-aborts first, the coordinator's commit() surfaces
+    ConflictError instead of silently claiming success."""
+    g = db.begin()
+    g.upsert("a", rows(spark, (1, "ga")))
+    g.upsert("b", rows(spark, (10, "gb")))
+    # pre-publish an abort marker (simulates the reader winning the race)
+    from db_core_spark.plans.versioned import publish_manifest
+
+    publish_manifest(
+        db.group_dir, f"{g.gid}.json", {"status": "aborted", "by": "test"}
+    )
+    with pytest.raises(ConflictError):
+        g.commit()
+    assert state(db, "a") == set()
+    assert state(db, "b") == set()
+
+
+def test_group_vs_single_table_conflict_detection(db, spark):
+    """A committed group's write-set participates in other writers'
+    optimistic checks; an aborted group's does not."""
+    g = db.begin()
+    g.upsert("a", rows(spark, (1, "ga")))
+    g.upsert("b", rows(spark, (10, "gb")))
+
+    loser = db.table("a").begin()  # pinned before the group commits
+    loser.upsert(rows(spark, (1, "loser")))
+
+    g.commit()
+    with pytest.raises(ConflictError):
+        loser.commit()
+
+    # disjoint keys sail through
+    winner = db.table("a").begin()
+    winner.upsert(rows(spark, (99, "ok")))
+    winner.commit()
+    assert state(db, "a") == {(1, "ga"), (99, "ok")}
+
+
+def test_group_read_your_own_writes_and_rollback(db, spark):
+    g = db.begin()
+    g.upsert("a", rows(spark, (1, "mine")))
+    seen = {(r.k, r.v) for r in g.read("a").collect()}
+    assert seen == {(1, "mine")}
+    g.rollback()
+    assert state(db, "a") == set()
+    # staged files gone
+    data = os.path.join(db.table("a")._data_dir)
+    assert not any(d.startswith("tsn=") for d in os.listdir(data))
+
+
+def test_cdc_stream_excludes_aborted_group(db, spark, tmp_path):
+    """CDC readers see change rows from committed groups only."""
+    g = db.begin()
+    g.upsert("a", rows(spark, (1, "ga")))
+    g.upsert("b", rows(spark, (10, "gb")))
+    g.commit()
+
+    # manufacture an aborted group manifest on table a
+    g2 = db.begin()
+    g2.upsert("a", rows(spark, (2, "dead")))
+    g2.upsert("b", rows(spark, (11, "dead")))
+    touched = {n: t for n, t in g2._txns.items()}
+    for name, txn in touched.items():
+        ops_meta, keys = txn._stage()
+        txn._done = True
+        txn._claim(
+            ops_meta, keys, extra={"group": {"dir": db.group_dir, "id": g2.gid}}
+        )
+    from db_core_spark.plans.versioned import publish_manifest
+
+    publish_manifest(db.group_dir, f"{g2.gid}.json", {"status": "aborted"})
+
+    from db_core_spark.sources import register_versioned_format
+
+    register_versioned_format(spark)
+    sink = str(tmp_path / "cdc_sink")
+    ckpt = str(tmp_path / "cdc_ckpt")
+    (
+        spark.readStream.format("versioned")
+        .option("path", db.table("a").path)
+        .option("readChanges", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    got = {(r.k, r.v) for r in spark.read.parquet(sink).collect()}
+    assert got == {(1, "ga")}
+
+
+def test_snapshot_pin_is_cross_table_consistent(db, spark):
+    g = db.begin()
+    g.upsert("a", rows(spark, (1, "v1")))
+    g.upsert("b", rows(spark, (10, "w1")))
+    g.commit()
+    pin = db.snapshot_pin()
+    # later commits invisible at the pin
+    g2 = db.begin()
+    g2.upsert("a", rows(spark, (2, "v2")))
+    g2.upsert("b", rows(spark, (20, "w2")))
+    g2.commit()
+    assert state(db, "a", as_of=pin["a"]) == {(1, "v1")}
+    assert state(db, "b", as_of=pin["b"]) == {(10, "w1")}
+
+
+def test_vacuum_groups_keeps_referenced_markers(db, spark):
+    g = db.begin()
+    g.upsert("a", rows(spark, (1, "ga")))
+    g.upsert("b", rows(spark, (10, "gb")))
+    g.commit()
+    # marker referenced by live manifests: survives even with retention 0
+    assert db.vacuum_groups(retain_seconds=0.0) == 0
+    assert os.path.exists(os.path.join(db.group_dir, f"{g.gid}.json"))
+    # checkpoint + vacuum both tables so the manifests disappear
+    for n in ("a", "b"):
+        db.table(n).checkpoint()
+        db.table(n).vacuum(retain_seconds=0.0)
+    assert db.vacuum_groups(retain_seconds=0.0) == 1
+    assert not os.path.exists(os.path.join(db.group_dir, f"{g.gid}.json"))
+    # data still reads correctly from the checkpoint
+    assert state(db, "a") == {(1, "ga")}
+    assert state(db, "b") == {(10, "gb")}
+
+
+def test_resolve_group_status_commit_wins_race(db, tmp_path):
+    """Marker decisions are first-link-wins and immutable."""
+    from db_core_spark.plans.versioned import publish_manifest
+
+    gid = "gtest"
+    publish_manifest(db.group_dir, f"{gid}.json", {"status": "committed"})
+    # a reader trying to force-abort reads back the committed decision
+    s = resolve_group_status(
+        {"dir": db.group_dir, "id": gid}, manifest_ts=0.0, grace=0.0
+    )
+    assert s == "committed"
