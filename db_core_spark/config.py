@@ -45,6 +45,12 @@ class EngineConfig:
     #: optimistic-commit retries for streaming sinks (the optimistic analog
     #: of pessimistic lock wait timeouts, tran_mgr.rs:108-127)
     conflict_retry_attempts: int = 5
+    #: capture CDC before-images at commit time: updates emit
+    #: update_preimage rows and deletes carry the old column values, so a
+    #: downstream incremental materialized view can retract aggregates
+    #: without keeping its own key state. Costs one key-pruned snapshot
+    #: read per commit — off by default.
+    cdc_preimages: bool = False
     #: bounded-pending window for multi-table group commits: a reader that
     #: finds a per-table manifest whose group marker is still undecided
     #: waits until the manifest is this old, then force-aborts the group

@@ -704,6 +704,8 @@ class Transaction:
         self.start_csn = start_csn
         self._ops: list[_Op] = []
         self._done = False
+        # None = follow table.config.cdc_preimages
+        self._capture_preimages: bool | None = None
 
     # ------------------------------------------------------------------ ops
 
@@ -811,17 +813,26 @@ class Transaction:
 
     # --------------------------------------------------------------- commit
 
-    def commit(self, max_csn_attempts: int = 50, extra: dict | None = None) -> int:
+    def commit(
+        self,
+        max_csn_attempts: int = 50,
+        extra: dict | None = None,
+        capture_preimages: bool | None = None,
+    ) -> int:
         """Write staged files, then claim the next csn by atomic manifest
         publish. Conflict rule: if any manifest in (start_csn, claimed_csn)
         has a write-set overlapping ours -> ConflictError (optimistic
         replacement for tran_mgr object locks; lost-update test passes via
         caller retry). `extra` merges additional fields into the manifest
-        (e.g. streaming writer/epoch identity for exactly-once sinks)."""
+        (e.g. streaming writer/epoch identity for exactly-once sinks).
+        `capture_preimages` overrides config.cdc_preimages for this commit
+        (see _stage)."""
         self._check_open()
         self._done = True
         if not self._ops:
             return self.start_csn
+        if capture_preimages is not None:
+            self._capture_preimages = capture_preimages
         ops_meta, my_keys = self._stage()
         return self._claim(ops_meta, my_keys, max_csn_attempts, extra)
 
@@ -829,8 +840,25 @@ class Transaction:
         """Phase 1 of commit: write every op's data files (invisible until a
         manifest publishes) and collect the write-set. Split out so a
         multi-table GroupTransaction can stage ALL tables before claiming
-        any csn (plans/group.py)."""
+        any csn (plans/group.py).
+
+        CDC before-images (config.cdc_preimages or commit(capture_preimages=
+        True)): for each op, the previous values of the op's keys — folded
+        through EARLIER ops of the same txn, so multi-op txns retract
+        correctly — are written to an `_preimg/` subdir of the op dir.
+        Underscore-prefixed, so every snapshot reader (JVM parquet scan,
+        pyarrow dataset, the versioned DataSource) ignores it by
+        convention; only the CDC stream reader targets it explicitly."""
         t = self.table
+        capture = (
+            self._capture_preimages
+            if self._capture_preimages is not None
+            else t.config.cdc_preimages
+        )
+        # running pre-state for preimage folds: committed snapshot at txn
+        # start, updated per op below (lazy plans; op counts are small)
+        state = t.snapshot(as_of_csn=self.start_csn) if capture else None
+        kc = t.key_cols
         ops_meta = []
         my_keys: set[tuple] | None = set()
         for op in self._ops:
@@ -865,6 +893,25 @@ class Transaction:
                 {"dir": out_dir, "opseq": op.opseq, "kind": op.kind,
                  "buckets": t.num_buckets}
             )
+            if capture:
+                # preimages: previous values of this op's keys, relative to
+                # the running pre-state (committed snapshot + earlier ops of
+                # this txn) — the retraction rows an incremental MV needs
+                written = self.table.spark.read.parquet(out_dir).select(
+                    *[f.name for f in t.schema.fields], "_deleted"
+                )
+                op_keys = written.select(*kc).distinct()
+                pre = state.join(op_keys, kc, "left_semi")
+                pre_dir = os.path.join(out_dir, "_preimg")
+                pre.write.mode("errorifexists").parquet(pre_dir)
+                if any(f.endswith(".parquet") for f in os.listdir(pre_dir)):
+                    ops_meta[-1]["preimages"] = True
+                if op.kind == "upsert":
+                    state = written.filter(~F.col("_deleted")).drop(
+                        "_deleted"
+                    ).unionByName(state.join(op_keys, kc, "left_anti"))
+                else:
+                    state = state.join(op_keys, kc, "left_anti")
             if my_keys is not None:
                 # write-set keys come from the FILES JUST WRITTEN (pyarrow
                 # column read, streamed in batches), not from re-executing

@@ -1204,3 +1204,103 @@ def join_range_bucketed_pure(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("s_id").alias("event_id"))
         .agg(F.count("p_id").alias("n_purchases_next_hour"))
     )
+
+
+@query(
+    "versioned_cdc_preimages",
+    oracle="""
+    WITH evens AS (
+      SELECT o_custkey AS k, MAX(o_orderkey) AS hi, CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders WHERE o_orderkey % 2 = 0 GROUP BY o_custkey
+    ), threes AS (
+      SELECT o_custkey AS k, MAX(o_orderkey) AS hi, CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders WHERE o_orderkey % 3 = 0 GROUP BY o_custkey
+    ), state2 AS (
+      SELECT COALESCE(t.k, e.k) AS k,
+             COALESCE(t.hi, e.hi) AS hi,
+             COALESCE(t.n, e.n) AS n
+      FROM evens e FULL JOIN threes t ON e.k = t.k
+    )
+    SELECT k, hi, n, CAST(1 AS BIGINT) AS _csn, 'upsert' AS _change FROM evens
+    UNION ALL
+    SELECT k, hi, n, CAST(2 AS BIGINT), 'upsert' FROM threes
+    UNION ALL
+    SELECT e.k, e.hi, e.n, CAST(2 AS BIGINT), 'update_preimage'
+    FROM evens e JOIN threes t ON e.k = t.k
+    UNION ALL
+    SELECT k, hi, n, CAST(3 AS BIGINT), 'delete' FROM state2 WHERE k % 7 = 0
+    """,
+    category="object",
+)
+def versioned_cdc_preimages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC with BEFORE-IMAGES end-to-end: three commits (insert slice,
+    overlapping update slice, modular delete) against a preimage-enabled
+    VersionedTable, tailed by the format('versioned') stream into a parquet
+    sink. Updated keys emit update_preimage rows carrying their OLD values
+    and deletes carry the deleted row's values — the retraction feed an
+    incremental materialized view needs to subtract aggregates without key
+    state (Delta-CDF-shaped; version-store pre-image parity,
+    /root/reference/src/storage/version_store.rs:97-119). The oracle
+    replays the full change ledger relationally — row identity, csn, change
+    kind, and pre/post values all pinned."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from db_core_spark.config import EngineConfig
+    from db_core_spark.plans import VersionedTable
+    from db_core_spark.sources import register_versioned_format
+
+    register_versioned_format(spark)
+    o = table(spark, sf_dir, "orders")
+
+    def slice_agg(mod: int) -> DataFrame:
+        return (
+            o.filter(F.col("o_orderkey") % mod == 0)
+            .groupBy(F.col("o_custkey").alias("k"))
+            .agg(F.max("o_orderkey").alias("hi"), F.count(F.lit(1)).alias("n"))
+        )
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("hi", T.LongType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    base = tempfile.mkdtemp(prefix="vds_cdc_pre_")
+    vt = VersionedTable.create(
+        spark, base + "/t", key_cols=["k"], schema=schema,
+        # 4 buckets: partition-count overhead dominates at fixture scale
+        # (the bucket count is a per-table layout choice; 100 TB tables
+        # size it so one bucket is ~10-50 GB, config.py num_buckets)
+        config=EngineConfig(cdc_preimages=True, num_buckets=4),
+    )
+    t1 = vt.begin()
+    t1.upsert(slice_agg(2))
+    t1.commit()
+    t2 = vt.begin()
+    t2.upsert(slice_agg(3))
+    t2.commit()
+    t3 = vt.begin()
+    t3.delete_keys(vt.snapshot().filter(F.col("k") % 7 == 0).select("k"))
+    t3.commit()
+
+    sink = base + "/sink"
+    q = (
+        spark.readStream.format("versioned")
+        .option("path", vt.path)
+        .option("readChanges", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", base + "/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out_schema = T.StructType(
+        list(schema.fields)
+        + [T.StructField("_csn", T.LongType()), T.StructField("_change", T.StringType())]
+    )
+    return spark.read.schema(out_schema).parquet(sink)

@@ -417,6 +417,18 @@ class VersionedChangeStreamReader(DataSourceStreamReader):
             if not _group_visible(m):
                 continue  # aborted/force-aborted group: no change rows
             for op in m["ops"]:
+                has_pre = bool(op.get("preimages"))
+                pre_dir = os.path.join(op["dir"], "_preimg")
+                if has_pre and op["kind"] == "delete":
+                    # preimage-enabled delete: emit the old rows WITH their
+                    # column values as the delete change rows (instead of
+                    # the key-only tombstones in the op dir) — deleting a
+                    # key that never existed emits nothing, which is the
+                    # correct retraction semantics
+                    parts.append(
+                        CDCPartition(dir=pre_dir, csn=m["csn"], kind="delete")
+                    )
+                    continue
                 bucket_dirs = (
                     sorted(
                         os.path.join(op["dir"], d)
@@ -428,6 +440,14 @@ class VersionedChangeStreamReader(DataSourceStreamReader):
                 )
                 for d in bucket_dirs or [op["dir"]]:
                     parts.append(CDCPartition(dir=d, csn=m["csn"], kind=op["kind"]))
+                if has_pre:
+                    # upsert with preimages: previous values of updated keys
+                    # ride along as update_preimage retraction rows
+                    parts.append(
+                        CDCPartition(
+                            dir=pre_dir, csn=m["csn"], kind="update_preimage"
+                        )
+                    )
         return parts
 
     def read(self, partition: CDCPartition) -> Iterator[Tuple]:
