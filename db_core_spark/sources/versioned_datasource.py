@@ -288,6 +288,18 @@ class VersionedSnapshotReader(DataSourceReader):
                 isinstance(partition, BucketSetPartition)
                 and op["buckets"] == self.num_buckets
             ):
+                if not os.path.isdir(op["dir"]):
+                    # the op list was pinned at plan time; the whole op dir
+                    # vanishing means vacuum reclaimed it between planning
+                    # and this task — fail LOUDLY rather than silently
+                    # returning a partial fold (a missing bucket=<b>/
+                    # subdir below, by contrast, just means the op wrote
+                    # no rows for that bucket and is skipped legitimately)
+                    raise RuntimeError(
+                        f"versioned read: op dir {op['dir']} (csn={op['csn']}) "
+                        "vanished mid-read — vacuum raced this pinned snapshot; "
+                        "re-run the read on a fresh snapshot"
+                    )
                 for b in partition.buckets:
                     d = os.path.join(op["dir"], f"bucket={b}")
                     if os.path.isdir(d):

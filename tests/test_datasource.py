@@ -388,3 +388,53 @@ def test_rebucket_layout_migration(spark, tmp_path):
     vt.vacuum(retain_seconds=0.0)
     after = rows_of(vt.snapshot())
     assert after[99] == ("post", 9.0) and after[1] == ("a1", 1.0) and after[2] == ("b2", 2.0)
+
+
+def test_vacuum_reader_safety(vt, spark):
+    """Round-3 reader-safety item, two halves:
+
+    (a) A snapshot DataFrame held across checkpoint+vacuum re-plans at each
+        action (the Python DataSource re-resolves the op list per
+        execution), so re-collection returns the COMPLETE post-vacuum fold
+        — never a partial one — and a pinned as-of read whose history was
+        reclaimed raises rather than silently shrinking.
+    (b) The only true race window — vacuum deleting an op dir between a
+        scan's planning and its tasks — fails LOUDLY via the
+        dirs_for_partition guard (missing bucket subdirs stay a legitimate
+        skip; a missing op dir is an error)."""
+    import shutil
+
+    import pytest as _pytest
+
+    from db_core_spark.sources.versioned_datasource import (
+        BucketSetPartition,
+        VersionedSnapshotReader,
+    )
+
+    t = vt.begin()
+    t.upsert(spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)], vt.schema))
+    t.commit()
+    t = vt.begin()
+    t.upsert(spark.createDataFrame([(1, "a2", 1.5)], vt.schema))
+    t.commit()
+
+    held = vt.snapshot()
+    vt.checkpoint()
+    vt.vacuum(retain_seconds=0.0)  # reclaims both delta op dirs
+    # (a) complete fold after vacuum, and loud as-of failure
+    assert sorted((r.k, r.v) for r in held.collect()) == [(1, "a2"), (2, "b")]
+    from db_core_spark.plans.versioned import SnapshotUnavailableError
+
+    with _pytest.raises(SnapshotUnavailableError):
+        vt.snapshot(as_of_csn=1)
+
+    # (b) mid-read disappearance: plan a reader, delete one op dir, read
+    t = vt.begin()
+    t.upsert(spark.createDataFrame([(3, "c", 3.0)], vt.schema))
+    t.commit()
+    reader = VersionedSnapshotReader(vt.schema, {"path": vt.path})
+    victim = next(op for op in reader.ops if not op["checkpoint"])
+    shutil.rmtree(victim["dir"])
+    part = BucketSetPartition(buckets=tuple(range(vt.num_buckets)))
+    with _pytest.raises(RuntimeError, match="vacuum raced"):
+        list(reader.read(part))
