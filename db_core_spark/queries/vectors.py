@@ -306,32 +306,17 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "embedding_quantize_int8",
-    oracle="""
-    SELECT vec_id,
-           list_transform(embedding,
-             x -> CAST(FLOOR(CAST(x AS DOUBLE) * scale + 0.5) AS INT)) AS q_int8,
-           FLOOR(scale * 1000000 + 0.5) / 1000000 AS scale_r
-    FROM (
-      SELECT vec_id, embedding,
-             CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END AS scale
-      FROM (
-        SELECT vec_id, embedding,
-               CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
-                 AS mx
-        FROM embeddings
-      )
-    )
-    """,
-    category="vector",
-)
-def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+def quantize_int8_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of embedding vectors: per-vector scale
     127/max|x|, round-half-up. The storage path for ANN at 100 TB — 4x
     smaller vectors, and int8 dot products SIMD-vectorize in the scoring
     kernels. Pure codegen expressions (transform/array_max/floor), no UDF,
-    no shuffle at all: embarrassingly parallel over input partitions."""
+    no shuffle at all: embarrassingly parallel over input partitions.
+
+    Returns the array-native shape (``q_int8 array<int>``); pytest checks
+    this form directly. The registered driver query wraps the array in JSON
+    text because the driver's canonicalizer hashes scalar columns only.
+    """
     e = table(spark, sf_dir, "embeddings")
     mx = F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x))).cast(
         "double"
@@ -348,4 +333,36 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: F.floor(x.cast("double") * F.col("scale") + 0.5).cast("int"),
         ).alias("q_int8"),
         (F.floor(F.col("scale") * 1000000 + 0.5) / 1000000).alias("scale_r"),
+    )
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+    SELECT vec_id,
+           CAST(to_json(list_transform(embedding,
+             x -> CAST(FLOOR(CAST(x AS DOUBLE) * scale + 0.5) AS INT)))
+             AS VARCHAR) AS q_int8_json,
+           FLOOR(scale * 1000000 + 0.5) / 1000000 AS scale_r
+    FROM (
+      SELECT vec_id, embedding,
+             CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END AS scale
+      FROM (
+        SELECT vec_id, embedding,
+               CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+                 AS mx
+        FROM embeddings
+      )
+    )
+    """,
+    category="vector",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing twin of :func:`quantize_int8_arrays`: same quantization,
+    but the int8 array is serialized to JSON text (``[1,-2,...]`` — both
+    Spark's ``to_json`` and DuckDB's ``to_json`` emit the compact form) so
+    every output column is hashable by the driver's pandas canonicalizer."""
+    q = quantize_int8_arrays(spark, sf_dir)
+    return q.select(
+        "vec_id", F.to_json(F.col("q_int8")).alias("q_int8_json"), "scale_r"
     )

@@ -136,3 +136,32 @@ def test_cms_heavy_hitters_bounds(spark):
     for r in rows:
         assert r.est_n >= r.true_n, (r.tok, r.est_n, r.true_n)
         assert r.est_n - r.true_n <= slack, (r.tok, r.est_n, r.true_n, slack)
+
+
+def test_quantize_int8_array_native_and_json_twin(spark):
+    """quantize_int8_arrays is the array-native form; the registered driver
+    query serializes q_int8 to JSON text. Check round-half-up math on the
+    arrays and that the JSON twin is byte-identical to json.dumps of them."""
+    import json
+
+    from db_core_spark.queries.vectors import (
+        embedding_quantize_int8,
+        quantize_int8_arrays,
+    )
+
+    arrays = {
+        r["vec_id"]: r for r in quantize_int8_arrays(spark, SF_SMALL).collect()
+    }
+    assert arrays
+    for r in arrays.values():
+        q = r["q_int8"]
+        assert max(abs(v) for v in q) <= 127
+        # per-vector symmetric scale: the max-|x| position quantizes to ±127
+        assert 127 in [abs(v) for v in q]
+    jsons = {
+        r["vec_id"]: r for r in embedding_quantize_int8(spark, SF_SMALL).collect()
+    }
+    assert set(jsons) == set(arrays)
+    for vid, r in jsons.items():
+        assert r["q_int8_json"] == json.dumps(arrays[vid]["q_int8"], separators=(",", ":"))
+        assert r["scale_r"] == arrays[vid]["scale_r"]
