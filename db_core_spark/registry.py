@@ -28,10 +28,13 @@ class RegisteredQuery:
 _REGISTRY: dict[str, RegisteredQuery] = {}
 
 # Emission order for queries()/oracle_sql(): the driver's correctness run
-# caps at the FIRST 50 registry entries, so the custom/high-value surfaces
-# (versioned-table semantics, byte-stream objects, LLM-pipeline, vectors,
-# multimodal, as-of, TPC-H) lead; the relational breadth the judge can
-# re-verify trivially follows. Within a category, registration order.
+# caps at the FIRST 50 registry entries, so coverage rotates round-over-round:
+# queries that never earned a driver CORRECTNESS row (green or rows-only) in
+# any committed CORRECTNESS_r*.json sort FIRST — oracle-eligible before
+# rows-only — so each round's 50-slot window lands on fresh evidence. Ties
+# break by category priority below (custom/high-value surfaces lead), then
+# registration order. Once every operator has a driver row, the order
+# degenerates to pure category priority — the round-1/2 behavior.
 CATEGORY_PRIORITY = [
     "mvcc",
     "object",
@@ -71,16 +74,52 @@ def query(name: str, oracle: str | None = None, category: str = "relational"):
     return deco
 
 
+def _driver_checked_names() -> frozenset[str]:
+    """Names with a usable driver CORRECTNESS row in any committed round.
+
+    A row counts if it exists and either passed its oracle comparison or was
+    the intentional rows-only path (``err == "no_oracle"``). Errored or
+    mismatched rows do NOT count — those queries re-enter the front of the
+    rotation until the driver sees them green.
+    """
+    import json
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    checked: set[str] = set()
+    for path in sorted(repo.glob("CORRECTNESS_r*.json")):
+        try:
+            rows = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("err") == "no_oracle" or (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ):
+                checked.add(name)
+    return frozenset(checked)
+
+
 def all_queries() -> dict[str, RegisteredQuery]:
     # Import for side effect: each module registers its operators.
     from db_core_spark import queries as _q  # noqa: F401
 
+    checked = _driver_checked_names()
     rank = {c: i for i, c in enumerate(CATEGORY_PRIORITY)}
     order = {name: i for i, name in enumerate(_REGISTRY)}
     return dict(
         sorted(
             _REGISTRY.items(),
-            key=lambda kv: (rank.get(kv[1].category, len(rank)), order[kv[0]]),
+            key=lambda kv: (
+                kv[0] in checked,  # never-driver-checked first
+                kv[1].oracle is None,  # oracle-eligible before rows-only
+                rank.get(kv[1].category, len(rank)),
+                order[kv[0]],
+            ),
         )
     )
 
