@@ -81,15 +81,23 @@ def main() -> None:
     reps = 1 if cold else int(os.environ.get("SPARK_GRAFT_REPS", "2"))
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         rq = qs[name]
         best, n = None, 0
-        for _ in range(reps):
-            t0 = time.time()
-            df = rq.fn(spark, sf_dir)
-            n = df.count()
-            dt = time.time() - t0
-            best = dt if best is None or dt < best else best
+        try:
+            for _ in range(reps):
+                t0 = time.time()
+                df = rq.fn(spark, sf_dir)
+                n = df.count()
+                dt = time.time() - t0
+                best = dt if best is None or dt < best else best
+        except Exception as e:
+            # One broken query must never sink the whole bench (round 3 lost
+            # ALL perf evidence that way): record the error, keep timing.
+            errors[name] = f"{type(e).__name__}: {e}"[:500]
+            print(f"  {name}: ERROR {errors[name][:120]}", file=sys.stderr)
+            continue
         timings[name] = round(best, 3)
         rows[name] = n
         print(f"  {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
@@ -105,6 +113,9 @@ def main() -> None:
                 # per-query result row counts: a timing regression with a
                 # changed row count is a semantics change, not a perf one
                 "rows": rows,
+                # queries that crashed (timed set excludes them; non-empty
+                # errors => "value" undercounts and the round needs a fix)
+                "errors": errors,
                 "mode": "cold" if cold else "warm",
                 "reps": reps,
                 "sf": float(sf),

@@ -42,6 +42,13 @@ class EngineConfig:
     #: analog of checkpoint_data_threshold, config.rs:161 + checkpointer.rs
     #: threshold wake-up, src/system/checkpointer.rs:86-94)
     checkpoint_every_commits: int = 16
+    #: run maybe_checkpoint() after every successful batch commit — the
+    #: in-line analog of the reference's background checkpointer thread
+    #: (src/system/checkpointer.rs:44-176): Spark drivers are transient, so
+    #: instead of a daemon the maintenance check rides the commit path and
+    #: pays only a manifest-name listing when below threshold. Streaming
+    #: sinks opt in via stream_into_versioned_table(auto_maintain=True).
+    auto_maintain: bool = False
     #: optimistic-commit retries for streaming sinks (the optimistic analog
     #: of pessimistic lock wait timeouts, tran_mgr.rs:108-127)
     conflict_retry_attempts: int = 5

@@ -3,12 +3,13 @@ typed metadata, processed in Arrow-batched pandas over mapInPandas.
 
 The Spark-side plumbing — schema contract, batch iteration, partition-
 preserving transform, deterministic outputs — is real and tested. The codec
-step itself (JPEG/PNG/audio decode) is STUBBED: the image/audio libraries are
-not in this container, so `decode_image_stub` raises NotImplementedError
-unless `fake=True`, in which case it produces a deterministic fake decode
-(dimensions/frames derived from the payload bytes) with the exact shape a
-real decoder plugs into. Swapping in PIL/torchaudio is a one-function change;
-nothing in the Spark plan moves.
+step is REAL for PPM/PGM/BMP/PNG via the stdlib-only decoder in
+:mod:`.imagecodec` (`sniff_decode` engages on recognized magic bytes);
+payloads that are not actual images (the driver's synthetic fixtures) fall
+back to a deterministic stub model (dimensions/frames derived from the
+payload bytes), so oracle outputs stay stable while genuine image bytes take
+a real decode/resize path. JPEG and audio decode would still need external
+libraries (not in this container) and keep the stub model.
 """
 
 from __future__ import annotations
@@ -19,25 +20,41 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 
+from db_core_spark.operators.imagecodec import (
+    encode_ppm,
+    resize_nearest,
+    sniff_decode,
+)
+
 FEATURE_SCHEMA = (
     "doc_id long, n_bytes long, modality string, "
     "width int, height int, n_frames int, checksum long"
 )
 
 
-def decode_image_stub(payload: bytes, fake: bool) -> tuple[int, int, int]:
-    """(width, height, n_frames). Real decoders (PIL.Image.open etc.) are not
-    available in this container — see module docstring."""
+def decode_image_dims(payload: bytes, fake: bool) -> tuple[int, int, int]:
+    """(width, height, n_frames). Real PPM/PGM/BMP/PNG payloads decode via
+    the stdlib codec; anything else uses the deterministic stub model when
+    ``fake=True`` and raises otherwise (JPEG etc. need libraries this
+    container lacks)."""
+    img = sniff_decode(payload)
+    if img is not None:
+        return img.width, img.height, 1
     if not fake:
         raise NotImplementedError(
-            "image/audio codecs not available in this environment; "
-            "pass fake=True for the deterministic stub"
+            "payload is not a decodable PPM/PGM/BMP/PNG and non-stdlib "
+            "codecs (JPEG/audio) are unavailable in this environment; "
+            "pass fake=True for the deterministic stub model"
         )
     # deterministic fake: dimensions derived from payload content
     w = 16 + payload[0] % 64 if payload else 16
     h = 16 + payload[-1] % 64 if payload else 16
     frames = 1 + len(payload) % 4
     return w, h, frames
+
+
+# backwards-compatible alias (tests/r2 queries imported the stub name)
+decode_image_stub = decode_image_dims
 
 
 def decode_binary_features(binary_df: DataFrame, fake_decode: bool = True) -> DataFrame:
@@ -57,7 +74,7 @@ def decode_binary_features(binary_df: DataFrame, fake_decode: bool = True) -> Da
                 pdf["doc_id"], pdf["payload"], pdf["modality"]
             ):
                 data = bytes(payload) if payload is not None else b""
-                w, h, fr = decode_image_stub(data, fake=fake_decode)
+                w, h, fr = decode_image_dims(data, fake=fake_decode)
                 out.append(
                     (
                         doc_id,
@@ -130,13 +147,15 @@ RESIZE_SCHEMA = (
 
 
 def resize_images(binary_df: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFrame:
-    """Resize stub over image-like binary payloads via mapInPandas.
+    """Resize over image-like binary payloads via mapInPandas.
 
-    Stub codec model (deterministic, oracle-matched): source dims derive
-    from byte length (w = 16 + n % 64, h = 16 + (n//64) % 64); the "resized"
-    payload is the first min(n, out_w*out_h) bytes. A real implementation
-    swaps in PIL decode->resize->encode per element of the pandas batch;
-    schema, batching, and partition inheritance are unchanged."""
+    Real path: payloads with PPM/PGM/BMP/PNG magic decode with the stdlib
+    codec, resize nearest-neighbor to (out_w, out_h), and re-encode as
+    binary PPM — the digest covers actual resized pixels. Synthetic
+    payloads keep the deterministic stub model (source dims derive from
+    byte length, "resized" payload is a prefix slice) so the SQL oracle
+    stays expressible. Either way the work happens inside the partition
+    that holds the bytes — no shuffle, batching and schema unchanged."""
 
     def rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib  # noqa: PLC0415
@@ -146,12 +165,18 @@ def resize_images(binary_df: DataFrame, out_w: int = 32, out_h: int = 32) -> Dat
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 data = bytes(payload) if payload is not None else b""
                 n = len(data)
-                resized = data[: min(n, out_w * out_h)]
+                img = sniff_decode(data)
+                if img is not None:
+                    resized = encode_ppm(resize_nearest(img, out_w, out_h))
+                    src_w, src_h = img.width, img.height
+                else:
+                    resized = data[: min(n, out_w * out_h)]
+                    src_w, src_h = 16 + n % 64, 16 + (n // 64) % 64
                 out.append(
                     (
                         doc_id,
-                        16 + n % 64,
-                        16 + (n // 64) % 64,
+                        src_w,
+                        src_h,
                         out_w,
                         out_h,
                         len(resized),

@@ -175,6 +175,27 @@ class _Op:
 
 
 class VersionedTable:
+    """MVCC table over parquet + a published-manifest commit log.
+
+    **Vacuum/reader contract** (the guarantee the whole read path is built
+    around): a reader pins a snapshot csn once, then every (re-)resolution
+    of that snapshot — including a re-collect of a DataFrame planned before
+    a concurrent ``vacuum()`` — either folds the COMPLETE set of committed
+    ops visible at that csn or raises a loud, typed
+    :class:`SnapshotUnavailableError`; it never silently returns a partial
+    fold. Enforced at two layers: (1) ``_committed_ops`` verifies the
+    checkpoint+tail manifest chain covers the pinned csn contiguously and
+    raises if vacuum reclaimed a needed manifest; (2) the scan-side file
+    resolution raises if an op directory named by a still-valid manifest
+    vanished mid-scan (reclaimed between planning and execution) instead of
+    treating the missing dir as empty. ``vacuum(grace)`` therefore only
+    reclaims versions strictly older than the newest checkpoint minus the
+    grace window — readers within the window are safe, readers beyond it
+    fail loudly and re-pin. Mirrors the reference's version-chain
+    reclamation barrier (/root/reference/src/storage/block_driver.rs
+    chain walk + CSN horizon), re-expressed for immutable-file storage.
+    """
+
     MAX_TRACKED_KEYS = DEFAULT_CONFIG.max_tracked_keys  # back-compat alias
 
     def __init__(self, spark: SparkSession, path: str, config: EngineConfig | None = None):
@@ -834,7 +855,14 @@ class Transaction:
         if capture_preimages is not None:
             self._capture_preimages = capture_preimages
         ops_meta, my_keys = self._stage()
-        return self._claim(ops_meta, my_keys, max_csn_attempts, extra)
+        csn = self._claim(ops_meta, my_keys, max_csn_attempts, extra)
+        if self.table.config.auto_maintain:
+            # in-line background-maintenance analog (checkpointer.rs:44-176,
+            # see EngineConfig.auto_maintain): threshold check costs a
+            # manifest-name listing; materialization amortizes over
+            # checkpoint_every_commits commits.
+            self.table.maybe_checkpoint()
+        return csn
 
     def _stage(self) -> tuple[list[dict], set[tuple] | None]:
         """Phase 1 of commit: write every op's data files (invisible until a

@@ -479,8 +479,8 @@ def setop_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_map_funcs",
     oracle="""
     SELECT event_id,
-           map_keys(m) AS ks,
-           map_values(m) AS vs,
+           CAST(to_json(map_keys(m)) AS VARCHAR) AS ks_json,
+           CAST(to_json(map_values(m)) AS VARCHAR) AS vs_json,
            m['type'][1] AS type_val
     FROM (
       SELECT event_id,
@@ -494,16 +494,16 @@ def setop_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-type construction and access: create_map / map_keys / map_values
     / element_at — the key-value column toolkit (typed props, feature
-    maps). Output flattens to arrays + a scalar so the value hash is
-    engine-independent."""
+    maps). Key/value arrays are emitted as JSON text so every output column
+    is hashable by the driver's pandas canonicalizer (scalar columns only)."""
     e = table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
     m = F.create_map(
         F.lit("type"), F.col("event_type"), F.lit("uid"), F.col("user_id").cast("string")
     )
     return e.select(
         "event_id",
-        F.map_keys(m).alias("ks"),
-        F.map_values(m).alias("vs"),
+        F.to_json(F.map_keys(m)).alias("ks_json"),
+        F.to_json(F.map_values(m)).alias("vs_json"),
         F.element_at(m, "type").alias("type_val"),
     )
 
@@ -606,10 +606,13 @@ def sql_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_array_setops",
     oracle="""
     SELECT doc_id,
-           list_sort(list_distinct(list_intersect(a, b))) AS common_toks,
-           list_sort(list_distinct(list_filter(a, x -> NOT list_contains(b, x))))
-             AS only_first,
-           list_sort(list_distinct(list_concat(a, b))) AS all_toks
+           CAST(to_json(list_sort(list_distinct(list_intersect(a, b))))
+             AS VARCHAR) AS common_toks_json,
+           CAST(to_json(list_sort(list_distinct(
+             list_filter(a, x -> NOT list_contains(b, x))))) AS VARCHAR)
+             AS only_first_json,
+           CAST(to_json(list_sort(list_distinct(list_concat(a, b))))
+             AS VARCHAR) AS all_toks_json
     FROM (
       SELECT doc_id,
              string_split(text, ' ')[1:20] AS a,
@@ -623,7 +626,8 @@ def scalar_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array set algebra (intersect / except / union) between the first and
     second 20-token windows of each document — token-overlap primitives for
     near-dup scoring. Sorted+distinct on both engines so the value hash is
-    order-independent. Codegen array expressions, zero shuffle."""
+    order-independent; arrays serialize to JSON text for driver hashability.
+    Codegen array expressions, zero shuffle."""
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     toks = F.split(F.col("text"), " ")
     d = d.select(
@@ -633,9 +637,9 @@ def scalar_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return d.select(
         "doc_id",
-        F.array_sort(F.array_intersect("a", "b")).alias("common_toks"),
-        F.array_sort(F.array_except("a", "b")).alias("only_first"),
-        F.array_sort(F.array_union("a", "b")).alias("all_toks"),
+        F.to_json(F.array_sort(F.array_intersect("a", "b"))).alias("common_toks_json"),
+        F.to_json(F.array_sort(F.array_except("a", "b"))).alias("only_first_json"),
+        F.to_json(F.array_sort(F.array_union("a", "b"))).alias("all_toks_json"),
     )
 
 
@@ -936,7 +940,8 @@ def fuzzy_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_regexp_extract_all",
     oracle="""
     SELECT doc_id,
-           regexp_extract_all(text, '[a-z]*a[a-z]*') AS a_words,
+           CAST(to_json(regexp_extract_all(text, '[a-z]*a[a-z]*')) AS VARCHAR)
+             AS a_words_json,
            CAST(len(regexp_extract_all(text, '[a-z]*a[a-z]*')) AS INT) AS n_a_words
     FROM documents WHERE doc_id < 100
     """,
@@ -945,12 +950,12 @@ def fuzzy_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scalar_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """regexp_extract_all: every match as an array (entity/pattern mining
     over text at scan time — no explode needed until the caller wants
-    rows)."""
+    rows). The match array serializes to JSON text for driver hashability."""
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     pat = r"[a-z]*a[a-z]*"
     return d.select(
         "doc_id",
-        F.regexp_extract_all("text", F.lit(pat), 0).alias("a_words"),
+        F.to_json(F.regexp_extract_all("text", F.lit(pat), 0)).alias("a_words_json"),
         F.size(F.regexp_extract_all("text", F.lit(pat), 0)).alias("n_a_words"),
     )
 

@@ -82,11 +82,26 @@ def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def array_string_agg_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collect-set -> sorted array + CSV string aggregation. Array-native
+    shape (``statuses array<string>``), pytest-checked; the registered driver
+    twin serializes the array to JSON text because the driver's pandas
+    canonicalizer can only hash scalar columns (same playbook as
+    ``embedding_quantize_int8``)."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias("status_csv"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 @query(
     "array_string_agg",
     oracle="""
     SELECT o_orderpriority,
-           list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+           CAST(to_json(list_sort(list(DISTINCT o_orderstatus))) AS VARCHAR)
+             AS statuses_json,
            string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS status_csv,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM orders GROUP BY o_orderpriority
@@ -94,12 +109,16 @@ def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="aggregate",
 )
 def array_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Collect-set -> sorted array + CSV string aggregation."""
-    o = table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
-        F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
-        F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias("status_csv"),
-        F.count(F.lit(1)).alias("n"),
+    """Driver-facing twin of :func:`array_string_agg_arrays` — the sorted
+    distinct-status array is emitted as JSON text (both Spark's and DuckDB's
+    ``to_json`` produce the compact ``["A","B"]`` form) so every output
+    column is driver-hashable."""
+    a = array_string_agg_arrays(spark, sf_dir)
+    return a.select(
+        "o_orderpriority",
+        F.to_json(F.col("statuses")).alias("statuses_json"),
+        "status_csv",
+        "n",
     )
 
 

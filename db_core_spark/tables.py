@@ -40,16 +40,31 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    rejects. Read it as raw int64 nanos (legacy conf, runtime-settable) and
-    convert to timestamp_ntz at microsecond precision — `ts DIV 1000` is exact
-    integer division (a double divide would lose precision on ~1.7e18 nanos),
-    and truncation matches DuckDB's nanos->micros read of the same file."""
+    """Schema-adaptive events loader. The engine contract is `ts:
+    timestamp_ntz` at microsecond precision regardless of the fixture's
+    physical encoding, which has changed between driver rounds:
+
+    - parquet TIMESTAMP(NANOS): Spark's vectorized reader rejects it, so the
+      ``nanosAsLong`` legacy conf (runtime-settable, a no-op for non-nanos
+      files) surfaces it as int64 nanos; ``ts DIV 1000`` is exact integer
+      division (a double divide would lose precision on ~1.7e18 nanos) and
+      truncation matches DuckDB's nanos->micros read of the same file.
+    - parquet TIMESTAMP(MICROS) (current fixtures): reads natively as
+      timestamp / timestamp_ntz; just normalize to timestamp_ntz.
+
+    Branching on the *observed* read dtype instead of hard-coding the layout
+    mirrors the reference validating block magic/CRC on load rather than
+    trusting it (/root/reference/src/storage/datastore.rs:194-203)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz")
-    )
+    ts_type = dict(raw.dtypes)["ts"]
+    if ts_type == "bigint":  # nanos-as-long path (legacy TIMESTAMP(NANOS))
+        return raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz")
+        )
+    if ts_type != "timestamp_ntz":
+        return raw.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    return raw
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

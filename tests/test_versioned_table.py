@@ -425,6 +425,30 @@ def test_engine_config_and_threshold_checkpoint(spark, tmp_path):
     assert {r.k for r in vt.snapshot().collect()} == {0, 1, 9}
 
 
+def test_auto_maintain_batch_commits(spark, tmp_path):
+    """config.auto_maintain=True rides the batch commit path: the Nth commit
+    (N = checkpoint_every_commits) triggers a checkpoint with no explicit
+    maybe_checkpoint() call — the in-line analog of the reference's
+    background checkpointer thread (checkpointer.rs:44-176)."""
+    from db_core_spark.config import EngineConfig
+
+    cfg = EngineConfig(num_buckets=4, checkpoint_every_commits=3, auto_maintain=True)
+    vt = VersionedTable.create(
+        spark, str(tmp_path / "am"), key_cols=["k"], schema=SCHEMA, config=cfg
+    )
+    for i in range(3):
+        t = vt.begin()
+        t.upsert(spark.createDataFrame([(i, "v", float(i))], SCHEMA))
+        t.commit()
+    import os
+
+    # third commit crossed the threshold -> checkpoint materialized in-line
+    assert vt.deltas_since_checkpoint() == 0
+    names = os.listdir(vt._log_dir)
+    assert any(n.startswith("checkpoint-") for n in names)
+    assert {r.k for r in vt.snapshot().collect()} == {0, 1, 2}
+
+
 def test_checkpoint_of_fully_deleted_table(vt, spark):
     """Edge: every key tombstoned -> the resolved snapshot is EMPTY, and a
     partitionBy write would emit zero files, leaving an unreadable
