@@ -83,9 +83,9 @@ def main() -> None:
     rows: dict[str, int] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
-        rq = qs[name]
         best, n = None, 0
         try:
+            rq = qs[name]  # inside the try: a renamed query must not sink the run
             for _ in range(reps):
                 t0 = time.time()
                 df = rq.fn(spark, sf_dir)

@@ -309,23 +309,35 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Probabilistic candidate generation (P[miss] ~ (1-s^4)^16, <1e-4 at
     s=0.8) so no SQL oracle; pytest checks equality with the exact
-    ngram_jaccard_pairs result on the fixtures."""
+    ngram_jaccard_pairs result on the fixtures.
+
+    Materialization strategy (r4 rework of the r2 "exchange reuse" design):
+    profiling showed AQE does NOT reuse the posting exchange across the
+    signature/verification branches — the corpus-wide shingle window was
+    recomputed ~10x (once per broadcast subtree that inlined `cand`).
+    Instead, the two SMALL intermediates are persisted: `mins` (the
+    signature matrix — 64 longs + a count per doc, the standard LSH
+    materialization; O(docs), not O(postings)) and `cand` (the candidate
+    pair set, tiny by construction). The corpus is scanned and shingled
+    exactly ONCE; verification re-shingles only the candidate documents
+    (broadcast-semi-pruned BEFORE tokenization, so the second window runs
+    over a few hundred docs, not the corpus). At 100 TB this is exactly
+    the layout you'd choose: signatures persist across the band join,
+    postings never do."""
     d = table(spark, sf_dir, "documents")
-    # ONE distinct posting list feeds both the signature and the
-    # verification branches — identical subtrees let Spark reuse the
-    # exchange instead of re-scanning/re-shingling the corpus (measured 3x
-    # end-to-end vs separate subtrees at sf0.1). distinct() costs no extra
-    # shuffle: the posting window already hash-partitioned by doc_id, which
-    # satisfies the (doc_id, sh) clustering requirement.
     pd_ = shingle_posting(d, n=3).distinct()
     # Hash the variable-length shingle string ONCE, then derive the 64
     # minhash functions by re-hashing the fixed-width 8-byte base — measured
     # ~25% faster than 64x string hashing at sf0.1 (same family guarantees:
     # xxhash64(base, i) are pairwise-independent enough for minhash).
+    # Set sizes (|shingles| per doc) fold into the SAME aggregation —
+    # posting rows are already distinct, so count(1) == countDistinct(sh)
+    # and the sizes branch costs zero extra passes.
     based = pd_.withColumn("base", F.xxhash64("sh"))
     mins = based.groupBy("doc_id").agg(
-        *[F.min(F.xxhash64("base", F.lit(i))).alias(f"h{i}") for i in range(NUM_HASHES)]
-    )
+        *[F.min(F.xxhash64("base", F.lit(i))).alias(f"h{i}") for i in range(NUM_HASHES)],
+        F.count(F.lit(1)).alias("nw"),
+    ).persist()
     band_structs = F.array(
         *[
             F.struct(
@@ -350,26 +362,22 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+        .persist()
     )
-    # Exact-Jaccard verification for exactly the candidate pairs: broadcast
-    # the (tiny) pair set into the SAME distinct posting list the signatures
-    # came from — intersections come from one equi-join on (doc, shingle),
-    # never a posting self-join. (no persist: exchange reuse covers it, and
-    # caching a corpus-size posting list would be wrong at 100 TB)
-    sizes = pd_.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nw"))
-    # prune BOTH posting sides to candidate docs via broadcast semi-joins
-    # before the (id, sh) equi-join — the wide shuffle then carries only
-    # candidate postings (a few hundred docs), not the whole corpus
-    pa = pd_.join(
-        F.broadcast(cand.select("id_a").distinct()),
-        pd_.doc_id == F.col("id_a"),
-        "left_semi",
-    ).select(F.col("doc_id").alias("id_a"), "sh")
-    pb = pd_.join(
-        F.broadcast(cand.select("id_b").distinct()),
-        pd_.doc_id == F.col("id_b"),
-        "left_semi",
-    ).select(F.col("doc_id").alias("id_b"), "sh")
+    # Exact-Jaccard verification for exactly the candidate pairs: prune the
+    # DOCUMENTS (not the postings) to candidate ids first, then re-shingle
+    # just those — the verification window runs over the candidate set
+    # only, and intersections come from one equi-join on (doc, shingle),
+    # never a posting self-join.
+    cand_docs = cand.select(
+        F.explode(F.array("id_a", "id_b")).alias("doc_id")
+    ).distinct()
+    pc = shingle_posting(
+        d.join(F.broadcast(cand_docs), "doc_id", "left_semi"), n=3
+    ).distinct().persist()
+    sizes = pc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nw"))
+    pa = pc.select(F.col("doc_id").alias("id_a"), "sh")
+    pb = pc.select(F.col("doc_id").alias("id_b"), "sh")
     inter = (
         F.broadcast(cand)
         .join(pa, "id_a")
