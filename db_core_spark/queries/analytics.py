@@ -213,6 +213,60 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sessionize_gap_events",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, event_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_no
+      FROM seq)
+    SELECT user_id,
+           CAST(session_no AS INT) AS session_no,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(floor(epoch(MIN(ts))) AS BIGINT) AS start_epoch,
+           CAST(floor(epoch(MAX(ts))) AS BIGINT) AS end_epoch,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM sess
+    GROUP BY user_id, session_no
+    """,
+    category="timeseries",
+)
+def sessionize_gap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization by inactivity gap (30 min): the lag/cumsum
+    session-id assignment — the batch twin of the streaming session window,
+    but with stable numbered session ids a training pipeline can join on.
+    Gap comparison is in integer MICROSECONDS on both engines (a seconds
+    truncation would misclassify sub-second boundary gaps). One shuffle on
+    user_id; both windows and the final per-session aggregate share it."""
+    e = table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_us = F.lag(us).over(w)
+    is_new = F.when(
+        prev_us.isNull() | ((us - prev_us) > 1800 * 1000 * 1000), 1
+    ).otherwise(0)
+    sess = e.withColumn(
+        "session_no",
+        F.sum(is_new).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    ep = lambda c: F.unix_timestamp(c.cast("timestamp")).cast("long")  # noqa: E731
+    return sess.groupBy("user_id", F.col("session_no").cast("int").alias("session_no")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        ep(F.min("ts")).alias("start_epoch"),
+        ep(F.max("ts")).alias("end_epoch"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@query(
     "scalar_bitwise_funcs",
     oracle="""
     SELECT o_orderkey,

@@ -399,6 +399,64 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONTAINMENT_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+    docs AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                    ELSE list_transform(range(1, len(t) - 1),
+                                        i -> array_to_string(t[i:i+2], ' '))
+               END) AS w
+      FROM toks),
+    posting AS (SELECT doc_id, UNNEST(w) AS word FROM docs),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+      FROM posting a JOIN posting b ON a.word = b.word AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    sized AS (SELECT doc_id, len(w) AS nw FROM docs)
+    SELECT id_a, id_b,
+           ROUND(n_inter * 1.0 / LEAST(sa.nw, sb.nw), 6) AS containment
+    FROM inter
+    JOIN sized sa ON sa.doc_id = id_a
+    JOIN sized sb ON sb.doc_id = id_b
+    WHERE n_inter * 1.0 / LEAST(sa.nw, sb.nw) >= 0.8
+"""
+
+
+@query("ngram_containment_pairs", oracle=_CONTAINMENT_ORACLE, category="llm")
+def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup: shingle CONTAINMENT |A∩B| / min(|A|,|B|) >= 0.8.
+
+    Jaccard misses sub-document duplication (a paragraph pasted into a
+    longer page scores low on the union but ~1.0 on the smaller set);
+    containment is the standard complement every corpus-dedup pipeline runs
+    alongside it. Same scale shape as the Jaccard kernel: candidates from a
+    shared-shingle equi-join on the distinct posting list, never all-pairs."""
+    d = table(spark, sf_dir, "documents")
+    posting = shingle_posting(d, n=3).distinct()
+    sizes = posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nw"))
+    a, b = posting.alias("a"), posting.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("nw").alias("nw_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("nw").alias("nw_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "containment",
+            F.round(F.col("n_inter") / F.least(F.col("nw_a"), F.col("nw_b")), 6),
+        )
+        .filter(F.col("containment") >= 0.8)
+        .select("id_a", "id_b", "containment")
+    )
+
+
 @query("simhash_buckets", oracle=None, category="llm")
 def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document + 4x16-bit band keys. Near-dups collide on
@@ -494,6 +552,70 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("cluster_id"),
         "doc_id",
         (F.col("doc_id") == F.col("label")).alias("is_canonical"),
+    )
+
+
+@query(
+    "dedup_keep_best_quality",
+    oracle="""
+    WITH RECURSIVE
+    pairs AS ("""
+    + _JACCARD_ORACLE.format(threshold=0.6)
+    + """),
+    bi AS (SELECT id_a AS u, id_b AS v FROM pairs
+           UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(u, v) AS (
+      SELECT DISTINCT u, u FROM bi
+      UNION
+      SELECT bi.u, r.v FROM bi JOIN reach r ON bi.v = r.u),
+    comp AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u),
+    q AS (
+      SELECT doc_id,
+             FLOOR(len(list_distinct(string_split_regex(text, '\\s+'))) * 1000000.0
+                   / len(string_split_regex(text, '\\s+')) + 0.5) / 1000000 AS ttr
+      FROM documents),
+    m AS (
+      SELECT c.cluster_id, c.doc_id, q.ttr,
+             COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members,
+             ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                ORDER BY q.ttr DESC, c.doc_id) AS rn
+      FROM comp c JOIN q ON q.doc_id = c.doc_id)
+    SELECT cluster_id, doc_id AS best_doc_id, ttr AS best_ttr,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM m WHERE rn = 1
+    """,
+    category="llm",
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: within each transitive near-dup cluster
+    keep the HIGHEST-QUALITY member (type-token ratio, doc_id tie-break) —
+    the policy production pipelines actually want (keep-min-id discards the
+    cleanest copy whenever it isn't the oldest). Composes the closure
+    clustering with the quality signal: one extra window over the (tiny)
+    cluster assignment, corpus untouched. ttr floor-rounds to 6 dp so both
+    engines order ties identically."""
+    labels = dedup_cluster_components(spark, sf_dir).select("cluster_id", "doc_id")
+    d = table(spark, sf_dir, "documents")
+    ttr = F.floor(
+        F.size(distinct_words(F.col("text"))) * 1000000.0 / F.size(words(F.col("text")))
+        + 0.5
+    ) / 1000000
+    q = d.select("doc_id", ttr.alias("ttr"))
+    from pyspark.sql import Window as W
+
+    m = labels.join(q, "doc_id")
+    wc = W.partitionBy("cluster_id")
+    wr = W.partitionBy("cluster_id").orderBy(F.col("ttr").desc(), F.col("doc_id"))
+    return (
+        m.withColumn("n_members", F.count(F.lit(1)).over(wc))
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("best_doc_id"),
+            F.col("ttr").alias("best_ttr"),
+            F.col("n_members").cast("long").alias("n_members"),
+        )
     )
 
 

@@ -70,6 +70,63 @@ def test_ann_ivf_results_are_valid_neighbors_with_recall(spark):
     assert hits >= 0.2 * len(exact)
 
 
+def test_pq_topk_recall_and_exact_rerank(spark):
+    """PQ/ADC hits must carry the exact re-ranked cosine (never an ADC
+    approximation in the output) and the shortlist must recover most of the
+    true top-5 even on the near-uniform fixture (the quantizer's worst
+    case). Determinism: two runs produce identical rows (fixed k-means
+    init + iteration count)."""
+    from db_core_spark.queries.vectors import embedding_pq_topk
+
+    pq = embedding_pq_topk(spark, SF_SMALL).collect()
+    brute = knn_bruteforce_topk(spark, SF_SMALL)
+    exact = {(r.q_id, r.neighbor_id): r.cos_sim for r in brute.collect()}
+    assert len(pq) == 50  # 10 queries x top-5
+    hits = 0
+    for r in pq:
+        assert r.q_id != r.neighbor_id
+        if (r.q_id, r.neighbor_id) in exact:
+            assert abs(exact[(r.q_id, r.neighbor_id)] - r.cos_sim) < 1e-9
+            hits += 1
+    assert hits >= 0.7 * len(exact)  # measured 0.84-0.86 across fixtures
+    again = embedding_pq_topk(spark, SF_SMALL).collect()
+    assert sorted(map(tuple, pq)) == sorted(map(tuple, again))
+
+
+def test_containment_pairs_superset_property(spark):
+    """Containment >= Jaccard always (divides by the smaller set, not the
+    union), so at matched thresholds the Jaccard pair set is contained in
+    the containment pair set."""
+    from db_core_spark.queries.llm import ngram_containment_pairs
+
+    cont = _pairs(ngram_containment_pairs(spark, SF_SMALL))
+    # jaccard pairs at 0.8: re-filter the 0.6-threshold result
+    jac = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(spark, SF_SMALL).collect()
+        if r.jaccard >= 0.8
+    }
+    assert jac <= cont
+
+
+def test_keep_best_quality_picks_max_ttr_member(spark):
+    """Every cluster's winner must be an actual cluster member holding the
+    cluster-max ttr (doc_id tie-break)."""
+    from db_core_spark.queries.llm import (
+        dedup_cluster_components,
+        dedup_keep_best_quality,
+    )
+
+    best = {r.cluster_id: r for r in dedup_keep_best_quality(spark, SF_SMALL).collect()}
+    members = {}
+    for r in dedup_cluster_components(spark, SF_SMALL).collect():
+        members.setdefault(r.cluster_id, set()).add(r.doc_id)
+    assert set(best) == set(members)
+    for cid, row in best.items():
+        assert row.best_doc_id in members[cid]
+        assert row.n_members == len(members[cid])
+
+
 def test_minhash_signature_estimates_jaccard(spark):
     """Signature quality property: the fraction of agreeing minhash slots
     estimates the true Jaccard within ~2/sqrt(64) for similar pairs — the
