@@ -184,3 +184,139 @@ def unpivot_melt_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("val"), 2).alias("total"),
         F.round(F.avg("val"), 6).alias("mean"),
     )
+
+
+@query(
+    "dq_profile_columns",
+    oracle="""
+    SELECT 'o_custkey' AS col,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(o_custkey) AS BIGINT) AS n_nonnull,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+           ROUND(MIN(o_custkey), 4) AS min_val,
+           ROUND(MAX(o_custkey), 4) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(o_totalprice) AS BIGINT),
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+           ROUND(MIN(o_totalprice), 4), ROUND(MAX(o_totalprice), 4)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderkey',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(o_orderkey) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT),
+           ROUND(MIN(o_orderkey), 4), ROUND(MAX(o_orderkey), 4)
+    FROM orders
+    """,
+    category="relational",
+)
+def dq_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality column profiling (the Deequ/expectations pattern): per
+    column, row count, completeness (non-null), cardinality, and bounds — the
+    stats a pipeline gate asserts before a corpus build is allowed to run.
+    ONE scan computes every column's profile (all aggregates in a single
+    global HashAggregate — no per-column passes); the long-form unpivot of
+    the profile happens on the 1-row result, not the table."""
+    o = table(spark, sf_dir, "orders")
+    cols = ["o_custkey", "o_totalprice", "o_orderkey"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n_rows"),
+            F.count(c).alias(f"{c}__n_nonnull"),
+            F.countDistinct(c).alias(f"{c}__n_distinct"),
+            F.round(F.min(c).cast("double"), 4).alias(f"{c}__min_val"),
+            F.round(F.max(c).cast("double"), 4).alias(f"{c}__max_val"),
+        ]
+    one = o.agg(*aggs)
+    parts = [
+        one.select(
+            F.lit(c).alias("col"),
+            F.col(f"{c}__n_rows").alias("n_rows"),
+            F.col(f"{c}__n_nonnull").alias("n_nonnull"),
+            F.col(f"{c}__n_distinct").alias("n_distinct"),
+            F.col(f"{c}__min_val").alias("min_val"),
+            F.col(f"{c}__max_val").alias("max_val"),
+        )
+        for c in cols
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@query(
+    "dq_fk_orphans",
+    oracle="""
+    SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+             AS n_orphans
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM part p
+                                   WHERE p.p_partkey = l.l_partkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                   WHERE s.s_suppkey = l.l_suppkey)) AS BIGINT)
+    """,
+    category="relational",
+)
+def dq_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity gate: orphan counts per foreign-key edge via
+    LEFT ANTI joins (the join-shaped NOT EXISTS). Each dimension side
+    broadcasts where small; the fact side is scanned once per edge with
+    only the key column read (column pruning). A 100 TB pipeline runs this
+    before publishing a snapshot — orphans mean a partial upstream load."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+
+    def orphans(fact, key, dim, dim_key, label):
+        n = (
+            fact.select(key)
+            .join(dim.select(dim_key), fact[key] == dim[dim_key], "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        return n.select(F.lit(label).alias("fk_edge"), "n_orphans")
+
+    edges = [
+        orphans(li, "l_orderkey", o, "o_orderkey", "lineitem.l_orderkey->orders"),
+        orphans(
+            o,
+            "o_custkey",
+            table(spark, sf_dir, "customer"),
+            "c_custkey",
+            "orders.o_custkey->customer",
+        ),
+        orphans(
+            li,
+            "l_partkey",
+            table(spark, sf_dir, "part"),
+            "p_partkey",
+            "lineitem.l_partkey->part",
+        ),
+        orphans(
+            li,
+            "l_suppkey",
+            table(spark, sf_dir, "supplier"),
+            "s_suppkey",
+            "lineitem.l_suppkey->supplier",
+        ),
+    ]
+    out = edges[0]
+    for e in edges[1:]:
+        out = out.unionByName(e)
+    return out
