@@ -13,6 +13,7 @@ from db_core_spark.streaming.ops import (  # noqa: F401
     stream_static_enrich,
     stream_stream_join,
     tumbling_counts,
+    tws_user_value_stats,
 )
 from db_core_spark.streaming.sources import events_stream, stage_events_files  # noqa: F401
 from db_core_spark.streaming.runner import run_to_memory  # noqa: F401

@@ -97,6 +97,83 @@ def stateful_user_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def tws_available() -> bool:
+    """transformWithStateInPandas speaks a protobuf protocol to the JVM
+    state server; this container ships pyspark 4.1 but NOT google.protobuf
+    (and installs are off-limits), so the capability is gated. On any
+    standard deployment (protobuf is a pyspark install dependency) this
+    returns True and tws_user_value_stats runs as written."""
+    try:
+        import google.protobuf  # noqa: F401, PLC0415
+
+        return True
+    except ImportError:
+        return False
+
+
+def tws_user_value_stats(events: DataFrame) -> DataFrame:
+    """Per-user running value statistics via transformWithStateInPandas —
+    the Spark 4 arbitrary-state API (typed named states, timers, TTL) that
+    supersedes applyInPandasWithState. A ValueState row holds (n, sum, max)
+    per user; each micro-batch folds its Arrow batches into the state and
+    emits the running totals (update mode). State is per-key and
+    partition-local — at 100 TB the state store shards with the shuffle,
+    exactly like the built-in streaming aggregations.
+
+    Requires the RocksDB state store provider
+    (`spark.sql.streaming.stateStore.providerClass`) and google.protobuf on
+    the Python side — see :func:`tws_available`; the applyInPandasWithState
+    twin (`stateful_user_counts`) covers the same semantics where this API
+    is unavailable."""
+    if not tws_available():
+        raise NotImplementedError(
+            "transformWithStateInPandas requires google.protobuf, which this "
+            "environment does not provide; use stateful_user_counts "
+            "(applyInPandasWithState) instead"
+        )
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.streaming.stateful_processor import (  # noqa: PLC0415
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserValueStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "stats", "n long, sum_value double, max_value double"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            if self._state.exists():
+                n, s, mx = self._state.get()
+            else:
+                n, s, mx = 0, 0.0, None
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].sum())
+                bmx = float(pdf["value"].max())
+                mx = bmx if mx is None or bmx > mx else mx
+            self._state.update((n, s, mx))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "sum_value": [round(s, 6)],
+                    "max_value": [mx],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserValueStats(),
+        outputStructType="user_id long, n_events long, sum_value double, max_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def stream_static_enrich(events: DataFrame, dim: DataFrame) -> DataFrame:
     """Stream-static join: enrich the event stream with a dimension table
     (events.user_id -> customer). The static side is re-resolved every

@@ -135,6 +135,51 @@ def test_stateful_user_counts(spark, stream_dir, tmp_path):
     assert final == expect
 
 
+def test_tws_user_value_stats_converges_to_batch(spark, stream_dir, tmp_path):
+    """transformWithStateInPandas (Spark 4 arbitrary-state API): the final
+    per-user emission must equal the batch aggregate over the same fixture.
+    Skipped where google.protobuf (the TWS state-server protocol dep,
+    absent from this container) is unavailable; the gating raise itself is
+    asserted so the operator can't silently rot."""
+    from db_core_spark.streaming import tws_user_value_stats
+    from db_core_spark.streaming.ops import tws_available
+
+    if not tws_available():
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            tws_user_value_stats(events_stream(spark, stream_dir))
+        pytest.skip("google.protobuf not available in this environment")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    got = run_to_memory(
+        tws_user_value_stats(events_stream(spark, stream_dir)),
+        "update",
+        str(tmp_path / "ck_tws"),
+    )
+    final = {}
+    for r in got.collect():
+        if r.user_id not in final or r.n_events > final[r.user_id][0]:
+            final[r.user_id] = (r.n_events, r.sum_value, r.max_value)
+    expect = {
+        r.user_id: (r.n, round(r.s, 6), r.mx)
+        for r in batch_events(spark)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("s"),
+            F.max("value").alias("mx"),
+        )
+        .collect()
+    }
+    assert set(final) == set(expect)
+    for uid, (n, s, mx) in expect.items():
+        gn, gs, gmx = final[uid]
+        assert gn == n
+        assert abs(gs - s) < 1e-4  # state folds batch-at-a-time float sums
+        assert abs(gmx - mx) < 1e-9
+
+
 def test_stream_static_join_converges_to_batch(spark, stream_dir, tmp_path):
     from db_core_spark.streaming import events_stream, stream_static_enrich
 
