@@ -166,6 +166,88 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bm25_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             UNNEST(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+      FROM documents),
+    toks2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks2 GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks2 GROUP BY doc_id),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks2 GROUP BY term),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             FLOOR(
+               ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+               * 1000000 + 0.5) / 1000000 AS bm25
+      FROM tf
+      JOIN df ON df.term = tf.term
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s)
+    SELECT doc_id, term, bm25
+    FROM (SELECT doc_id, term, bm25,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY bm25 DESC, term) AS rn
+          FROM scored)
+    WHERE rn <= 3
+    """,
+    category="llm",
+)
+def bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 term scoring (k1=1.2, b=0.75): the retrieval-grade
+    refinement of TF-IDF — saturating term frequency and document-length
+    normalization — and the scoring a corpus search/rerank stage actually
+    uses. Same scale shape as tfidf_top_terms: one (doc_id, term) tf
+    aggregate shuffle; df and the 1-row corpus stats broadcast; dl joins
+    on the doc-partitioned side. Scores floor-round to 6 dp so both
+    engines rank ties identically."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    k1, b = 1.2, 0.75
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.floor(
+                    idf
+                    * (F.col("tf") * (k1 + 1))
+                    / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+                    * 1000000
+                    + 0.5
+                )
+                / 1000000
+            ).alias("bm25"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("bm25"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "bm25")
+    )
+
+
+@query(
     "cohort_retention",
     oracle="""
     WITH cohorts AS (
@@ -263,6 +345,48 @@ def sessionize_gap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ep(F.min("ts")).alias("start_epoch"),
         ep(F.max("ts")).alias("end_epoch"),
         F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@query(
+    "sequence_pattern_match",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id)
+    SELECT user_id, seq, n_events,
+           regexp_matches(seq, 's[cv]*p') AS clean_conversion,
+           regexp_matches(seq, 'e') AS saw_error
+    FROM seq
+    """,
+    category="timeseries",
+)
+def sequence_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence detection without the (unsupported)
+    SQL clause: compress each user's time-ordered event stream to a
+    character string (initials are distinct in this vocabulary) and run
+    regex patterns over it — `s[cv]*p` = signup leading to purchase with
+    only clicks/views between (a clean conversion), `e` = any error seen.
+    One shuffle on user_id; the regex runs on ~n_events-char strings, not
+    rows. The standard sessionless funnel/path-analysis trick — regex over
+    an ordered event alphabet — and it scales: the per-user string is
+    bounded by per-user activity, never corpus size."""
+    e = table(spark, sf_dir, "events")
+    ordered = F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type")))
+    seq = F.concat_ws(
+        "", F.transform(ordered, lambda s: F.substring(s["event_type"], 1, 1))
+    )
+    out = e.groupBy("user_id").agg(
+        seq.alias("seq"), F.count(F.lit(1)).alias("n_events")
+    )
+    return out.select(
+        "user_id",
+        "seq",
+        "n_events",
+        F.col("seq").rlike("s[cv]*p").alias("clean_conversion"),
+        F.col("seq").rlike("e").alias("saw_error"),
     )
 
 
