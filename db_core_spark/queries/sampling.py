@@ -102,3 +102,45 @@ def sample_stratified_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_sampled"))
     )
+
+
+@query(
+    "sample_weighted_topk",
+    oracle=f"""
+    SELECT doc_id, n_chars, sample_key,
+           CAST(ROW_NUMBER() OVER (ORDER BY sample_key DESC, doc_id) AS INT) AS rnk
+    FROM (
+      SELECT doc_id, n_chars,
+             FLOOR(ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                        AS INT) + 1) / 65536.0)
+                   / n_chars * 1000000 + 0.5) / 1000000 AS sample_key
+      FROM documents
+      ORDER BY sample_key DESC, doc_id LIMIT 20)
+    """,
+    category="sampling",
+)
+def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis A-ES):
+    each doc draws a deterministic uniform u from its id hash and gets key
+    ln(u)/w with weight w = n_chars; the global top-k by key IS a weighted
+    sample of size k — longer documents proportionally likelier, yet fully
+    reproducible (same u on both engines, any partitioning). The top-k
+    plans as TakeOrderedAndProject (per-partition top-k + single merge, no
+    global sort shuffle) — the only sane shape for "pick 10k of 10B docs by
+    weight" at 100 TB. Keys floor-round to 6 dp so tie order is
+    engine-identical."""
+    d = table(spark, sf_dir, "documents")
+    h16 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("int")
+    u = (h16 + 1) / 65536.0  # uniform in (0, 1], never ln(0)
+    key = F.floor(F.log(u) / F.col("n_chars") * 1000000 + 0.5) / 1000000
+    top = (
+        d.select("doc_id", "n_chars", key.alias("sample_key"))
+        .orderBy(F.col("sample_key").desc(), F.col("doc_id"))
+        .limit(20)
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.col("sample_key").desc(), F.col("doc_id"))
+    return top.withColumn("rnk", F.row_number().over(w))

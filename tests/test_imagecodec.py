@@ -205,3 +205,56 @@ def test_decode_image_dims_raises_for_opaque_without_fake():
         encode_png_rgb(4, 3, _gradient_rgb(4, 3)), fake=False
     )
     assert (w, h, fr) == (4, 3, 1)
+
+
+# ------------------------------------------------------------ properties
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@st.composite
+def _rgb_images(draw):
+    w = draw(st.integers(min_value=1, max_value=12))
+    h = draw(st.integers(min_value=1, max_value=12))
+    px = draw(
+        st.binary(min_size=w * h * 3, max_size=w * h * 3)
+    )
+    return w, h, px
+
+
+@settings(max_examples=40, deadline=None)
+@given(_rgb_images())
+def test_png_roundtrip_property(img):
+    """encode_png_rgb -> sniff_decode is the identity on any RGB buffer."""
+    w, h, px = img
+    dec = sniff_decode(encode_png_rgb(w, h, px))
+    assert dec is not None
+    assert (dec.width, dec.height, dec.channels) == (w, h, 3)
+    assert dec.pixels == px
+
+
+@settings(max_examples=40, deadline=None)
+@given(_rgb_images())
+def test_ppm_roundtrip_property(img):
+    w, h, px = img
+    dec = sniff_decode(encode_ppm(DecodedImage(w, h, 3, px, "ppm")))
+    assert dec is not None
+    assert (dec.width, dec.height, dec.channels) == (w, h, 3)
+    assert dec.pixels == px
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    _rgb_images(),
+    st.integers(min_value=1, max_value=16),
+    st.integers(min_value=1, max_value=16),
+)
+def test_resize_property(img, ow, oh):
+    """Output dims always honored; every output pixel exists in the source
+    (nearest-neighbor never invents colors)."""
+    w, h, px = img
+    out = resize_nearest(DecodedImage(w, h, 3, px, "ppm"), ow, oh)
+    assert (out.width, out.height) == (ow, oh)
+    src_pixels = {px[i : i + 3] for i in range(0, len(px), 3)}
+    for i in range(0, len(out.pixels), 3):
+        assert out.pixels[i : i + 3] in src_pixels
