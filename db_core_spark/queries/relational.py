@@ -218,8 +218,11 @@ def dq_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     column, row count, completeness (non-null), cardinality, and bounds — the
     stats a pipeline gate asserts before a corpus build is allowed to run.
     ONE scan computes every column's profile (all aggregates in a single
-    global HashAggregate — no per-column passes); the long-form unpivot of
-    the profile happens on the 1-row result, not the table."""
+    global HashAggregate — no per-column passes); the long-form conversion
+    is an explode of per-column structs over the 1-row result, so the
+    aggregate subtree appears ONCE in the plan (a union of projections
+    would inline — and re-execute — it once per column; the plan audit
+    asserts the single scan)."""
     o = table(spark, sf_dir, "orders")
     cols = ["o_custkey", "o_totalprice", "o_orderkey"]
     aggs = []
@@ -232,21 +235,20 @@ def dq_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max(c).cast("double"), 4).alias(f"{c}__max_val"),
         ]
     one = o.agg(*aggs)
-    parts = [
-        one.select(
-            F.lit(c).alias("col"),
-            F.col(f"{c}__n_rows").alias("n_rows"),
-            F.col(f"{c}__n_nonnull").alias("n_nonnull"),
-            F.col(f"{c}__n_distinct").alias("n_distinct"),
-            F.col(f"{c}__min_val").alias("min_val"),
-            F.col(f"{c}__max_val").alias("max_val"),
-        )
-        for c in cols
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    profile_rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col"),
+                F.col(f"{c}__n_rows").alias("n_rows"),
+                F.col(f"{c}__n_nonnull").alias("n_nonnull"),
+                F.col(f"{c}__n_distinct").alias("n_distinct"),
+                F.col(f"{c}__min_val").alias("min_val"),
+                F.col(f"{c}__max_val").alias("max_val"),
+            )
+            for c in cols
+        ]
+    )
+    return one.select(F.explode(profile_rows).alias("r")).select("r.*")
 
 
 @query(

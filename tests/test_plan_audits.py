@@ -278,3 +278,54 @@ def test_snapshot_plan_has_no_exchange(spark, tmp_path):
         vt.snapshot(engine="window")._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" in legacy  # the old cost, kept only as explicit fallback
+
+
+def test_weighted_sample_uses_topk_not_global_sort(spark, queries):
+    """A-ES weighted sampling is only scale-sane as per-partition top-k +
+    single merge; a global sort of the keyed corpus would be the bottleneck
+    at 100 TB."""
+    plan = plan_of(queries["sample_weighted_topk"].fn(spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dq_fk_orphans_broadcasts_every_dimension(spark, queries):
+    """All four FK edges check against dimension/key sides small enough to
+    broadcast; a shuffle-hash anti join of the fact table per edge would
+    quadruple the shuffle volume for no reason."""
+    plan = plan_of(queries["dq_fk_orphans"].fn(spark, SF_SMALL))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_bm25_broadcasts_vocab_and_stats(spark, queries):
+    """df (vocabulary-sized) and the 1-row corpus stats must broadcast; the
+    only large shuffle is the (doc_id, term) tf aggregate."""
+    plan = plan_of(queries["bm25_top_terms"].fn(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan or plan.count("BroadcastExchange") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_dq_profile_single_scan_single_aggregate(spark, queries):
+    """The column profile must come from ONE scan + one global aggregate
+    chain (multi-distinct Expand is fine), not one pass per column — a
+    union of per-column projections would inline the aggregate subtree
+    once per column and re-execute the scan each time."""
+    import re as _re
+
+    plan = plan_of(queries["dq_profile_columns"].fn(spark, SF_SMALL))
+    # "formatted" explain names each node once in the tree and once in the
+    # details section — count the numbered detail headers only
+    n_scans = len(_re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n_scans == 1, f"profile plans {n_scans} scans"
+
+
+def test_sessionize_single_shuffle_shared_by_windows_and_agg(spark, queries):
+    """Both window passes and the per-session aggregate must reuse the one
+    hash partitioning on user_id — extra Exchanges mean the plan re-shuffles
+    what is already co-located."""
+    plan = plan_of(queries["sessionize_gap_events"].fn(spark, SF_SMALL))
+    import re as _re
+
+    n_exchanges = len(_re.findall(r"\bExchange\b", plan)) - plan.count("ReusedExchange")
+    assert n_exchanges <= 2, f"sessionize plans {n_exchanges} exchanges"
