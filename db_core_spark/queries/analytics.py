@@ -458,6 +458,135 @@ def window_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_interpolate_linear",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, user_id, epoch_us(ts) AS t_us,
+             CASE WHEN event_id % 5 <> 0 THEN value END AS v_known
+      FROM events WHERE user_id < 100),
+    ctx AS (
+      SELECT event_id, user_id, t_us, v_known,
+             LAST_VALUE(CASE WHEN v_known IS NOT NULL
+                             THEN {'t': t_us, 'v': v_known} END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY t_us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev,
+             FIRST_VALUE(CASE WHEN v_known IS NOT NULL
+                              THEN {'t': t_us, 'v': v_known} END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY t_us, event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt
+      FROM base)
+    SELECT event_id, user_id,
+           (v_known IS NULL) AS was_missing,
+           FLOOR(CASE
+             WHEN v_known IS NOT NULL THEN v_known
+             WHEN prev IS NULL AND nxt IS NULL THEN NULL
+             WHEN prev IS NULL THEN nxt.v
+             WHEN nxt IS NULL THEN prev.v
+             WHEN nxt.t = prev.t THEN prev.v
+             ELSE prev.v + (nxt.v - prev.v) * (t_us - prev.t) / (nxt.t - prev.t)
+           END * 1000000 + 0.5) / 1000000 AS v_interp
+    FROM ctx
+    """,
+    category="window",
+)
+def window_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of missing observations (the sensor/ticker
+    repair step beyond LOCF): every 5th event's value is deterministically
+    masked, then reconstructed from the nearest known neighbors weighted by
+    time distance — ``last(ignorenulls)`` over the preceding frame and
+    ``first(ignorenulls)`` over the following frame carry (ts, value)
+    structs, so one user_id shuffle serves both directions. Edges fall back
+    to the single available neighbor; time arithmetic is integer
+    microseconds and the result floor-rounds to 6 dp for engine-identical
+    hashing."""
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    v_known = F.when(F.col("event_id") % 5 != 0, F.col("value"))
+    base = e.select(
+        "event_id", "user_id", t_us.alias("t_us"), v_known.alias("v_known")
+    )
+    known_struct = F.when(
+        F.col("v_known").isNotNull(),
+        F.struct(F.col("t_us").alias("t"), F.col("v_known").alias("v")),
+    )
+    wp = (
+        W.partitionBy("user_id")
+        .orderBy("t_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wn = (
+        W.partitionBy("user_id")
+        .orderBy("t_us", "event_id")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    ctx = base.select(
+        "event_id",
+        "user_id",
+        "t_us",
+        "v_known",
+        F.last(known_struct, ignorenulls=True).over(wp).alias("prev"),
+        F.first(known_struct, ignorenulls=True).over(wn).alias("nxt"),
+    )
+    prev_t, prev_v = F.col("prev.t"), F.col("prev.v")
+    nxt_t, nxt_v = F.col("nxt.t"), F.col("nxt.v")
+    interp = (
+        F.when(F.col("v_known").isNotNull(), F.col("v_known"))
+        .when(F.col("prev").isNull() & F.col("nxt").isNull(), F.lit(None))
+        .when(F.col("prev").isNull(), nxt_v)
+        .when(F.col("nxt").isNull(), prev_v)
+        .when(nxt_t == prev_t, prev_v)
+        .otherwise(prev_v + (nxt_v - prev_v) * (F.col("t_us") - prev_t) / (nxt_t - prev_t))
+    )
+    return ctx.select(
+        "event_id",
+        "user_id",
+        F.col("v_known").isNull().alias("was_missing"),
+        (F.floor(interp * 1000000 + 0.5) / 1000000).alias("v_interp"),
+    )
+
+
+@query(
+    "window_rolling_zscore",
+    oracle="""
+    SELECT event_id, user_id,
+           FLOOR(CASE WHEN sd > 0 THEN (value - mu) / sd END * 10000 + 0.5)
+             / 10000 AS zscore,
+           (sd > 0 AND abs((value - mu) / sd) > 2) AS is_anomaly
+    FROM (
+      SELECT event_id, user_id, value,
+             AVG(value) OVER w AS mu,
+             STDDEV_SAMP(value) OVER w AS sd
+      FROM events WHERE user_id < 100
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+    """,
+    category="window",
+)
+def window_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: each event scored against the
+    trailing-20 window's mean/stddev on its own user timeline — the
+    standard streaming-metrics outlier flag, as one windowed pass (no
+    self-join). Scores floor-round to 4 dp (variance accumulates in
+    slightly different orders per engine; agreement to ~1e-10 makes 4 dp
+    safe); warm-up rows with zero variance emit NULL."""
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, W.currentRow)
+    )
+    mu = F.avg("value").over(w)
+    sd = F.stddev_samp("value").over(w)
+    z = F.when(sd > 0, (F.col("value") - mu) / sd)
+    return e.select(
+        "event_id",
+        "user_id",
+        (F.floor(z * 10000 + 0.5) / 10000).alias("zscore"),
+        ((sd > 0) & (F.abs(z) > 2)).alias("is_anomaly"),
+    )
+
+
+@query(
     "agg_bool_predicates",
     oracle="""
     SELECT l_orderkey,
