@@ -336,3 +336,28 @@ def agg_histogram_fixed_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("l_extendedprice"), 2).alias("hi"),
         )
     )
+
+
+_GROUPING_SETS_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING_ID(l_returnflag, l_linestatus) AS INT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(l_quantity), 2) AS total_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag),
+                            (l_linestatus), ())
+"""
+
+
+@query("agg_grouping_sets_mix", oracle=_GROUPING_SETS_SQL, category="aggregate")
+def agg_grouping_sets_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with a mixed lattice — (flag, status), each
+    alone, and the grand total — which neither rollup nor cube expresses
+    (cube would add no set here, but the POINT is arbitrary set lists, e.g.
+    skipping an expensive intermediate level at scale). One Expand over the
+    scan fans each row into its 4 set memberships, then a single hash
+    aggregate — the same single-shuffle shape as rollup/cube. GROUPING_ID
+    disambiguates real NULLs from subtotal rows. Runs through spark.sql:
+    the SQL text IS the oracle text (one parser path, two engines)."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_GROUPING_SETS_SQL)
