@@ -721,3 +721,56 @@ def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("cell_n").alias("est_n"))
         .orderBy(F.desc("true_n"), F.asc("tok"))
     )
+
+
+@query(
+    "pack_training_sequences",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens
+      FROM documents),
+    packed AS (
+      SELECT doc_id, n_tokens,
+             CAST(FLOOR((SUM(n_tokens) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         - n_tokens) / 2048) AS BIGINT) AS bin_id
+      FROM toks)
+    SELECT bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_used,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM packed
+    GROUP BY bin_id
+    """,
+    category="llm",
+)
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing (concat-and-chunk allocation): documents in
+    stable corpus order are laid head-to-tail and cut into 2048-token bins —
+    bin_id = floor(tokens_before / capacity), a running-sum window. This is
+    the allocation MAP of the packing step every pretraining pipeline runs
+    (the actual token-level splitting of boundary documents is the chunk
+    step, `udtf_chunk_documents`); emitting (bin, docs, utilization) makes
+    packing efficiency auditable before any tokens move. The global-order
+    cumsum is the one inherently sequential step: at 100 TB you run it as a
+    two-pass prefix sum — per-partition token totals (tiny) broadcast as
+    offsets, then each partition bins locally — same arithmetic, no global
+    window; the fixture-scale single window keeps the oracle exact."""
+    d = table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    n_tok = F.size(F.split(F.col("text"), r"\s+")).cast("long")
+    toks = d.select("doc_id", n_tok.alias("n_tokens"))
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    packed = toks.withColumn(
+        "bin_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 2048).cast("long"),
+    )
+    return packed.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("tokens_used"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
