@@ -361,3 +361,89 @@ def agg_grouping_sets_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SQL text IS the oracle text (one parser path, two engines)."""
     table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_GROUPING_SETS_SQL)
+
+
+@query(
+    "itemset_cooccurrence_pairs",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS support
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2)
+    SELECT part_a, part_b, support
+    FROM pairs WHERE support >= 3
+    """,
+    category="aggregate",
+)
+def itemset_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-pair mining (the market-basket / association-rule kernel):
+    parts that co-occur in >= 3 orders, via a self-join on the order key
+    over the DISTINCT (order, part) item list. Scale shape: the join
+    fan-out is bounded by per-order basket size (TPC-H ~7 lines), never
+    corpus size — co-occurrence is Σ basket² over orders, the same
+    posting-list blocking the near-dup kernels use. Support threshold
+    applies after one partial-aggregable shuffle on the pair."""
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 3)
+    )
+
+
+@query(
+    "revenue_mom_growth",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(YEAR(o_orderdate) AS INT) AS yr,
+             CAST(MONTH(o_orderdate) AS INT) AS mo,
+             ROUND(SUM(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY 1, 2)
+    SELECT yr, mo, revenue,
+           ROUND(LAG(revenue) OVER (ORDER BY yr, mo), 2) AS prev_revenue,
+           FLOOR(CASE WHEN LAG(revenue) OVER (ORDER BY yr, mo) > 0
+                 THEN (revenue / LAG(revenue) OVER (ORDER BY yr, mo) - 1) * 100
+                 END * 10000 + 0.5) / 10000 AS growth_pct
+    FROM monthly
+    """,
+    category="timeseries",
+)
+def revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month growth: the lag-over-aggregate reporting pattern.
+    The monthly rollup reduces the fact table to ~months rows FIRST, so the
+    unpartitioned ordering window runs over a tiny frame (a global window
+    over raw facts would single-thread the sort; over 80 aggregate rows it
+    is free). Growth floor-rounds to 4 dp for engine-identical hashing."""
+    o = table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    from pyspark.sql import Window as W
+
+    w = W.orderBy("yr", "mo")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "yr",
+        "mo",
+        "revenue",
+        F.round(prev, 2).alias("prev_revenue"),
+        (
+            F.floor(
+                F.when(prev > 0, (F.col("revenue") / prev - 1) * 100) * 10000 + 0.5
+            )
+            / 10000
+        ).alias("growth_pct"),
+    )
