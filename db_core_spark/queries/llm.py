@@ -774,3 +774,63 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+def pack_training_sequences_scalable(
+    spark: SparkSession, sf_dir: str, capacity: int = 2048, num_parts: int = 8
+) -> DataFrame:
+    """The 100 TB formulation of :func:`pack_training_sequences`: a
+    distributed two-pass prefix sum instead of the single global window
+    (which moves ALL rows to one partition).
+
+    Pass 1: range-partition by doc_id (order-preserving across partitions),
+    aggregate one token total per partition — `num_parts` rows to the
+    driver, O(partitions) not O(docs). Pass 2: broadcast the exclusive
+    per-partition offsets back; each partition computes its LOCAL running
+    sum in parallel (window partitioned by partition id) and adds its
+    offset. Identical arithmetic to the global window — pytest asserts
+    equality — with no single-partition stage anywhere."""
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), r"\s+")).cast("long")
+    toks = (
+        d.select("doc_id", n_tok.alias("n_tokens"))
+        .repartitionByRange(num_parts, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    # pass 1: per-partition totals -> exclusive offsets (tiny driver list)
+    totals = {
+        r.pid: r.total
+        for r in toks.groupBy("pid").agg(F.sum("n_tokens").alias("total")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    offset_df = F.broadcast(
+        spark.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()], "pid int, offset long"
+        )
+    )
+    # pass 2: local running sums in parallel + broadcast offset
+    w_local = (
+        W.partitionBy("pid").orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    packed = (
+        toks.join(offset_df, "pid")
+        .withColumn(
+            "bin_id",
+            F.floor(
+                (F.col("offset") + F.sum("n_tokens").over(w_local) - F.col("n_tokens"))
+                / capacity
+            ).cast("long"),
+        )
+    )
+    return packed.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("tokens_used"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

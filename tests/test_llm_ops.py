@@ -222,3 +222,22 @@ def test_quantize_int8_array_native_and_json_twin(spark):
     for vid, r in jsons.items():
         assert r["q_int8_json"] == json.dumps(arrays[vid]["q_int8"], separators=(",", ":"))
         assert r["scale_r"] == arrays[vid]["scale_r"]
+
+
+def test_scalable_packing_matches_global_window(spark):
+    """The two-pass prefix-sum packing (no single-partition stage) must
+    produce exactly the bins of the global-window formulation."""
+    from db_core_spark.queries.llm import (
+        pack_training_sequences,
+        pack_training_sequences_scalable,
+    )
+
+    ref = {tuple(r) for r in pack_training_sequences(spark, SF_SMALL).collect()}
+    for parts in (1, 3, 8):
+        got = {
+            tuple(r)
+            for r in pack_training_sequences_scalable(
+                spark, SF_SMALL, num_parts=parts
+            ).collect()
+        }
+        assert got == ref, f"num_parts={parts} diverges from global window"
