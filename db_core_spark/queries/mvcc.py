@@ -288,3 +288,39 @@ def group_txn_two_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     evens = db.table("evens").snapshot().withColumn("side", F.lit("evens"))
     odds = db.table("odds").snapshot().withColumn("side", F.lit("odds"))
     return evens.unionByName(odds).select("side", "key", "hi", "n")
+
+
+@query(
+    "mvcc_scd2_intervals",
+    oracle="""
+    SELECT o_custkey AS key,
+           o_orderkey AS valid_from_csn,
+           LEAD(o_orderkey) OVER w AS valid_to_csn,
+           o_totalprice AS payload,
+           (o_orderstatus = 'F') AS is_delete,
+           (LEAD(o_orderkey) OVER w IS NULL) AS is_current
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+    """,
+    category="mvcc",
+)
+def mvcc_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2 view of a version stream: each
+    version becomes a validity interval [csn, next_csn) with the newest
+    open-ended (is_current) — the warehouse-facing shape of the MVCC chain
+    (block_driver.rs:457-486 walks these intervals newest-first; SCD2
+    materializes them all so any as-of question becomes a BETWEEN filter,
+    no window at read time). One lead() pass over the same key-partitioned
+    shuffle the visibility queries use; tombstones close their interval
+    with is_delete so downstream joins can exclude dead spans."""
+    o = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderkey")
+    nxt = F.lead("o_orderkey").over(w)
+    return o.select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderkey").alias("valid_from_csn"),
+        nxt.alias("valid_to_csn"),
+        F.col("o_totalprice").alias("payload"),
+        (F.col("o_orderstatus") == "F").alias("is_delete"),
+        nxt.isNull().alias("is_current"),
+    )
