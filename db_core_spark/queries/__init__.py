@@ -20,4 +20,7 @@ from db_core_spark.queries import (  # noqa: F401
     sampling,
     udtf_ops,
     analytics,
+    corpus,
+    timeseries,
+    graph,
 )

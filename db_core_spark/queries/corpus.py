@@ -1,0 +1,234 @@
+"""Corpus-quality operators for LLM training-data pipelines: benchmark
+contamination, within-document repetition, Gopher-style heuristic quality
+rules, and a unigram-LM perplexity proxy.
+
+Goal-derived (BASELINE.json north star; SURVEY.md §2C — the reference has no
+relational operators). These are the filters a 100 TB pre-training pipeline
+runs between raw crawl and tokenization: every one is expressed as
+whole-stage-codegen'd explode/join/aggregate chains — no Python in the hot
+path, one bounded shuffle per operator, and the small side (benchmark shingle
+set, vocabulary) broadcast so the corpus never reshuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from db_core_spark.functions.text import EN_STOPWORDS, shingle_posting
+from db_core_spark.registry import query
+from db_core_spark.tables import table
+
+# Benchmark/eval holdout: docs from these sources play the role of an eval
+# benchmark whose n-grams must not leak into training data. Fixture sources
+# are src1..src20, so this is a ~10% holdout.
+BENCH_SOURCES = ("src1", "src2")
+
+_TOKS_5GRAM = """
+    toks AS (
+      SELECT doc_id, source, string_split_regex(text, '\\s+') AS t FROM documents),
+    docs AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(range(1, len(t) - 3),
+                                          i -> array_to_string(t[i:i+4], ' '))) AS w
+      FROM toks),
+    posting AS (SELECT doc_id, source, UNNEST(w) AS sh FROM docs)
+"""
+
+
+@query(
+    "contamination_ngram_overlap",
+    oracle="WITH "
+    + _TOKS_5GRAM
+    + """,
+    bench AS (SELECT DISTINCT sh FROM posting WHERE source IN ('src1', 'src2')),
+    train AS (SELECT doc_id, sh FROM posting WHERE source NOT IN ('src1', 'src2')),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM train GROUP BY 1),
+    hits AS (
+      SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+      FROM train t JOIN bench b USING (sh) GROUP BY 1)
+    SELECT s.doc_id, s.n_sh, h.n_hit,
+           ROUND(h.n_hit * 1.0 / s.n_sh, 6) AS contamination
+    FROM sizes s JOIN hits h ON s.doc_id = h.doc_id
+    """,
+    category="llm",
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection: for every training document, the
+    fraction of its distinct 5-gram shingles that also occur in the held-out
+    benchmark corpus (sources src1/src2). The decontamination step every
+    serious pre-training pipeline runs so eval benchmarks don't leak into
+    training data (n-gram overlap is the standard check, e.g. GPT-3 appendix
+    C / PaLM's 13-gram rule; 5-gram here because fixture docs are 10-100
+    tokens).
+
+    Scale shape: the benchmark shingle set is tiny relative to the corpus
+    (eval suites are MBs, corpora are TBs) — build it once, distinct it, and
+    BROADCAST it against the training posting list, so the 100 TB side is
+    filtered map-side with zero extra shuffle; the only shuffle is the
+    per-doc count aggregation the posting list already needs. Only
+    contaminated docs (>=1 hit) are emitted."""
+    d = table(spark, sf_dir, "documents")
+    posting = shingle_posting(d, n=5).distinct()
+    # benchmark membership by doc_id list (broadcast both ways: the holdout
+    # id list is tiny, so the train-side anti join is map-side too)
+    bench_docs = d.filter(F.col("source").isin(*BENCH_SOURCES)).select("doc_id")
+    bench = (
+        posting.join(F.broadcast(bench_docs), "doc_id", "left_semi")
+        .select("sh")
+        .distinct()
+    )
+    train = posting.join(F.broadcast(bench_docs), "doc_id", "left_anti")
+    sizes = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    hits = (
+        train.join(F.broadcast(bench), "sh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        sizes.join(hits, "doc_id")
+        .select(
+            "doc_id",
+            "n_sh",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_sh"), 6).alias("contamination"),
+        )
+    )
+
+
+@query(
+    "doc_repetition_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+    grams AS (
+      SELECT doc_id,
+             UNNEST(list_transform(range(1, len(t) - 1),
+                                   i -> array_to_string(t[i:i+2], ' '))) AS sh
+      FROM toks),
+    per_gram AS (
+      SELECT doc_id, sh, COUNT(*) AS c FROM grams GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_grams,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           ROUND(1.0 - COUNT(*) * 1.0 / SUM(c), 6) AS dup_frac,
+           CAST(MAX(c) AS BIGINT) AS top_gram_n
+    FROM per_gram GROUP BY doc_id
+    """,
+    category="llm",
+)
+def doc_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition scoring: duplicate-3-gram fraction and the
+    hottest single 3-gram count per document — the Gopher/FineWeb 'repetition
+    filter' signal that catches boilerplate, keyword stuffing, and decoding
+    loops. Counts NON-distinct shingles: dup_frac = 1 - distinct/total.
+
+    One posting explode, one (doc, gram) count, one per-doc fold — the
+    second aggregation reuses the first's hash partitioning on doc_id
+    (Catalyst plans them back to back without a second exchange of the wide
+    data). No arrays ride the shuffle."""
+    d = table(spark, sf_dir, "documents")
+    grams = shingle_posting(d, n=3)  # NOT distinct: repetition is the signal
+    per_gram = grams.groupBy("doc_id", "sh").agg(F.count(F.lit(1)).alias("c"))
+    return per_gram.groupBy("doc_id").agg(
+        F.sum("c").alias("n_grams"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.round(1.0 - F.count(F.lit(1)) / F.sum("c"), 6).alias("dup_frac"),
+        F.max("c").alias("top_gram_n"),
+    )
+
+
+_STOPWORD_SQL_LIST = "(" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + ")"
+
+
+@query(
+    "gopher_quality_rules",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(string_split_regex(text, '\\s+')) AS tok FROM documents),
+    m AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_words,
+             ROUND(AVG(len(tok)), 6) AS mean_word_len,
+             CAST(SUM(CASE WHEN tok IN {_STOPWORD_SQL_LIST} THEN 1 ELSE 0 END) AS BIGINT)
+               AS stop_hits
+      FROM toks GROUP BY doc_id)
+    SELECT doc_id, n_words, mean_word_len, stop_hits,
+           (n_words BETWEEN 20 AND 1000)
+             AND (mean_word_len BETWEEN 2 AND 8)
+             AND stop_hits >= 1 AS passes
+    FROM m
+    """,
+    category="llm",
+)
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style heuristic quality gate (Rae et al. 2021 §A1.1 family):
+    word-count bounds, mean-word-length bounds, and stopword presence, folded
+    into a single boolean verdict per document. These cheap structural rules
+    are the first filter stage of every crawl pipeline — they run at full
+    scan speed (one explode + one hash aggregate, all codegen) and drop the
+    bulk of junk before any expensive model-based scoring sees it.
+
+    mean word length averages INTEGER lengths, so the sum is exact and the
+    rounded average is bit-identical across engines and partitionings."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("tok"))
+    m = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.round(F.avg(F.length("tok")), 6).alias("mean_word_len"),
+        F.sum(F.when(F.col("tok").isin(*EN_STOPWORDS), 1).otherwise(0)).alias("stop_hits"),
+    )
+    return m.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "stop_hits",
+        (
+            F.col("n_words").between(20, 1000)
+            & F.col("mean_word_len").between(2, 8)
+            & (F.col("stop_hits") >= 1)
+        ).alias("passes"),
+    )
+
+
+@query(
+    "perplexity_unigram_proxy",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(string_split_regex(text, '\\s+')) AS tok FROM documents),
+    vocab AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    total AS (SELECT SUM(c) AS n FROM vocab)
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(-LN(v.c * 1.0 / total.n)), 6) AS avg_neg_logp
+    FROM toks t JOIN vocab v USING (tok) CROSS JOIN total
+    GROUP BY t.doc_id
+    """,
+    category="llm",
+)
+def perplexity_unigram_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM perplexity proxy: score every document by the mean negative
+    log-probability of its tokens under the corpus's own unigram
+    distribution — the cheap stand-in for KenLM-perplexity filtering (CCNet
+    et al.): gibberish and rare-token soup scores high, templated boilerplate
+    scores low.
+
+    Scale shape: the vocabulary is the classic small-side aggregate (even at
+    100 TB a unigram vocab is millions of rows, not billions) — build it with
+    one hash aggregate, fold the scalar total in via a 1-row cross join, and
+    BROADCAST the scored vocab back onto the token stream, so the corpus-side
+    pass is map-only and the only wide shuffle is the final per-doc average."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("n"))
+    scored = vocab.crossJoin(F.broadcast(total)).select(
+        "tok", (-F.log(F.col("c") / F.col("n"))).alias("neg_logp")
+    )
+    return (
+        toks.join(F.broadcast(scored), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("neg_logp"), 6).alias("avg_neg_logp"),
+        )
+    )

@@ -327,3 +327,88 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_quantity"), 2).alias("qty"),
         )
     )
+
+
+BLOOM_BITS = 1 << 16  # m: 65536 bits = 1024 longs
+BLOOM_SEEDS = (1, 2, 3)  # k: 3 hash functions
+
+
+@query(
+    "join_bloom_prefilter",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(SUM(l.l_quantity), 2) AS sum_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_totalprice >= 450000
+    GROUP BY o.o_orderkey, o.o_totalprice
+    """,
+    category="join",
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter-prefiltered join: build a 65536-bit / 3-hash Bloom filter
+    over the selective dim side (orders with o_totalprice >= 450000, ~10%),
+    test every fact row against it map-side, and only then run the exact
+    equi-join. Semantically identical to the plain join (the oracle IS the
+    plain join): Bloom filters have no false negatives, and the exact join
+    removes the ~2% false positives.
+
+    This is the manual form of runtime row-level filtering (Spark's own
+    `spark.sql.optimizer.runtime.bloomFilter` injects the same shape): at
+    100 TB the win is that the fact side sheds ~90% of rows BEFORE the
+    shuffle — the filter itself is 1024 (word_idx, bits) rows built with one
+    tiny aggregation and broadcast, so membership tests are 3 broadcast hash
+    joins with zero fact-side shuffle. Every hash is xxhash64 (codegen),
+    never a Python UDF."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    dims = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") >= 450000)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+    def pos(key: F.Column, seed: int) -> F.Column:
+        return F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(BLOOM_BITS))
+
+    # build: one explode(k) + one 1024-group aggregate over the dim side
+    # (shiftleft's shift amount must be a column expression here, so spell it
+    # via F.expr — still the same codegen'd JVM expression)
+    bloom = (
+        dims.select(
+            F.explode(
+                F.array(*[pos(F.col("o_orderkey"), s) for s in BLOOM_SEEDS])
+            ).alias("p")
+        )
+        .select(
+            (F.col("p") / 64).cast("long").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+    # probe: k broadcast joins, each testing one bit position map-side
+    probed = li
+    for s in BLOOM_SEEDS:
+        b = bloom.select(
+            F.col("word_idx").alias(f"w{s}"), F.col("bits").alias(f"m{s}")
+        )
+        probed = (
+            probed.withColumn(f"_p{s}", pos(F.col("l_orderkey"), s))
+            .withColumn(f"_w{s}", (F.col(f"_p{s}") / 64).cast("long"))
+            .withColumn(
+                f"_b{s}",
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(_p{s} % 64 AS INT))"),
+            )
+            .join(F.broadcast(b), F.col(f"_w{s}") == F.col(f"w{s}"), "inner")
+            .filter(F.col(f"_b{s}").bitwiseAND(F.col(f"m{s}")) != 0)
+            .drop(f"_p{s}", f"_w{s}", f"_b{s}", f"w{s}", f"m{s}")
+        )
+    # exact join removes Bloom false positives; survivors aggregate as usual
+    return (
+        probed.join(dims, probed.l_orderkey == dims.o_orderkey)
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )

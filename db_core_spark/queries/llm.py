@@ -250,7 +250,12 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float) -> DataFr
     (minhash bands, below); this exact variant is the verification kernel
     both paths share."""
     d = table(spark, sf_dir, "documents")
-    posting = shingle_posting(d, n=3).distinct()
+    # Materialize the distinct posting list once: it feeds three consumers
+    # (per-doc sizes + both sides of the intersection self-join), and without
+    # the checkpoint each consumer re-scans and re-shingles the corpus.
+    # localCheckpoint keeps it on executors (memory+disk), so at scale this
+    # is one corpus pass instead of three.
+    posting = shingle_posting(d, n=3).distinct().localCheckpoint()
     return _posting_jaccard(posting, threshold)
 
 
@@ -435,7 +440,9 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     alongside it. Same scale shape as the Jaccard kernel: candidates from a
     shared-shingle equi-join on the distinct posting list, never all-pairs."""
     d = table(spark, sf_dir, "documents")
-    posting = shingle_posting(d, n=3).distinct()
+    # one corpus shingle pass shared by sizes + both self-join sides (same
+    # materialization rationale as _jaccard_pairs)
+    posting = shingle_posting(d, n=3).distinct().localCheckpoint()
     sizes = posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nw"))
     a, b = posting.alias("a"), posting.alias("b")
     inter = (
@@ -529,23 +536,22 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("u")
             .agg(F.min("label").alias("nbr_min"))
         )
-        new_labels = (
+        # carry the old label through the checkpoint so convergence is a
+        # cheap scan of the already-materialized frame, not a fresh
+        # labels-vs-new-labels join+shuffle per round
+        stepped = (
             labels.join(msgs, labels.doc_id == msgs.u, "left")
             .select(
                 "doc_id",
+                F.col("label").alias("old_label"),
                 F.least(F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))).alias(
                     "label"
                 ),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter(F.col("label") != F.col("old_label")).count()
+        labels = stepped.select("doc_id", "label")
         if changed == 0:
             break
     return labels.select(

@@ -191,3 +191,48 @@ def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.aggregate(vec_d, F.lit(0.0), lambda acc, x: acc + x), 6).alias("vec_sum"),
         F.round(F.array_max(vec_d), 6).alias("vec_max"),
     )
+
+
+@query(
+    "scalar_url_parse",
+    oracle="""
+    WITH seeded AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR)
+               || '?ref=r' || CAST(doc_id % 7 AS VARCHAR) || '#frag' AS url
+      FROM documents WHERE doc_id <= 300)
+    SELECT doc_id,
+           regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+           regexp_extract(url, '\\?([^#]*)', 1) AS qs,
+           string_split(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1), '.')[1] AS site
+    FROM seeded
+    """,
+    category="scalar",
+)
+def scalar_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing — host / path / query-string / first host label — via the
+    JVM-side `parse_url` expression (the oracle re-derives the same parts
+    with regexes). Domain extraction is the workhorse of crawl-corpus
+    curation (per-domain quality priors, domain-level dedup and rate caps);
+    fixture docs carry no URLs, so deterministic URLs are seeded from
+    (source, doc_id) exactly like the PII-redaction twin seeds emails."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 300)
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?ref=r"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("#frag"),
+    )
+    seeded = d.select("doc_id", url.alias("url"))
+    host = F.parse_url(F.col("url"), F.lit("HOST"))
+    return seeded.select(
+        "doc_id",
+        host.alias("host"),
+        F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+        F.parse_url(F.col("url"), F.lit("QUERY")).alias("qs"),
+        F.split(host, r"\.").getItem(0).alias("site"),
+    )

@@ -1,0 +1,246 @@
+"""Time-series analytics over the events stream: OHLC bars, recursive EWMA
+smoothing, rolling DAU/WAU engagement, and exact equi-depth quantile
+bucketing.
+
+Goal-derived (SURVEY.md §2C — the reference has no relational operators; its
+only time notion is the CSN sequence, `src/common/defs.rs:96-136`). Each
+operator is shaped for partition-parallel execution: per-key windows
+partition by (event_type|user_id), never a global single-partition window;
+the one genuinely sequential recurrence (EWMA) runs as an Arrow-batched
+grouped-map kernel, parallel across keys.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Window as W
+
+from db_core_spark.registry import query
+from db_core_spark.tables import table
+
+
+@query(
+    "ohlc_time_bars",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, date_trunc('hour', ts) AS bar_hour, ts, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events)
+    SELECT event_type, bar_hour,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(COUNT(*) AS BIGINT) AS volume
+    FROM e GROUP BY event_type, bar_hour
+    """,
+    category="timeseries",
+)
+def ohlc_time_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC (open/high/low/close) bars per event_type — the canonical
+    time-bar downsampling every monitoring/market pipeline runs. Open/close
+    are position-based (first/last by (ts, event_id) — the event_id tie-break
+    makes the result partitioning-independent), high/low/volume are plain
+    aggregates.
+
+    Single-shuffle shape: both row_number windows and the final aggregate
+    share the (event_type, hour) hash partitioning, so Catalyst plans ONE
+    exchange followed by sorts — at 100 TB the bars parallelize across
+    event_type x hour with no global ordering anywhere."""
+    e = table(spark, sf_dir, "events").withColumn(
+        "bar_hour", F.date_trunc("hour", F.col("ts"))
+    )
+    wa = W.partitionBy("event_type", "bar_hour").orderBy("ts", "event_id")
+    wd = W.partitionBy("event_type", "bar_hour").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn_a", F.row_number().over(wa))
+        .withColumn("rn_d", F.row_number().over(wd))
+        .groupBy("event_type", "bar_hour")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+            F.count(F.lit(1)).alias("volume"),
+        )
+    )
+
+
+EWMA_ALPHA = 0.3
+EWMA_MAX_EVENTS = 40
+
+
+@query(
+    "ewma_user_value",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+      SELECT user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events),
+    f AS (SELECT * FROM e WHERE rn <= {EWMA_MAX_EVENTS}),
+    rec(user_id, rn, y) AS (
+      SELECT user_id, rn, value FROM f WHERE rn = 1
+      UNION ALL
+      SELECT f.user_id, f.rn, {1 - EWMA_ALPHA} * r.y + {EWMA_ALPHA} * f.value
+      FROM rec r JOIN f ON f.user_id = r.user_id AND f.rn = r.rn + 1)
+    SELECT user_id, CAST(MAX(rn) AS BIGINT) AS n_events,
+           ROUND(arg_max(y, rn), 6) AS ewma
+    FROM rec GROUP BY user_id
+    """,
+    category="timeseries",
+)
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of each user's event values
+    (recursive form y_t = (1-a)*y_prev + a*x_t, a=0.3, over the user's
+    first 40 events by (ts, event_id)); emits the final smoothed level per
+    user. The one genuinely sequential recurrence in the suite — it is NOT
+    expressible as a Spark window frame (the weight of every prior row decays
+    geometrically with distance), so it runs as an Arrow-batched grouped-map
+    kernel: parallel across users, sequential only within a user's bounded
+    event list. The oracle is the same recurrence as a recursive CTE, and
+    both engines evaluate the identical float64 expression order, so results
+    are bit-stable before the 6-dp round.
+
+    At 100 TB this is exactly the shape you want: one shuffle on user_id,
+    then an embarrassingly parallel per-key scan — state is O(1) per key, so
+    the same kernel is the batch twin of a streaming stateful operator."""
+    e = table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+
+    def ewma_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"]).head(EWMA_MAX_EVENTS)
+        y = None
+        for x in pdf["value"].to_numpy():
+            y = float(x) if y is None else (1 - EWMA_ALPHA) * y + EWMA_ALPHA * float(x)
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [len(pdf)],
+                "ewma": [round(y, 6)],
+            }
+        )
+
+    return e.groupBy("user_id").applyInPandas(
+        ewma_block, "user_id bigint, n_events bigint, ewma double"
+    )
+
+
+@query(
+    "rolling_dau_stickiness",
+    oracle="""
+    WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    spine AS (SELECT DISTINCT day FROM du),
+    cover AS (
+      SELECT DISTINCT CAST(du.day + i.i * INTERVAL 1 DAY AS DATE) AS cover_day,
+             du.user_id
+      FROM du, (SELECT UNNEST(range(0, 7)) AS i) i),
+    wau AS (
+      SELECT c.cover_day AS day, CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS wau
+      FROM cover c JOIN spine s ON s.day = c.cover_day GROUP BY 1),
+    dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY 1)
+    SELECT d.day, d.dau, w.wau, ROUND(d.dau * 1.0 / w.wau, 6) AS stickiness
+    FROM dau d JOIN wau w ON d.day = w.day
+    """,
+    category="timeseries",
+)
+def rolling_dau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users, trailing-7-day weekly active users, and the
+    DAU/WAU stickiness ratio — the standard engagement rollup. COUNT(DISTINCT
+    user) OVER a RANGE frame is not a thing in either engine, so WAU uses the
+    scale-correct reformulation: each (day, user) activity row COVERS the
+    next 7 calendar days; distinct (cover_day, user) then counts per day.
+
+    That turns an O(days x scan) self-join into one explode (x7, bounded) +
+    one distinct + one count — all hash-partitioned, no per-day rescans. The
+    day spine semi-join keeps only days that exist in the data, so the two
+    engines agree on edge days without a calendar table."""
+    e = table(spark, sf_dir, "events")
+    du = e.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    spine = du.select("day").distinct()
+    cover = (
+        du.select(
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"), "day", "user_id"
+        )
+        .select(F.date_add(F.col("day"), F.col("i")).alias("day"), "user_id")
+        .distinct()
+    )
+    wau = (
+        cover.join(F.broadcast(spine), "day", "left_semi")
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("wau"))
+    )
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.col("day").cast("date").alias("day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+        )
+    )
+
+
+_DECILES = [i / 10 for i in range(1, 10)]
+
+
+@query(
+    "quantile_bucket_features",
+    oracle=f"""
+    WITH q AS (
+      SELECT quantile_cont(l_extendedprice,
+                           {_DECILES}) AS qs
+      FROM lineitem),
+    b AS (
+      SELECT l_orderkey, l_linenumber, l_extendedprice,
+             1 + len(list_filter(q.qs, x -> l_extendedprice > x)) AS bucket
+      FROM lineitem, q)
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price
+    FROM b GROUP BY bucket
+    """,
+    category="timeseries",
+)
+def quantile_bucket_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency (decile) feature bucketing of l_extendedprice with
+    per-bucket stats — the quantile-binning step of feature pipelines and the
+    histogram-equalization step of layout planning. Deliberately NOT
+    NTILE(): a global NTILE is a single-partition window (the anti-scale
+    shape). Instead: exact decile boundaries via the percentile aggregate
+    (distributed partial aggregation), broadcast the 9 boundaries back, and
+    assign buckets with a map-side comparison — the corpus is scanned twice
+    but never globally sorted and never funneled through one task.
+
+    Ties sit with the lower bucket (strict >) in both engines, so bucket
+    assignment is deterministic even at repeated prices."""
+    li = table(spark, sf_dir, "lineitem")
+    q = li.agg(
+        F.percentile("l_extendedprice", F.array(*[F.lit(d) for d in _DECILES])).alias(
+            "qs"
+        )
+    )
+    b = li.crossJoin(F.broadcast(q)).select(
+        "l_extendedprice",
+        (
+            1
+            + F.size(
+                F.filter(
+                    F.col("qs"), lambda x: F.col("l_extendedprice") > x
+                )
+            )
+        ).alias("bucket"),
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+    )

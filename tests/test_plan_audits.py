@@ -329,3 +329,50 @@ def test_sessionize_single_shuffle_shared_by_windows_and_agg(spark, queries):
 
     n_exchanges = len(_re.findall(r"\bExchange\b", plan)) - plan.count("ReusedExchange")
     assert n_exchanges <= 2, f"sessionize plans {n_exchanges} exchanges"
+
+
+def test_bloom_prefilter_probes_are_broadcast(spark, queries):
+    """The 3 Bloom membership tests must be broadcast hash joins (the filter
+    is 1024 rows) — a shuffled probe would defeat the whole point of
+    shedding fact rows before the shuffle."""
+    plan = plan_of(queries["join_bloom_prefilter"].fn(spark, SF_SMALL))
+    assert plan.count("BroadcastHashJoin") >= 3, "bloom probes not broadcast"
+    assert "CartesianProduct" not in plan
+
+
+def test_contamination_bench_set_is_broadcast(spark, queries):
+    """The benchmark shingle set must broadcast against the training posting
+    list — at 100 TB the training side cannot reshuffle for a semi join
+    against a MB-scale eval suite."""
+    plan = plan_of(queries["contamination_ngram_overlap"].fn(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert re.search(r"BroadcastHashJoin .*LeftSemi", plan) or "LeftSemi" in plan
+
+
+def test_perplexity_vocab_is_broadcast(spark, queries):
+    plan = plan_of(queries["perplexity_unigram_proxy"].fn(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan, "vocab join must broadcast"
+
+
+def test_ohlc_windows_and_agg_share_one_exchange(spark, queries):
+    """Both row_number windows and the final aggregate group on
+    (event_type, bar_hour): exactly one exchange of the events data."""
+    plan = plan_of(queries["ohlc_time_bars"].fn(spark, SF_SMALL))
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 1, f"expected 1 exchange, saw {n_exchanges}"
+
+
+def test_quantile_buckets_avoid_global_window(spark, queries):
+    """Decile bucketing must NOT plan a single-partition window (the NTILE
+    shape); boundaries come from a percentile aggregate + broadcast."""
+    plan = plan_of(queries["quantile_bucket_features"].fn(spark, SF_SMALL))
+    assert "Exchange SinglePartition" not in plan or "Window" not in plan
+    assert "Window" not in plan, "global window found — NTILE-shaped plan"
+
+
+def test_ewma_is_grouped_map_not_global(spark, queries):
+    """EWMA must parallelize across users: one hash exchange on user_id into
+    FlatMapGroupsInPandas — never a single-partition sort."""
+    plan = plan_of(queries["ewma_user_value"].fn(spark, SF_SMALL))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Exchange SinglePartition" not in plan
