@@ -23,4 +23,5 @@ from db_core_spark.queries import (  # noqa: F401
     corpus,
     timeseries,
     graph,
+    layout,
 )

@@ -232,3 +232,106 @@ def perplexity_unigram_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("neg_logp"), 6).alias("avg_neg_logp"),
         )
     )
+
+
+BPE_MERGES = 20
+
+
+def bpe_train_reference(word_freqs: dict[str, int], n_merges: int = BPE_MERGES):
+    """Pure-Python reference BPE trainer (the pytest oracle for
+    `bpe_train_merges`): greedy highest-frequency pair, ties broken by
+    lexicographically smallest (left, right), merges applied left-to-right
+    non-overlapping."""
+    segs = {w: list(w) for w in word_freqs}
+    merges = []
+    for rank in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, f in word_freqs.items():
+            s = segs[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + f
+        if not counts:
+            break
+        (left, right), freq = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merged = left + right
+        for w in segs:
+            s, out, i = segs[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            segs[w] = out
+        merges.append((rank, left, right, freq))
+    return merges
+
+
+@query("bpe_train_merges", oracle=None, category="llm")
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE (byte-pair-encoding) merge-table training — the
+    tokenizer-fitting step of every LLM data pipeline. Greedy algorithm:
+    count adjacent symbol pairs weighted by word frequency, merge the most
+    frequent pair (ties: lexicographically smallest), repeat for 20 ranks.
+
+    Scale shape — the part that matters at 100 TB: the corpus collapses to a
+    (word, freq) vocabulary with ONE distributed aggregation (the classic
+    word-count; vocab is millions of rows where the corpus is billions), and
+    all 20 merge iterations run over that small vocab table — pair counting
+    is an explode + hash aggregate per round, the argmax is a 1-row driver
+    scalar (the merge decision itself IS driver state, like the PageRank
+    loop bound), and the merge rewrite is a per-word array fold. The corpus
+    is never re-read after the first pass. Deterministic: no RNG, total
+    tie-break order. Not SQL-expressible (20 data-dependent rewrite rounds),
+    so rows-only for the driver; pytest checks exact equality with the
+    pure-Python reference above."""
+    d = table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.split(F.col("text"), r"\s+")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn("syms", F.split(F.col("word"), ""))
+        .localCheckpoint()
+    )
+    merges = []
+    for rank in range(BPE_MERGES):
+        pairs = (
+            vocab.filter(F.size("syms") >= 2)  # 1-symbol words have no pairs
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1), "
+                        "i -> struct(syms[i-1] AS l, syms[i] AS r))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        top = pairs.orderBy(F.col("cnt").desc(), F.col("l"), F.col("r")).limit(1).collect()
+        if not top:
+            break
+        left, right, cnt = top[0].l, top[0].r, top[0].cnt
+        merges.append((rank, left, right, int(cnt)))
+        # left-to-right non-overlapping merge as an array fold: append, or
+        # replace the tail element when (tail, current) == (left, right).
+        # The tail can never itself complete a second merge in the same pass
+        # because the merged symbol differs from `left`... unless left ==
+        # left+right which is impossible for non-empty right.
+        lq, rq = left.replace("'", "\\'"), right.replace("'", "\\'")
+        vocab = vocab.withColumn(
+            "syms",
+            F.expr(
+                "aggregate(syms, CAST(array() AS array<string>), (acc, x) -> "
+                f"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '{lq}' AND x = '{rq}' "
+                f"THEN concat(slice(acc, 1, size(acc) - 1), array('{lq}{rq}')) "
+                "ELSE concat(acc, array(x)) END)"
+            ),
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_freq bigint"
+    )

@@ -244,3 +244,57 @@ def quantile_bucket_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("l_extendedprice").alias("max_price"),
         F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
     )
+
+
+@query(
+    "anomaly_mad_robust",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type),
+    dev AS (
+      SELECT e.event_type, e.value, m.med, ABS(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (event_type)),
+    mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY 1)
+    SELECT d.event_type,
+           ROUND(ANY_VALUE(d.med), 6) AS med,
+           ROUND(ANY_VALUE(m.mad), 6) AS mad,
+           CAST(SUM(CASE WHEN d.adev > 3 * 1.4826 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    """,
+    category="timeseries",
+)
+def anomaly_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection per event_type: median / MAD (median absolute
+    deviation) with the standard 3-sigma-equivalent cut (1.4826 * MAD ~ one
+    Gaussian sigma). Mean/stddev-based z-scores move with the outliers they
+    hunt; the median/MAD pair doesn't — this is the robust twin of
+    `window_rolling_zscore`.
+
+    Two-pass shape, both passes distributed: exact median per group via the
+    percentile aggregate (partial aggregation, no global sort), broadcast the
+    tiny per-group medians back, aggregate absolute deviations the same way.
+    At 100 TB: two scans, two small broadcasts, zero wide shuffles of the
+    fact data."""
+    e = table(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(F.percentile("value", F.lit(0.5)).alias("med"))
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.percentile("adev", F.lit(0.5)).alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.any_value("med"), 6).alias("med"),
+            F.round(F.any_value("mad"), 6).alias("mad"),
+            F.sum(
+                F.when(F.col("adev") > 3 * 1.4826 * F.col("mad"), 1).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

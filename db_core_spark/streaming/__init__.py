@@ -9,6 +9,7 @@ from db_core_spark.streaming.ops import (  # noqa: F401
     session_counts,
     sliding_counts,
     stateful_user_counts,
+    stream_ewma_user_value,
     stream_into_versioned_table,
     stream_static_enrich,
     stream_stream_join,

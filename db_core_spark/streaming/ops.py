@@ -360,3 +360,38 @@ def dedup_stream_within_watermark(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["user_id", "event_type"]
     )
+
+
+def stream_ewma_user_value(
+    events: DataFrame, alpha: float = 0.3, max_events: int = 40
+) -> DataFrame:
+    """Streaming twin of the batch `ewma_user_value` operator: per-user
+    recursive EWMA (y = (1-a)*y + a*x) maintained as O(1) state per key via
+    applyInPandasWithState. Each micro-batch is folded in (ts, event_id)
+    order; the staged source files are time-sliced, so per-user event-time
+    order holds across micro-batches — the same in-order contract a Kafka
+    key-partitioned topic gives. The batch kernel and this one run the
+    identical float64 recurrence, so after the final micro-batch the emitted
+    level is bit-equal to the batch result (pytest asserts it)."""
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout  # noqa: PLC0415
+
+    output_schema = "user_id long, n_events long, ewma double"
+    state_schema = "n long, y double"
+
+    def update(key, pdfs, state: GroupState):
+        n, y = state.get if state.exists else (0, None)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for x in pdf["value"].to_numpy():
+                if n >= max_events:
+                    break
+                x = float(x)
+                y = x if y is None else (1 - alpha) * y + alpha * x
+                n += 1
+        state.update((n, y))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "ewma": [y]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, output_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -241,3 +241,26 @@ def test_scalable_packing_matches_global_window(spark):
             ).collect()
         }
         assert got == ref, f"num_parts={parts} diverges from global window"
+
+
+def test_bpe_train_matches_reference(spark):
+    """The distributed BPE trainer must produce EXACTLY the reference
+    merge table (same pairs, same order, same weighted frequencies)."""
+    from db_core_spark.queries.corpus import bpe_train_merges, bpe_train_reference
+
+    got = [
+        (r.rank, r.left, r.right, r.pair_freq)
+        for r in bpe_train_merges(spark, SF_SMALL).collect()
+    ]
+    import duckdb
+
+    wf = dict(
+        duckdb.sql(
+            f"""SELECT word, COUNT(*) FROM (
+                  SELECT UNNEST(string_split_regex(text, '\\s+')) AS word
+                  FROM read_parquet('{SF_SMALL}/documents.parquet'))
+                GROUP BY word"""
+        ).fetchall()
+    )
+    assert got == bpe_train_reference(wf)
+    assert len(got) == 20

@@ -380,3 +380,32 @@ def test_dedup_within_watermark_bounds(spark, stream_dir, tmp_path):
         & (F.col("ts") < F.col("prev") + F.expr("INTERVAL 2 hours"))
     )
     assert gaps.count() == 0
+
+
+def test_stream_ewma_converges_to_batch_twin(spark, stream_dir, tmp_path):
+    """The stateful streaming EWMA's final per-user emission must equal the
+    batch `ewma_user_value` result exactly (same float64 recurrence, same
+    (ts, event_id) fold order across time-sliced micro-batches)."""
+    from db_core_spark.streaming import stream_ewma_user_value
+
+    got = run_to_memory(
+        stream_ewma_user_value(events_stream(spark, stream_dir)),
+        "update",
+        str(tmp_path / "ck"),
+    )
+    final = {}
+    for r in got.collect():  # update mode: last emission per user wins
+        prev = final.get(r.user_id)
+        if prev is None or r.n_events >= prev[0]:
+            final[r.user_id] = (r.n_events, r.ewma)
+    from db_core_spark.registry import all_queries
+
+    expect = {
+        r.user_id: (r.n_events, r.ewma)
+        for r in all_queries()["ewma_user_value"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(final) == set(expect)
+    for uid, (n, y) in expect.items():
+        gn, gy = final[uid]
+        assert gn == n, f"user {uid}: {gn} != {n} events"
+        assert round(gy, 6) == y, f"user {uid}: ewma {gy} != {y}"
