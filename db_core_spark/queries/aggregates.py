@@ -447,3 +447,84 @@ def revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("growth_pct"),
     )
+
+
+@query(
+    "agg_mode_deterministic",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, CAST(FLOOR(value / 10) AS BIGINT) AS vbucket
+      FROM events),
+    c AS (SELECT event_type, vbucket, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+    r AS (
+      SELECT event_type, vbucket, cnt,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY cnt DESC, vbucket) AS rn
+      FROM c)
+    SELECT event_type, vbucket AS mode_bucket, CAST(cnt AS BIGINT) AS mode_count
+    FROM r WHERE rn = 1
+    """,
+    category="aggregate",
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE (most frequent value) per group. Built-in mode()
+    leaves tie order engine-defined — useless for a reproducible pipeline —
+    so this is the portable formulation: count per (group, value), then
+    row_number ordered by (count DESC, value) picks a total-order winner.
+    Two aggregations sharing one hash partitioning + a WindowGroupLimit-style
+    top-1; no global sort, no nondeterminism at any scale."""
+    e = table(spark, sf_dir, "events")
+    b = e.select(
+        "event_type", F.floor(F.col("value") / 10).cast("long").alias("vbucket")
+    )
+    c = b.groupBy("event_type", "vbucket").agg(F.count(F.lit(1)).alias("cnt"))
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(
+        W.partitionBy("event_type").orderBy(F.col("cnt").desc(), F.col("vbucket"))
+    )
+    return (
+        c.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("vbucket").alias("mode_bucket"),
+            F.col("cnt").alias("mode_count"),
+        )
+    )
+
+
+@query(
+    "agg_entropy_per_user",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    t AS (SELECT user_id, SUM(n) AS total FROM c GROUP BY 1)
+    SELECT c.user_id,
+           CAST(t.total AS BIGINT) AS n_events,
+           ROUND(-SUM((c.n * 1.0 / t.total) * LN(c.n * 1.0 / t.total)), 6)
+             AS entropy
+    FROM c JOIN t USING (user_id)
+    GROUP BY c.user_id, t.total
+    """,
+    category="aggregate",
+)
+def agg_entropy_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type distribution — the
+    behavioral-diversity score (bots pin near 0, organic users near
+    ln(5)). Same signal scores token distributions when run over documents.
+    Shape: one (user, type) count, one per-user fold — the second aggregate
+    and the total join reuse the first shuffle's partitioning; entropy sums
+    at most |event_type| terms per user so float order effects stay below
+    the 6-dp round."""
+    e = table(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("user_id").agg(F.sum("n").alias("total"))
+    p = F.col("n") / F.col("total")
+    return (
+        c.join(t, "user_id")
+        .groupBy("user_id", "total")
+        .agg(F.round(-F.sum(p * F.log(p)), 6).alias("entropy"))
+        .select("user_id", F.col("total").alias("n_events"), "entropy")
+    )

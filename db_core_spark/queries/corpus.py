@@ -335,3 +335,64 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "rank int, left string, right string, pair_freq bigint"
     )
+
+
+def bpe_apply_reference(text: str, merges) -> list[str]:
+    """Pure-Python reference for `bpe_apply_tokenize`: apply the merge table
+    in rank order to every whitespace word, return the token list."""
+    out = []
+    for w in text.split():
+        s = list(w)
+        for _rank, left, right, _freq in merges:
+            res, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                    res.append(left + right)
+                    i += 2
+                else:
+                    res.append(s[i])
+                    i += 1
+            s = res
+        out.extend(s)
+    return out
+
+
+@query("bpe_apply_tokenize", oracle=None, category="llm")
+def bpe_apply_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained BPE merge table to the corpus and report per-doc
+    token counts — the tokenization pass that follows `bpe_train_merges` in
+    a real pipeline (token counts drive packing, pricing, and curriculum
+    decisions). The merge table is tiny and becomes 20 chained array-fold
+    expressions compiled into ONE projection over the corpus: tokenization
+    is embarrassingly parallel, zero shuffles before the final stats
+    aggregate, no Python in the row path. Rows-only for the driver (the
+    fold chain is not DuckDB-expressible); pytest checks exact token-list
+    equality with the reference implementation."""
+    merges = [
+        (r.rank, r.left, r.right, r.pair_freq)
+        for r in bpe_train_merges(spark, sf_dir).collect()
+    ]
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("word")
+    ).withColumn("syms", F.split(F.col("word"), ""))
+    expr = "syms"
+    for _rank, left, right, _freq in merges:
+        lq, rq = left.replace("'", "\\'"), right.replace("'", "\\'")
+        expr = (
+            f"aggregate({expr}, CAST(array() AS array<string>), (acc, x) -> "
+            f"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '{lq}' AND x = '{rq}' "
+            f"THEN concat(slice(acc, 1, size(acc) - 1), array('{lq}{rq}')) "
+            "ELSE concat(acc, array(x)) END)"
+        )
+    tokenized = toks.withColumn("bpe", F.expr(expr))
+    return (
+        tokenized.groupBy("doc_id")
+        .agg(
+            F.sum(F.size("bpe")).alias("n_bpe_tokens"),
+            F.count(F.lit(1)).alias("n_words"),
+        )
+        .withColumn(
+            "tokens_per_word", F.round(F.col("n_bpe_tokens") / F.col("n_words"), 6)
+        )
+    )

@@ -264,3 +264,36 @@ def test_bpe_train_matches_reference(spark):
     )
     assert got == bpe_train_reference(wf)
     assert len(got) == 20
+
+
+def test_bpe_apply_matches_reference(spark):
+    """Token counts from the chained array-fold tokenizer must equal the
+    reference tokenizer applied per document."""
+    from db_core_spark.queries.corpus import (
+        bpe_apply_reference,
+        bpe_apply_tokenize,
+        bpe_train_merges,
+        bpe_train_reference,
+    )
+    import duckdb
+
+    wf = dict(
+        duckdb.sql(
+            f"""SELECT word, COUNT(*) FROM (
+                  SELECT UNNEST(string_split_regex(text, '\\s+')) AS word
+                  FROM read_parquet('{SF_SMALL}/documents.parquet'))
+                GROUP BY word"""
+        ).fetchall()
+    )
+    merges = bpe_train_reference(wf)
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF_SMALL}/documents.parquet')"
+    ).fetchall()
+    expect = {
+        doc_id: len(bpe_apply_reference(text, merges)) for doc_id, text in docs
+    }
+    got = {
+        r.doc_id: r.n_bpe_tokens
+        for r in bpe_apply_tokenize(spark, SF_SMALL).collect()
+    }
+    assert got == expect
