@@ -396,3 +396,78 @@ def bpe_apply_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tokens_per_word", F.round(F.col("n_bpe_tokens") / F.col("n_words"), 6)
         )
     )
+
+
+@query(
+    "tfidf_cosine_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+    grams AS (
+      SELECT doc_id,
+             UNNEST(list_transform(range(1, len(t) - 1),
+                                   i -> array_to_string(t[i:i+2], ' '))) AS sh
+      FROM toks),
+    tf AS (SELECT doc_id, sh, COUNT(*) AS tf FROM grams GROUP BY 1, 2),
+    df AS (SELECT sh, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+    w AS (
+      SELECT tf.doc_id, tf.sh, tf.tf * LN(n.n_docs / df.df) AS w
+      FROM tf JOIN df USING (sh) CROSS JOIN n),
+    norms AS (SELECT doc_id, SQRT(SUM(w * w)) AS nrm FROM w GROUP BY 1),
+    dots AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.w * b.w) AS dot
+      FROM w a JOIN w b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT d.id_a, d.id_b,
+           ROUND(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+    FROM dots d
+    JOIN norms na ON na.doc_id = d.id_a
+    JOIN norms nb ON nb.doc_id = d.id_b
+    WHERE d.dot / (na.nrm * nb.nrm) >= 0.6
+    """,
+    category="llm",
+)
+def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document similarity by TF-IDF-weighted cosine over 3-gram shingles
+    (>= 0.6) — the weighted-set complement of the Jaccard kernel: Jaccard
+    treats every shingle equally, TF-IDF downweights boilerplate shingles so
+    two docs sharing only common phrases stop ranking as near-dups.
+
+    Same scale geometry as the Jaccard path: intersections come from a
+    posting equi-join on the shingle (selective because shingles are rare),
+    never an all-pairs product; IDF weights are a small aggregate folded in
+    via join; norms broadcast back. At 100 TB, high-df shingles (the
+    non-selective join keys) would additionally be dropped before the
+    self-join — the standard idf-floor pruning — which changes only the
+    candidate count, not the formula."""
+    d = table(spark, sf_dir, "documents")
+    grams = shingle_posting(d, n=3)
+    tf = grams.groupBy("doc_id", "sh").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.count()  # driver scalar, like the PageRank node count
+    w = (
+        tf.join(df_, "sh")
+        .select(
+            "doc_id",
+            "sh",
+            (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("w"),
+        )
+        .localCheckpoint()  # feeds norms + both sides of the dot-product join
+    )
+    norms = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("id_a"), F.col("nrm").alias("nrm_a"))
+    nb = norms.select(F.col("doc_id").alias("id_b"), F.col("nrm").alias("nrm_b"))
+    return (
+        dots.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .withColumn("cosine", F.round(F.col("dot") / (F.col("nrm_a") * F.col("nrm_b")), 6))
+        .filter(F.col("dot") / (F.col("nrm_a") * F.col("nrm_b")) >= 0.6)
+        .select("id_a", "id_b", "cosine")
+    )

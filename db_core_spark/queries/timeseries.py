@@ -298,3 +298,104 @@ def anomaly_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@query(
+    "session_conversion_rate",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, event_id, ts, event_type,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_no
+      FROM seq),
+    per_sess AS (
+      SELECT user_id, session_no,
+             MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS first_view,
+             MAX(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS last_purchase
+      FROM sess GROUP BY 1, 2)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN first_view IS NOT NULL AND last_purchase > first_view
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+           ROUND(SUM(CASE WHEN first_view IS NOT NULL AND last_purchase > first_view
+                          THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS conv_rate
+    FROM per_sess GROUP BY user_id
+    """,
+    category="timeseries",
+)
+def session_conversion_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-session view->purchase conversion per user: sessionize by
+    30-minute inactivity gap (same lag/cumsum assignment as
+    `sessionize_gap_events`, microsecond-exact), mark a session converted
+    when a purchase strictly follows the session's first view, and roll up
+    per user. The composition funnels run on: session boundaries + ordered
+    containment + rate. One shuffle on user_id shared by both windows and
+    both aggregates; the NULL-propagating min/max comparison avoids any
+    per-event join."""
+    e = table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_us = F.lag(us).over(w)
+    is_new = F.when(prev_us.isNull() | ((us - prev_us) > 1800 * 1000 * 1000), 1).otherwise(0)
+    sess = e.withColumn(
+        "session_no",
+        F.sum(is_new).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    per_sess = sess.groupBy("user_id", "session_no").agg(
+        F.min(F.when(F.col("event_type") == "view", us)).alias("first_view"),
+        F.max(F.when(F.col("event_type") == "purchase", us)).alias("last_purchase"),
+    )
+    converted = (
+        F.col("first_view").isNotNull()
+        & (F.col("last_purchase") > F.col("first_view"))
+    ).cast("int")
+    return per_sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(converted).cast("long").alias("n_converted"),
+        F.round(F.sum(converted) / F.count(F.lit(1)), 6).alias("conv_rate"),
+    )
+
+
+@query(
+    "new_users_cumulative",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day FROM events GROUP BY 1),
+    daily AS (
+      SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS n_new
+      FROM first_seen GROUP BY 1)
+    SELECT day, n_new,
+           CAST(SUM(n_new) OVER (ORDER BY day
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_users
+    FROM daily
+    """,
+    category="timeseries",
+)
+def new_users_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-user acquisition curve: first-seen day per user, daily new-user
+    counts, and the cumulative user base — the growth chart every product
+    pipeline materializes. The global running sum runs over the DAILY
+    aggregate (one row per calendar day — bounded, tiny), never over raw
+    events: the heavy lifting is two hash aggregates on user_id/day, and the
+    single-partition window touches only the date spine. Spark and DuckDB
+    agree on the frame because the day grain is unique by construction."""
+    e = table(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("first_day"))
+    daily = first_seen.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    wd = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return daily.select(
+        "day",
+        "n_new",
+        F.sum("n_new").over(wd).cast("long").alias("cum_users"),
+    )

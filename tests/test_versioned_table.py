@@ -570,3 +570,33 @@ def test_empty_op_commit_is_harmless(vt, spark):
     t = vt.begin()
     t.upsert(spark.createDataFrame([(2, "b", 2.0)], SCHEMA))
     assert t.commit() == 3
+
+
+def test_torn_and_foreign_log_files_are_ignored(vt, spark, tmp_path):
+    """Torn-write tolerance, the immutable-file analog of the reference's
+    WAL torn-tail detection (src/log_mgr/io.rs:354-387 stops the scan at a
+    CRC-invalid tail record): a crashed writer can leave a _tmp-* manifest
+    with partial JSON, and operators may drop unrelated files into the log
+    dir — the fold must ignore every one of them, never crash, and never
+    change visibility."""
+    import os
+
+    t = vt.begin()
+    t.upsert(spark.createDataFrame([(1, "a", 1.0)], SCHEMA))
+    t.commit()
+    log_dir = vt._log_dir
+    assert os.path.isdir(log_dir), "commit-log dir moved; update this test"
+    before_rows = rows_of(vt.snapshot())
+    before_csn = vt.latest_csn()
+    # torn tmp manifest (crashed mid-write), foreign file, junk-named json
+    with open(os.path.join(log_dir, "_tmp-deadbeef.json"), "w") as f:
+        f.write('{"csn": 99, "ops": [')  # truncated JSON
+    with open(os.path.join(log_dir, "README.txt"), "w") as f:
+        f.write("not a manifest")
+    with open(os.path.join(log_dir, "not-a-csn.json"), "w") as f:
+        f.write("{}")
+    assert vt.latest_csn() == before_csn
+    assert rows_of(vt.snapshot()) == before_rows
+    # and a fresh handle (recovery path) folds identically
+    reopened = VersionedTable(spark, vt.path)
+    assert rows_of(reopened.snapshot()) == before_rows
