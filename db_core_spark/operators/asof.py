@@ -84,3 +84,88 @@ def asof_join(
         filled.filter(F.col("_side") == 1)
         .select(*lcols, *[F.col(f"_f_{c}").alias(c) for c in payload_cols])
     )
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    payload_cols: list[str],
+    tie_break: str | None = None,
+    tolerance_us: int | None = None,
+) -> DataFrame:
+    """Nearest-neighbor as-of join (pandas merge_asof direction='nearest'
+    parity): for each left row, the right row minimizing
+    |right_time - left_time|; equal distances resolve BACKWARD (the earlier
+    right row), and exact time ties within a direction follow that
+    direction's tie_break rule. With `tolerance_us`, matches farther than
+    the tolerance (in microseconds) null out.
+
+    Same scale shape as the directional join: ONE shuffle on the key, then
+    two in-partition sorted window passes over the same union (backward scan
+    + forward scan) and a per-row distance comparison — never a range
+    self-join, never per-key Python. Emits `_asof_dist_us` alongside the
+    payload so callers can audit match quality."""
+    lcols = left.columns
+    tb_type = right.schema[tie_break].dataType if tie_break else None
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    tagged_left = left.select(
+        F.col(on).alias("_k"),
+        us(left_time).alias("_t"),
+        F.lit(1).alias("_side"),
+        (F.lit(None).cast(tb_type) if tb_type is not None else F.lit(0)).alias("_tb"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_p_{c}") for c in payload_cols],
+    )
+    tb = F.col(tie_break) if tie_break else F.lit(0)
+    tagged_right = right.select(
+        F.col(on).alias("_k"),
+        us(right_time).alias("_t"),
+        F.lit(0).alias("_side"),
+        tb.alias("_tb"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"_p_{c}") for c in payload_cols],
+    )
+    unioned = tagged_left.unionByName(tagged_right)
+    wb = (
+        W.partitionBy("_k")
+        .orderBy(F.asc("_t"), F.asc("_side"), F.asc("_tb"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wf = (
+        W.partitionBy("_k")
+        .orderBy(F.desc("_t"), F.asc("_side"), F.desc("_tb"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    proj = ["*"]
+    for c in ["_t", *[f"_p_{c}" for c in payload_cols]]:
+        src = F.when(F.col("_side") == 0, F.col(c)).otherwise(F.lit(None))
+        proj.append(F.last(src, ignorenulls=True).over(wb).alias(f"_b_{c}"))
+        proj.append(F.last(src, ignorenulls=True).over(wf).alias(f"_f_{c}"))
+    filled = unioned.select(*proj)
+    db_ = F.col("_t") - F.col("_b__t")  # >= 0 when a backward match exists
+    df_ = F.col("_f__t") - F.col("_t")  # >= 0 when a forward match exists
+    use_back = F.col("_b__t").isNotNull() & (
+        F.col("_f__t").isNull() | (db_ <= df_)  # ties resolve backward
+    )
+    dist = F.when(use_back, db_).otherwise(df_)
+    in_tol = (
+        F.lit(True) if tolerance_us is None else dist <= F.lit(int(tolerance_us))
+    )
+    keep = in_tol & (F.col("_b__t").isNotNull() | F.col("_f__t").isNotNull())
+    return (
+        filled.filter(F.col("_side") == 1)
+        .select(
+            *lcols,
+            F.when(keep, dist).alias("_asof_dist_us"),
+            *[
+                F.when(
+                    keep,
+                    F.when(use_back, F.col(f"_b__p_{c}")).otherwise(F.col(f"_f__p_{c}")),
+                ).alias(c)
+                for c in payload_cols
+            ],
+        )
+    )

@@ -528,3 +528,91 @@ def agg_entropy_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(-F.sum(p * F.log(p)), 6).alias("entropy"))
         .select("user_id", F.col("total").alias("n_events"), "entropy")
     )
+
+
+@query(
+    "pareto_revenue_concentration",
+    oracle="""
+    WITH cr AS (
+      SELECT o.o_custkey AS custkey,
+             ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1),
+    ranked AS (
+      SELECT custkey, revenue,
+             ROW_NUMBER() OVER (ORDER BY revenue DESC, custkey) AS rk,
+             COUNT(*) OVER () AS n_cust
+      FROM cr),
+    v AS (
+      SELECT CAST(FLOOR(((rk - 1) * 20) / n_cust) AS INT) AS ventile,
+             SUM(revenue) AS rev, CAST(COUNT(*) AS BIGINT) AS n_customers
+      FROM ranked GROUP BY 1),
+    tot AS (SELECT SUM(rev) AS total FROM v)
+    SELECT v.ventile, v.n_customers, ROUND(v.rev, 2) AS revenue,
+           ROUND(SUM(v.rev) OVER (ORDER BY v.ventile
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 / tot.total, 6) AS cum_share
+    FROM v CROSS JOIN tot
+    """,
+    category="aggregate",
+)
+def pareto_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (Pareto) curve: customers ranked by revenue,
+    bucketed into 20 ventiles, cumulative revenue share per ventile — the
+    'top 5% of customers drive X% of revenue' rollup.
+
+    The global rank is the scale hazard (ROW_NUMBER over everything is a
+    single-partition window), so it uses the distributed two-pass prefix
+    rank, same pattern as `pack_training_sequences_scalable`:
+    range-partition by (revenue DESC, custkey), count per partition (tiny
+    driver list), broadcast exclusive offsets back, rank = offset + local
+    row_number — every stage parallel. The running share then lives on the
+    20-row ventile spine only."""
+    from pyspark.sql import Window as W
+
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    cr = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .repartitionByRange(8, F.col("revenue").desc(), F.col("custkey"))
+        .sortWithinPartitions(F.col("revenue").desc(), F.col("custkey"))
+        .withColumn("pid", F.spark_partition_id())
+    )
+    cr = cr.localCheckpoint()  # rank pass 1 + pass 2 share one materialization
+    counts = {r.pid: r.n for r in cr.groupBy("pid").agg(F.count("*").alias("n")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    n_cust = acc
+    offset_df = F.broadcast(
+        spark.createDataFrame(list(offsets.items()), "pid int, offset long")
+    )
+    w_local = W.partitionBy("pid").orderBy(F.col("revenue").desc(), F.col("custkey"))
+    ranked = cr.join(offset_df, "pid").withColumn(
+        "rk", F.col("offset") + F.row_number().over(w_local)
+    )
+    v = (
+        ranked.withColumn(
+            "ventile", (((F.col("rk") - 1) * 20) / F.lit(n_cust)).cast("int")
+        )
+        .groupBy("ventile")
+        .agg(F.sum("revenue").alias("rev"), F.count(F.lit(1)).alias("n_customers"))
+    )
+    tot = v.agg(F.sum("rev").alias("total"))
+    wv = W.orderBy("ventile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        v.crossJoin(F.broadcast(tot))
+        .select(
+            "ventile",
+            "n_customers",
+            F.round(F.col("rev"), 2).alias("revenue"),
+            F.round(F.sum("rev").over(wv) / F.col("total"), 6).alias("cum_share"),
+        )
+    )

@@ -111,3 +111,64 @@ def asof_join_forward_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("next_orderkey"),
         F.col("o_totalprice").alias("next_totalprice"),
     )
+
+
+@query(
+    "asof_join_nearest_order",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+    r AS (
+      SELECT user_id, event_id AS r_event_id, ts AS r_ts, value AS r_value
+      FROM events WHERE event_type = 'error'),
+    cand AS (
+      SELECT p.user_id, p.event_id, p.ts, r.r_event_id, r.r_ts, r.r_value,
+             ABS(epoch_us(p.ts) - epoch_us(r.r_ts)) AS dist
+      FROM p JOIN r USING (user_id)
+      WHERE ABS(epoch_us(p.ts) - epoch_us(r.r_ts)) <= 600000000),
+    best AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_id
+                                   ORDER BY dist, r_ts, r_event_id DESC) AS rn
+      FROM cand)
+    SELECT p.user_id, p.event_id,
+           CAST(b.dist AS BIGINT) AS dist_us,
+           b.r_value AS near_error_value
+    FROM p LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+      USING (user_id, event_id)
+    """,
+    category="asof",
+)
+def asof_join_nearest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join (pandas merge_asof direction='nearest'
+    with tolerance): every purchase event matched to the CLOSEST error event
+    of the same user within +/- 10 minutes, equal distances resolving to the
+    earlier (backward) error. Completes the as-of family
+    (backward/forward/nearest). The oracle ranks the tolerance-bounded
+    cartesian candidates; the operator never builds them — one shuffle on
+    user_id, two sorted window scans, a per-row distance pick."""
+    from db_core_spark.operators.asof import asof_join_nearest
+
+    e = table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select("user_id", "event_id", "ts")
+    r = e.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("r_event_id"),
+        F.col("ts").alias("r_ts"),
+        F.col("value").alias("near_error_value"),
+    )
+    out = asof_join_nearest(
+        p,
+        r,
+        on="user_id",
+        left_time="ts",
+        right_time="r_ts",
+        payload_cols=["near_error_value"],
+        tie_break="r_event_id",
+        tolerance_us=600_000_000,
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.col("_asof_dist_us").cast("long").alias("dist_us"),
+        "near_error_value",
+    )

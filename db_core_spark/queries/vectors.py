@@ -485,3 +485,73 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.select(
         "vec_id", F.to_json(F.col("q_int8")).alias("q_int8_json"), "scale_r"
     )
+
+
+@query(
+    "embedding_semantic_clusters",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])), 6) >= 0.4),
+    bi AS (SELECT id_a AS u, id_b AS v FROM pairs
+           UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(u, v) AS (
+      SELECT DISTINCT u, u FROM bi
+      UNION
+      SELECT bi.u, r.v FROM bi JOIN reach r ON bi.v = r.u),
+    comp AS (SELECT u AS vec_id, MIN(v) AS cluster_id FROM reach GROUP BY u)
+    SELECT cluster_id, vec_id, vec_id = cluster_id AS is_canonical,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
+    FROM comp
+    """,
+    category="vector",
+)
+def embedding_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup: connected components over the cosine>=0.4 embedding
+    near-dup graph — the embedding-space twin of the lexical
+    `dedup_cluster_components` (catches paraphrases and translations that
+    share no n-grams). Composition: blocked exact-cosine pairs (tile
+    matmuls, never all-pairs in Spark — the oracle's cartesian join is the
+    point of contrast) + the same min-label propagation loop, bounded by
+    cluster diameter. Keep-one-per-cluster is then `is_canonical`."""
+    from pyspark.sql import Window as PW
+
+    pairs = embedding_neardup_pairs(spark, sf_dir).select(
+        F.col("vec_a").alias("id_a"), F.col("vec_b").alias("id_b")
+    )
+    bi = pairs.union(pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")))
+    edges = bi.withColumnRenamed("id_a", "u").withColumnRenamed("id_b", "v").localCheckpoint()
+    labels = (
+        edges.select(F.col("u").alias("vec_id")).distinct()
+        .withColumn("label", F.col("vec_id"))
+        .localCheckpoint()
+    )
+    for _ in range(20):
+        msgs = (
+            edges.join(labels, edges.v == labels.vec_id)
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        stepped = (
+            labels.join(msgs, labels.vec_id == msgs.u, "left")
+            .select(
+                "vec_id",
+                F.col("label").alias("old_label"),
+                F.least(F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = stepped.filter(F.col("label") != F.col("old_label")).count()
+        labels = stepped.select("vec_id", "label")
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("label").alias("cluster_id"),
+        "vec_id",
+        (F.col("vec_id") == F.col("label")).alias("is_canonical"),
+        F.count(F.lit(1)).over(PW.partitionBy("label")).cast("long").alias("n_members"),
+    )

@@ -135,3 +135,49 @@ def test_bucket_hash_jvm_python_equivalence(spark):
     for r in got:
         py = bucket_of_py([r.a, r.b, r.c, r.d], B)
         assert py == r.jvm, (r.a, r.b, r.c, r.d, py, r.jvm)
+
+
+def test_pareto_distributed_rank_matches_global_window(spark):
+    """pareto_revenue_concentration's two-pass distributed rank must emit
+    exactly the rows a naive global-window formulation produces."""
+    from db_core_spark.registry import all_queries
+    from db_core_spark.tables import table
+    from pyspark.sql import Window as W, functions as F
+
+    got = {
+        r.ventile: (r.n_customers, r.revenue, r.cum_share)
+        for r in all_queries()["pareto_revenue_concentration"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    }
+    o = table(spark, SF_SMALL, "orders")
+    li = table(spark, SF_SMALL, "lineitem")
+    cr = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    n = cr.count()
+    wg = W.orderBy(F.col("revenue").desc(), F.col("custkey"))
+    v = (
+        cr.withColumn("rk", F.row_number().over(wg))
+        .withColumn("ventile", (((F.col("rk") - 1) * 20) / F.lit(n)).cast("int"))
+        .groupBy("ventile")
+        .agg(F.sum("revenue").alias("rev"), F.count(F.lit(1)).alias("n_customers"))
+    )
+    tot = v.agg(F.sum("rev").alias("total")).collect()[0].total
+    wv = W.orderBy("ventile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    expect = {
+        r.ventile: (r.n_customers, r.revenue, r.cum_share)
+        for r in v.select(
+            "ventile",
+            "n_customers",
+            F.round(F.col("rev"), 2).alias("revenue"),
+            F.round(F.sum("rev").over(wv) / F.lit(tot), 6).alias("cum_share"),
+        ).collect()
+    }
+    assert got == expect
