@@ -324,3 +324,72 @@ def mvcc_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderstatus") == "F").alias("is_delete"),
         nxt.isNull().alias("is_current"),
     )
+
+
+@query(
+    "versioned_snapshot_diff",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS key, o_totalprice AS price, o_orderstatus AS status
+      FROM orders WHERE o_custkey < 300),
+    ins AS (SELECT * FROM base WHERE key % 5 = 0 AND key % 7 != 0),
+    upd AS (SELECT * FROM base WHERE key % 3 = 0 AND key % 5 != 0 AND key % 7 != 0),
+    del AS (SELECT * FROM base WHERE key % 7 = 0 AND key % 5 != 0)
+    SELECT key, 'insert' AS _change,
+           CAST(NULL AS DOUBLE) AS old_price, CAST(NULL AS VARCHAR) AS old_status,
+           price AS new_price, status AS new_status
+    FROM ins
+    UNION ALL
+    SELECT key, 'update', price, status, price + 100, status FROM upd
+    UNION ALL
+    SELECT key, 'delete', price, status, NULL, NULL FROM del
+    """,
+    category="mvcc",
+)
+def versioned_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel DIFF between two resolved snapshots (VersionedTable.diff):
+    one row per key whose state changed between csn A and B, tagged
+    insert/update/delete with old/new value pairs — the audit answer to
+    "what changed between yesterday's version and now". Unlike the CDC feed
+    (every intermediate commit), diff compares only the two resolved
+    endpoints. Shape: two zero-exchange bucketed snapshot reads + one
+    full-outer join on the key. The oracle recomputes the expected change
+    set relationally from the same source slices."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from db_core_spark.plans import VersionedTable
+
+    o = table(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_custkey") < 300).select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    k = F.col("key")
+    schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("price", T.DoubleType()),
+            T.StructField("status", T.StringType()),
+        ]
+    )
+    vt = VersionedTable.create(
+        spark, tempfile.mkdtemp(prefix="vt_diff_") + "/t", key_cols=["key"], schema=schema
+    )
+    t1 = vt.begin()
+    t1.upsert(base.filter(~((k % 5 == 0) & (k % 7 != 0))))  # v2's inserts absent
+    csn1 = t1.commit()
+    t2 = vt.begin()
+    t2.upsert(base.filter((k % 5 == 0) & (k % 7 != 0)))  # inserts
+    t2.upsert(  # updates: price bump on surviving %3 keys
+        base.filter((k % 3 == 0) & (k % 5 != 0) & (k % 7 != 0)).withColumn(
+            "price", F.col("price") + 100
+        )
+    )
+    t2.delete_keys(base.filter((k % 7 == 0) & (k % 5 != 0)).select("key"))
+    csn2 = t2.commit()
+    return vt.diff(csn1, csn2).select(
+        "key", "_change", "old_price", "old_status", "new_price", "new_status"
+    )

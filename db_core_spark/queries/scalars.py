@@ -236,3 +236,36 @@ def scalar_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(F.col("url"), F.lit("QUERY")).alias("qs"),
         F.split(host, r"\.").getItem(0).alias("site"),
     )
+
+
+@query(
+    "scalar_struct_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           to_json(struct_pack(y := CAST(year(o_orderdate) AS INT),
+                               m := CAST(month(o_orderdate) AS INT))) AS ym_json,
+           struct_pack(y := CAST(year(o_orderdate) AS INT),
+                       m := CAST(month(o_orderdate) AS INT))
+             < struct_pack(y := 2024, m := 6) AS before_jun24,
+           CAST(year(o_orderdate) AS INT) AS y_field
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+    category="scalar",
+)
+def scalar_struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct (nested record) scalar surface: construction (named_struct),
+    field extraction, JSON serialization, and LEXICOGRAPHIC struct
+    comparison (the composite-key ordering trick used all over the engine,
+    e.g. the as-of tie-breaks). Top-level output stays scalar/JSON so the
+    driver's hash canonicalizer never sees a raw struct column."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    s = F.struct(
+        F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m")
+    )
+    bound = F.struct(F.lit(2024).alias("y"), F.lit(6).alias("m"))
+    return o.select(
+        "o_orderkey",
+        F.to_json(s).alias("ym_json"),
+        (s < bound).alias("before_jun24"),
+        s.getField("y").alias("y_field"),
+    )

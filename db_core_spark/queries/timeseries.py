@@ -399,3 +399,150 @@ def new_users_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_new",
         F.sum("n_new").over(wd).cast("long").alias("cum_users"),
     )
+
+
+@query(
+    "streak_gaps_islands",
+    oracle="""
+    WITH du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    seq AS (
+      SELECT user_id, day,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn
+      FROM du),
+    isl AS (
+      SELECT user_id, day, CAST(day - rn * INTERVAL 1 DAY AS DATE) AS island
+      FROM seq),
+    streaks AS (
+      SELECT user_id, island, MIN(day) AS start_day, MAX(day) AS end_day,
+             CAST(COUNT(*) AS BIGINT) AS streak_len
+      FROM isl GROUP BY 1, 2),
+    best AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY streak_len DESC, start_day) AS brn
+      FROM streaks)
+    SELECT user_id, start_day, end_day, streak_len
+    FROM best WHERE brn = 1
+    """,
+    category="timeseries",
+)
+def streak_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's LONGEST run of consecutive active days
+    (ties -> earliest start) — the streak feature every engagement model
+    wants, and the canonical rn-difference trick: within a user, day minus
+    row_number is constant exactly along a gap-free run, so islands fall out
+    of one window + one aggregate. Everything partitions by user_id; the
+    per-user top-1 is a WindowGroupLimit, not a global sort."""
+    e = table(spark, sf_dir, "events")
+    du = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    wu = W.partitionBy("user_id").orderBy("day")
+    isl = du.withColumn("rn", F.row_number().over(wu)).withColumn(
+        "island", F.date_sub(F.col("day"), F.col("rn"))
+    )
+    streaks = isl.groupBy("user_id", "island").agg(
+        F.min("day").alias("start_day"),
+        F.max("day").alias("end_day"),
+        F.count(F.lit(1)).alias("streak_len"),
+    )
+    wb = W.partitionBy("user_id").orderBy(
+        F.col("streak_len").desc(), F.col("start_day")
+    )
+    return (
+        streaks.withColumn("brn", F.row_number().over(wb))
+        .filter(F.col("brn") == 1)
+        .select("user_id", "start_day", "end_day", "streak_len")
+    )
+
+
+_SESS_INTERVALS_SQL = """
+    seq AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_no
+      FROM seq),
+    iv AS (
+      SELECT user_id, CAST(session_no AS INT) AS session_no,
+             MIN(epoch_us(ts)) AS s_us, MAX(epoch_us(ts)) AS e_us
+      FROM sess GROUP BY 1, 2)
+"""
+
+
+@query(
+    "join_interval_overlap_sessions",
+    oracle="WITH "
+    + _SESS_INTERVALS_SQL
+    + """
+    SELECT a.user_id AS user_a, a.session_no AS session_a,
+           b.user_id AS user_b, b.session_no AS session_b,
+           CAST(LEAST(a.e_us, b.e_us) - GREATEST(a.s_us, b.s_us) AS BIGINT)
+             AS overlap_us
+    FROM iv a JOIN iv b
+      ON a.user_id < b.user_id AND a.s_us <= b.e_us AND b.s_us <= a.e_us
+    WHERE LEAST(a.e_us, b.e_us) - GREATEST(a.s_us, b.s_us) >= 300000000
+    """,
+    category="timeseries",
+)
+def join_interval_overlap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL OVERLAP JOIN: pairs of sessions from DIFFERENT users that
+    were concurrently active for >= 5 minutes — the interval-vs-interval
+    join (concurrency analysis, co-occurrence, resource contention) that
+    naive SQL writes as a non-equi self-join (the oracle does exactly that;
+    DuckDB's IEJoin absorbs it at fixture scale).
+
+    The Spark plan never builds the non-equi product: each session interval
+    explodes to the HOUR BUCKETS it touches (bounded: sessions are
+    gap-bounded at 30 min), candidates come from an equi-join on the bucket,
+    exact overlap + dedup runs on that small candidate set — the same
+    bucket-decomposition that keeps `join_range_bucketed_pure`
+    nested-loop-free, extended to two interval sets."""
+    e = table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_us = F.lag(us).over(w)
+    is_new = F.when(prev_us.isNull() | ((us - prev_us) > 1800 * 1000 * 1000), 1).otherwise(0)
+    sess = e.withColumn(
+        "session_no",
+        F.sum(is_new).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).cast("int"),
+    )
+    iv = sess.groupBy("user_id", "session_no").agg(
+        F.min(us).alias("s_us"), F.max(us).alias("e_us")
+    )
+    hour_us = 3600 * 1000 * 1000
+    bucketed = iv.select(
+        "*",
+        F.explode(
+            F.sequence(
+                (F.col("s_us") / hour_us).cast("long"),
+                (F.col("e_us") / hour_us).cast("long"),
+            )
+        ).alias("hb"),
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    ov = F.least(F.col("a.e_us"), F.col("b.e_us")) - F.greatest(
+        F.col("a.s_us"), F.col("b.s_us")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.hb") == F.col("b.hb"))
+            & (F.col("a.user_id") < F.col("b.user_id"))
+            & (F.col("a.s_us") <= F.col("b.e_us"))
+            & (F.col("b.s_us") <= F.col("a.e_us")),
+        )
+        .filter(ov >= 300 * 1000 * 1000)
+        .select(
+            F.col("a.user_id").alias("user_a"),
+            F.col("a.session_no").alias("session_a"),
+            F.col("b.user_id").alias("user_b"),
+            F.col("b.session_no").alias("session_b"),
+            ov.cast("long").alias("overlap_us"),
+        )
+        .dropDuplicates(["user_a", "session_a", "user_b", "session_b"])
+    )

@@ -376,3 +376,22 @@ def test_ewma_is_grouped_map_not_global(spark, queries):
     plan = plan_of(queries["ewma_user_value"].fn(spark, SF_SMALL))
     assert "FlatMapGroupsInPandas" in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_interval_overlap_join_is_equi_bucketed(spark, queries):
+    """The interval-vs-interval join must candidate-generate via the hour
+    bucket equi-key — a nested-loop/cartesian plan here would be quadratic
+    in sessions at scale."""
+    plan = plan_of(queries["join_interval_overlap_sessions"].fn(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_nearest_asof_single_exchange_no_join(spark, queries):
+    """Nearest as-of must stay the union+two-window-scans shape: exactly one
+    hash exchange of event data and NO join operator at all (the oracle's
+    ranked cartesian is what this plan avoids)."""
+    plan = plan_of(queries["asof_join_nearest_order"].fn(spark, SF_SMALL))
+    assert "Join" not in plan, "nearest as-of should not plan any join"
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 1, f"expected 1 exchange, saw {n_exchanges}"

@@ -600,3 +600,34 @@ def test_torn_and_foreign_log_files_are_ignored(vt, spark, tmp_path):
     # and a fresh handle (recovery path) folds identically
     reopened = VersionedTable(spark, vt.path)
     assert rows_of(reopened.snapshot()) == before_rows
+
+
+def test_diff_between_snapshots(vt, spark):
+    """diff(A, B) must show exactly the semantic changes between the two
+    RESOLVED endpoints: unchanged keys absent, intermediate churn invisible,
+    insert/update/delete all tagged, diff-from-0 = all inserts."""
+    t1 = vt.begin()
+    t1.upsert(
+        spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)], SCHEMA)
+    )
+    csn1 = t1.commit()
+    # churn: key 2 bounces through an intermediate value...
+    t2 = vt.begin()
+    t2.upsert(spark.createDataFrame([(2, "mid", 9.0)], SCHEMA))
+    t2.commit()
+    # ...then settles; key 3 deleted; key 4 inserted; key 1 untouched
+    t3 = vt.begin()
+    t3.upsert(spark.createDataFrame([(2, "b2", 2.5), (4, "d", 4.0)], SCHEMA))
+    t3.delete_keys([{"k": 3}])
+    csn3 = t3.commit()
+    d = {r.k: r for r in vt.diff(csn1, csn3).collect()}
+    assert set(d) == {2, 3, 4}
+    assert d[2]._change == "update" and (d[2].old_v, d[2].new_v) == ("b", "b2")
+    assert d[3]._change == "delete" and d[3].new_v is None and d[3].old_v == "c"
+    assert d[4]._change == "insert" and d[4].old_v is None and d[4].new_v == "d"
+    all_ins = vt.diff(0, csn1)
+    assert {r._change for r in all_ins.collect()} == {"insert"}
+    assert all_ins.count() == 3
+    assert vt.diff(csn3, csn3).count() == 0
+    with pytest.raises(ValueError):
+        vt.diff(csn3, csn1)
