@@ -239,3 +239,49 @@ def chunk_audio(
             )
 
     return binary_df.mapInPandas(gen, schema=AUDIO_CHUNK_SCHEMA)
+
+
+def synth_ppm_for_text(text: str, size: int = 24) -> bytes:
+    """Deterministic synthetic RGB image for a document: pixels are the
+    md5 keystream of the text (same text -> byte-identical image). Valid
+    PPM bytes, so the REAL codec path decodes it — the fixture generator
+    for image-dedup operators in a container without image libraries."""
+    import hashlib
+
+    from db_core_spark.operators.imagecodec import DecodedImage, encode_ppm
+
+    need = size * size * 3
+    buf = bytearray()
+    seed = text.encode("utf-8")
+    counter = 0
+    while len(buf) < need:
+        buf.extend(hashlib.md5(seed + counter.to_bytes(4, "big")).digest())
+        counter += 1
+    return encode_ppm(DecodedImage(size, size, 3, bytes(buf[:need]), "ppm"))
+
+
+def dhash64(payload: bytes) -> int:
+    """64-bit difference hash (dHash) of an encoded image: REAL decode
+    (PPM/PGM/BMP/PNG via the stdlib codec), grayscale, nearest-neighbor
+    resize to 9x8, then one bit per horizontal luminance gradient. The
+    standard perceptual fingerprint for image near-dedup: identical images
+    hash equal, small edits flip few bits (hamming-close)."""
+    from db_core_spark.operators.imagecodec import resize_nearest, sniff_decode
+
+    img = sniff_decode(payload)
+    if img is None:
+        raise ValueError("payload is not a decodable PPM/PGM/BMP/PNG image")
+    small = resize_nearest(img, 9, 8)
+    px, nch = small.pixels, small.channels
+    bits = 0
+    for y in range(8):
+        for x in range(8):
+            o1 = (y * 9 + x) * nch
+            o2 = (y * 9 + x + 1) * nch
+            if nch >= 3:
+                l1 = px[o1] * 299 + px[o1 + 1] * 587 + px[o1 + 2] * 114
+                l2 = px[o2] * 299 + px[o2 + 1] * 587 + px[o2 + 2] * 114
+            else:
+                l1, l2 = px[o1], px[o2]
+            bits = (bits << 1) | (1 if l1 > l2 else 0)
+    return bits - (1 << 64) if bits >= (1 << 63) else bits  # signed int64

@@ -259,3 +259,57 @@ def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     binary_df = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     return chunk_audio(binary_df, window_bytes=512, hop_bytes=256)
+
+
+@query("multimodal_phash_dedup", oracle=None, category="multimodal")
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dedup by perceptual difference-hash (dHash) with a REAL
+    decode path end to end: each document renders to a valid PPM payload
+    (deterministic md5 keystream — the in-container stand-in for a crawl's
+    image column), then every payload is DECODED by the stdlib codec,
+    resized 9x8, gradient-hashed to 64 bits, and duplicate groups fall out
+    of a plain hash aggregate — exactly the image-dedup pass of a
+    multimodal pipeline (identical images collide; near-identical images
+    land hamming-close for a banded variant).
+
+    Arrow-batched mapInPandas carries (doc_id, dhash) only — pixels never
+    leave the executor; the shuffle moves 16 bytes per image regardless of
+    image size. The fixture corpus has no exact duplicates, so duplicate
+    images are SEEDED deterministically (every doc_id % 50 == 0 re-posts
+    under doc_id + 10000 — same text, byte-identical image), exactly like
+    the PII twin seeds emails. Rows-only (codec not SQL-expressible);
+    pytest pins dHash groups == exact-text dup groups."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from db_core_spark.operators.multimodal import dhash64, synth_ppm_for_text
+
+    base = table(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") <= 300
+    )
+    reposts = base.filter(F.col("doc_id") % 50 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 10000
+    )
+    d = base.union(reposts)
+
+    def hash_images(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "dhash": [
+                        dhash64(synth_ppm_for_text(t)) for t in pdf["text"]
+                    ],
+                }
+            )
+
+    hashed = d.mapInPandas(hash_images, "doc_id long, dhash long")
+    return (
+        hashed.groupBy("dhash")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+        .filter(F.col("n_images") >= 2)
+    )

@@ -258,3 +258,20 @@ def test_resize_property(img, ow, oh):
     src_pixels = {px[i : i + 3] for i in range(0, len(px), 3)}
     for i in range(0, len(out.pixels), 3):
         assert out.pixels[i : i + 3] in src_pixels
+
+
+def test_dhash_stable_under_small_perturbation():
+    """Perceptual property: flipping one source pixel must move the dHash by
+    at most a few bits (hamming-close), while identical payloads hash
+    identically — the property that makes banded dHash a near-dup blocker."""
+    from db_core_spark.operators.imagecodec import DecodedImage, encode_ppm, sniff_decode
+    from db_core_spark.operators.multimodal import dhash64, synth_ppm_for_text
+
+    p1 = synth_ppm_for_text("the quick brown fox", size=24)
+    assert dhash64(p1) == dhash64(bytes(p1))
+    img = sniff_decode(p1)
+    px = bytearray(img.pixels)
+    px[0] = (px[0] + 128) % 256  # one-pixel edit
+    p2 = encode_ppm(DecodedImage(img.width, img.height, img.channels, bytes(px), "ppm"))
+    d = dhash64(p1) ^ dhash64(p2)
+    assert bin(d & ((1 << 64) - 1)).count("1") <= 4

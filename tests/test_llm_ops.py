@@ -297,3 +297,34 @@ def test_bpe_apply_matches_reference(spark):
         for r in bpe_apply_tokenize(spark, SF_SMALL).collect()
     }
     assert got == expect
+
+
+def test_phash_dedup_groups_match_exact_text_groups(spark):
+    """dHash over the synthetic image column must reproduce the exact-text
+    duplicate groups (identical text -> identical image -> identical hash),
+    and distinct texts must not collide on this fixture."""
+    from db_core_spark.registry import all_queries
+    from db_core_spark.tables import table
+    import pyspark.sql.functions as SF
+
+    got = {
+        (r.canonical_doc_id, r.n_images)
+        for r in all_queries()["multimodal_phash_dedup"].fn(spark, SF_SMALL).collect()
+    }
+    base = table(spark, SF_SMALL, "documents").filter(SF.col("doc_id") <= 300)
+    d = base.union(
+        base.filter(SF.col("doc_id") % 50 == 0).withColumn(
+            "doc_id", SF.col("doc_id") + 10000
+        )
+    )
+    expect = {
+        (r.canonical_doc_id, r.n_images)
+        for r in d.groupBy(SF.sha2("text", 256))
+        .agg(
+            SF.count(SF.lit(1)).alias("n_images"),
+            SF.min("doc_id").alias("canonical_doc_id"),
+        )
+        .filter(SF.col("n_images") >= 2)
+        .collect()
+    }
+    assert got == expect and len(got) > 0
