@@ -313,3 +313,90 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_images") >= 2)
     )
+
+
+@query("multimodal_phash_neardup_pairs", oracle=None, category="multimodal")
+def multimodal_phash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate image pairs by banded dHash: split each 64-bit
+    perceptual hash into 4x16-bit bands, candidate pairs collide on at
+    least one band (pigeonhole: every pair within hamming distance 3 MUST
+    share a band), verify candidates with an exact popcount(xor) <= 8 —
+    the image twin of minhash LSH banding, and the step between exact
+    image dedup (`multimodal_phash_dedup`) and embedding ANN.
+
+    Near-dup structure is seeded like the exact twin: every doc_id % 50
+    == 0 re-posts under +10000 byte-identical (hamming 0) and under
+    +20000 with a one-pixel edit (hamming-close but not equal). Scale
+    shape: band equi-join on (band_id, band_value) — never an all-pairs
+    hamming scan; the verification popcount runs only on band-collided
+    candidates. Rows-only (codec); pytest pins soundness (subset of
+    brute-force pairs) and the pigeonhole recall guarantee."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from db_core_spark.operators.imagecodec import sniff_decode
+    from db_core_spark.operators.multimodal import dhash64, synth_ppm_for_text
+
+    base = table(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") <= 300
+    )
+
+    def hash_images(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from db_core_spark.operators.imagecodec import DecodedImage, encode_ppm
+
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                payload = synth_ppm_for_text(text)
+                ids.append(int(doc_id))
+                hashes.append(dhash64(payload))
+                if doc_id % 50 == 0:
+                    # byte-identical repost + one-pixel-edited repost
+                    ids.append(int(doc_id) + 10000)
+                    hashes.append(dhash64(payload))
+                    img = sniff_decode(payload)
+                    px = bytearray(img.pixels)
+                    px[0] = (px[0] + 128) % 256
+                    edited = encode_ppm(
+                        DecodedImage(img.width, img.height, img.channels, bytes(px), "ppm")
+                    )
+                    ids.append(int(doc_id) + 20000)
+                    hashes.append(dhash64(edited))
+            yield pd.DataFrame({"doc_id": ids, "dhash": hashes})
+
+    hashed = base.mapInPandas(hash_images, "doc_id long, dhash long").localCheckpoint()
+    bands = hashed.select(
+        "doc_id",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_id"),
+                        F.shiftright(F.col("dhash"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "dhash", "b.band_id", "b.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = F.bit_count(F.col("a.dhash").bitwiseXOR(F.col("b.dhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 8)
+        .dropDuplicates(["id_a", "id_b"])
+    )

@@ -269,3 +269,31 @@ def scalar_struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (s < bound).alias("before_jun24"),
         s.getField("y").alias("y_field"),
     )
+
+
+@query(
+    "scalar_hash_funcs",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS md5_hex,
+           sha256(text) AS sha256_hex,
+           substr(md5(text), 1, 8) AS shard_key
+    FROM documents WHERE doc_id <= 300
+    """,
+    category="scalar",
+)
+def scalar_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic/content hashing surface: md5 + sha256 digests and the
+    hex-prefix shard key derivation — the primitives under exact dedup,
+    deterministic sampling, and content-addressed storage. Direct kin of
+    the reference's ONLY scalar function, CRC32 over byte slices
+    (/root/reference/src/common/crc32.rs:1-123; the engine's crc32 parity
+    with zlib is property-tested separately in the bucket-hash suite).
+    Pure codegen'd JVM expressions, zero shuffle."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 300)
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("md5_hex"),
+        F.sha2("text", 256).alias("sha256_hex"),
+        F.substring(F.md5("text"), 1, 8).alias("shard_key"),
+    )

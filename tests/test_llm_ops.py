@@ -328,3 +328,61 @@ def test_phash_dedup_groups_match_exact_text_groups(spark):
         .collect()
     }
     assert got == expect and len(got) > 0
+
+
+def test_phash_banded_neardup_sound_and_complete(spark):
+    """Banded dHash pairs must be (a) SOUND: every emitted pair's true
+    hamming distance <= 8, including the seeded identical (0) and
+    one-pixel-edited (small, nonzero allowed) reposts; (b) COMPLETE for
+    hamming <= 3: 4x16 banding must find every such pair (pigeonhole)."""
+    from db_core_spark.registry import all_queries
+
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in all_queries()["multimodal_phash_neardup_pairs"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    }
+    assert got, "no near-dup pairs found (seeding broken?)"
+    # reconstruct all hashes brute-force via the same kernel
+    from db_core_spark.operators.imagecodec import DecodedImage, encode_ppm, sniff_decode
+    from db_core_spark.operators.multimodal import dhash64, synth_ppm_for_text
+    from db_core_spark.tables import table
+    import pyspark.sql.functions as SF
+
+    rows = (
+        table(spark, SF_SMALL, "documents")
+        .filter(SF.col("doc_id") <= 300)
+        .select("doc_id", "text")
+        .collect()
+    )
+    hashes = {}
+    for r in rows:
+        payload = synth_ppm_for_text(r.text)
+        hashes[r.doc_id] = dhash64(payload)
+        if r.doc_id % 50 == 0:
+            hashes[r.doc_id + 10000] = dhash64(payload)
+            img = sniff_decode(payload)
+            px = bytearray(img.pixels)
+            px[0] = (px[0] + 128) % 256
+            hashes[r.doc_id + 20000] = dhash64(
+                encode_ppm(
+                    DecodedImage(img.width, img.height, img.channels, bytes(px), "ppm")
+                )
+            )
+    ids = sorted(hashes)
+    brute = {}
+    for i, x in enumerate(ids):
+        for y in ids[i + 1 :]:
+            d = bin((hashes[x] ^ hashes[y]) & ((1 << 64) - 1)).count("1")
+            if d <= 8:
+                brute[(x, y)] = d
+    # soundness: every emitted pair matches brute-force distance
+    for pair, d in got.items():
+        assert brute.get(pair) == d, f"{pair}: banded={d} brute={brute.get(pair)}"
+    # pigeonhole completeness for hamming <= 3
+    for pair, d in brute.items():
+        if d <= 3:
+            assert pair in got, f"missed guaranteed pair {pair} (hamming {d})"
+    # the identical reposts must be present at distance 0
+    assert any(d == 0 for d in got.values())
