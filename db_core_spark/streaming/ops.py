@@ -395,3 +395,34 @@ def stream_ewma_user_value(
     return events.groupBy("user_id").applyInPandasWithState(
         update, output_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def stream_ohlc_bars(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of the batch `ohlc_time_bars` operator: hourly
+    open/high/low/close per event_type as a watermarked tumbling-window
+    aggregate. Open/close use max_by/min_by on the (ts, event_id) struct —
+    pure JVM aggregates, so the whole operator is a standard windowed
+    hash aggregation with incremental state (no arbitrary-state API
+    needed). Update mode refines bars as events arrive; append mode
+    finalizes them past the watermark."""
+    ord_key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.min_by("value", ord_key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", ord_key).alias("close"),
+            F.count(F.lit(1)).alias("volume"),
+        )
+        .select(
+            F.col("win.start").alias("bar_hour"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+        )
+    )

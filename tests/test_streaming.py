@@ -409,3 +409,28 @@ def test_stream_ewma_converges_to_batch_twin(spark, stream_dir, tmp_path):
         gn, gy = final[uid]
         assert gn == n, f"user {uid}: {gn} != {n} events"
         assert round(gy, 6) == y, f"user {uid}: ewma {gy} != {y}"
+
+
+def test_stream_ohlc_converges_to_batch_twin(spark, stream_dir, tmp_path):
+    """Streaming OHLC bars (update mode, last emission per bar wins) must
+    equal the batch ohlc_time_bars aggregate over the same fixture."""
+    from db_core_spark.streaming import stream_ohlc_bars
+
+    got_rows = run_to_memory(
+        stream_ohlc_bars(events_stream(spark, stream_dir)),
+        "update",
+        str(tmp_path / "ck"),
+    ).collect()
+    final = {}
+    for r in got_rows:  # update-mode refinements: larger volume = later emission
+        k = (r.bar_hour, r.event_type)
+        prev = final.get(k)
+        if prev is None or r.volume >= prev[-1]:
+            final[k] = (r.open, r.high, r.low, r.close, r.volume)
+    from db_core_spark.registry import all_queries
+
+    expect = {
+        (r.bar_hour, r.event_type): (r.open, r.high, r.low, r.close, r.volume)
+        for r in all_queries()["ohlc_time_bars"].fn(spark, SF_SMALL).collect()
+    }
+    assert final == expect
