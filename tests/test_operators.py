@@ -176,3 +176,110 @@ def test_asof_join_string_tie_break(spark):
         payload_cols=["rid", "v"], tie_break="rid", direction="forward",
     ).collect()[0]
     assert (fwd.rid, fwd.v) == ("id_c", 400)  # smallest rid at rt=12
+
+
+class TestAsofNearestProperty:
+    """Model-based check of asof_join_nearest: on random (key, time) data the
+    operator must match a brute-force nearest-with-tolerance reference,
+    including the tie rules (equal distance -> backward; equal time ->
+    largest tie-break)."""
+
+    def _brute(self, lefts, rights, tol):
+        out = {}
+        for lk, lt, lid in lefts:
+            best = None
+            for rk, rt, rid, rv in rights:
+                if rk != lk:
+                    continue
+                d = abs(rt - lt)
+                if d > tol:
+                    continue
+                if best is None:
+                    best = (d, rt, -rid, rv)
+                    continue
+                cand = (d, rt, -rid, rv)
+                # smaller distance wins; then earlier time (backward); then
+                # larger id (backward tie rule at equal times)
+                if cand[:3] < best[:3]:
+                    best = cand
+            out[(lk, lid)] = (best[0], best[3]) if best else (None, None)
+        return out
+
+    def test_random_nearest_matches_brute_force(self, spark):
+        from hypothesis import HealthCheck, given, settings, strategies as st
+
+        from db_core_spark.operators.asof import asof_join_nearest
+
+        import pyspark.sql.functions as F  # noqa: F401
+
+        times = st.integers(min_value=0, max_value=50)
+        keys = st.integers(min_value=0, max_value=2)
+        lefts_s = st.lists(
+            st.tuples(keys, times), min_size=1, max_size=8, unique=True
+        )
+        rights_s = st.lists(
+            st.tuples(keys, times), min_size=0, max_size=8, unique=True
+        )
+
+        @settings(
+            max_examples=12,
+            deadline=None,
+            suppress_health_check=[HealthCheck.too_slow],
+        )
+        @given(lefts=lefts_s, rights=rights_s)
+        def run(lefts, rights):
+            lrows = [
+                (k, t * 1_000_000, i) for i, (k, t) in enumerate(lefts)
+            ]  # micro timestamps as epoch micros
+            rrows = [
+                (k, t * 1_000_000, 100 + i, float(100 + i))
+                for i, (k, t) in enumerate(rights)
+            ]
+            ldf = spark.createDataFrame(
+                [(k, _us_ts(t), i) for k, t, i in lrows], "k long, lt timestamp, lid long"
+            )
+            rdf = spark.createDataFrame(
+                [(k, _us_ts(t), rid, rv) for k, t, rid, rv in rrows],
+                "k long, rt timestamp, rid long, rv double",
+            )
+            got_df = asof_join_nearest(
+                ldf,
+                rdf,
+                on="k",
+                left_time="lt",
+                right_time="rt",
+                payload_cols=["rv"],
+                tie_break="rid",
+                tolerance_us=10_000_000,  # 10 synthetic seconds
+            )
+            got = {
+                (r.k, r.lid): (r._asof_dist_us, r.rv) for r in got_df.collect()
+            }
+            expect = self._brute(
+                [(k, t, i) for k, t, i in lrows],
+                [(k, t, rid, rv) for k, t, rid, rv in rrows],
+                10_000_000,
+            )
+            assert got == expect
+
+        run()
+
+
+def _us_ts(us: int):
+    import datetime
+
+    return datetime.datetime(2024, 1, 1) + datetime.timedelta(microseconds=us)
+
+
+def test_zorder_buckets_are_spatially_local(spark):
+    """The Z-order locality guarantee itself: every 1024-cell zbucket covers
+    at most a 32x32 tile — the property that makes min/max file skipping
+    work on BOTH dimensions."""
+    from db_core_spark.registry import all_queries
+    from tests.conftest import SF_SMALL
+
+    rows = all_queries()["zorder_cluster_stats"].fn(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.x_span <= 31, f"bucket {r.zbucket}: x_span {r.x_span}"
+        assert r.y_span <= 31, f"bucket {r.zbucket}: y_span {r.y_span}"
