@@ -400,3 +400,72 @@ def multimodal_phash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(F.col("hamming") <= 8)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+SHARD_CAPACITY_BYTES = 64 * 1024
+
+
+@query("pipeline_multimodal_prepare", oracle=None, category="multimodal")
+def pipeline_multimodal_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal ingest pipeline — the image twin of the
+    `pipeline_corpus_prepare` headline: render/decode (REAL codec) ->
+    perceptual dedup (keep-first by dHash) -> shard packing (64 KiB
+    capacity, first-fit in doc_id order via running byte sum). One
+    mapInPandas pass carries (doc_id, dhash, n_bytes) — 24 bytes/image
+    regardless of pixels — then a dedup window and the prefix-sum packer
+    run on survivors. Output: one row per KEPT image with its shard
+    assignment and intra-shard byte offset.
+
+    Deterministic rows-only (codec-bound); pytest checks exact equality
+    with a pure-Python pipeline over the same seeded inputs. At 100 TB the
+    packing stage swaps to the distributed two-pass prefix sum
+    (`pack_training_sequences_scalable` pattern); at fixture scale the
+    survivor set is spine-sized so a single window over it is the honest
+    plan."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from pyspark.sql import Window as W
+
+    from db_core_spark.operators.multimodal import dhash64, synth_ppm_for_text
+
+    base = table(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") <= 300
+    )
+    reposts = base.filter(F.col("doc_id") % 50 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 10000
+    )
+    src = base.union(reposts)
+
+    def decode_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [synth_ppm_for_text(t) for t in pdf["text"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "dhash": [dhash64(p) for p in payloads],
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    decoded = src.mapInPandas(decode_stage, "doc_id long, dhash long, n_bytes long")
+    # perceptual dedup: keep the smallest doc_id per dhash
+    wd = W.partitionBy("dhash").orderBy("doc_id")
+    kept = (
+        decoded.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    # shard packing: running byte total in doc_id order -> shard id + offset
+    wp = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    packed = kept.withColumn("cum", F.sum("n_bytes").over(wp)).select(
+        "doc_id",
+        "dhash",
+        "n_bytes",
+        F.floor((F.col("cum") - F.col("n_bytes")) / SHARD_CAPACITY_BYTES)
+        .cast("long")
+        .alias("shard_id"),
+        ((F.col("cum") - F.col("n_bytes")) % SHARD_CAPACITY_BYTES).alias("offset_bytes"),
+    )
+    return packed

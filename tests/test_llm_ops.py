@@ -386,3 +386,40 @@ def test_phash_banded_neardup_sound_and_complete(spark):
             assert pair in got, f"missed guaranteed pair {pair} (hamming {d})"
     # the identical reposts must be present at distance 0
     assert any(d == 0 for d in got.values())
+
+
+def test_pipeline_multimodal_matches_python_reference(spark):
+    """The composed decode->dedup->pack pipeline must equal a straight-line
+    Python implementation of the same stages over the same seeded input."""
+    from db_core_spark.queries.objects import SHARD_CAPACITY_BYTES
+    from db_core_spark.operators.multimodal import dhash64, synth_ppm_for_text
+    from db_core_spark.registry import all_queries
+    from db_core_spark.tables import table
+    import pyspark.sql.functions as SF
+
+    rows = (
+        table(spark, SF_SMALL, "documents")
+        .filter(SF.col("doc_id") <= 300)
+        .select("doc_id", "text")
+        .collect()
+    )
+    src = [(r.doc_id, r.text) for r in rows] + [
+        (r.doc_id + 10000, r.text) for r in rows if r.doc_id % 50 == 0
+    ]
+    seen, kept = set(), []
+    for doc_id, text in sorted(src):
+        p = synth_ppm_for_text(text)
+        h = dhash64(p)
+        if h in seen:
+            continue
+        seen.add(h)
+        kept.append((doc_id, h, len(p)))
+    expect, cum = {}, 0
+    for doc_id, h, nb in kept:  # already doc_id-ordered
+        expect[doc_id] = (h, nb, cum // SHARD_CAPACITY_BYTES, cum % SHARD_CAPACITY_BYTES)
+        cum += nb
+    got = {
+        r.doc_id: (r.dhash, r.n_bytes, r.shard_id, r.offset_bytes)
+        for r in all_queries()["pipeline_multimodal_prepare"].fn(spark, SF_SMALL).collect()
+    }
+    assert got == expect
