@@ -546,3 +546,97 @@ def join_interval_overlap_sessions(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .dropDuplicates(["user_a", "session_a", "user_b", "session_b"])
     )
+
+
+@query(
+    "drift_psi_event_mix",
+    oracle="""
+    WITH tagged AS (
+      SELECT event_type,
+             CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16' THEN 'ref' ELSE 'cur' END
+               AS period
+      FROM events),
+    c AS (SELECT period, event_type, COUNT(*) AS n FROM tagged GROUP BY 1, 2),
+    t AS (SELECT period, SUM(n) AS total FROM c GROUP BY 1),
+    p AS (
+      SELECT c.event_type,
+             MAX(CASE WHEN c.period = 'ref' THEN c.n * 1.0 / t.total END) AS p_ref,
+             MAX(CASE WHEN c.period = 'cur' THEN c.n * 1.0 / t.total END) AS p_cur
+      FROM c JOIN t USING (period) GROUP BY 1)
+    SELECT event_type,
+           ROUND(p_ref, 6) AS p_ref, ROUND(p_cur, 6) AS p_cur,
+           ROUND((p_cur - p_ref) * LN(p_cur / p_ref), 6) AS psi_term
+    FROM p
+    """,
+    category="timeseries",
+)
+def drift_psi_event_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index (PSI) drift between the first and second
+    half of the month: per event_type, reference vs current share and the
+    PSI contribution (p_cur - p_ref) * ln(p_cur / p_ref) — the standard
+    production-monitoring check that a pipeline's input mix hasn't shifted
+    under it (psi_term summed > 0.2 = investigate). Two count aggregates +
+    a tiny per-category fold; the event stream is scanned once."""
+    e = table(spark, sf_dir, "events")
+    tagged = e.select(
+        "event_type",
+        F.when(F.to_date("ts") < F.lit("2024-01-16").cast("date"), "ref")
+        .otherwise("cur")
+        .alias("period"),
+    )
+    c = tagged.groupBy("period", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("period").agg(F.sum("n").alias("total"))
+    p = (
+        c.join(t, "period")
+        .groupBy("event_type")
+        .agg(
+            F.max(F.when(F.col("period") == "ref", F.col("n") / F.col("total"))).alias(
+                "p_ref"
+            ),
+            F.max(F.when(F.col("period") == "cur", F.col("n") / F.col("total"))).alias(
+                "p_cur"
+            ),
+        )
+    )
+    return p.select(
+        "event_type",
+        F.round("p_ref", 6).alias("p_ref"),
+        F.round("p_cur", 6).alias("p_cur"),
+        F.round(
+            (F.col("p_cur") - F.col("p_ref")) * F.log(F.col("p_cur") / F.col("p_ref")), 6
+        ).alias("psi_term"),
+    )
+
+
+@query(
+    "autocorr_daily_volume",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1, 2),
+    lagged AS (
+      SELECT event_type, n,
+             LAG(n) OVER (PARTITION BY event_type ORDER BY day) AS n_prev
+      FROM daily)
+    SELECT event_type,
+           CAST(COUNT(n_prev) AS BIGINT) AS n_pairs,
+           ROUND(CORR(n, n_prev), 6) AS lag1_autocorr
+    FROM lagged GROUP BY event_type
+    """,
+    category="timeseries",
+)
+def autocorr_daily_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of each event type's daily volume — the
+    seasonality/momentum probe run before forecasting or anomaly models.
+    Windows and the correlation aggregate both partition by event_type;
+    the lag runs over the tiny daily spine, never raw events."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    wl = W.partitionBy("event_type").orderBy("day")
+    lagged = daily.withColumn("n_prev", F.lag("n").over(wl))
+    return lagged.groupBy("event_type").agg(
+        F.count("n_prev").alias("n_pairs"),
+        F.round(F.corr("n", "n_prev"), 6).alias("lag1_autocorr"),
+    )
