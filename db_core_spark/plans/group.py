@@ -115,12 +115,50 @@ class Database:
     def begin(self) -> "GroupTransaction":
         return GroupTransaction(self)
 
-    def snapshot_pin(self) -> dict[str, int]:
-        """A mutually consistent read point: {table: latest_csn} captured in
-        one pass. Because group commits become visible atomically (one
-        marker file), reading each table ``as_of`` its pinned csn can never
-        observe half of a group commit that straddles the pin."""
-        return {n: self.table(n).latest_csn() for n in self.table_names()}
+    def snapshot_pin(self, max_retries: int = 5) -> dict[str, int]:
+        """A mutually consistent read point: {table: latest_csn} such that
+        every committed group is either fully inside or fully outside the
+        pin. The naive per-table latest_csn loop is NOT atomic — a group
+        commit landing between two of its reads would be half-included
+        (table A pinned before its member csn, table B after) — so the pin
+        is VALIDATED against the group membership recorded in the member
+        manifests and retried on a torn cut. With bounded commit
+        concurrency this converges immediately (the reference's analog is
+        pinning read_committed_csn from a single atomic,
+        instance.rs:88-99; here the 'atomic' is validate-and-retry over
+        immutable files)."""
+        for _ in range(max_retries):
+            pins = {n: self.table(n).latest_csn() for n in self.table_names()}
+            if self._pin_is_consistent(pins):
+                return pins
+        raise ConflictError(
+            "snapshot_pin: could not capture a consistent cross-table pin "
+            f"after {max_retries} attempts (group-commit storm); retry later"
+        )
+
+    def _pin_is_consistent(self, pins: dict[str, int]) -> bool:
+        """True iff no committed group straddles the pin: for every group id
+        seen in any member manifest, the members at csn <= pin and the
+        members at csn > pin must not BOTH be non-empty."""
+        members: dict[str, list[tuple[str, int]]] = {}
+        for n in pins:
+            t = self.table(n)
+            for m in t._manifests():
+                g = m.get("group")
+                if g is not None:
+                    members.setdefault(g["id"], []).append((n, m["csn"]))
+        for gid, mem in members.items():
+            marker = os.path.join(self.group_dir, f"{gid}.json")
+            try:
+                with open(marker) as f:
+                    if json.load(f).get("status") != "committed":
+                        continue  # pending/aborted groups are invisible anyway
+            except OSError:
+                continue
+            inside = sum(1 for n, c in mem if c <= pins[n])
+            if 0 < inside < len(mem):
+                return False
+        return True
 
     def vacuum_groups(self, retain_seconds: float | None = None) -> int:
         """Reclaim group marker files no longer referenced by any live

@@ -281,3 +281,54 @@ def test_resolve_group_status_commit_wins_race(db, tmp_path):
         {"dir": db.group_dir, "id": gid}, manifest_ts=0.0, grace=0.0
     )
     assert s == "committed"
+
+
+def test_snapshot_pin_detects_and_refuses_torn_cuts(db, spark):
+    """_pin_is_consistent must flag a cut that includes only part of a
+    committed group (the race a naive per-table latest_csn loop can hit),
+    and accept cuts fully before or fully after the group."""
+    g = db.begin()
+    g.upsert("a", rows(spark, (1, "v1")))
+    g.upsert("b", rows(spark, (10, "w1")))
+    csns = g.commit()
+    # torn: table a pinned to include the group, table b pinned before it
+    torn = {"a": csns["a"], "b": csns["b"] - 1}
+    assert not db._pin_is_consistent(torn)
+    assert db._pin_is_consistent({"a": csns["a"], "b": csns["b"]})
+    assert db._pin_is_consistent({"a": csns["a"] - 1, "b": csns["b"] - 1})
+
+
+def test_snapshot_pin_consistent_under_concurrent_group_commits(db, spark):
+    """Stress the retry loop: while a writer thread lands group commits
+    across both tables, every pin snapshot_pin returns must be a clean cut
+    (validated independently), and reads at the pin agree cross-table on
+    how many paired commits they include."""
+    import threading
+
+    rows_a = [rows(spark, (1, f"a{i}")) for i in range(4)]
+    rows_b = [rows(spark, (10, f"b{i}")) for i in range(4)]
+    done = threading.Event()
+
+    def writer():
+        for i in range(4):
+            g = db.begin()
+            g.upsert("a", rows_a[i])
+            g.upsert("b", rows_b[i])
+            g.commit()
+        done.set()
+
+    t = threading.Thread(target=writer)
+    t.start()
+    pins = []
+    while not done.is_set() and len(pins) < 6:
+        pins.append(db.snapshot_pin())
+    t.join()
+    pins.append(db.snapshot_pin())
+    for pin in pins:
+        assert db._pin_is_consistent(pin)
+        # the resolved value index must agree across tables at the pin
+        va = {r.v for r in db.table("a").snapshot(as_of_csn=pin["a"]).collect() if r.k == 1}
+        vb = {r.v for r in db.table("b").snapshot(as_of_csn=pin["b"]).collect() if r.k == 10}
+        ia = int(next(iter(va))[1:]) if va else -1
+        ib = int(next(iter(vb))[1:]) if vb else -1
+        assert ia == ib, f"pin {pin} observed a{ia} vs b{ib}"
