@@ -200,14 +200,21 @@ class GroupTransaction:
         self.db = db
         self.gid = "g" + uuid.uuid4().hex[:16]
         self._txns: dict[str, Transaction] = {}
+        self._pins: dict[str, int] | None = None
         self._done = False
 
     def txn(self, name: str) -> Transaction:
-        """The per-table sub-transaction (begun lazily at first touch,
-        pinning that table's snapshot — instance.rs:88-99)."""
+        """The per-table sub-transaction. ALL member snapshots pin together
+        (validated cross-table cut via Database.snapshot_pin) at the first
+        touch — per-table lazy pinning could straddle a concurrent group
+        commit and read half of it, the same torn cut snapshot_pin guards
+        against (instance.rs:88-99 pins from one atomic; the group analog
+        must pin one CUT)."""
         self._check_open()
         if name not in self._txns:
-            self._txns[name] = self.db.table(name).begin()
+            if self._pins is None:
+                self._pins = self.db.snapshot_pin()
+            self._txns[name] = self.db.table(name).begin(at_csn=self._pins[name])
         return self._txns[name]
 
     # ------------------------------------------------------------- op sugar

@@ -313,12 +313,18 @@ class VersionedTable:
 
     # ---------------------------------------------------------------- writes
 
-    def begin(self) -> "Transaction":
-        """Allocate a txn and pin its read snapshot (instance.rs:88-99)."""
+    def begin(self, at_csn: int | None = None) -> "Transaction":
+        """Allocate a txn and pin its read snapshot (instance.rs:88-99).
+        `at_csn` pins an explicit (earlier) snapshot instead of latest —
+        used by group transactions to hand every member table a mutually
+        consistent cut; an older pin only WIDENS the conflict window, so
+        it is always safe."""
         # 't' prefix keeps partition-column type inference on tsn= dirs
         # string-typed even when the hex happens to be all digits
         tsn = "t" + uuid.uuid4().hex[:12]
-        return Transaction(self, tsn=tsn, start_csn=self.latest_csn())
+        return Transaction(
+            self, tsn=tsn, start_csn=self.latest_csn() if at_csn is None else at_csn
+        )
 
     # ---------------------------------------------------------------- reads
 

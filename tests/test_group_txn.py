@@ -332,3 +332,22 @@ def test_snapshot_pin_consistent_under_concurrent_group_commits(db, spark):
         ia = int(next(iter(va))[1:]) if va else -1
         ib = int(next(iter(vb))[1:]) if vb else -1
         assert ia == ib, f"pin {pin} observed a{ia} vs b{ib}"
+
+
+def test_group_txn_reads_see_one_consistent_cut(db, spark):
+    """A group transaction's reads across tables must come from ONE cut:
+    after the txn first touches any table, a later group commit must be
+    invisible on EVERY member table, including ones first read afterwards."""
+    g0 = db.begin()
+    g0.upsert("a", rows(spark, (1, "a0")))
+    g0.upsert("b", rows(spark, (10, "b0")))
+    g0.commit()
+    reader = db.begin()
+    assert {(r.k, r.v) for r in reader.read("a").collect()} == {(1, "a0")}
+    # lands AFTER the reader pinned (first touch pinned ALL tables)
+    g1 = db.begin()
+    g1.upsert("a", rows(spark, (1, "a1")))
+    g1.upsert("b", rows(spark, (10, "b1")))
+    g1.commit()
+    assert {(r.k, r.v) for r in reader.read("b").collect()} == {(10, "b0")}
+    reader.rollback()
