@@ -1616,3 +1616,102 @@ def versioned_cdc_preimages(spark: SparkSession, sf_dir: str) -> DataFrame:
         + [T.StructField("_csn", T.LongType()), T.StructField("_change", T.StringType())]
     )
     return spark.read.schema(out_schema).parquet(sink)
+
+
+@query(
+    "versioned_incremental_mv",
+    oracle="""
+    WITH evens AS (
+      SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders WHERE o_orderkey % 2 = 0 GROUP BY o_custkey
+    ), threes AS (
+      SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders WHERE o_orderkey % 3 = 0 GROUP BY o_custkey
+    ), state2 AS (
+      SELECT COALESCE(t.k, e.k) AS k, COALESCE(t.n, e.n) AS n
+      FROM evens e FULL JOIN threes t ON e.k = t.k
+    ), final AS (
+      SELECT k, n FROM state2 WHERE k % 7 != 0)
+    SELECT k % 10 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(n) AS BIGINT) AS sum_n
+    FROM final GROUP BY 1
+    """,
+    category="mvcc",
+)
+def versioned_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL materialized-view maintenance with retractions, end to
+    end: three commits (insert slice, overlapping update slice, modular
+    delete) flow through the preimage-enabled CDC stream, and the MV —
+    per-bucket key count + sum — is maintained purely from the CHANGE
+    ROWS: upserts add their post-image, update_preimage/delete rows
+    SUBTRACT their pre-image. No key-level state, no recompute: exactly
+    the Delta-CDF/Flink-retraction pattern a 100 TB rollup needs (the
+    base table is never re-scanned; the MV update cost is O(changes)).
+    The ORACLE recomputes the same MV from the final state relationally —
+    the driver's hash equality IS the proof that incremental == recompute
+    (version-store pre-image parity:
+    /root/reference/src/storage/version_store.rs:97-119)."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from db_core_spark.config import EngineConfig
+    from db_core_spark.plans import VersionedTable
+    from db_core_spark.sources import register_versioned_format
+
+    register_versioned_format(spark)
+    o = table(spark, sf_dir, "orders")
+
+    def slice_agg(mod: int) -> DataFrame:
+        return (
+            o.filter(F.col("o_orderkey") % mod == 0)
+            .groupBy(F.col("o_custkey").alias("k"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("n", T.LongType())]
+    )
+    base = tempfile.mkdtemp(prefix="vds_inc_mv_")
+    vt = VersionedTable.create(
+        spark, base + "/t", key_cols=["k"], schema=schema,
+        config=EngineConfig(cdc_preimages=True, num_buckets=4),
+    )
+    for mod in (2, 3):
+        t = vt.begin()
+        t.upsert(slice_agg(mod))
+        t.commit()
+    t3 = vt.begin()
+    t3.delete_keys(vt.snapshot().filter(F.col("k") % 7 == 0).select("k"))
+    t3.commit()
+    sink = base + "/sink"
+    q = (
+        spark.readStream.format("versioned")
+        .option("path", vt.path)
+        .option("readChanges", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", base + "/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out_schema = T.StructType(
+        list(schema.fields)
+        + [T.StructField("_csn", T.LongType()), T.StructField("_change", T.StringType())]
+    )
+    changes = spark.read.schema(out_schema).parquet(sink)
+    # retraction fold: post-images add, pre-images/deletes subtract
+    sign = F.when(F.col("_change") == "upsert", F.lit(1)).otherwise(F.lit(-1))
+    return (
+        changes.select(
+            (F.col("k") % 10).alias("bucket"),
+            sign.alias("s"),
+            (sign * F.col("n")).alias("dn"),
+        )
+        .groupBy("bucket")
+        .agg(F.sum("s").cast("long").alias("n_keys"), F.sum("dn").cast("long").alias("sum_n"))
+        .filter(F.col("n_keys") != 0)
+    )
