@@ -570,6 +570,26 @@ class VersionedTable:
             )
         )
 
+    def changes(self, from_csn: int = 0, to_csn: int | None = None) -> DataFrame:
+        """BATCH change feed (Delta's table_changes(from, to) shape): every
+        change row committed in (from_csn, to_csn], with (_csn, _change)
+        and pre-image retraction rows where the table records them. The
+        batch twin of the CDC stream — same partition planning (one input
+        partition per op/bucket dir), no streaming checkpoint needed. Use
+        `diff()` for the endpoint comparison instead of the full ledger."""
+        from db_core_spark.sources import register_versioned_format  # noqa: PLC0415
+
+        register_versioned_format(self.spark)
+        reader = (
+            self.spark.read.format("versioned")
+            .option("path", self.path)
+            .option("readChanges", "true")
+            .option("fromCsn", str(from_csn))
+        )
+        if to_csn is not None:
+            reader = reader.option("toCsn", str(to_csn))
+        return reader.load()
+
     # ----------------------------------------------------------- maintenance
 
     def checkpoint(self) -> int:

@@ -655,6 +655,8 @@ class VersionedDataSource(DataSource):
         return data_schema
 
     def reader(self, schema: T.StructType) -> DataSourceReader:
+        if self._mode() == "true":
+            return VersionedChangesBatchReader(schema, dict(self.options))
         return VersionedSnapshotReader(schema, dict(self.options))
 
     def writer(self, schema: T.StructType, overwrite: bool) -> DataSourceWriter:
@@ -678,3 +680,37 @@ class VersionedDataSource(DataSource):
 def register(spark) -> None:
     """Idempotently register format('versioned') on a session."""
     spark.dataSource.register(VersionedDataSource)
+
+
+class VersionedChangesBatchReader(DataSourceReader):
+    """BATCH change feed (the table_changes(from, to) shape): every change
+    row committed in (fromCsn, toCsn], with (_csn, _change) metadata and
+    pre-image retraction rows where the table records them. Reuses the
+    stream reader's name-bounded partition planning verbatim, so a batch
+    backfill fans out one input partition per op/bucket dir exactly like a
+    streaming replay — the driver only lists manifests."""
+
+    def __init__(self, schema: T.StructType, options: dict):
+        self._delegate = VersionedChangeStreamReader(schema, options)
+        path = options["path"]
+        from_csn = int(options.get("fromcsn", 0))
+        to = options.get("tocsn")
+        if to is not None:
+            to_csn = int(to)
+        else:
+            deltas = [c for c, is_ck, _ in _log_names(path) if not is_ck]
+            to_csn = max(deltas, default=0)
+        if from_csn > to_csn:
+            raise ValueError(f"fromCsn {from_csn} > toCsn {to_csn}")
+        self._window = ({"csn": from_csn}, {"csn": to_csn})
+
+    def partitions(self):
+        parts = self._delegate.partitions(*self._window)
+        # an empty batch window still needs ONE partition: Spark's batch
+        # DataSource path calls read(None) when the list is empty
+        return parts or [CDCPartition(dir="", csn=0, kind="_empty")]
+
+    def read(self, partition):
+        if partition is None or partition.kind == "_empty":
+            return iter(())
+        return self._delegate.read(partition)

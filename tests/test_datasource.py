@@ -438,3 +438,42 @@ def test_vacuum_reader_safety(vt, spark):
     part = BucketSetPartition(buckets=tuple(range(vt.num_buckets)))
     with _pytest.raises(RuntimeError, match="vacuum raced"):
         list(reader.read(part))
+
+
+def test_batch_changes_feed_matches_commits(spark, tmp_path):
+    """VersionedTable.changes(A, B) must replay exactly the change rows of
+    the commits in (A, B] — the batch twin of the CDC stream, bounds
+    inclusive-exclusive, with delete rows present and csn tags right."""
+    from pyspark.sql import functions as F, types as T
+
+    from db_core_spark.plans import VersionedTable
+
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    vt = VersionedTable.create(
+        spark, str(tmp_path / "t"), key_cols=["k"], schema=schema
+    )
+    t1 = vt.begin()
+    t1.upsert(spark.createDataFrame([(1, "a"), (2, "b")], schema))
+    c1 = t1.commit()
+    t2 = vt.begin()
+    t2.upsert(spark.createDataFrame([(1, "a2")], schema))
+    c2 = t2.commit()
+    t3 = vt.begin()
+    t3.delete_keys([{"k": 2}])
+    c3 = t3.commit()
+
+    all_rows = {(r.k, r.v, r._csn, r._change) for r in vt.changes().collect()}
+    assert (1, "a", c1, "upsert") in all_rows
+    assert (1, "a2", c2, "upsert") in all_rows
+    assert any(r[0] == 2 and r[2] == c3 and r[3] == "delete" for r in all_rows)
+    # window (c1, c2]: only the second commit's rows
+    win = {(r.k, r._csn) for r in vt.changes(from_csn=c1, to_csn=c2).collect()}
+    assert win == {(1, c2)}
+    # from_csn is exclusive: (c3, latest] is empty
+    assert vt.changes(from_csn=c3).count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        vt.changes(from_csn=5, to_csn=1).count()
