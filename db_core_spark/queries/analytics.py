@@ -1685,24 +1685,9 @@ def versioned_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     t3 = vt.begin()
     t3.delete_keys(vt.snapshot().filter(F.col("k") % 7 == 0).select("k"))
     t3.commit()
-    sink = base + "/sink"
-    q = (
-        spark.readStream.format("versioned")
-        .option("path", vt.path)
-        .option("readChanges", "true")
-        .load()
-        .writeStream.format("parquet")
-        .option("path", sink)
-        .option("checkpointLocation", base + "/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
-    out_schema = T.StructType(
-        list(schema.fields)
-        + [T.StructField("_csn", T.LongType()), T.StructField("_change", T.StringType())]
-    )
-    changes = spark.read.schema(out_schema).parquet(sink)
+    # batch change feed (VersionedTable.changes): same ledger the stream
+    # tails (versioned_cdc_preimages covers that path), read in one batch
+    changes = vt.changes()
     # retraction fold: post-images add, pre-images/deletes subtract
     sign = F.when(F.col("_change") == "upsert", F.lit(1)).otherwise(F.lit(-1))
     return (
