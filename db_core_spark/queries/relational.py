@@ -322,3 +322,52 @@ def dq_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     for e in edges[1:]:
         out = out.unionByName(e)
     return out
+
+
+_CATALOG_KEYS = {
+    "region": "r_regionkey",
+    "nation": "n_nationkey",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+
+@query(
+    "dq_profile_catalog",
+    oracle="\nUNION ALL\n".join(
+        f"""SELECT '{t}' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT {k}) AS BIGINT) AS n_keys,
+           CAST(COUNT(*) - COUNT({k}) AS BIGINT) AS n_null_keys
+        FROM {t}"""
+        for t, k in sorted(_CATALOG_KEYS.items())
+    ),
+    category="relational",
+)
+def dq_profile_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-level data-quality sweep: one row per table with row count,
+    distinct primary-key count, and null-key count — the pre-flight gate a
+    pipeline runs over EVERY input before anything expensive (n_rows ==
+    n_keys and n_null_keys == 0 is the PK contract). Each table is one
+    independent aggregate; the union is table-count-bounded. Complements
+    the per-column `dq_profile_columns` and relational `dq_fk_orphans`
+    gates."""
+    parts = []
+    for t, k in sorted(_CATALOG_KEYS.items()):
+        df = table(spark, sf_dir, t)
+        parts.append(
+            df.agg(
+                F.lit(t).alias("table_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct(F.col(k)).alias("n_keys"),
+                (F.count(F.lit(1)) - F.count(F.col(k))).alias("n_null_keys"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
