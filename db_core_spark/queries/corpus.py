@@ -471,3 +471,43 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dot") / (F.col("nrm_a") * F.col("nrm_b")) >= 0.6)
         .select("id_a", "id_b", "cosine")
     )
+
+
+@query(
+    "zipf_token_slope",
+    oracle="""
+    WITH toks AS (
+      SELECT UNNEST(string_split_regex(text, '\\s+')) AS tok FROM documents),
+    vocab AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS freq FROM toks GROUP BY tok),
+    ranked AS (
+      SELECT tok, freq,
+             ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS rnk
+      FROM vocab)
+    SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           ROUND(regr_slope(LN(freq), LN(rnk)), 6) AS zipf_slope,
+           ROUND(regr_r2(LN(freq), LN(rnk)), 6) AS zipf_r2
+    FROM ranked
+    """,
+    category="llm",
+)
+def zipf_token_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the token rank-frequency curve: the log-log
+    regression slope (natural corpora sit near -1; synthetic or templated
+    text deviates hard — this fixture's tiny uniform vocabulary reads
+    shallow, which is exactly the signal) plus R². A one-aggregate corpus
+    health check: token count -> vocab ranks -> regr_slope, all codegen.
+    The rank window runs over the VOCAB (bounded), not the token stream."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split(F.col("text"), r"\s+")).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("freq"))
+    from pyspark.sql import Window as PW
+
+    ranked = vocab.withColumn(
+        "rnk", F.row_number().over(PW.orderBy(F.col("freq").desc(), F.col("tok")))
+    )
+    lf, lr = F.log("freq"), F.log("rnk")
+    return ranked.agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.round(F.regr_slope(lf, lr), 6).alias("zipf_slope"),
+        F.round(F.regr_r2(lf, lr), 6).alias("zipf_r2"),
+    )

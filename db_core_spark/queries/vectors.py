@@ -555,3 +555,35 @@ def embedding_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") == F.col("label")).alias("is_canonical"),
         F.count(F.lit(1)).over(PW.partitionBy("label")).cast("long").alias("n_members"),
     )
+
+
+@query(
+    "embedding_dim_variance",
+    oracle="""
+    WITH flat AS (
+      SELECT generate_subscripts(embedding, 1) AS dim,
+             CAST(UNNEST(embedding) AS DOUBLE) AS v
+      FROM embeddings)
+    SELECT dim,
+           ROUND(AVG(v), 6) AS mean_v,
+           ROUND(VAR_SAMP(v), 6) AS var_v
+    FROM flat GROUP BY dim
+    """,
+    category="vector",
+)
+def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/variance across the embedding corpus — the
+    whitening/PCA pre-flight profile (dead dimensions have ~0 variance;
+    unnormalized batches show up as mean drift). posexplode flattens to
+    (dim, value) rows so the stats are one hash aggregate keyed by the 64
+    dims — at 100 TB this is the only shape that works: a per-executor
+    vector-sum accumulator fused by Catalyst's partial aggregation, never
+    a driver-side matrix."""
+    e = table(spark, sf_dir, "embeddings")
+    flat = e.select(
+        F.posexplode(F.col("embedding")).alias("dim0", "v")
+    ).select((F.col("dim0") + 1).alias("dim"), F.col("v").cast("double").alias("v"))
+    return flat.groupBy("dim").agg(
+        F.round(F.avg("v"), 6).alias("mean_v"),
+        F.round(F.var_samp("v"), 6).alias("var_v"),
+    )
