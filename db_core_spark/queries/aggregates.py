@@ -616,3 +616,138 @@ def pareto_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("rev").over(wv) / F.col("total"), 6).alias("cum_share"),
         )
     )
+
+
+@query(
+    "agg_winsorized_mean",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderpriority,
+             quantile_cont(o_totalprice, 0.05) AS lo,
+             quantile_cont(o_totalprice, 0.95) AS hi
+      FROM orders GROUP BY o_orderpriority)
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN o.o_totalprice < b.lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clip_lo,
+           CAST(SUM(CASE WHEN o.o_totalprice > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clip_hi,
+           ROUND(AVG(o.o_totalprice), 4) AS mean_raw,
+           ROUND(AVG(LEAST(GREATEST(o.o_totalprice, b.lo), b.hi)), 4) AS mean_winsor
+    FROM orders o JOIN b USING (o_orderpriority)
+    GROUP BY o.o_orderpriority
+    """,
+    category="aggregate",
+)
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (clipped) mean per order priority: values below p05 / above
+    p95 are clamped to the fence before averaging — the outlier-robust
+    reduction feature pipelines apply to heavy-tailed metrics before model
+    consumption. Two aggregation passes over the same shuffle key: exact
+    per-group percentiles (full-multiset percentile; at 100 TB swap in
+    percentile_approx's mergeable GK sketch), fences broadcast back, then a
+    plain clip-and-average hash aggregate. No window, no second wide
+    shuffle — the same broadcast-back shape as anomaly_mad_robust."""
+    o = table(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    fences = o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", 0.05).alias("lo"),
+        F.percentile("o_totalprice", 0.95).alias("hi"),
+    )
+    clipped = o.join(F.broadcast(fences), "o_orderpriority")
+    return clipped.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("o_totalprice") < F.col("lo"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clip_lo"),
+        F.sum(F.when(F.col("o_totalprice") > F.col("hi"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clip_hi"),
+        F.round(F.avg("o_totalprice"), 4).alias("mean_raw"),
+        F.round(
+            F.avg(F.least(F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi"))), 4
+        ).alias("mean_winsor"),
+    )
+
+
+@query(
+    "agg_histogram_quantile_sketch",
+    oracle="""
+    WITH s AS (
+      SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx,
+             CAST(COUNT(*) AS DOUBLE) AS n
+      FROM lineitem),
+    h AS (
+      SELECT LEAST(255, CAST(FLOOR((l_extendedprice - s.mn)
+                                   / ((s.mx - s.mn) / 256.0)) AS INT)) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem, s GROUP BY 1),
+    c AS (
+      SELECT bucket, cnt,
+             SUM(cnt) OVER (ORDER BY bucket
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM h),
+    qs(q) AS (SELECT CAST(v AS DOUBLE) FROM (VALUES (0.5), (0.9), (0.99)) t(v)),
+    hit AS (
+      SELECT qs.q, MIN(c.bucket) AS bsel
+      FROM qs JOIN c ON c.cum >= qs.q * (SELECT n FROM s)
+      GROUP BY qs.q)
+    SELECT hit.q,
+           ROUND(s.mn + hit.bsel * ((s.mx - s.mn) / 256.0)
+                 + ((hit.q * s.n - (c.cum - c.cnt)) / c.cnt)
+                   * ((s.mx - s.mn) / 256.0), 4) AS est_q
+    FROM hit JOIN c ON c.bucket = hit.bsel, s
+    ORDER BY hit.q
+    """,
+    category="aggregate",
+)
+def agg_histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimation from a MERGEABLE fixed-bin histogram sketch: one
+    min/max pass fixes 256 equal-width bins, one hash-aggregate pass builds
+    per-bin counts (partial counts merge associatively — the property that
+    makes this a sketch: executors emit 256-long partials, the reduce is a
+    vector add), then p50/p90/p99 are linearly interpolated inside the
+    covering bin. Versus the exact per-group multiset of agg_percentiles,
+    this is the O(bins) -never-holds-the-data shape that incremental /
+    distributed quantile maintenance needs; the oracle replicates the exact
+    arithmetic, so the gate pins the estimator bit-for-bit, and pytest
+    separately bounds |est - exact| by one bin width. The cumulative window
+    runs over <= 256 bin rows — bounded driver-free single-partition work,
+    not a data-scale sort."""
+    from pyspark.sql import Window as W
+
+    li = table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    stats = li.agg(
+        F.min("l_extendedprice").alias("mn"),
+        F.max("l_extendedprice").alias("mx"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    width = (F.col("mx") - F.col("mn")) / 256.0
+    bucket = F.least(
+        F.lit(255),
+        F.floor((F.col("l_extendedprice") - F.col("mn")) / width).cast("int"),
+    )
+    hist = (
+        li.crossJoin(F.broadcast(stats))
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cum = hist.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    ).crossJoin(F.broadcast(stats))
+    qs = spark.createDataFrame([(0.5,), (0.9,), (0.99,)], "q double")
+    hit = (
+        qs.join(cum, F.col("cum") >= F.col("q") * F.col("n"))
+        .groupBy("q")
+        .agg(F.min_by(F.struct("bucket", "cnt", "cum", "mn", "mx", "n"), F.col("bucket")).alias("s"))
+        .select("q", "s.bucket", "s.cnt", "s.cum", "s.mn", "s.mx", "s.n")
+    )
+    w2 = (F.col("mx") - F.col("mn")) / 256.0
+    est = (
+        F.col("mn")
+        + F.col("bucket") * w2
+        + ((F.col("q") * F.col("n") - (F.col("cum") - F.col("cnt"))) / F.col("cnt")) * w2
+    )
+    return hit.select("q", F.round(est, 4).alias("est_q")).orderBy("q")

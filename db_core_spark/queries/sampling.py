@@ -144,3 +144,74 @@ def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     w = W.orderBy(F.col("sample_key").desc(), F.col("doc_id"))
     return top.withColumn("rnk", F.row_number().over(w))
+
+
+@query(
+    "source_mix_rebalance",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents)
+    SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
+    FROM ranked
+    WHERE rk <= 30
+    """,
+    category="sampling",
+)
+def source_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing cap: keep at most `cap` documents per source, chosen by
+    deterministic md5 rank (the per-domain cap every pre-training mixture
+    applies so one crawl domain can't dominate the token budget).
+
+    Semantically this is `ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+    md5(doc_id)) <= cap` — but a window over the raw table makes every
+    source a single sort partition, which at 100 TB (billions of rows per
+    domain, ~coarse source cardinality) is the canonical skew trap. Instead:
+
+    1. one hash-aggregate pass counts rows per source (tiny, broadcast);
+    2. the scan keeps only rows whose 16-bit md5 prefix falls below
+       ``4*cap/n_src`` — a codegen'd filter that cuts each source to ~4*cap
+       rows BEFORE any sort. Because the filter thresholds on a PREFIX of
+       the rank's own sort key, the true top-`cap` rows all survive
+       whenever a source retains >= cap survivors (prefix below threshold
+       => full key sorts strictly before any filtered-out row);
+    3. sources the prefix filter left deficient (< cap survivors — only
+       possible for tiny or pathologically hash-skewed sources) fall back
+       to keeping all their rows, restoring exactness unconditionally;
+    4. the exact rank window then runs on the ~O(sources*cap) pool.
+
+    The oracle is the naive global window, so the gate proves the
+    two-phase plan IS the naive semantics."""
+    cap = 30
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    hkey = F.md5(F.col("doc_id").cast("string"))
+    h16 = F.conv(F.substring(hkey, 1, 4), 16, 10).cast("int")  # [0, 65536)
+
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    thresh = F.least(F.lit(65536).cast("long"), F.ceil(F.lit(4 * cap) * 65536 / F.col("n_src")))
+    surv_counts = (
+        d.join(F.broadcast(counts), "source")
+        .filter(h16 < thresh)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_surv"))
+    )
+    flags = counts.join(surv_counts, "source", "left").select(
+        "source",
+        thresh.alias("thresh"),
+        (F.coalesce(F.col("n_surv"), F.lit(0)) < cap).alias("keep_all"),
+    )
+    pool = d.join(F.broadcast(flags), "source").filter(
+        F.col("keep_all") | (h16 < F.col("thresh"))
+    )
+
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("source").orderBy(hkey.asc(), F.col("doc_id").asc())
+    return (
+        pool.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= cap)
+        .select("doc_id", "source", "rk")
+    )

@@ -275,3 +275,104 @@ def stream_left_outer_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id",
         F.round("purchase_value", 4).alias("purchase_value"),
     )
+
+
+def _gap_session_intervals(e: DataFrame, etype: str, gap_us: int) -> DataFrame:
+    """Gap-sessionize one event-type stream into per-user [start_us, end_us]
+    intervals (integer microseconds; epoch math keeps the oracle exact)."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev = F.lag(us).over(w)
+    is_new = F.when(prev.isNull() | ((us - prev) > gap_us), 1).otherwise(0)
+    sess = (
+        e.filter(F.col("event_type") == etype)
+        .select("user_id", "event_id", "ts")
+        .withColumn("us", us)
+        .withColumn(
+            "session_no",
+            F.sum(is_new).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+        )
+    )
+    return sess.groupBy("user_id", F.col("session_no").cast("int").alias("session_no")).agg(
+        F.min("us").alias("start_us"),
+        (F.max("us") + gap_us).alias("end_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+_SESS_SQL = """
+      SELECT user_id, CAST(session_no AS INT) AS session_no,
+             MIN(us) AS start_us, MAX(us) + 1800000000 AS end_us,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM (
+        SELECT user_id, us,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS session_no
+        FROM (
+          SELECT user_id, event_id, epoch_us(ts) AS us,
+                 CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                        OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events WHERE event_type = '{etype}'
+          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)))
+      GROUP BY user_id, session_no
+"""
+
+
+@query(
+    "stream_session_overlap_batch",
+    oracle="WITH c AS ("
+    + _SESS_SQL.format(etype="click")
+    + "), p AS ("
+    + _SESS_SQL.format(etype="purchase")
+    + """)
+    SELECT c.user_id,
+           c.session_no AS click_session, p.session_no AS purchase_session,
+           c.n_events AS click_events, p.n_events AS purchase_events,
+           LEAST(c.end_us, p.end_us) - GREATEST(c.start_us, p.start_us)
+             AS overlap_us
+    FROM c JOIN p ON c.user_id = p.user_id
+     AND c.start_us <= p.end_us AND p.start_us <= c.end_us
+    """,
+    category="streaming",
+)
+def stream_session_overlap_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of cross-stream session-interval overlap: gap-sessionize
+    (30 min) the click stream and the purchase stream independently per
+    user, then join session intervals that OVERLAP in time — "which buying
+    sessions happened while the user was mid-browse". Intervals use the
+    session_window convention [first_event, last_event + gap), so the live
+    F.session_window aggregation emits the SAME intervals this twin builds. Both sessionizations
+    and the join hash on user_id, so the whole operator is one exchange
+    reused three times; the interval predicate evaluates inside each
+    user's join group (per-user session counts are small and bounded by
+    the gap, so the within-group pairing never degenerates).
+
+    The live-stream version runs `session_window` aggregations per side —
+    Structured Streaming can't join two streaming AGGREGATES in one query
+    (a documented engine limitation), so the production shape is
+    session-stream -> sink, then this overlap join downstream; pytest
+    (tests/test_streaming.py) runs both session streams to completion and
+    pins their joined intervals to this twin's output."""
+    e = table(spark, sf_dir, "events")
+    gap_us = 1800 * 1000 * 1000
+    c = _gap_session_intervals(e, "click", gap_us)
+    p = _gap_session_intervals(e, "purchase", gap_us)
+    joined = c.alias("c").join(
+        p.alias("p"),
+        (F.col("c.user_id") == F.col("p.user_id"))
+        & (F.col("c.start_us") <= F.col("p.end_us"))
+        & (F.col("p.start_us") <= F.col("c.end_us")),
+    )
+    return joined.select(
+        F.col("c.user_id").alias("user_id"),
+        F.col("c.session_no").alias("click_session"),
+        F.col("p.session_no").alias("purchase_session"),
+        F.col("c.n_events").alias("click_events"),
+        F.col("p.n_events").alias("purchase_events"),
+        (
+            F.least(F.col("c.end_us"), F.col("p.end_us"))
+            - F.greatest(F.col("c.start_us"), F.col("p.start_us"))
+        ).alias("overlap_us"),
+    )

@@ -7,6 +7,7 @@ this package compiles the same logic against readStream and is pytest-checked
 from db_core_spark.streaming.ops import (  # noqa: F401
     dedup_stream,
     session_counts,
+    session_overlap_join,
     sliding_counts,
     stateful_user_counts,
     stream_ewma_user_value,

@@ -426,3 +426,40 @@ def stream_ohlc_bars(events: DataFrame, watermark: str = "2 hours") -> DataFrame
             "volume",
         )
     )
+
+
+def session_overlap_join(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Overlap-join two session tables (session_counts output shape:
+    user_id, session_start, session_end, n_events) — which purchase
+    sessions intersect which click sessions of the same user.
+
+    Structured Streaming cannot join two streaming AGGREGATES inside one
+    query (documented engine limitation: stream-stream joins require raw
+    append-mode inputs, not stateful-aggregate outputs), so the production
+    shape is session_window agg -> sink per side, then THIS join runs
+    downstream — batch over the sinks, or a fresh stream over their change
+    feed. The join hashes on user_id; the interval predicate evaluates
+    inside each user's join group, bounded by that user's session count.
+    Batch twin with the DuckDB oracle: queries/streaming_batch.py
+    stream_session_overlap_batch (same [first, last+gap) convention)."""
+    c = clicks.select(
+        F.col("user_id"),
+        F.col("session_start").alias("c_start"),
+        F.col("session_end").alias("c_end"),
+        F.col("n_events").alias("click_events"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("session_start").alias("p_start"),
+        F.col("session_end").alias("p_end"),
+        F.col("n_events").alias("purchase_events"),
+    )
+    return (
+        c.join(
+            p,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("c_start") <= F.col("p_end"))
+            & (F.col("p_start") <= F.col("c_end")),
+        )
+        .drop("p_user_id")
+    )

@@ -1,0 +1,80 @@
+"""Round-6 robust-statistics / mixing operators: the two-phase per-source
+cap must EQUAL the naive global window, the histogram quantile sketch must
+sit within one bin width of the exact quantile, and the winsorized mean
+must be bracketed by construction."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W, functions as F
+
+from db_core_spark.queries.aggregates import (
+    agg_histogram_quantile_sketch,
+    agg_winsorized_mean,
+)
+from db_core_spark.queries.sampling import source_mix_rebalance
+from db_core_spark.tables import table
+from tests.conftest import SF_MED, SF_SMALL
+
+
+def test_source_mix_two_phase_equals_naive_window(spark):
+    """The prefix-filter + deficiency-fallback pool must reproduce the naive
+    'rank everything' result exactly — on both fixture scales (sf0.001 has
+    tiny sources that exercise the keep_all fallback)."""
+    for sf in (SF_SMALL, SF_MED):
+        got = {
+            (r.doc_id, r.source, r.rk) for r in source_mix_rebalance(spark, sf).collect()
+        }
+        d = table(spark, sf, "documents")
+        hkey = F.md5(F.col("doc_id").cast("string"))
+        w = W.partitionBy("source").orderBy(hkey.asc(), F.col("doc_id").asc())
+        naive = {
+            (r.doc_id, r.source, r.rk)
+            for r in d.withColumn("rk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rk") <= 30)
+            .select("doc_id", "source", "rk")
+            .collect()
+        }
+        assert got == naive
+
+
+def test_source_mix_caps_every_source(spark):
+    rows = source_mix_rebalance(spark, SF_MED).collect()
+    per_src = {}
+    for r in rows:
+        per_src[r.source] = per_src.get(r.source, 0) + 1
+    assert per_src and max(per_src.values()) <= 30
+    # ranks are 1..n_kept per source with no gaps
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r.rk)
+    for src, rks in by_src.items():
+        assert sorted(rks) == list(range(1, len(rks) + 1)), src
+
+
+def test_histogram_sketch_within_one_bin_of_exact(spark):
+    li = table(spark, SF_MED, "lineitem")
+    stats = li.agg(
+        F.min("l_extendedprice").alias("mn"), F.max("l_extendedprice").alias("mx")
+    ).collect()[0]
+    bin_width = (stats.mx - stats.mn) / 256.0
+    exact = li.agg(
+        F.percentile("l_extendedprice", 0.5).alias("p50"),
+        F.percentile("l_extendedprice", 0.9).alias("p90"),
+        F.percentile("l_extendedprice", 0.99).alias("p99"),
+    ).collect()[0]
+    got = {r.q: r.est_q for r in agg_histogram_quantile_sketch(spark, SF_MED).collect()}
+    assert set(got) == {0.5, 0.9, 0.99}
+    for q, ex in ((0.5, exact.p50), (0.9, exact.p90), (0.99, exact.p99)):
+        assert abs(got[q] - ex) <= bin_width, (q, got[q], ex, bin_width)
+
+
+def test_winsorized_mean_brackets_raw_mean(spark):
+    rows = agg_winsorized_mean(spark, SF_MED).collect()
+    assert rows
+    for r in rows:
+        # clipping a two-sided 5% tail keeps the mean within the fences and
+        # clips ~5% of rows on each side (exact counts depend on ties)
+        assert r.n_clip_lo + r.n_clip_hi < r.n
+        assert r.n_clip_lo >= 1 and r.n_clip_hi >= 1
+        # winsorized mean moves toward the center, never outside raw extremes
+        assert abs(r.mean_winsor - r.mean_raw) < (r.mean_raw * 0.5)

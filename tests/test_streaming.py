@@ -434,3 +434,87 @@ def test_stream_ohlc_converges_to_batch_twin(spark, stream_dir, tmp_path):
         for r in all_queries()["ohlc_time_bars"].fn(spark, SF_SMALL).collect()
     }
     assert final == expect
+
+
+def test_session_overlap_streams_converge_to_batch_twin(spark, stream_dir, tmp_path):
+    """Two independently-sessionized streams (clicks, purchases) overlap-join
+    downstream of their sinks — the production shape for cross-stream
+    session overlap (one streaming query cannot join two streaming
+    aggregates). Checks: (a) every live-emitted session interval is EXACTLY
+    a batch gap-session interval (same [first, last+gap) convention as the
+    oracle-checked batch twin), (b) the overlap join over live sessions
+    equals the join over batch sessions restricted to live-emitted session
+    keys — so the streamed pipeline converges to stream_session_overlap_batch
+    on completed sessions."""
+    from db_core_spark.queries.streaming_batch import _gap_session_intervals
+    from db_core_spark.streaming import session_overlap_join
+
+    live = {}
+    for etype in ("click", "purchase"):
+        got = run_to_memory(
+            session_counts(
+                events_stream(spark, stream_dir).filter(F.col("event_type") == etype),
+                watermark="30 minutes",
+            ),
+            "append",
+            str(tmp_path / f"ck_{etype}"),
+        )
+        live[etype] = got
+
+    gap_us = 1800 * 1000 * 1000
+    batch = {
+        etype: {
+            (r.user_id, r.start_us, r.end_us)
+            for r in _gap_session_intervals(batch_events(spark), etype, gap_us).collect()
+        }
+        for etype in ("click", "purchase")
+    }
+
+    def as_keys(df):
+        return {
+            (
+                r.user_id,
+                int(r.session_start.timestamp() * 1_000_000),
+                int(r.session_end.timestamp() * 1_000_000),
+            )
+            for r in df.collect()
+        }
+
+    live_keys = {t: as_keys(df) for t, df in live.items()}
+    for t in ("click", "purchase"):
+        assert live_keys[t], f"no {t} sessions emitted"
+        assert live_keys[t] <= batch[t], f"live {t} sessions not a subset of batch sessions"
+
+    got_pairs = {
+        (
+            r.user_id,
+            int(r.c_start.timestamp() * 1_000_000),
+            int(r.p_start.timestamp() * 1_000_000),
+            r.click_events,
+            r.purchase_events,
+        )
+        for r in session_overlap_join(live["click"], live["purchase"]).collect()
+    }
+
+    # expected: batch-side overlap pairs restricted to live-emitted sessions
+    def overlaps(c, p):
+        return c[1] <= p[2] and p[1] <= c[2]
+
+    expect_pairs = set()
+    ev_counts = {}
+    for t in ("click", "purchase"):
+        for r in _gap_session_intervals(batch_events(spark), t, gap_us).collect():
+            ev_counts[(t, r.user_id, r.start_us)] = r.n_events
+    for c in live_keys["click"]:
+        for p in live_keys["purchase"]:
+            if c[0] == p[0] and overlaps(c, p):
+                expect_pairs.add(
+                    (
+                        c[0],
+                        c[1],
+                        p[1],
+                        ev_counts[("click", c[0], c[1])],
+                        ev_counts[("purchase", p[0], p[1])],
+                    )
+                )
+    assert got_pairs == expect_pairs
