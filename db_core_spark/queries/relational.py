@@ -371,3 +371,43 @@ def dq_profile_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@query(
+    "dq_key_skew_profile",
+    oracle="""
+    WITH per_key AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY user_id),
+    stats AS (
+      SELECT CAST(SUM(cnt) AS DOUBLE) / COUNT(*) AS avg_cnt FROM per_key)
+    SELECT p.user_id, p.cnt,
+           ROUND(p.cnt / s.avg_cnt, 4) AS skew_ratio
+    FROM per_key p, stats s
+    ORDER BY p.cnt DESC, p.user_id
+    LIMIT 10
+    """,
+    category="relational",
+)
+def dq_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew profiler: the top-10 heaviest join/agg keys and how
+    many times the average key weight each carries — the pre-flight check
+    that decides whether a 100 TB join on this key needs salting or AQE
+    skew splitting. One hash aggregate builds per-key counts; the mean is a
+    1-row broadcast back over that SAME aggregate (no second scan); the
+    top-10 plans as TakeOrderedAndProject (per-partition heap + single
+    merge), never a global sort."""
+    e = table(spark, sf_dir, "events").select("user_id")
+    per_key = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    stats = per_key.agg(
+        (F.sum("cnt").cast("double") / F.count(F.lit(1))).alias("avg_cnt")
+    )
+    return (
+        per_key.crossJoin(F.broadcast(stats))
+        .select(
+            "user_id",
+            "cnt",
+            F.round(F.col("cnt") / F.col("avg_cnt"), 4).alias("skew_ratio"),
+        )
+        .orderBy(F.col("cnt").desc(), F.col("user_id"))
+        .limit(10)
+    )

@@ -215,3 +215,68 @@ def source_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= cap)
         .select("doc_id", "source", "rk")
     )
+
+
+@query(
+    "negative_pair_sample",
+    oracle="""
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    pairs AS (
+      SELECT d.doc_id, k.i AS neg_rank,
+             CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':' ||
+                                      CAST(k.i AS VARCHAR)), 1, 8)) AS BIGINT)
+               % n.n_docs AS raw_neg,
+             n.n_docs
+      FROM documents d
+      CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS i) k, n),
+    fixed AS (
+      SELECT doc_id, neg_rank,
+             CASE WHEN raw_neg = doc_id THEN (raw_neg + 1) % n_docs
+                  ELSE raw_neg END AS neg_doc_id
+      FROM pairs)
+    SELECT f.doc_id, CAST(f.neg_rank AS INT) AS neg_rank, f.neg_doc_id,
+           d2.source AS neg_source, d2.n_chars AS neg_n_chars
+    FROM fixed f JOIN documents d2 ON d2.doc_id = f.neg_doc_id
+    """,
+    category="sampling",
+)
+def negative_pair_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    document gets k=4 pseudo-random negative partners, derived by hashing
+    (doc_id, rank) into the contiguous id space — reproducible across runs,
+    engines, and partitionings (same md5 both sides), unlike RNG sampling.
+    Self-collisions remap to the next id. The gather of the negatives'
+    features is a plain equi-join on the sampled id: one shuffle at scale,
+    or a bucketed co-located join when the corpus is id-bucketed. The
+    explode is a 4x row fan-out BEFORE the join — no cartesian anywhere."""
+    k = 4
+    d = table(spark, sf_dir, "documents")
+    n = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    h32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("i").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    pairs = (
+        d.select("doc_id")
+        .crossJoin(F.broadcast(n))
+        .withColumn("i", F.explode(F.array(*[F.lit(j) for j in range(k)])))
+        .withColumn("raw_neg", h32 % F.col("n_docs"))
+        .withColumn(
+            "neg_doc_id",
+            F.when(F.col("raw_neg") == F.col("doc_id"), (F.col("raw_neg") + 1) % F.col("n_docs"))
+            .otherwise(F.col("raw_neg")),
+        )
+    )
+    d2 = d.select(
+        F.col("doc_id").alias("neg_doc_id"),
+        F.col("source").alias("neg_source"),
+        F.col("n_chars").alias("neg_n_chars"),
+    )
+    return pairs.join(d2, "neg_doc_id").select(
+        "doc_id", F.col("i").cast("int").alias("neg_rank"), "neg_doc_id", "neg_source", "neg_n_chars"
+    )

@@ -395,3 +395,53 @@ def test_nearest_asof_single_exchange_no_join(spark, queries):
     assert "Join" not in plan, "nearest as-of should not plan any join"
     n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n_exchanges == 1, f"expected 1 exchange, saw {n_exchanges}"
+
+
+def test_source_mix_prefilter_before_rank_window(spark, queries):
+    """The per-source cap must pre-filter on the hash prefix BEFORE the rank
+    window (the window input is the filtered pool, not the raw table), with
+    both side-aggregates broadcast — otherwise every source is one giant
+    sort partition at scale."""
+    plan = plan_of(queries["source_mix_rebalance"].fn(spark, SF_SMALL))
+    assert plan.count("BroadcastHashJoin") >= 2, "counts/flags not broadcast"
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_winsorized_fences_are_broadcast(spark, queries):
+    plan = plan_of(queries["agg_winsorized_mean"].fn(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan, "percentile fences must broadcast back"
+    assert "SortMergeJoin" not in plan
+
+
+def test_histogram_sketch_is_hash_aggregate_not_sort(spark, queries):
+    """The histogram build must be a hash aggregate over the scan; the only
+    window runs over <=256 bin rows. No data-scale sort may appear before
+    the aggregate."""
+    plan = plan_of(queries["agg_histogram_quantile_sketch"].fn(spark, SF_SMALL))
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+    # stats / quantile frames join in as 1-row broadcasts
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_session_overlap_join_not_nested_loop(spark, queries):
+    """Cross-stream session overlap must join hash-partitioned on user_id;
+    the interval predicate filters within join groups."""
+    plan = plan_of(queries["stream_session_overlap_batch"].fn(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_negative_sample_gather_is_equi_join(spark, queries):
+    """The negative-feature gather must be a plain equi-join on the sampled
+    id (shuffle or broadcast), never a nested loop; the only cross join is
+    the 1-row corpus-size broadcast."""
+    plan = plan_of(queries["negative_pair_sample"].fn(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan or plan.count("BroadcastHashJoin") >= 1
+
+
+def test_key_skew_topk_avoids_global_sort(spark, queries):
+    plan = plan_of(queries["dq_key_skew_profile"].fn(spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in plan, "top-10 must not be a global sort"
