@@ -469,3 +469,69 @@ def pipeline_multimodal_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("cum") - F.col("n_bytes")) % SHARD_CAPACITY_BYTES).alias("offset_bytes"),
     )
     return packed
+
+
+@query("multimodal_scene_cuts", oracle=None, category="multimodal")
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video scene-cut detection through the REAL image codec: each document
+    becomes a synthetic 8-frame video (frames within a scene are the same
+    rendered PPM with a one-byte pixel edit per frame; scene boundaries
+    switch to a fresh md5-keystream image), every frame is decoded and
+    dHashed, and a cut fires where consecutive frames' hashes differ by
+    hamming > 16 — the standard perceptual shot-boundary heuristic.
+
+    Scale shape: a video's frames are generated (in production: decoded)
+    inside ONE mapInPandas pass, so consecutive-frame hamming is computed
+    locally and the operator needs ZERO shuffles — frames grouped by video
+    on ingest (the universal video-storage layout) never leave their
+    partition; only (video, transition, hamming) rows emerge. For frame
+    rows scattered across files, the same comparison is a lag window
+    partitioned by video. Rows-only (codec not SQL-expressible); pytest
+    pins detected cuts == planted scene boundaries for every video."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from db_core_spark.operators.multimodal import dhash64, synth_ppm_for_text
+
+    n_frames = 8
+
+    def frame_payload(text: str, doc_id: int, frame_no: int, scene_len: int) -> bytes:
+        scene = frame_no // scene_len
+        img = bytearray(synth_ppm_for_text(f"{text}:scene{scene}"))
+        # in-scene jitter: brighten one pixel row's red channel — a few
+        # dHash bits flip (camera noise / exposure drift), never > 16
+        base = img.index(b"255\n") + 4
+        row = base + (frame_no % scene_len) * 24 * 3
+        for px in range(24):
+            img[row + px * 3] = (img[row + px * 3] + 64) % 256
+        return bytes(img)
+
+    def cuts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_doc, out_fr, out_ham, out_cut = [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                scene_len = 3 + doc_id % 3
+                prev = None
+                for fr in range(n_frames):
+                    h = dhash64(frame_payload(text, int(doc_id), fr, int(scene_len)))
+                    if prev is not None:
+                        ham = bin((prev ^ h) & ((1 << 64) - 1)).count("1")
+                        out_doc.append(doc_id)
+                        out_fr.append(fr)
+                        out_ham.append(ham)
+                        out_cut.append(ham > 16)
+                    prev = h
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_doc, dtype="int64"),
+                    "frame_no": pd.Series(out_fr, dtype="int32"),
+                    "hamming": pd.Series(out_ham, dtype="int32"),
+                    "is_cut": pd.Series(out_cut, dtype="bool"),
+                }
+            )
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") <= 60
+    )
+    return d.mapInPandas(cuts, "doc_id long, frame_no int, hamming int, is_cut boolean")

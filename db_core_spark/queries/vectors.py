@@ -587,3 +587,90 @@ def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("v"), 6).alias("mean_v"),
         F.round(F.var_samp("v"), 6).alias("var_v"),
     )
+
+
+@query(
+    "embedding_matryoshka_recall",
+    oracle="""
+    WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
+               FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.q_id, e.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(q.q_vec, CAST(e.embedding AS DOUBLE[])), 6)
+               AS cos_full,
+             ROUND(list_cosine_similarity(q.q_vec[1:32],
+                                          CAST(e.embedding AS DOUBLE[])[1:32]), 6)
+               AS cos_pre
+      FROM q JOIN embeddings e ON e.vec_id <> q.q_id),
+    rf AS (
+      SELECT q_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_full DESC, neighbor_id)
+               AS rnk
+      FROM scored),
+    rp AS (
+      SELECT q_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_pre DESC, neighbor_id)
+               AS rnk
+      FROM scored),
+    hits AS (
+      SELECT rf.q_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+      FROM rf JOIN rp ON rf.q_id = rp.q_id AND rf.neighbor_id = rp.neighbor_id
+      WHERE rf.rnk <= 5 AND rp.rnk <= 5
+      GROUP BY rf.q_id)
+    SELECT q.q_id, COALESCE(h.n_hit, 0) AS n_hit,
+           ROUND(COALESCE(h.n_hit, 0) / 5.0, 4) AS recall5
+    FROM (SELECT DISTINCT q_id FROM q) q LEFT JOIN hits h ON h.q_id = q.q_id
+    """,
+    category="vector",
+)
+def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-embedding evaluation: recall@5 of nearest-neighbor search
+    using only the FIRST 32 of 64 dimensions versus the full vector — the
+    measurement that decides whether a pipeline can serve truncated (MRL)
+    embeddings at half the memory/bandwidth. Both searches score the same
+    broadcast query set in one corpus pass (one pair frame, two rounded
+    cosine columns, two per-query rank windows), so the corpus is read and
+    shuffled once. At 100 TB the scoring kernel swaps to the batch-matmul
+    mapInPandas of knn_bruteforce_topk (corpus never shuffles); the
+    recall-join geometry — top-k sets joined on (q_id, neighbor) — is
+    unchanged. Similarities round to 6 dp before ranking so tie order is
+    engine-identical."""
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "embeddings")
+    corpus = e.select("vec_id", to_double(F.col("embedding")).alias("v"))
+    q = (
+        corpus.filter(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
+    )
+    scored = (
+        F.broadcast(q)
+        .join(corpus, F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_full"),
+            F.round(
+                cosine(F.slice(F.col("qv"), 1, 32), F.slice(F.col("v"), 1, 32)), 6
+            ).alias("cos_pre"),
+        )
+    )
+    wf = W.partitionBy("q_id").orderBy(F.col("cos_full").desc(), F.col("neighbor_id"))
+    wp = W.partitionBy("q_id").orderBy(F.col("cos_pre").desc(), F.col("neighbor_id"))
+    ranked = scored.select(
+        "q_id",
+        "neighbor_id",
+        F.row_number().over(wf).alias("rnk_full"),
+        F.row_number().over(wp).alias("rnk_pre"),
+    )
+    hits = (
+        ranked.filter((F.col("rnk_full") <= 5) & (F.col("rnk_pre") <= 5))
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    qs = q.select("q_id").distinct()
+    return qs.join(hits, "q_id", "left").select(
+        "q_id",
+        F.coalesce(F.col("n_hit"), F.lit(0).cast("long")).alias("n_hit"),
+        F.round(F.coalesce(F.col("n_hit"), F.lit(0).cast("long")) / 5.0, 4).alias("recall5"),
+    )

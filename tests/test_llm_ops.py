@@ -423,3 +423,21 @@ def test_pipeline_multimodal_matches_python_reference(spark):
         for r in all_queries()["pipeline_multimodal_prepare"].fn(spark, SF_SMALL).collect()
     }
     assert got == expect
+
+
+def test_scene_cuts_detect_exactly_planted_boundaries(spark):
+    """Every planted scene boundary (fresh keystream image) must fire a cut;
+    in-scene one-row jitter must never fire one — and the hamming margins
+    on each side of the 16-bit threshold must be wide, not lucky."""
+    from db_core_spark.registry import all_queries
+
+    rows = all_queries()["multimodal_scene_cuts"].fn(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        planted = (r.frame_no % (3 + r.doc_id % 3)) == 0
+        assert planted == r.is_cut, (r.doc_id, r.frame_no, r.hamming)
+    cut_h = [r.hamming for r in rows if r.is_cut]
+    noise_h = [r.hamming for r in rows if not r.is_cut]
+    assert cut_h and noise_h
+    assert min(cut_h) > 16 + 2, "cut margin too thin"
+    assert max(noise_h) < 16 - 2, "noise margin too thin"
