@@ -751,3 +751,87 @@ def agg_histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame
         + ((F.col("q") * F.col("n") - (F.col("cum") - F.col("cnt"))) / F.col("cnt")) * w2
     )
     return hit.select("q", F.round(est, 4).alias("est_q")).orderBy("q")
+
+
+@query(
+    "itemset_association_rules",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n_orders
+          FROM lineitem),
+    freq AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS item_support
+      FROM items GROUP BY l_partkey),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS pair_support
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2)
+    SELECT p.part_a AS antecedent, p.part_b AS consequent, p.pair_support,
+           ROUND(p.pair_support * 1.0 / fa.item_support, 6) AS confidence,
+           ROUND(p.pair_support * n.n_orders
+                 / (fa.item_support * 1.0 * fb.item_support), 6) AS lift
+    FROM pairs p
+    JOIN freq fa ON fa.l_partkey = p.part_a
+    JOIN freq fb ON fb.l_partkey = p.part_b, n
+    WHERE p.pair_support >= 3
+      AND p.pair_support * 1.0 / fa.item_support >= 0.1
+    """,
+    category="aggregate",
+)
+def itemset_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over order baskets: directed rules
+    part_a => part_b with support >= 3 and confidence >= 0.1, scored by
+    confidence (P(b|a)) and lift (observed co-rate over independence) —
+    the classic market-basket second stage after frequent-pair counting
+    (itemset_cooccurrence_pairs keeps the undirected support step).
+
+    Scale shape: the pair generation is a self-equi-join on the basket key
+    (never all-pairs across baskets; within-basket fan-out is bounded by
+    basket size), item supports are one hash aggregate broadcast back to
+    the pair frame, and the corpus size is a 1-row broadcast. The
+    support/confidence thresholds prune in the same aggregate that counts
+    — nothing low-support survives to the joins."""
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n = li.agg(F.countDistinct("l_orderkey").cast("double").alias("n_orders"))
+    freq = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("item_support"))
+    a = items.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") != F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("pair_support"))
+        .filter(F.col("pair_support") >= 3)
+    )
+    fa = freq.select(
+        F.col("l_partkey").alias("part_a"), F.col("item_support").alias("support_a")
+    )
+    fb = freq.select(
+        F.col("l_partkey").alias("part_b"), F.col("item_support").alias("support_b")
+    )
+    return (
+        pairs.join(F.broadcast(fa), "part_a")
+        .join(F.broadcast(fb), "part_b")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("pair_support") * 1.0 / F.col("support_a") >= 0.1)
+        .select(
+            F.col("part_a").alias("antecedent"),
+            F.col("part_b").alias("consequent"),
+            "pair_support",
+            F.round(F.col("pair_support") * 1.0 / F.col("support_a"), 6).alias("confidence"),
+            F.round(
+                F.col("pair_support")
+                * F.col("n_orders")
+                / (F.col("support_a") * 1.0 * F.col("support_b")),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -674,3 +674,159 @@ def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_hit"), F.lit(0).cast("long")).alias("n_hit"),
         F.round(F.coalesce(F.col("n_hit"), F.lit(0).cast("long")) / 5.0, 4).alias("recall5"),
     )
+
+
+@query(
+    "hybrid_search_rrf",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             UNNEST(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+      FROM documents),
+    toks2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+    qterms AS (SELECT DISTINCT term FROM toks2 WHERE doc_id = 0),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks2 GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks2 GROUP BY doc_id),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks2 GROUP BY term),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    lex_scored AS (
+      SELECT tf.doc_id,
+             FLOOR(SUM(
+               FLOOR(
+                 ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+                 * (tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+                 * 1000000 + 0.5) / 1000000
+             ) * 1000000 + 0.5) / 1000000 AS lex
+      FROM tf
+      JOIN qterms q ON q.term = tf.term
+      JOIN df ON df.term = tf.term
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s
+      WHERE tf.doc_id <> 0
+      GROUP BY tf.doc_id),
+    lex_top AS (
+      SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY lex DESC, doc_id) AS INT)
+               AS lex_rank
+      FROM lex_scored
+      ORDER BY lex DESC, doc_id LIMIT 50),
+    vec_scored AS (
+      SELECT e.vec_id AS doc_id,
+             ROUND(list_cosine_similarity(
+               (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0),
+               CAST(e.embedding AS DOUBLE[])), 6) AS cos
+      FROM embeddings e WHERE e.vec_id <> 0),
+    vec_top AS (
+      SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS INT)
+               AS vec_rank
+      FROM vec_scored
+      ORDER BY cos DESC, doc_id LIMIT 50),
+    fused AS (
+      SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, l.lex_rank, v.vec_rank,
+             FLOOR((COALESCE(1.0 / (60 + l.lex_rank), 0)
+                    + COALESCE(1.0 / (60 + v.vec_rank), 0)) * 1000000 + 0.5)
+               / 1000000 AS rrf
+      FROM lex_top l FULL OUTER JOIN vec_top v ON l.doc_id = v.doc_id)
+    SELECT doc_id, lex_rank, vec_rank, rrf
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+    category="vector",
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion: the query document's
+    terms score a BM25 lexical leg, its embedding scores a cosine vector
+    leg, each leg keeps a top-50 candidate list (TakeOrderedAndProject —
+    per-partition heaps, no global sort), and RRF (1/(60+rank), the
+    standard fusion constant) merges them — the retrieval shape of every
+    production RAG/search stack, where dense and sparse recall cover each
+    other's blind spots.
+
+    Scale: the lexical leg is the bm25_top_terms posting geometry (tf
+    shuffle; df, query terms, 1-row stats broadcast); the vector leg is one
+    broadcast-query corpus pass (batch-matmul kernel at scale, see
+    knn_bruteforce_topk). The rank windows run over the 50-row top lists,
+    never the corpus; fusion is a full-outer join of two 50-row frames.
+    Per-term BM25 and the per-doc sum floor-round to 6 dp so cross-engine
+    tie order is identical."""
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("term")
+    ).filter(F.col("term") != "")
+    qterms = toks.filter(F.col("doc_id") == 0).select("term").distinct()
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
+    k1, b = 1.2, 0.75
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    per_term = (
+        F.floor(
+            idf
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+            * 1000000
+            + 0.5
+        )
+        / 1000000
+    )
+    lex_scored = (
+        tf.filter(F.col("doc_id") != 0)
+        .join(F.broadcast(qterms), "term")
+        .join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg((F.floor(F.sum(per_term) * 1000000 + 0.5) / 1000000).alias("lex"))
+    )
+    lex_top = (
+        lex_scored.orderBy(F.col("lex").desc(), F.col("doc_id"))
+        .limit(50)
+        .withColumn(
+            "lex_rank",
+            F.row_number()
+            .over(W.orderBy(F.col("lex").desc(), F.col("doc_id")))
+            .cast("int"),
+        )
+        .select("doc_id", "lex_rank")
+    )
+    e = table(spark, sf_dir, "embeddings")
+    corpus = e.select("vec_id", to_double(F.col("embedding")).alias("v"))
+    qv = corpus.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    vec_scored = (
+        corpus.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos"),
+        )
+    )
+    vec_top = (
+        vec_scored.orderBy(F.col("cos").desc(), F.col("doc_id"))
+        .limit(50)
+        .withColumn(
+            "vec_rank",
+            F.row_number()
+            .over(W.orderBy(F.col("cos").desc(), F.col("doc_id")))
+            .cast("int"),
+        )
+        .select("doc_id", "vec_rank")
+    )
+    fused = lex_top.join(vec_top, "doc_id", "full_outer").select(
+        "doc_id",
+        "lex_rank",
+        "vec_rank",
+        (
+            F.floor(
+                (
+                    F.coalesce(1.0 / (60 + F.col("lex_rank")), F.lit(0.0))
+                    + F.coalesce(1.0 / (60 + F.col("vec_rank")), F.lit(0.0))
+                )
+                * 1000000
+                + 0.5
+            )
+            / 1000000
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), F.col("doc_id")).limit(10)
