@@ -724,6 +724,96 @@ class VersionedTable:
         self.bucket_cols = bucket_cols
         return self.checkpoint()
 
+    def clone(self, dst_path: str, as_of_csn: int | None = None) -> "VersionedTable":
+        """Zero-copy shallow clone at a snapshot: a new independent table at
+        ``dst_path`` whose state equals this table's snapshot at
+        ``as_of_csn`` (default: latest) — the CREATE TABLE CLONE of
+        Delta/Iceberg, re-expressed for the hard-link commit-log layout.
+
+        Mechanics: every data file the snapshot's fold needs (newest
+        checkpoint <= csn plus the delta ops above it) is HARD-LINKED into
+        the clone's own data directory — no bytes copied, O(files) metadata
+        work — and the covered manifests are republished with clone-local
+        dirs. Because the clone owns directory entries for shared inodes,
+        ``vacuum()`` on either table can delete its dirs without breaking
+        the other (unlike Delta's shallow clone, where vacuuming the source
+        corrupts clones). On an object store this degrades to a server-side
+        copy of the op files — same manifest translation, no data download.
+
+        The clone keeps source csn numbering up to the snapshot (time
+        travel below it keeps working, bounded by what the fold base
+        covers) and then evolves independently: commits, checkpoints,
+        vacuum, even rebucket on one side never touch the other. In-flight
+        group commits resolve AT CLONE TIME by the reader rule
+        (resolve_group_status): committed groups freeze as plain commits,
+        unresolved/aborted ones become hole manifests — exactly what a
+        snapshot reader at that csn would have seen forever after.
+
+        Mirrors the reference's checkpoint-as-copy protocol
+        (/root/reference/src/system/checkpointer.rs:96-176 copies live
+        state to a second root) generalized to a full writable fork."""
+        import shutil  # noqa: PLC0415
+
+        src_csn = self.latest_csn() if as_of_csn is None else as_of_csn
+        # validates contiguity: raises SnapshotUnavailableError if vacuum
+        # already reclaimed history this snapshot needs
+        self._committed_ops(src_csn)
+
+        os.makedirs(os.path.join(dst_path, "_commitlog"), exist_ok=False)
+        dst_data = os.path.join(dst_path, "data")
+        os.makedirs(dst_data, exist_ok=True)
+        shutil.copyfile(
+            os.path.join(self.path, "_meta.json"), os.path.join(dst_path, "_meta.json")
+        )
+        dst_log = os.path.join(dst_path, "_commitlog")
+
+        linked: dict[str, str] = {}
+
+        def translate(src_dir: str) -> str:
+            if src_dir not in linked:
+                rel = os.path.relpath(src_dir, self._data_dir)
+                if rel.startswith(".."):  # defensive: op dir outside data/
+                    rel = os.path.basename(src_dir.rstrip("/"))
+                dst_dir = os.path.join(dst_data, rel)
+                for root, _dirs, files in os.walk(src_dir):
+                    sub = os.path.relpath(root, src_dir)
+                    tgt = dst_dir if sub == "." else os.path.join(dst_dir, sub)
+                    os.makedirs(tgt, exist_ok=True)
+                    for fn in files:
+                        os.link(os.path.join(root, fn), os.path.join(tgt, fn))
+                linked[src_dir] = dst_dir
+            return linked[src_dir]
+
+        names = self._log_names()
+        in_scope = [e for e in names if e[0] <= src_csn]
+        ckpt = max((e for e in in_scope if e[1]), default=None, key=lambda e: e[0])
+        lo = ckpt[0] if ckpt is not None else 0
+        if ckpt is not None:
+            m = dict(self._read_manifest(ckpt[2]))
+            m["dir"] = translate(m["dir"])
+            publish_manifest(dst_log, ckpt[2], m)
+            ptr_tmp = os.path.join(dst_log, f"_last_checkpoint.tmp-{uuid.uuid4().hex}")
+            with open(ptr_tmp, "w") as f:
+                json.dump({"csn": ckpt[0], "name": ckpt[2]}, f)
+            os.replace(ptr_tmp, os.path.join(dst_log, "_last_checkpoint"))
+        for csn, is_ck, name in in_scope:
+            if is_ck or csn <= lo:
+                continue
+            m = dict(self._read_manifest(name))
+            if m.get("group") is not None:
+                status = resolve_group_status(
+                    m["group"], m.get("ts", 0.0), self.config.group_pending_grace_seconds
+                )
+                if status == "committed":
+                    m["group"] = None  # frozen: decided markers are immutable
+                else:
+                    m = {"csn": csn, "tsn": m.get("tsn"), "ops": [],
+                         "write_keys": None, "ts": m.get("ts", time.time())}
+            if m.get("ops"):
+                m["ops"] = [dict(op, dir=translate(op["dir"])) for op in m["ops"]]
+            publish_manifest(dst_log, name, m)
+        return VersionedTable(self.spark, dst_path, config=self.config)
+
     def deltas_since_checkpoint(self) -> int:
         """Commits above the newest checkpoint — name-parse only, no JSON."""
         names = self._log_names()

@@ -1,0 +1,125 @@
+"""Shallow-clone tests: a clone must equal the source snapshot, share data
+file INODES (zero-copy), diverge independently in both directions, survive
+source vacuum, time-travel below the clone point, and support as-of and
+clone-of-clone."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import types as T
+
+from db_core_spark.plans import SnapshotUnavailableError, VersionedTable
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType(), False),
+        T.StructField("v", T.StringType(), True),
+        T.StructField("amount", T.DoubleType(), True),
+    ]
+)
+
+
+@pytest.fixture
+def vt(spark, tmp_path):
+    return VersionedTable.create(spark, str(tmp_path / "src"), key_cols=["k"], schema=SCHEMA)
+
+
+def put(spark, vt, rows):
+    t = vt.begin()
+    t.upsert(spark.createDataFrame(rows, SCHEMA))
+    return t.commit()
+
+
+def rows_of(df):
+    return {r.k: (r.v, r.amount) for r in df.collect()}
+
+
+def test_clone_equals_source_snapshot_and_links_inodes(vt, spark, tmp_path):
+    put(spark, vt, [(1, "a", 1.0), (2, "b", 2.0)])
+    put(spark, vt, [(2, "b2", 20.0), (3, "c", 3.0)])
+    c = vt.clone(str(tmp_path / "clone"))
+    assert rows_of(c.snapshot()) == rows_of(vt.snapshot())
+    assert c.latest_csn() == vt.latest_csn()
+    # zero-copy: every cloned parquet file shares an inode with a source file
+    src_inodes = set()
+    for root, _d, files in os.walk(os.path.join(vt.path, "data")):
+        for fn in files:
+            src_inodes.add(os.stat(os.path.join(root, fn)).st_ino)
+    clone_files = []
+    for root, _d, files in os.walk(os.path.join(c.path, "data")):
+        clone_files += [os.path.join(root, fn) for fn in files]
+    assert clone_files
+    for f in clone_files:
+        st = os.stat(f)
+        assert st.st_ino in src_inodes and st.st_nlink >= 2, f
+
+
+def test_clone_diverges_independently(vt, spark, tmp_path):
+    put(spark, vt, [(1, "a", 1.0)])
+    c = vt.clone(str(tmp_path / "clone"))
+    put(spark, c, [(1, "a-clone", 10.0), (5, "e", 5.0)])
+    put(spark, vt, [(1, "a-src", 99.0)])
+    assert rows_of(c.snapshot()) == {1: ("a-clone", 10.0), 5: ("e", 5.0)}
+    assert rows_of(vt.snapshot()) == {1: ("a-src", 99.0)}
+    # histories diverge above the clone point
+    assert rows_of(c.snapshot(as_of_csn=1)) == rows_of(vt.snapshot(as_of_csn=1))
+
+
+def test_clone_as_of_past_csn(vt, spark, tmp_path):
+    csn1 = put(spark, vt, [(1, "a", 1.0)])
+    put(spark, vt, [(1, "a2", 2.0)])
+    c = vt.clone(str(tmp_path / "clone"), as_of_csn=csn1)
+    assert c.latest_csn() == csn1
+    assert rows_of(c.snapshot()) == {1: ("a", 1.0)}
+
+
+def test_clone_survives_source_vacuum_and_vice_versa(vt, spark, tmp_path):
+    for i in range(4):
+        put(spark, vt, [(1, f"v{i}", float(i))])
+    c = vt.clone(str(tmp_path / "clone"))
+    # source checkpoints then vacuums away all pre-checkpoint op dirs
+    vt.checkpoint()
+    put(spark, vt, [(9, "post", 9.0)])
+    removed = vt.vacuum(retain_seconds=0.0)
+    assert removed > 0
+    # the clone's hard links keep the inodes alive: full fold still works
+    assert rows_of(c.snapshot()) == {1: ("v3", 3.0)}
+    # and the source, post-vacuum, reads through its checkpoint fine
+    assert rows_of(vt.snapshot())[9] == ("post", 9.0)
+    # clone-side vacuum must not disturb the source either
+    c.checkpoint()
+    c.vacuum(retain_seconds=0.0)
+    assert rows_of(vt.snapshot())[1] == ("v3", 3.0)
+
+
+def test_clone_from_checkpointed_source_starts_at_checkpoint(vt, spark, tmp_path):
+    for i in range(3):
+        put(spark, vt, [(i, f"v{i}", float(i))])
+    vt.checkpoint()
+    put(spark, vt, [(3, "v3", 3.0)])
+    c = vt.clone(str(tmp_path / "clone"))
+    assert rows_of(c.snapshot()) == rows_of(vt.snapshot())
+    # history BELOW the fold base is not carried; the clone fails loudly
+    with pytest.raises(SnapshotUnavailableError):
+        c.snapshot(as_of_csn=1).collect()
+
+
+def test_clone_of_clone(vt, spark, tmp_path):
+    put(spark, vt, [(1, "a", 1.0)])
+    c1 = vt.clone(str(tmp_path / "c1"))
+    put(spark, c1, [(2, "b", 2.0)])
+    c2 = c1.clone(str(tmp_path / "c2"))
+    assert rows_of(c2.snapshot()) == {1: ("a", 1.0), 2: ("b", 2.0)}
+    put(spark, c2, [(3, "c", 3.0)])
+    assert 3 not in rows_of(c1.snapshot())
+
+
+def test_clone_refuses_reclaimed_snapshot(vt, spark, tmp_path):
+    for i in range(3):
+        put(spark, vt, [(1, f"v{i}", float(i))])
+    vt.checkpoint()
+    vt.vacuum(retain_seconds=0.0)
+    with pytest.raises(SnapshotUnavailableError):
+        vt.clone(str(tmp_path / "clone"), as_of_csn=1)
