@@ -835,3 +835,32 @@ def itemset_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    category="aggregate",
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via mergeable roaring-style bitmaps: keys
+    hash to (bucket, bit); bitmap_construct_agg ORs per-(group, bucket)
+    bitmaps, bitmap_count pops the bits, and a second aggregate sums
+    buckets per group. Same answer as COUNT(DISTINCT) — the oracle — but
+    the intermediate state is a mergeable binary bitmap instead of a
+    per-group key set: partials OR together associatively, so incremental
+    /resumable distinct (persist per-bucket bitmaps, OR in tomorrow's
+    partition, re-count) costs O(bitmap) instead of a full re-scan. The
+    exact-count sibling of the HLL sketch (agg_approx_distinct /
+    agg_hll_mergeable_sketch) when error bounds aren't acceptable."""
+    li = table(spark, sf_dir, "lineitem")
+    per_bucket = li.groupBy(
+        "l_returnflag", F.bitmap_bucket_number("l_partkey").alias("bucket")
+    ).agg(F.bitmap_construct_agg(F.bitmap_bit_position("l_partkey")).alias("bm"))
+    return per_bucket.groupBy("l_returnflag").agg(
+        F.sum(F.bitmap_count("bm")).alias("n_parts")
+    )

@@ -511,3 +511,66 @@ def zipf_token_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_slope(lf, lr), 6).alias("zipf_slope"),
         F.round(F.regr_r2(lf, lr), 6).alias("zipf_r2"),
     )
+
+
+@query(
+    "vocab_oov_rate",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             UNNEST(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+      FROM documents),
+    toks2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+    vocab AS (
+      SELECT term FROM (
+        SELECT term, COUNT(*) AS freq FROM toks2 GROUP BY term
+        ORDER BY freq DESC, term LIMIT 1000)),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov
+      FROM toks2 t LEFT JOIN vocab v ON v.term = t.term
+      GROUP BY t.doc_id)
+    SELECT doc_id, n_tokens, n_oov,
+           ROUND(n_oov * 1.0 / n_tokens, 6) AS oov_rate
+    FROM scored
+    """,
+    category="llm",
+)
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage check: per-document out-of-vocabulary rate against
+    the corpus top-1000 vocabulary — the pre-training gate that catches
+    documents a fixed vocab would shred into unknowns (code, other
+    scripts, boilerplate). The vocab is one term-frequency aggregate cut
+    to 1000 rows by TakeOrderedAndProject and BROADCAST to the token
+    stream; the per-doc rate is then a single hash aggregate — the corpus
+    shuffles once (tokenize+count), never for the vocab probe. Vocab cut
+    ties break (freq desc, term) identically on both engines."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("term")
+    ).filter(F.col("term") != "")
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("term"))
+        .limit(1000)
+        .select("term", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov") * 1.0 / F.col("n_tokens"), 6).alias("oov_rate"),
+        )
+    )

@@ -302,3 +302,42 @@ def window_rolling_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame
             "d_status"
         ),
     )
+
+
+@query(
+    "window_time_range_frame",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS n_last_hour,
+           ROUND(SUM(value) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 2)
+             AS sum_last_hour
+    FROM events
+    """,
+    category="window",
+)
+def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE frame: per user, activity count and value sum over
+    the TRAILING HOUR of event time (not row count) — the rate-limiting /
+    burst-detection window, where rows-frames are wrong because event
+    density varies. Ordering key is integer epoch microseconds, so the
+    frame bound is exact and engine-portable. One shuffle on user_id; the
+    range frame advances two pointers per partition — O(n) per user, no
+    per-row rescan."""
+    e = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3600 * 1000 * 1000, W.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.round(F.sum("value").over(w), 2).alias("sum_last_hour"),
+    )
