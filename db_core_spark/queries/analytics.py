@@ -1700,3 +1700,185 @@ def versioned_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("s").cast("long").alias("n_keys"), F.sum("dn").cast("long").alias("sum_n"))
         .filter(F.col("n_keys") != 0)
     )
+
+
+@query(
+    "markov_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events),
+    cnt AS (
+      SELECT prev_type, event_type AS next_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2),
+    tot AS (SELECT prev_type, SUM(n) AS total FROM cnt GROUP BY prev_type)
+    SELECT c.prev_type, c.next_type, c.n,
+           ROUND(c.n * 1.0 / t.total, 6) AS prob
+    FROM cnt c JOIN tot t ON t.prev_type = c.prev_type
+    """,
+    category="timeseries",
+)
+def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user journeys: P(next event
+    type | current event type), estimated from per-user event sequences —
+    the model behind next-action prediction and funnel leak analysis. One
+    shuffle on user_id orders each user's history for the lag; the pair
+    count is a hash aggregate over the tiny (type x type) key space, and
+    row-normalization joins the per-source totals back broadcast."""
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    cnt = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = cnt.groupBy("prev_type").agg(F.sum("n").alias("total"))
+    return cnt.join(F.broadcast(tot), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") * 1.0 / F.col("total"), 6).alias("prob"),
+    )
+
+
+@query(
+    "rfm_customer_segments",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', MAX(o_orderdate),
+                            (SELECT MAX(o_orderdate) FROM orders)) AS BIGINT)
+               AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             ROUND(SUM(o_totalprice), 2) AS monetary
+      FROM orders GROUP BY o_custkey),
+    fences AS (
+      SELECT quantile_cont(recency_days, 0.25) AS r1,
+             quantile_cont(recency_days, 0.5)  AS r2,
+             quantile_cont(recency_days, 0.75) AS r3,
+             quantile_cont(frequency, 0.25) AS f1,
+             quantile_cont(frequency, 0.5)  AS f2,
+             quantile_cont(frequency, 0.75) AS f3,
+             quantile_cont(monetary, 0.25) AS m1,
+             quantile_cont(monetary, 0.5)  AS m2,
+             quantile_cont(monetary, 0.75) AS m3
+      FROM per_cust)
+    SELECT p.o_custkey, p.recency_days, p.frequency, p.monetary,
+           CAST(4 - ((p.recency_days > f.r1)::INT + (p.recency_days > f.r2)::INT
+                     + (p.recency_days > f.r3)::INT) AS INT) AS r_score,
+           CAST(1 + (p.frequency > f.f1)::INT + (p.frequency > f.f2)::INT
+                  + (p.frequency > f.f3)::INT AS INT) AS f_score,
+           CAST(1 + (p.monetary > f.m1)::INT + (p.monetary > f.m2)::INT
+                  + (p.monetary > f.m3)::INT AS INT) AS m_score
+    FROM per_cust p, fences f
+    """,
+    category="timeseries",
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer Recency/Frequency/Monetary quartile
+    scores 1-4 (recency inverted — recent buyers score high). Deliberately
+    NOT a global NTILE: quartile fences come from one percentile aggregate
+    (mergeable sketch at 100 TB) broadcast back as a single row, and each
+    score is 'how many fences does this value exceed' — a codegen'd
+    projection, no sort, no window, identical tie semantics on both
+    engines (value == fence falls in the lower bucket)."""
+    o = table(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderdate").alias("max_d"))
+    per_cust = (
+        o.crossJoin(F.broadcast(mx))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.max("max_d"), F.max("o_orderdate"))
+            .cast("long")
+            .alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+    )
+    fences = per_cust.agg(
+        *[
+            F.percentile(c, q).alias(f"{c[0]}{i}")
+            for c in ("recency_days", "frequency", "monetary")
+            for i, q in ((1, 0.25), (2, 0.5), (3, 0.75))
+        ]
+    )
+
+    def above(col, prefix):
+        return sum(
+            (F.col(col) > F.col(f"{prefix}{i}")).cast("int") for i in (1, 2, 3)
+        )
+
+    return per_cust.crossJoin(F.broadcast(fences)).select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        (F.lit(4) - above("recency_days", "r")).cast("int").alias("r_score"),
+        (F.lit(1) + above("frequency", "f")).cast("int").alias("f_score"),
+        (F.lit(1) + above("monetary", "m")).cast("int").alias("m_score"),
+    )
+
+
+@query(
+    "attribution_last_touch",
+    oracle="""
+    WITH marked AS (
+      SELECT event_id, user_id, ts, event_type,
+             LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+                        IGNORE NULLS) OVER w AS attr_type,
+             LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN epoch_us(ts) END
+                        IGNORE NULLS) OVER w AS attr_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+    SELECT event_id AS purchase_id, user_id,
+           CASE WHEN attr_us IS NOT NULL
+                 AND epoch_us(ts) - attr_us <= 3600000000
+                THEN attr_type ELSE 'direct' END AS attributed_to,
+           CASE WHEN attr_us IS NOT NULL
+                 AND epoch_us(ts) - attr_us <= 3600000000
+                THEN (epoch_us(ts) - attr_us) // 1000000 END AS secs_since
+    FROM marked WHERE event_type = 'purchase'
+    """,
+    category="timeseries",
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the user's most recent
+    non-purchase touchpoint within a 1-hour lookback, else 'direct' — the
+    default attribution model of every marketing/product analytics stack.
+    One shuffle on user_id; the carry-forward is last(..., ignorenulls)
+    over rows-up-to-previous — the same fill-forward machinery as
+    window_fill_forward, so no self-join against the touch history."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    touch_type = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    touch_us = F.when(F.col("event_type") != "purchase", us)
+    marked = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        us.alias("us"),
+        F.last(touch_type, ignorenulls=True).over(w).alias("attr_type"),
+        F.last(touch_us, ignorenulls=True).over(w).alias("attr_us"),
+    ).filter(F.col("event_type") == "purchase")
+    in_window = F.col("attr_us").isNotNull() & (
+        (F.col("us") - F.col("attr_us")) <= 3600 * 1000 * 1000
+    )
+    return marked.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.when(in_window, F.col("attr_type")).otherwise("direct").alias("attributed_to"),
+        F.when(in_window, (F.col("us") - F.col("attr_us")) / F.lit(1000000))
+        .cast("long")
+        .alias("secs_since"),
+    )

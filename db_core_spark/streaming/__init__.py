@@ -10,6 +10,7 @@ from db_core_spark.streaming.ops import (  # noqa: F401
     session_overlap_join,
     sliding_counts,
     stateful_user_counts,
+    stream_attribution_last_touch,
     stream_ewma_user_value,
     stream_ohlc_bars,
     stream_into_versioned_table,

@@ -463,3 +463,60 @@ def session_overlap_join(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
         )
         .drop("p_user_id")
     )
+
+
+def stream_attribution_last_touch(
+    events: DataFrame, lookback_us: int = 3600 * 1000 * 1000
+) -> DataFrame:
+    """Streaming twin of the batch `attribution_last_touch` operator: each
+    purchase credits the user's most recent non-purchase touchpoint within
+    the lookback, else 'direct'. State per user is O(1) — the (type,
+    event-time) of the last touch — maintained by applyInPandasWithState;
+    each micro-batch folds in (ts, event_id) order, and the staged source
+    is time-sliced, so per-user order holds across batches (the Kafka
+    key-partitioned in-order contract, same as stream_ewma_user_value).
+    Emits one row per purchase as it arrives; after the final micro-batch
+    the union of emissions equals the batch twin exactly (pytest-pinned)."""
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout  # noqa: PLC0415
+
+    output_schema = (
+        "purchase_id long, user_id long, attributed_to string, secs_since long"
+    )
+    state_schema = "touch_type string, touch_us long"
+
+    def update(key, pdfs, state: GroupState):
+        touch_type, touch_us = state.get if state.exists else (None, None)
+        out = {"purchase_id": [], "user_id": [], "attributed_to": [], "secs_since": []}
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for eid, ts, etype in zip(
+                pdf["event_id"], pdf["ts"], pdf["event_type"]
+            ):
+                us = int(ts.value) // 1000  # pandas ns -> us
+                if etype == "purchase":
+                    if touch_us is not None and us - touch_us <= lookback_us:
+                        out["purchase_id"].append(int(eid))
+                        out["user_id"].append(key[0])
+                        out["attributed_to"].append(touch_type)
+                        out["secs_since"].append((us - touch_us) // 1000000)
+                    else:
+                        out["purchase_id"].append(int(eid))
+                        out["user_id"].append(key[0])
+                        out["attributed_to"].append("direct")
+                        out["secs_since"].append(None)
+                else:
+                    touch_type, touch_us = etype, us
+        state.update((touch_type, touch_us))
+        yield pd.DataFrame(
+            {
+                "purchase_id": pd.Series(out["purchase_id"], dtype="int64"),
+                "user_id": pd.Series(out["user_id"], dtype="int64"),
+                "attributed_to": pd.Series(out["attributed_to"], dtype="object"),
+                "secs_since": pd.Series(out["secs_since"], dtype="object"),
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, output_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

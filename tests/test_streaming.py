@@ -518,3 +518,25 @@ def test_session_overlap_streams_converge_to_batch_twin(spark, stream_dir, tmp_p
                     )
                 )
     assert got_pairs == expect_pairs
+
+
+def test_stream_attribution_equals_batch_twin(spark, stream_dir, tmp_path):
+    """After the final micro-batch, the union of streamed attribution rows
+    must equal the batch attribution_last_touch output exactly."""
+    from db_core_spark.registry import all_queries
+    from db_core_spark.streaming import stream_attribution_last_touch
+
+    got = run_to_memory(
+        stream_attribution_last_touch(events_stream(spark, stream_dir)),
+        "update",
+        str(tmp_path / "ck"),
+    )
+    streamed = {
+        (r.purchase_id, r.user_id, r.attributed_to, r.secs_since)
+        for r in got.collect()
+    }
+    expect = {
+        (r.purchase_id, r.user_id, r.attributed_to, r.secs_since)
+        for r in all_queries()["attribution_last_touch"].fn(spark, SF_SMALL).collect()
+    }
+    assert streamed == expect and streamed
