@@ -76,3 +76,127 @@ def write_atomic(df: DataFrame, path: str, fmt: str = "parquet") -> str:
         shutil.rmtree(staging, ignore_errors=True)
         raise
     return path
+
+
+def export_training_shards(
+    spark,
+    docs: DataFrame,
+    out_dir: str,
+    shard_tokens: int = 32768,
+    num_parts: int = 8,
+) -> dict:
+    """Export a document corpus as token-budgeted training shards with a
+    verifiable manifest — the final materialization step of a pre-training
+    data pipeline (each shard feeds one loader worker; balance decides
+    training throughput).
+
+    Allocation is the distributed two-pass prefix sum of
+    pack_training_sequences_scalable: documents in stable doc_id order lay
+    head-to-tail, shard_id = floor(tokens_before / shard_tokens) — pass 1
+    collects one token total per range partition (O(partitions) to the
+    driver), pass 2 bins locally against broadcast offsets; no global
+    window anywhere. Shards write as parquet partitioned by shard_id into
+    a staging dir; the manifest (per-shard doc/token counts + a sha256
+    digest over the sorted (doc_id, n_tokens) list, recomputed FROM THE
+    WRITTEN FILES) is placed inside, and one atomic rename publishes the
+    whole dataset — readers see a complete, self-verifying export or
+    nothing (manifest-presence = committed; the underscore name keeps parquet readers from scanning it, the write_atomic contract).
+
+    Returns the manifest dict."""
+    import hashlib  # noqa: F401  (documented: digests are sha256)
+    import json
+    import shutil
+
+    from pyspark.sql import Window as W, functions as F
+
+    toks = (
+        docs.select(
+            "doc_id",
+            "text",
+            F.size(F.split(F.col("text"), r"\s+")).cast("long").alias("n_tokens"),
+        )
+        .repartitionByRange(num_parts, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    totals = {
+        r.pid: r.total
+        for r in toks.groupBy("pid").agg(F.sum("n_tokens").alias("total")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    offset_df = F.broadcast(
+        spark.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()], "pid int, offset long"
+        )
+    )
+    w_local = (
+        W.partitionBy("pid").orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    assigned = (
+        toks.join(offset_df, "pid")
+        .withColumn(
+            "shard_id",
+            F.floor(
+                (F.col("offset") + F.sum("n_tokens").over(w_local) - F.col("n_tokens"))
+                / shard_tokens
+            ).cast("long"),
+        )
+        .select("doc_id", "text", "n_tokens", "shard_id")
+    )
+
+    parent = os.path.dirname(out_dir.rstrip("/")) or "."
+    os.makedirs(parent, exist_ok=True)
+    staging = os.path.join(parent, f"._staging-{uuid.uuid4().hex}")
+    assigned.write.partitionBy("shard_id").parquet(staging)
+
+    # manifest is computed from what actually landed on disk, not from the
+    # plan — a lost or duplicated row shows up as a digest mismatch
+    written = spark.read.parquet(staging)
+    digest = F.sha2(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "n_tokens"))),
+                lambda s: F.concat_ws(":", s["doc_id"], s["n_tokens"]),
+            ),
+        ),
+        256,
+    )
+    shard_rows = (
+        written.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            digest.alias("digest"),
+        )
+        .collect()
+    )
+    manifest = {
+        "shard_tokens": shard_tokens,
+        "n_shards": len(shard_rows),
+        "total_docs": sum(r.n_docs for r in shard_rows),
+        "total_tokens": sum(r.n_tokens for r in shard_rows),
+        "shards": sorted(
+            (
+                {
+                    "shard_id": r.shard_id,
+                    "n_docs": r.n_docs,
+                    "n_tokens": r.n_tokens,
+                    "digest": r.digest,
+                }
+                for r in shard_rows
+            ),
+            key=lambda s: s["shard_id"],
+        ),
+    }
+    with open(os.path.join(staging, "_manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    try:
+        os.rename(staging, out_dir)
+    except OSError:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    return manifest

@@ -1,0 +1,93 @@
+"""Training-shard export: balanced token-budget shards, a manifest computed
+from the written files, digest verifiability, lossless round-trip, and
+atomic publish semantics."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from db_core_spark.sources.formats import export_training_shards
+from db_core_spark.tables import table
+from tests.conftest import SF_SMALL
+
+SHARD_TOKENS = 4096
+
+
+@pytest.fixture(scope="module")
+def exported(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("shards") / "corpus")
+    docs = table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    manifest = export_training_shards(spark, docs, out, shard_tokens=SHARD_TOKENS)
+    return out, manifest, docs
+
+
+def test_manifest_matches_source_totals(spark, exported):
+    out, manifest, docs = exported
+    n_docs = docs.count()
+    n_tokens = docs.select(
+        F.sum(F.size(F.split(F.col("text"), r"\s+")).cast("long")).alias("t")
+    ).collect()[0].t
+    assert manifest["total_docs"] == n_docs
+    assert manifest["total_tokens"] == n_tokens
+    assert manifest["n_shards"] == len(manifest["shards"]) > 1
+    # manifest.json on disk equals the returned dict
+    with open(os.path.join(out, "_manifest.json")) as f:
+        assert json.load(f) == manifest
+
+
+def test_shards_are_token_balanced(spark, exported):
+    out, manifest, docs = exported
+    max_doc = docs.select(
+        F.max(F.size(F.split(F.col("text"), r"\s+")).cast("long")).alias("m")
+    ).collect()[0].m
+    # head-to-tail allocation: every shard holds < budget + its boundary doc
+    for s in manifest["shards"][:-1]:
+        assert s["n_tokens"] <= SHARD_TOKENS + max_doc
+        # and is not pathologically empty
+        assert s["n_tokens"] > 0
+    # shard ids are dense 0..n-1
+    assert [s["shard_id"] for s in manifest["shards"]] == list(
+        range(manifest["n_shards"])
+    )
+
+
+def test_roundtrip_is_lossless_and_digests_verify(spark, exported):
+    out, manifest, docs = exported
+    back = spark.read.parquet(out)
+    assert back.count() == manifest["total_docs"]
+    src = {(r.doc_id, r.text) for r in docs.collect()}
+    got = {(r.doc_id, r.text) for r in back.select("doc_id", "text").collect()}
+    assert got == src
+    # recompute each shard digest from the files and compare to the manifest
+    digest = F.sha2(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "n_tokens"))),
+                lambda s: F.concat_ws(":", s["doc_id"], s["n_tokens"]),
+            ),
+        ),
+        256,
+    )
+    recomputed = {
+        r.shard_id: r.d
+        for r in back.groupBy("shard_id").agg(digest.alias("d")).collect()
+    }
+    for s in manifest["shards"]:
+        assert recomputed[s["shard_id"]] == s["digest"]
+
+
+def test_publish_is_atomic_and_exclusive(spark, exported, tmp_path):
+    out, _manifest, docs = exported
+    # no staging leftovers next to the published dir
+    parent = os.path.dirname(out)
+    assert not [d for d in os.listdir(parent) if d.startswith("._staging-")]
+    # a second export to the same path must refuse, not clobber
+    with pytest.raises(OSError):
+        export_training_shards(spark, docs, out, shard_tokens=SHARD_TOKENS)
+    before = json.load(open(os.path.join(out, "_manifest.json")))
+    assert before["total_docs"] > 0  # original export intact
