@@ -1882,3 +1882,91 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("secs_since"),
     )
+
+
+@query(
+    "drift_ks_value_halves",
+    oracle="""
+    WITH b AS (
+      SELECT MIN(epoch_us(ts)) AS mn_t, MAX(epoch_us(ts)) AS mx_t,
+             MIN(value) AS mn, MAX(value) AS mx
+      FROM events),
+    half AS (
+      SELECT CASE WHEN epoch_us(ts) * 2 < b.mn_t + b.mx_t THEN 0 ELSE 1 END AS h,
+             value
+      FROM events, b),
+    hist AS (
+      SELECT LEAST(255, CAST(FLOOR((value - b.mn) / ((b.mx - b.mn) / 256.0))
+                             AS INT)) AS bucket,
+             COUNT(CASE WHEN h = 0 THEN 1 END) AS c0,
+             COUNT(CASE WHEN h = 1 THEN 1 END) AS c1
+      FROM half, b GROUP BY 1),
+    tot AS (SELECT SUM(c0) AS n0, SUM(c1) AS n1 FROM hist),
+    cum AS (
+      SELECT SUM(c0) OVER w AS k0, SUM(c1) OVER w AS k1
+      FROM hist
+      WINDOW w AS (ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT CAST(t.n0 AS BIGINT) AS n_early, CAST(t.n1 AS BIGINT) AS n_late,
+           ROUND(MAX(ABS(k0 * 1.0 / t.n0 - k1 * 1.0 / t.n1)), 6) AS ks_stat
+    FROM cum, tot t GROUP BY t.n0, t.n1
+    """,
+    category="timeseries",
+)
+def drift_ks_value_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift check on the event value
+    distribution: early half vs late half of the time range (midpoint
+    split on integer epoch micros). KS is computed on 256-bin ECDFs — the
+    binned formulation is the one that scales: two conditional-count hash
+    aggregates over the scan, a cumulative window over <= 256 bin rows,
+    one max. The exact-ECDF KS needs a global sort of every value; the
+    binned statistic differs from it by at most the bin mass and is the
+    standard production monitor (the distributional sibling of
+    drift_psi_event_mix, which watches the categorical mix). All
+    arithmetic is replicated order-identically in the oracle, so the
+    statistic is pinned bit-for-bit."""
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    b = e.agg(
+        F.min(us).alias("mn_t"),
+        F.max(us).alias("mx_t"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+    half = e.crossJoin(F.broadcast(b)).select(
+        F.when(us * 2 < F.col("mn_t") + F.col("mx_t"), 0).otherwise(1).alias("h"),
+        "value",
+        "mn",
+        "mx",
+    )
+    bucket = F.least(
+        F.lit(255),
+        F.floor((F.col("value") - F.col("mn")) / ((F.col("mx") - F.col("mn")) / 256.0)).cast(
+            "int"
+        ),
+    )
+    hist = half.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.when(F.col("h") == 0, 1)).alias("c0"),
+        F.count(F.when(F.col("h") == 1, 1)).alias("c1"),
+    )
+    tot = hist.agg(F.sum("c0").alias("n0"), F.sum("c1").alias("n1"))
+    w = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = hist.select(
+        F.sum("c0").over(w).alias("k0"), F.sum("c1").over(w).alias("k1")
+    ).crossJoin(F.broadcast(tot))
+    return cum.groupBy("n0", "n1").agg(
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("k0") * 1.0 / F.col("n0") - F.col("k1") * 1.0 / F.col("n1")
+                )
+            ),
+            6,
+        ).alias("ks_stat")
+    ).select(
+        F.col("n0").cast("long").alias("n_early"),
+        F.col("n1").cast("long").alias("n_late"),
+        "ks_stat",
+    )

@@ -830,3 +830,58 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf"),
     )
     return fused.orderBy(F.col("rrf").desc(), F.col("doc_id")).limit(10)
+
+
+@query(
+    "embedding_threshold_sweep",
+    oracle="""
+    WITH sims AS (
+      SELECT ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])), 6) AS cos
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+    ts(threshold) AS (
+      SELECT CAST(v AS DOUBLE)
+      FROM (VALUES (0.5), (0.6), (0.7), (0.8), (0.9), (0.95)) t(v))
+    SELECT ts.threshold,
+           CAST(COUNT(CASE WHEN s.cos >= ts.threshold THEN 1 END) AS BIGINT)
+             AS n_pairs
+    FROM ts LEFT JOIN sims s ON s.cos >= ts.threshold
+    GROUP BY ts.threshold
+    """,
+    category="vector",
+)
+def embedding_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-threshold tuning curve: how many near-duplicate pairs each
+    candidate cosine cutoff would merge — the sweep every semantic-dedup
+    rollout runs before picking its threshold, because one global number
+    decides corpus shrinkage. All thresholds are answered from ONE pass
+    over the pair similarities (conditional-count aggregate per cutoff),
+    not one scan per cutoff. Pair generation here is the id-ordered
+    self-join; at 100 TB it swaps to the blocked tile kernel of
+    embedding_neardup_pairs (same similarity column, same sweep
+    aggregate). Similarities round to 6 dp so boundary pairs land on the
+    same side in both engines."""
+    e = table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("ia"), to_double(F.col("embedding")).alias("va"))
+    b = e.select(F.col("vec_id").alias("ib"), to_double(F.col("embedding")).alias("vb"))
+    sims = a.join(b, F.col("ia") < F.col("ib")).select(
+        F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos")
+    )
+    thresholds = [0.5, 0.6, 0.7, 0.8, 0.9, 0.95]
+    return sims.agg(
+        *[
+            F.count(F.when(F.col("cos") >= t, 1)).alias(f"t{i}")
+            for i, t in enumerate(thresholds)
+        ]
+    ).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("threshold"), F.col(f"t{i}").alias("n_pairs")
+                    )
+                    for i, t in enumerate(thresholds)
+                ]
+            )
+        ).alias("s")
+    ).select("s.threshold", "s.n_pairs")

@@ -200,3 +200,62 @@ def export_training_shards(
         shutil.rmtree(staging, ignore_errors=True)
         raise
     return manifest
+
+
+def read_training_shards(spark, path: str, verify: bool = True) -> DataFrame:
+    """Open a published training-shard export, verifying the manifest before
+    any data flows: the shard set on disk must match the manifest exactly
+    and (with verify=True) every shard's sha256 digest must recompute from
+    the files — a lost, truncated, or duplicated row fails loudly HERE, not
+    three days into a training run. The digest check is one bounded
+    aggregate over (doc_id, n_tokens) pairs, not a byte re-read of text."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    mpath = os.path.join(path, "_manifest.json")
+    try:
+        with open(mpath) as f:
+            manifest = json.load(f)
+    except FileNotFoundError:
+        raise ValueError(
+            f"{path} has no _manifest.json — not a published shard export "
+            "(exports are atomic: a missing manifest means an unpublished or "
+            "foreign directory)"
+        ) from None
+    df = spark.read.parquet(path)
+    if verify:
+        digest = F.sha2(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "n_tokens"))),
+                    lambda s: F.concat_ws(":", s["doc_id"], s["n_tokens"]),
+                ),
+            ),
+            256,
+        )
+        got = {
+            r.shard_id: (r.n_docs, r.n_tokens, r.d)
+            for r in df.groupBy("shard_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tokens").alias("n_tokens"),
+                digest.alias("d"),
+            )
+            .collect()
+        }
+        want = {
+            s["shard_id"]: (s["n_docs"], s["n_tokens"], s["digest"])
+            for s in manifest["shards"]
+        }
+        if got != want:
+            broken = sorted(
+                set(got) ^ set(want)
+                | {k for k in set(got) & set(want) if got[k] != want[k]}
+            )
+            raise ValueError(
+                f"shard export {path} failed digest verification for shards "
+                f"{broken} — data on disk does not match the manifest"
+            )
+    return df

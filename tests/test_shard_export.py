@@ -91,3 +91,26 @@ def test_publish_is_atomic_and_exclusive(spark, exported, tmp_path):
         export_training_shards(spark, docs, out, shard_tokens=SHARD_TOKENS)
     before = json.load(open(os.path.join(out, "_manifest.json")))
     assert before["total_docs"] > 0  # original export intact
+
+
+def test_reader_verifies_and_detects_corruption(spark, exported, tmp_path):
+    from db_core_spark.sources.formats import read_training_shards
+
+    out, manifest, _docs = exported
+    df = read_training_shards(spark, out)
+    assert df.count() == manifest["total_docs"]
+    # non-export dir refuses
+    with pytest.raises(ValueError, match="manifest"):
+        read_training_shards(spark, str(tmp_path))
+    # corrupt one shard: drop a file's rows by deleting a parquet part
+    victim = None
+    for root, _d, files in os.walk(out):
+        for fn in files:
+            if fn.endswith(".parquet") and "shard_id=" in root:
+                victim = os.path.join(root, fn)
+                break
+        if victim:
+            break
+    os.remove(victim)
+    with pytest.raises(ValueError, match="digest"):
+        read_training_shards(spark, out)
