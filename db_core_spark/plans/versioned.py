@@ -775,12 +775,27 @@ class VersionedTable:
                 if rel.startswith(".."):  # defensive: op dir outside data/
                     rel = os.path.basename(src_dir.rstrip("/"))
                 dst_dir = os.path.join(dst_data, rel)
-                for root, _dirs, files in os.walk(src_dir):
-                    sub = os.path.relpath(root, src_dir)
-                    tgt = dst_dir if sub == "." else os.path.join(dst_dir, sub)
-                    os.makedirs(tgt, exist_ok=True)
-                    for fn in files:
-                        os.link(os.path.join(root, fn), os.path.join(tgt, fn))
+                found_any = False
+                try:
+                    for root, _dirs, files in os.walk(src_dir):
+                        found_any = True
+                        sub = os.path.relpath(root, src_dir)
+                        tgt = dst_dir if sub == "." else os.path.join(dst_dir, sub)
+                        os.makedirs(tgt, exist_ok=True)
+                        for fn in files:
+                            os.link(os.path.join(root, fn), os.path.join(tgt, fn))
+                except FileNotFoundError as exc:
+                    raise SnapshotUnavailableError(
+                        f"clone lost a race with vacuum: op dir {src_dir} vanished "
+                        f"mid-link; re-clone at a younger snapshot"
+                    ) from exc
+                if not found_any:
+                    # os.walk silently yields nothing for a missing root —
+                    # same mid-vacuum race, same loud failure
+                    raise SnapshotUnavailableError(
+                        f"clone lost a race with vacuum: op dir {src_dir} is gone; "
+                        f"re-clone at a younger snapshot"
+                    )
                 linked[src_dir] = dst_dir
             return linked[src_dir]
 

@@ -123,3 +123,67 @@ def test_clone_refuses_reclaimed_snapshot(vt, spark, tmp_path):
     vt.vacuum(retain_seconds=0.0)
     with pytest.raises(SnapshotUnavailableError):
         vt.clone(str(tmp_path / "clone"), as_of_csn=1)
+
+
+def test_clone_race_with_vacuum_fails_loudly(vt, spark, tmp_path, monkeypatch):
+    """If vacuum reclaims an op dir between manifest listing and the link
+    walk, clone must raise the typed SnapshotUnavailableError, never emit a
+    silently-partial clone."""
+    import shutil
+
+    from db_core_spark.plans import versioned as V
+
+    put(spark, vt, [(1, "a", 1.0)])
+    put(spark, vt, [(2, "b", 2.0)])
+    ops = vt._committed_ops(None)
+    victim = ops[-1]["dir"]
+    real_read = VersionedTable._read_manifest
+    state = {"fired": False}
+
+    def sabotage(self, name):
+        m = real_read(self, name)
+        # emulate vacuum winning the race right after this manifest is read
+        if not state["fired"] and any(op["dir"] == victim for op in m.get("ops", [])):
+            shutil.rmtree(victim, ignore_errors=True)
+            state["fired"] = True
+        return m
+
+    monkeypatch.setattr(VersionedTable, "_read_manifest", sabotage)
+    with pytest.raises(SnapshotUnavailableError, match="vacuum"):
+        vt.clone(str(tmp_path / "clone"))
+
+
+def test_clone_concurrent_commit_sees_consistent_cut(vt, spark, tmp_path):
+    """A commit landing while clone runs either makes the clone snapshot or
+    misses it entirely — the clone equals the source AS OF the csn it
+    reports, never a torn mix."""
+    import threading
+
+    put(spark, vt, [(1, "a", 1.0)])
+    stop = threading.Event()
+    errs = []
+
+    def writer():
+        i = 0
+        while not stop.is_set() and i < 20:
+            try:
+                put(spark, vt, [(100 + i, f"w{i}", float(i))])
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+                return
+            i += 1
+
+    t = threading.Thread(target=writer)
+    t.start()
+    try:
+        clones = []
+        for j in range(3):
+            c = vt.clone(str(tmp_path / f"clone{j}"))
+            clones.append(c)
+    finally:
+        stop.set()
+        t.join()
+    assert not errs
+    for c in clones:
+        pinned = c.latest_csn()
+        assert rows_of(c.snapshot()) == rows_of(vt.snapshot(as_of_csn=pinned))
