@@ -5,7 +5,7 @@ semantics as join + QUALIFY row_number."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from db_core_spark.operators.asof import asof_join
 from db_core_spark.registry import query
@@ -171,4 +171,98 @@ def asof_join_nearest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.col("_asof_dist_us").cast("long").alias("dist_us"),
         "near_error_value",
+    )
+
+
+@query(
+    "feature_store_pit_join",
+    oracle="""
+    WITH pts AS (
+      SELECT user_id, epoch_us(ts) AS us, 0 AS kind,
+             event_id, NULL::DOUBLE AS feat_val
+      FROM events WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT user_id, epoch_us(ts) AS us, 1 AS kind,
+             NULL, value
+      FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT o_custkey, epoch_us(o_orderdate) AS us, 2 AS kind,
+             NULL, o_totalprice
+      FROM orders),
+    carried AS (
+      SELECT user_id, us, kind, event_id,
+             SUM(CASE WHEN kind = 1 THEN 1 ELSE 0 END) OVER w AS clicks_before,
+             LAST_VALUE(CASE WHEN kind = 1 THEN feat_val END IGNORE NULLS)
+               OVER w AS last_click_value,
+             LAST_VALUE(CASE WHEN kind = 2 THEN feat_val END IGNORE NULLS)
+               OVER w AS last_order_price
+      FROM pts
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, kind
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+    SELECT event_id AS label_id, user_id,
+           CAST(COALESCE(clicks_before, 0) AS BIGINT) AS clicks_before,
+           ROUND(last_click_value, 4) AS last_click_value,
+           ROUND(last_order_price, 2) AS last_order_price
+    FROM carried WHERE kind = 0
+    """,
+    category="asof",
+)
+def feature_store_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store point-in-time join: assemble a training row per label
+    (purchase event) carrying features from TWO sources — the user's click
+    history (count + last value) and their order history (last order
+    price) — each as of STRICTLY BEFORE the label timestamp, the
+    leakage-safety rule every feature store enforces (a same-instant
+    feature is information from the future of the label decision; labels
+    sort before feature points on timestamp ties, so equal-time features
+    are excluded).
+
+    Shape: no join at all — labels and both feature streams union into one
+    per-user timeline, one shuffle on user_id, and ignore-nulls
+    carry-forward windows deliver every feature to every label in a single
+    sorted pass (the union+window as-of pattern of asof_join_nearest,
+    generalized to N feature sources in one window spec). At 100 TB this
+    beats N separate as-of joins: one exchange, not N."""
+    e = table(spark, sf_dir, "events")
+    o = table(spark, sf_dir, "orders")
+    us_e = F.unix_micros(F.col("ts").cast("timestamp"))
+    labels = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", us_e.alias("us"), F.lit(0).alias("kind"),
+        "event_id", F.lit(None).cast("double").alias("feat_val"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", us_e.alias("us"), F.lit(1).alias("kind"),
+        F.lit(None).cast("long").alias("event_id"), F.col("value").alias("feat_val"),
+    )
+    orders = o.select(
+        F.col("o_custkey").alias("user_id"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("us"),
+        F.lit(2).alias("kind"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_totalprice").alias("feat_val"),
+    )
+    pts = labels.unionByName(clicks).unionByName(orders)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("us", "kind")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    carried = pts.select(
+        "user_id",
+        "kind",
+        "event_id",
+        F.sum(F.when(F.col("kind") == 1, 1).otherwise(0)).over(w).alias("clicks_before"),
+        F.last(F.when(F.col("kind") == 1, F.col("feat_val")), ignorenulls=True)
+        .over(w)
+        .alias("last_click_value"),
+        F.last(F.when(F.col("kind") == 2, F.col("feat_val")), ignorenulls=True)
+        .over(w)
+        .alias("last_order_price"),
+    )
+    return carried.filter(F.col("kind") == 0).select(
+        F.col("event_id").alias("label_id"),
+        "user_id",
+        F.coalesce(F.col("clicks_before"), F.lit(0)).cast("long").alias("clicks_before"),
+        F.round("last_click_value", 4).alias("last_click_value"),
+        F.round("last_order_price", 2).alias("last_order_price"),
     )
