@@ -864,3 +864,56 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_bucket.groupBy("l_returnflag").agg(
         F.sum(F.bitmap_count("bm")).alias("n_parts")
     )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH cum AS (
+      SELECT l_returnflag, l_extendedprice, l_quantity,
+             SUM(l_quantity) OVER (
+               PARTITION BY l_returnflag ORDER BY l_extendedprice
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             SUM(l_quantity) OVER (PARTITION BY l_returnflag) AS tw
+      FROM lineitem)
+    SELECT l_returnflag,
+           ROUND(MIN(l_extendedprice), 2) AS weighted_median,
+           ROUND(MAX(tw), 2) AS total_weight
+    FROM cum WHERE cw >= tw / 2
+    GROUP BY l_returnflag
+    """,
+    category="aggregate",
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (lower) median: the smallest price whose cumulative quantity
+    weight reaches half the group's total — the price at which half the
+    shipped VOLUME is cheaper, which is the question unit-median price
+    cannot answer. One shuffle on the group key feeds both the running and
+    total weight windows and the final aggregate. Equal-price tie order
+    cannot change the answer (any ordering of a tied run crosses the
+    half-weight threshold inside the same run, and MIN collapses the run
+    to one value), so the statistic is deterministic without a tiebreak
+    column on both engines."""
+    from pyspark.sql import Window as W
+
+    li = table(spark, sf_dir, "lineitem")
+    w_run = (
+        W.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_all = W.partitionBy("l_returnflag")
+    cum = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("l_quantity").over(w_run).alias("cw"),
+        F.sum("l_quantity").over(w_all).alias("tw"),
+    )
+    return (
+        cum.filter(F.col("cw") >= F.col("tw") / 2)
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.min("l_extendedprice"), 2).alias("weighted_median"),
+            F.round(F.max("tw"), 2).alias("total_weight"),
+        )
+    )
