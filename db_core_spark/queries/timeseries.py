@@ -640,3 +640,93 @@ def autocorr_daily_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("n_prev").alias("n_pairs"),
         F.round(F.corr("n", "n_prev"), 6).alias("lag1_autocorr"),
     )
+
+
+def psi_from_counts(counts: DataFrame, baseline: DataFrame) -> DataFrame:
+    """PSI per window from (window_start, event_type, n) counts vs a
+    (event_type, bn) baseline — the shared kernel of the batch
+    `drift_psi_windowed` query and the streaming monitor (the live path
+    materializes watermarked tumbling counts to a sink and runs THIS on
+    the counts; pytest pins streamed PSI == batch PSI). Laplace smoothing
+    (+0.5 per cell) keeps categories missing from a window finite and the
+    arithmetic engine-replicable. Everything downstream of the counts is
+    spine-sized: |windows| x |types| rows."""
+    from pyspark.sql import functions as F
+
+    k = baseline.count()
+    bt = baseline.agg(F.sum("bn").alias("bt")).collect()[0].bt
+    windows = counts.select("window_start").distinct()
+    wt = counts.groupBy("window_start").agg(F.sum("n").alias("wt"))
+    spine = (
+        windows.crossJoin(F.broadcast(baseline))
+        .join(counts, ["window_start", "event_type"], "left")
+        .join(F.broadcast(wt), "window_start")
+        .select(
+            "window_start",
+            "wt",
+            ((F.coalesce(F.col("n"), F.lit(0)) + 0.5) / (F.col("wt") + 0.5 * k)).alias(
+                "p_w"
+            ),
+            ((F.col("bn") + 0.5) / (bt + 0.5 * k)).alias("p_b"),
+        )
+    )
+    return spine.groupBy("window_start").agg(
+        F.max("wt").cast("long").alias("n_events"),
+        F.round(
+            F.sum((F.col("p_w") - F.col("p_b")) * F.log(F.col("p_w") / F.col("p_b"))), 6
+        ).alias("psi"),
+    )
+
+
+@query(
+    "drift_psi_windowed",
+    oracle="""
+    WITH counts AS (
+      SELECT CAST(epoch(time_bucket(INTERVAL '6 hours', ts)) AS BIGINT)
+               AS window_start,
+             event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    base AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS bn
+      FROM events GROUP BY 1),
+    k AS (SELECT COUNT(*) AS k FROM base),
+    bt AS (SELECT SUM(bn) AS bt FROM base),
+    wt AS (SELECT window_start, SUM(n) AS wt FROM counts GROUP BY 1),
+    spine AS (
+      SELECT w.window_start, wt.wt,
+             (COALESCE(c.n, 0) + 0.5) / (wt.wt + 0.5 * k.k) AS p_w,
+             (b.bn + 0.5) / (bt.bt + 0.5 * k.k) AS p_b
+      FROM (SELECT DISTINCT window_start FROM counts) w
+      CROSS JOIN base b
+      LEFT JOIN counts c
+        ON c.window_start = w.window_start AND c.event_type = b.event_type
+      JOIN wt ON wt.window_start = w.window_start, k, bt)
+    SELECT window_start, CAST(MAX(wt) AS BIGINT) AS n_events,
+           ROUND(SUM((p_w - p_b) * LN(p_w / p_b)), 6) AS psi
+    FROM spine GROUP BY window_start
+    """,
+    category="timeseries",
+)
+def drift_psi_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous drift monitoring: PSI of the event-type mix per 6-hour
+    tumbling window against the whole-corpus baseline — the windowed,
+    always-on version of drift_psi_event_mix's one-shot split. Counts come
+    from one windowed hash aggregate over the scan (the identical
+    aggregation the STREAMING monitor runs under a watermark — see
+    tumbling_counts; the live pytest pins streamed PSI bit-equal to this
+    query); PSI itself folds over the |windows| x |types| spine, which is
+    metadata-sized at any corpus scale."""
+    e = table(spark, sf_dir, "events")
+    counts = (
+        e.groupBy(F.window("ts", "6 hours"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_timestamp(F.col("window.start").cast("timestamp"))
+            .cast("long")
+            .alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+    baseline = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("bn"))
+    return psi_from_counts(counts, baseline)

@@ -540,3 +540,39 @@ def test_stream_attribution_equals_batch_twin(spark, stream_dir, tmp_path):
         for r in all_queries()["attribution_last_touch"].fn(spark, SF_SMALL).collect()
     }
     assert streamed == expect and streamed
+
+
+def test_streamed_window_psi_equals_batch_monitor(spark, stream_dir, tmp_path):
+    """The live drift monitor is the watermarked tumbling count stream with
+    the PSI fold running downstream of the sink; after the final
+    micro-batch its PSI per window must equal the batch drift_psi_windowed
+    query bit-for-bit."""
+    from db_core_spark.queries.timeseries import drift_psi_windowed, psi_from_counts
+
+    # live: 6h tumbling counts per type, update mode -> final counts per key
+    got = run_to_memory(
+        tumbling_counts(events_stream(spark, stream_dir), window="6 hours"),
+        "update",
+        str(tmp_path / "ck"),
+    )
+    final = {}
+    for r in got.collect():
+        final[(r.window_start, r.event_type)] = r.n_events
+    counts = spark.createDataFrame(
+        [(int(ws.timestamp()), et, int(n)) for (ws, et), n in final.items()],
+        "window_start long, event_type string, n long",
+    )
+    base = (
+        batch_events(spark)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("bn"))
+    )
+    live_psi = {
+        r.window_start: (r.n_events, r.psi)
+        for r in psi_from_counts(counts, base).collect()
+    }
+    expect = {
+        r.window_start: (r.n_events, r.psi)
+        for r in drift_psi_windowed(spark, SF_SMALL).collect()
+    }
+    assert live_psi == expect and live_psi
