@@ -187,3 +187,27 @@ def test_clone_concurrent_commit_sees_consistent_cut(vt, spark, tmp_path):
     for c in clones:
         pinned = c.latest_csn()
         assert rows_of(c.snapshot()) == rows_of(vt.snapshot(as_of_csn=pinned))
+
+
+def test_clone_inherits_exactly_once_epoch_markers(vt, spark, tmp_path):
+    """The exactly-once streaming sink records (writer, epoch) in each
+    manifest; a clone carries those markers, so REPLAYING an already-applied
+    epoch against the fork is skipped — fork + replay never double-applies.
+    New epochs apply to the fork alone."""
+    from db_core_spark.streaming.ops import commit_microbatch
+
+    df0 = spark.createDataFrame([(1, "e0", 1.0)], SCHEMA)
+    df1 = spark.createDataFrame([(2, "e1", 2.0)], SCHEMA)
+    df2 = spark.createDataFrame([(3, "e2", 3.0)], SCHEMA)
+    assert commit_microbatch(vt, df0, 0, "w1") is True
+    assert commit_microbatch(vt, df1, 1, "w1") is True
+    c = vt.clone(str(tmp_path / "clone"))
+    # replay against the fork: both epochs already durable there
+    assert commit_microbatch(c, df0, 0, "w1") is False
+    assert commit_microbatch(c, df1, 1, "w1") is False
+    assert rows_of(c.snapshot()) == {1: ("e0", 1.0), 2: ("e1", 2.0)}
+    # a fresh epoch lands on the fork only
+    assert commit_microbatch(c, df2, 2, "w1") is True
+    assert 3 in rows_of(c.snapshot()) and 3 not in rows_of(vt.snapshot())
+    # source replay protection is intact too
+    assert commit_microbatch(vt, df0, 0, "w1") is False
