@@ -885,3 +885,75 @@ def embedding_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s")
     ).select("s.threshold", "s.n_pairs")
+
+
+def kmeans_lloyd(
+    vecs: DataFrame, k: int = 8, iters: int = 5
+) -> tuple[DataFrame, list[float]]:
+    """Distributed Lloyd k-means over (vec_id, vec: array<double>) with
+    deterministic seeding: the canonical iterate-on-the-driver loop —
+    centroids (k x dim doubles, metadata-sized) broadcast down, ONE
+    assignment pass per round (k-row broadcast join + min_by, the corpus
+    never shuffles for assignment), centroid update as a posexplode ->
+    (cluster, dim) hash aggregate whose k*dim result returns to the
+    driver. Data never leaves the cluster; only centroids round-trip —
+    the same fixed-round shape as graph_pagerank_trade. Returns the final
+    assignment frame and the per-iteration inertia history (computed on
+    the PRE-update centroids, so it is provably non-increasing — the
+    Lloyd convergence guarantee pytest pins)."""
+    from pyspark.sql import SparkSession as _S
+
+    spark = _S.getActiveSession()
+    dim = len(vecs.select("vec").first().vec)
+    seeds = vecs.filter(F.col("vec_id") % 31 == 0).orderBy("vec_id").limit(k)
+    cents = [(i, list(r.vec)) for i, r in enumerate(seeds.collect())]
+    history: list[float] = []
+    assigned = None
+    for _ in range(iters):
+        cdf = F.broadcast(
+            spark.createDataFrame(cents, "cluster int, cent array<double>")
+        )
+        d2 = F.aggregate(
+            F.zip_with(F.col("vec"), F.col("cent"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        assigned = (
+            vecs.join(cdf)
+            .select("vec_id", "vec", F.struct(d2.alias("d2"), F.col("cluster")).alias("s"))
+            .groupBy("vec_id", "vec")
+            .agg(F.min("s").alias("best"))
+            .select("vec_id", "vec", F.col("best.cluster").alias("cluster"), F.col("best.d2").alias("d2"))
+        )
+        row = assigned.agg(F.sum("d2").alias("inertia")).collect()[0]
+        history.append(float(row.inertia))
+        upd = (
+            assigned.select("cluster", F.posexplode("vec").alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_c: dict[int, list[float]] = {}
+        for r in upd:
+            by_c.setdefault(r.cluster, [0.0] * dim)[r.dim] = r.m
+        cents = sorted(by_c.items())
+    return assigned, history
+
+
+@query("embedding_kmeans_lloyd", oracle=None, category="vector")
+def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means clustering of the embedding corpus (k=8, 5 Lloyd rounds,
+    deterministic seeds) — the workhorse behind IVF cell construction
+    (ann_ivf_topk uses unrefined seeds; this is the refinement step),
+    corpus topic bucketing, and diversity sampling. Rows-only (iterative
+    float averaging is not SQL-expressible); pytest pins the Lloyd
+    guarantee (non-increasing inertia), determinism across runs, and
+    full coverage of the corpus. Emits per-cluster size and mean
+    within-cluster squared distance."""
+    e = table(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", to_double(F.col("embedding")).alias("vec"))
+    assigned, _hist = kmeans_lloyd(vecs, k=8, iters=5)
+    return assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("d2"), 6).alias("mean_d2"),
+    )

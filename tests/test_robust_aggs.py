@@ -78,3 +78,26 @@ def test_winsorized_mean_brackets_raw_mean(spark):
         assert r.n_clip_lo >= 1 and r.n_clip_hi >= 1
         # winsorized mean moves toward the center, never outside raw extremes
         assert abs(r.mean_winsor - r.mean_raw) < (r.mean_raw * 0.5)
+
+
+def test_kmeans_lloyd_guarantee_and_determinism(spark):
+    """Lloyd's invariant: inertia (measured on pre-update centroids) never
+    increases; the run is deterministic; every vector lands in a cluster."""
+    from db_core_spark.queries.vectors import kmeans_lloyd, to_double
+    from db_core_spark.registry import all_queries
+
+    vecs = table(spark, SF_MED, "embeddings").select(
+        "vec_id", to_double(F.col("embedding")).alias("vec")
+    )
+    a1, h1 = kmeans_lloyd(vecs, k=8, iters=4)
+    assert all(h1[i + 1] <= h1[i] + 1e-9 for i in range(len(h1) - 1)), h1
+    assert h1[0] > h1[-1]  # it actually improved
+    n = vecs.count()
+    assert a1.count() == n
+    a2, h2 = kmeans_lloyd(vecs, k=8, iters=4)
+    assert h1 == h2
+    assert {(r.vec_id, r.cluster) for r in a1.collect()} == {
+        (r.vec_id, r.cluster) for r in a2.collect()
+    }
+    rows = all_queries()["embedding_kmeans_lloyd"].fn(spark, SF_MED).collect()
+    assert sum(r.n_vecs for r in rows) == n and len(rows) == 8
