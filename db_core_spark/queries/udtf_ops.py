@@ -22,7 +22,7 @@ from db_core_spark.tables import table
 CHUNK_SIZE, OVERLAP = 40, 10  # tokens; step = 30
 
 
-@udtf(returnType="chunk_no int, n_tokens int, chunk_digest string")
+@udtf(returnType="chunk_no int, n_tokens int, chunk_digest string", useArrow=True)
 class ChunkDocument:
     """Overlapping token-window chunker. Emits one row per chunk; the final
     partial window is kept iff it starts before the text ends (standard

@@ -445,3 +445,18 @@ def test_negative_sample_gather_is_equi_join(spark, queries):
 def test_key_skew_topk_avoids_global_sort(spark, queries):
     plan = plan_of(queries["dq_key_skew_profile"].fn(spark, SF_SMALL))
     assert "TakeOrderedAndProject" in plan, "top-10 must not be a global sort"
+
+
+def test_no_row_at_a_time_python_udf_anywhere(spark, queries):
+    """No registered query may plan a BatchEvalPython node (row-at-a-time
+    Python UDF — the 10-100x slow path). Arrow-vectorized Python
+    (ArrowEvalPython / mapInPandas / FlatMapGroupsInPandas) is the only
+    sanctioned Python in any plan."""
+    offenders = []
+    for name, rq in queries.items():
+        if rq.category in ("mvcc", "object"):
+            continue  # table-building fixtures; their reads are datasource scans
+        plan = plan_of(rq.fn(spark, SF_SMALL))
+        if "BatchEvalPython" in plan:
+            offenders.append(name)
+    assert not offenders, f"row-at-a-time Python UDFs in: {offenders}"
