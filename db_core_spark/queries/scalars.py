@@ -297,3 +297,44 @@ def scalar_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2("text", 256).alias("sha256_hex"),
         F.substring(F.md5("text"), 1, 8).alias("shard_key"),
     )
+
+
+@query(
+    "scalar_variant_funcs",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS max_k,
+           CAST(SUM(CASE WHEN props ->> '$.missing' IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null_path
+    FROM events GROUP BY event_type
+    """,
+    category="scalar",
+)
+def scalar_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through the VARIANT type (Spark 4): props
+    parses ONCE into the binary variant encoding, then typed path access
+    (variant_get) replaces repeated JSON string re-parsing — the
+    open-schema column pattern for event properties at scale, where
+    parse-per-access is the classic CPU sink. try_variant_get on a missing
+    path yields NULL, not an error. The whole pipeline is codegen'd
+    expressions over one hash aggregate."""
+    e = table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    return (
+        e.select(
+            "event_type",
+            F.variant_get(v, "$.k", "bigint").alias("k"),
+            F.try_variant_get(v, "$.missing", "bigint").alias("missing"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.sum(F.when(F.col("missing").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_null_path"),
+        )
+    )
