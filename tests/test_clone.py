@@ -131,8 +131,6 @@ def test_clone_race_with_vacuum_fails_loudly(vt, spark, tmp_path, monkeypatch):
     silently-partial clone."""
     import shutil
 
-    from db_core_spark.plans import versioned as V
-
     put(spark, vt, [(1, "a", 1.0)])
     put(spark, vt, [(2, "b", 2.0)])
     ops = vt._committed_ops(None)
