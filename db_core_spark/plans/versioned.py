@@ -829,6 +829,53 @@ class VersionedTable:
             publish_manifest(dst_log, name, m)
         return VersionedTable(self.spark, dst_path, config=self.config)
 
+    def stats(self) -> dict:
+        """Operational table statistics — the input every maintenance
+        decision (checkpoint now? vacuum? rebucket?) reads: current csn,
+        commit/checkpoint counts, deltas above the fold base, live file
+        count/bytes for the CURRENT snapshot's fold set, and per-bucket
+        file-count balance (a skewed bucket histogram says the bucket_cols
+        choice is wrong before any query slows down). Mirrors the
+        reference's checkpointer threshold probe
+        (/root/reference/src/system/checkpointer.rs:86-94) widened to a
+        DESCRIBE-DETAIL-style report. Pure metadata: one name listing +
+        os.walk over the fold set's dirs; no Spark job."""
+        names = self._log_names()
+        csn = max((c for c, _, _ in names), default=0)
+        ops = self._committed_ops(None) if csn else []
+        n_files = 0
+        total_bytes = 0
+        per_bucket: dict[int, int] = {}
+        for op in ops:
+            for root, _dirs, files in os.walk(op["dir"]):
+                bucket = None
+                base = os.path.basename(root)
+                if base.startswith("bucket="):
+                    try:
+                        bucket = int(base.split("=", 1)[1])
+                    except ValueError:
+                        bucket = None
+                for fn in files:
+                    if fn.startswith(("_", ".")):
+                        continue
+                    n_files += 1
+                    try:
+                        total_bytes += os.path.getsize(os.path.join(root, fn))
+                    except OSError:
+                        pass
+                    if bucket is not None:
+                        per_bucket[bucket] = per_bucket.get(bucket, 0) + 1
+        return {
+            "csn": csn,
+            "n_commits": sum(1 for _, is_ck, _ in names if not is_ck),
+            "n_checkpoints": sum(1 for _, is_ck, _ in names if is_ck),
+            "deltas_since_checkpoint": self.deltas_since_checkpoint(),
+            "num_buckets": self.num_buckets,
+            "n_live_files": n_files,
+            "live_bytes": total_bytes,
+            "files_per_bucket": dict(sorted(per_bucket.items())),
+        }
+
     def deltas_since_checkpoint(self) -> int:
         """Commits above the newest checkpoint — name-parse only, no JSON."""
         names = self._log_names()

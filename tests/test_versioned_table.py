@@ -631,3 +631,27 @@ def test_diff_between_snapshots(vt, spark):
     assert vt.diff(csn3, csn3).count() == 0
     with pytest.raises(ValueError):
         vt.diff(csn3, csn1)
+
+
+def test_stats_reports_live_fold_set(vt, spark):
+    s0 = vt.stats()
+    assert s0["csn"] == 0 and s0["n_live_files"] == 0
+    for i in range(3):
+        t = vt.begin()
+        t.upsert(spark.createDataFrame([(i, f"v{i}", float(i))], SCHEMA))
+        t.commit()
+    s1 = vt.stats()
+    assert s1["csn"] == 3 and s1["n_commits"] == 3
+    assert s1["deltas_since_checkpoint"] == 3
+    assert s1["n_live_files"] > 0 and s1["live_bytes"] > 0
+    assert s1["num_buckets"] == vt.num_buckets
+    if vt.num_buckets:
+        assert sum(s1["files_per_bucket"].values()) <= s1["n_live_files"]
+    vt.checkpoint()
+    s2 = vt.stats()
+    assert s2["n_checkpoints"] == 1 and s2["deltas_since_checkpoint"] == 0
+    # post-checkpoint fold set is the checkpoint alone: fewer or equal files
+    vt.vacuum(retain_seconds=0.0)
+    s3 = vt.stats()
+    assert s3["n_live_files"] <= s2["n_live_files"]
+    assert s3["csn"] == 3  # history metadata intact
