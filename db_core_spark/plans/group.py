@@ -115,6 +115,52 @@ class Database:
     def begin(self) -> "GroupTransaction":
         return GroupTransaction(self)
 
+    def clone(self, dst_path: str, max_retries: int = 5) -> "Database":
+        """Zero-copy clone of the WHOLE database at one mutually consistent
+        cut: the cut comes from snapshot_pin (validated against group
+        membership, so a multi-table transaction is never half-cloned),
+        every table hard-link-clones at its pinned csn
+        (VersionedTable.clone), and the finished directory publishes with
+        a single atomic rename — a partial failure leaves only an unnamed
+        staging dir, never a half-database at dst_path. Committed group
+        transactions freeze as plain commits inside each cloned table, so
+        the clone starts with an EMPTY group-commit log and full
+        independence from the source's markers."""
+        pins = self.snapshot_pin(max_retries=max_retries)
+        parent = os.path.dirname(dst_path.rstrip("/")) or "."
+        os.makedirs(parent, exist_ok=True)
+        staging = os.path.join(parent, f"._staging-db-{uuid.uuid4().hex}")
+        try:
+            os.makedirs(os.path.join(staging, "_groupcommits"), exist_ok=False)
+            for name in self.table_names():
+                self.table(name).clone(
+                    os.path.join(staging, name), as_of_csn=pins[name]
+                )
+            # manifests written under staging name staging paths; retarget
+            # them to the final location BEFORE publish (staging is private,
+            # so the in-place rewrite is single-writer by construction)
+            staging_abs = os.path.abspath(staging)
+            dst_abs = os.path.abspath(dst_path)
+            for name in self.table_names():
+                log_dir = os.path.join(staging, name, "_commitlog")
+                for fn in os.listdir(log_dir):
+                    if not fn.endswith(".json") or fn.startswith("_tmp"):
+                        continue
+                    fp = os.path.join(log_dir, fn)
+                    with open(fp) as f:
+                        m = json.load(f)
+                    if "dir" in m:
+                        m["dir"] = m["dir"].replace(staging_abs, dst_abs, 1)
+                    for op in m.get("ops", []):
+                        op["dir"] = op["dir"].replace(staging_abs, dst_abs, 1)
+                    with open(fp, "w") as f:
+                        json.dump(m, f)
+            os.rename(staging, dst_path)
+        except BaseException:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
+        return Database(self.spark, dst_path, config=self.config)
+
     def snapshot_pin(self, max_retries: int = 5) -> dict[str, int]:
         """A mutually consistent read point: {table: latest_csn} such that
         every committed group is either fully inside or fully outside the

@@ -351,3 +351,75 @@ def test_group_txn_reads_see_one_consistent_cut(db, spark):
     g1.commit()
     assert {(r.k, r.v) for r in reader.read("b").collect()} == {(10, "b0")}
     reader.rollback()
+
+
+def test_database_clone_consistent_cut_and_independence(db, spark, tmp_path):
+    """Database.clone: every multi-table group is fully inside or fully
+    outside the clone, the group log starts empty, and both databases
+    diverge independently afterwards."""
+    g = db.begin()
+    g.upsert("a", rows(spark, (1, "a1")))
+    g.upsert("b", rows(spark, (10, "b1")))
+    g.commit()
+    g2 = db.begin()
+    g2.upsert("a", rows(spark, (2, "a2")))
+    g2.upsert("b", rows(spark, (20, "b2")))
+    g2.commit()
+
+    c = db.clone(str(tmp_path / "dbclone"))
+    assert c.table_names() == db.table_names()
+    for n in ("a", "b"):
+        assert state(c, n) == state(db, n)
+    # group log is fresh: committed groups froze as plain commits
+    assert os.listdir(c.group_dir) == []
+    # no staging leftovers
+    parent = os.path.dirname(str(tmp_path / "dbclone"))
+    assert not [d for d in os.listdir(parent) if d.startswith("._staging-db-")]
+
+    # divergence: a group txn on the clone does not touch the source
+    gc = c.begin()
+    gc.upsert("a", rows(spark, (3, "a3-clone")))
+    gc.upsert("b", rows(spark, (30, "b3-clone")))
+    gc.commit()
+    assert (3, "a3-clone") in state(c, "a") and (3, "a3-clone") not in state(db, "a")
+    gs = db.begin()
+    gs.upsert("a", rows(spark, (4, "a4-src")))
+    gs.upsert("b", rows(spark, (40, "b4-src")))
+    gs.commit()
+    assert (4, "a4-src") in state(db, "a") and (4, "a4-src") not in state(c, "a")
+
+
+def test_database_clone_never_splits_concurrent_groups(db, spark, tmp_path):
+    """Clones taken while group commits land concurrently must show each
+    group fully-in or fully-out — validated-cut semantics end to end."""
+    import threading
+
+    stop = threading.Event()
+    errs = []
+
+    def writer():
+        i = 0
+        while not stop.is_set() and i < 12:
+            try:
+                g = db.begin()
+                g.upsert("a", rows(spark, (100 + i, f"ga{i}")))
+                g.upsert("b", rows(spark, (200 + i, f"gb{i}")))
+                g.commit()
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+                return
+            i += 1
+
+    t = threading.Thread(target=writer)
+    t.start()
+    try:
+        clones = [db.clone(str(tmp_path / f"c{j}")) for j in range(3)]
+    finally:
+        stop.set()
+        t.join()
+    assert not errs
+    for c in clones:
+        a, b = state(c, "a"), state(c, "b")
+        ga = {int(v[2:]) for _k, v in a if v.startswith("ga")}
+        gb = {int(v[2:]) for _k, v in b if v.startswith("gb")}
+        assert ga == gb, f"torn group cut: a has {ga}, b has {gb}"
