@@ -840,3 +840,71 @@ def pack_training_sequences_scalable(
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+@query(
+    "dedup_incremental_batch",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, sha256(text) AS h FROM documents WHERE doc_id <= 400),
+    incoming AS (
+      SELECT doc_id, source, sha256(text) AS h
+      FROM documents WHERE doc_id > 400
+      UNION ALL
+      SELECT doc_id + 10000, source, sha256(text)
+      FROM documents WHERE doc_id <= 400 AND doc_id % 40 = 0
+      UNION ALL
+      SELECT doc_id + 20000, source, sha256(text)
+      FROM documents WHERE doc_id > 400 AND doc_id % 30 = 0),
+    fresh AS (
+      SELECT i.* FROM incoming i
+      WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.h = i.h)),
+    kept AS (
+      SELECT doc_id, source, h,
+             ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+      FROM fresh)
+    SELECT doc_id, source FROM kept WHERE rn = 1
+    """,
+    category="llm",
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup — the daily-crawl shape: an incoming batch
+    is deduplicated (1) AGAINST the already-ingested corpus by content
+    hash (anti join: reposts of known documents are dropped without
+    touching their text) and (2) WITHIN itself (keep the smallest id per
+    hash). Duplicates are seeded in-query (corpus reposts under +10000,
+    intra-batch dups under +20000) since the fixture corpus is
+    dup-free — same convention as multimodal_phash_dedup.
+
+    Scale shape: both sides reduce to 32-byte digests before any join;
+    the anti join hashes on the digest (at 100 TB: bucket the corpus
+    hash index by digest so daily batches anti-join shuffle-free, or
+    pre-filter with the Bloom pattern of join_bloom_prefilter — the
+    batch, not the corpus, is the small side); the within-batch keep-min
+    is a window over the just-deduplicated batch only."""
+    d = table(spark, sf_dir, "documents")
+    h = F.sha2(F.col("text"), 256)
+    corpus = d.filter(F.col("doc_id") <= 400).select(h.alias("h"))
+    incoming = (
+        d.filter(F.col("doc_id") > 400)
+        .select("doc_id", "source", h.alias("h"))
+        .unionByName(
+            d.filter((F.col("doc_id") <= 400) & (F.col("doc_id") % 40 == 0)).select(
+                (F.col("doc_id") + 10000).alias("doc_id"), "source", h.alias("h")
+            )
+        )
+        .unionByName(
+            d.filter((F.col("doc_id") > 400) & (F.col("doc_id") % 30 == 0)).select(
+                (F.col("doc_id") + 20000).alias("doc_id"), "source", h.alias("h")
+            )
+        )
+    )
+    fresh = incoming.join(corpus, "h", "left_anti")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("h").orderBy("doc_id")
+    return (
+        fresh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source")
+    )
