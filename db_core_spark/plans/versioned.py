@@ -895,7 +895,7 @@ class VersionedTable:
             return 0
         return self.checkpoint()
 
-    def vacuum(self, retain_seconds: float | None = None) -> int:
+    def vacuum(self, retain_seconds: float | None = None, dry_run: bool = False) -> int:
         """Reclaim op files/manifests fully covered by the newest checkpoint
         AND older than the retention window (version_store.rs:264-309
         reclamation; `version_retain_time` default 3600 s, config.rs:162).
@@ -905,7 +905,12 @@ class VersionedTable:
         working after vacuum; readers needing reclaimed history get a loud
         SnapshotUnavailableError (see _committed_ops), and an open txn whose
         conflict window extends below the reclaim line aborts with
-        ConflictError instead of silently losing lost-update protection."""
+        ConflictError instead of silently losing lost-update protection.
+
+        ``dry_run=True`` walks the identical decision logic but deletes
+        nothing and returns the op-dir count that WOULD be reclaimed — the
+        pre-flight every operator runs before an irreversible retention
+        change (pairs with :meth:`stats`)."""
         if retain_seconds is None:
             retain_seconds = self.config.version_retain_seconds
         manifests = self._manifests()
@@ -921,15 +926,19 @@ class VersionedTable:
             if m.get("ts", cutoff + 1) >= cutoff:
                 continue  # inside the retention window: keep
             if m.get("type") == "checkpoint":
-                if m["csn"] < floor:
+                if m["csn"] < floor and not dry_run:
                     shutil.rmtree(m["dir"], ignore_errors=True)
                     os.remove(os.path.join(self._log_dir, f"checkpoint-{m['csn']:010d}.json"))
                 continue
             if m["csn"] <= floor:
+                removed += len(m["ops"])
+                if dry_run:
+                    continue
                 for op in m["ops"]:
                     shutil.rmtree(op["dir"], ignore_errors=True)
-                    removed += 1
                 os.remove(os.path.join(self._log_dir, f"{m['csn']:010d}.json"))
+        if dry_run:
+            return removed
         # clean empty tsn= dirs
         for d in os.listdir(self._data_dir):
             p = os.path.join(self._data_dir, d)

@@ -655,3 +655,19 @@ def test_stats_reports_live_fold_set(vt, spark):
     s3 = vt.stats()
     assert s3["n_live_files"] <= s2["n_live_files"]
     assert s3["csn"] == 3  # history metadata intact
+
+
+def test_vacuum_dry_run_predicts_without_deleting(vt, spark):
+    for i in range(4):
+        t = vt.begin()
+        t.upsert(spark.createDataFrame([(1, f"v{i}", float(i))], SCHEMA))
+        t.commit()
+    vt.checkpoint()
+    files_before = vt.stats()["n_live_files"]
+    predicted = vt.vacuum(retain_seconds=0.0, dry_run=True)
+    assert predicted > 0
+    # nothing was touched: history still fully readable, file count unchanged
+    assert vt.stats()["n_live_files"] == files_before
+    assert {r.k: r.v for r in vt.snapshot(as_of_csn=1).collect()} == {1: "v0"}
+    # the real vacuum reclaims exactly what the dry run predicted
+    assert vt.vacuum(retain_seconds=0.0) == predicted
