@@ -917,3 +917,22 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("tw"), 2).alias("total_weight"),
         )
     )
+
+
+@query("agg_percentile_approx_error", oracle=None, category="aggregate")
+def agg_percentile_approx_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Side-by-side exact vs approx_percentile (Greenwald-Khanna sketch,
+    accuracy=1000 => rank error <= n/1000) — the audit a pipeline runs
+    ONCE at representative scale before switching its quantile surface to
+    the mergeable sketch everywhere (agg_percentiles documents the swap;
+    this query measures what it costs). Rows-only: the GK state is
+    engine-specific, so DuckDB cannot replicate it; pytest bounds the
+    observed error by the sketch's rank guarantee instead."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.percentile("l_extendedprice", 0.5), 4).alias("exact_p50"),
+        F.round(F.percentile_approx("l_extendedprice", 0.5, 1000), 4).alias("approx_p50"),
+        F.round(F.percentile("l_extendedprice", 0.99), 4).alias("exact_p99"),
+        F.round(F.percentile_approx("l_extendedprice", 0.99, 1000), 4).alias("approx_p99"),
+    )

@@ -101,3 +101,29 @@ def test_kmeans_lloyd_guarantee_and_determinism(spark):
     }
     rows = all_queries()["embedding_kmeans_lloyd"].fn(spark, SF_MED).collect()
     assert sum(r.n_vecs for r in rows) == n and len(rows) == 8
+
+
+def test_percentile_approx_error_within_rank_bound(spark):
+    """GK sketch guarantee: the approx quantile's rank error is <= n/accuracy.
+    Verify by value: the approx answer must lie between the exact quantiles
+    at q -/+ 1/accuracy."""
+    from db_core_spark.registry import all_queries
+
+    li = table(spark, SF_MED, "lineitem")
+    rows = all_queries()["agg_percentile_approx_error"].fn(spark, SF_MED).collect()
+    assert rows
+    eps = 1.0 / 1000
+    for r in rows:
+        for q, approx in ((0.5, r.approx_p50), (0.99, r.approx_p99)):
+            lo, hi = max(0.0, q - eps), min(1.0, q + eps)
+            bounds = (
+                li.filter(F.col("l_returnflag") == r.l_returnflag)
+                .agg(
+                    F.percentile("l_extendedprice", lo).alias("lo"),
+                    F.percentile("l_extendedprice", hi).alias("hi"),
+                )
+                .collect()[0]
+            )
+            assert bounds.lo - 1e-4 <= approx <= bounds.hi + 1e-4, (
+                r.l_returnflag, q, approx, bounds.lo, bounds.hi,
+            )
