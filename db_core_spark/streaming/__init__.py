@@ -12,6 +12,7 @@ from db_core_spark.streaming.ops import (  # noqa: F401
     stateful_user_counts,
     stream_attribution_last_touch,
     stream_ewma_user_value,
+    stream_incremental_dedup,
     stream_ohlc_bars,
     stream_into_versioned_table,
     stream_static_enrich,
@@ -19,5 +20,10 @@ from db_core_spark.streaming.ops import (  # noqa: F401
     tumbling_counts,
     tws_user_value_stats,
 )
-from db_core_spark.streaming.sources import events_stream, stage_events_files  # noqa: F401
+from db_core_spark.streaming.sources import (  # noqa: F401
+    documents_stream,
+    events_stream,
+    stage_documents_files,
+    stage_events_files,
+)
 from db_core_spark.streaming.runner import run_to_memory  # noqa: F401

@@ -520,3 +520,18 @@ def stream_attribution_last_touch(
     return events.groupBy("user_id").applyInPandasWithState(
         update, output_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def stream_incremental_dedup(docs: DataFrame, corpus_hashes: DataFrame) -> DataFrame:
+    """Streaming arm of the batch `dedup_incremental_batch` operator: an
+    unbounded document-ingest stream is deduplicated (1) against the
+    existing corpus via a stream-static LEFT ANTI join on the content
+    digest (the corpus hash index is static/broadcastable per batch —
+    reposts die without their text ever entering state) and (2) within
+    the stream itself via dropDuplicates on the digest (keyed state; at
+    100 TB the key universe is bounded with
+    dropDuplicatesWithinWatermark, see dedup_stream_within_watermark).
+    Only the 32-byte digest enters join/state — never document text."""
+    hashed = docs.withColumn("h", F.sha2(F.col("text"), 256))
+    fresh = hashed.join(corpus_hashes, "h", "left_anti")
+    return fresh.dropDuplicates(["h"]).select("doc_id", "source", "h")

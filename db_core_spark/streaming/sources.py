@@ -88,3 +88,43 @@ def events_stream(spark: SparkSession, stream_dir: str) -> DataFrame:
         .option("latestFirst", False)
         .parquet(stream_dir)
     )
+
+
+def stage_documents_files(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_files: int = 4
+) -> str:
+    """Write the documents table as n_files id-ordered parquet files — the
+    arrival layout for a document-ingest stream (each file is one crawl
+    batch). Same flat-dir contract as stage_events_files."""
+    from db_core_spark.tables import table
+
+    d = table(spark, sf_dir, "documents")
+    n = d.count()
+    per = max(1, (n + n_files - 1) // n_files)
+    d = d.withColumn(
+        "_slice", F.least(F.lit(n_files - 1), (F.col("doc_id") / per).cast("int"))
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    flat = os.path.join(out_dir, "stream")
+    os.makedirs(flat, exist_ok=True)
+    for i in range(n_files):
+        part = os.path.join(out_dir, f"slice={i:02d}")
+        d.filter(F.col("_slice") == i).drop("_slice").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(part)
+        for name in sorted(os.listdir(part)):
+            if name.endswith(".parquet"):
+                os.replace(os.path.join(part, name), os.path.join(flat, f"{i:02d}-{name}"))
+    return flat
+
+
+def documents_stream(spark: SparkSession, stream_dir: str) -> DataFrame:
+    """File-source stream over staged document batches (1 file/trigger)."""
+    from db_core_spark.tables import table as _table  # noqa: F401
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )

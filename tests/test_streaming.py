@@ -576,3 +576,37 @@ def test_streamed_window_psi_equals_batch_monitor(spark, stream_dir, tmp_path):
         for r in drift_psi_windowed(spark, SF_SMALL).collect()
     }
     assert live_psi == expect and live_psi
+
+
+def test_stream_incremental_dedup_converges_to_batch_semantics(spark, tmp_path):
+    """Streamed corpus-anti + within-stream dedup must keep exactly the
+    batch-computed set of fresh content hashes: no corpus hash survives,
+    every fresh hash survives exactly once."""
+    from db_core_spark.streaming import (
+        documents_stream,
+        stage_documents_files,
+        stream_incremental_dedup,
+    )
+    from db_core_spark.tables import table
+
+    stream_dir = stage_documents_files(spark, SF_SMALL, str(tmp_path / "docs"))
+    d = table(spark, SF_SMALL, "documents")
+    h = F.sha2(F.col("text"), 256)
+    # "corpus" = hashes of the first 40% of ids (pretend prior ingest)
+    cutoff = 200
+    corpus = d.filter(F.col("doc_id") < cutoff).select(h.alias("h")).distinct()
+    got = run_to_memory(
+        stream_incremental_dedup(documents_stream(spark, stream_dir), corpus),
+        "append",
+        str(tmp_path / "ck"),
+    )
+    kept = [(r.h, r.doc_id) for r in got.collect()]
+    kept_hashes = [x[0] for x in kept]
+    assert len(kept_hashes) == len(set(kept_hashes)), "a hash survived twice"
+    corpus_hashes = {r.h for r in corpus.collect()}
+    assert not (set(kept_hashes) & corpus_hashes), "a corpus repost survived"
+    expect_fresh = {
+        r.h
+        for r in d.filter(F.col("doc_id") >= cutoff).select(h.alias("h")).distinct().collect()
+    } - corpus_hashes
+    assert set(kept_hashes) == expect_fresh
