@@ -235,3 +235,26 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_observe_inline_metrics_single_pass(spark):
+    """Inline data-quality metrics via df.observe: null/row counters ride
+    the SAME job as the real aggregation — one scan, no second
+    metrics-only pass (the observability shape a 100 TB pipeline needs;
+    a separate DQ scan doubles the read bill)."""
+    from pyspark.sql import Observation
+
+    li = table(spark, SF_SMALL, "lineitem")
+    obs = Observation("dq")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum(F.col("l_quantity").isNull().cast("long")).alias("null_qty"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+    result = observed.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("q")).collect()
+    assert result
+    got = obs.get
+    assert got["rows_seen"] == li.count()
+    assert got["null_qty"] == 0
+    assert got["max_price"] > 0

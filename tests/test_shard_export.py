@@ -114,3 +114,33 @@ def test_reader_verifies_and_detects_corruption(spark, exported, tmp_path):
     os.remove(victim)
     with pytest.raises(ValueError, match="digest"):
         read_training_shards(spark, out)
+
+
+def test_corpus_pipeline_to_shards_end_to_end(spark, tmp_path):
+    """The full training-data path in one test: prepare (normalize, dedup,
+    quality-filter, split) -> take the train split -> export token-budgeted
+    shards -> re-open through the verifying reader. Counts must agree at
+    every boundary."""
+    from db_core_spark.queries.analytics import pipeline_corpus_prepare
+    from db_core_spark.sources.formats import (
+        export_training_shards,
+        read_training_shards,
+    )
+
+    prepared = pipeline_corpus_prepare(spark, SF_SMALL)
+    train_ids = prepared.filter(F.col("split") == "train").select("doc_id")
+    n_train = train_ids.count()
+    assert n_train > 0
+    docs = (
+        table(spark, SF_SMALL, "documents")
+        .join(train_ids, "doc_id")
+        .select("doc_id", "text")
+    )
+    out = str(tmp_path / "train_shards")
+    manifest = export_training_shards(spark, docs, out, shard_tokens=4096)
+    assert manifest["total_docs"] == n_train
+    back = read_training_shards(spark, out)
+    assert back.count() == n_train
+    assert {r.doc_id for r in back.select("doc_id").collect()} == {
+        r.doc_id for r in train_ids.collect()
+    }
