@@ -1970,3 +1970,77 @@ def drift_ks_value_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n1").cast("long").alias("n_late"),
         "ks_stat",
     )
+
+
+@query(
+    "cohort_ltv_cumulative",
+    oracle="""
+    WITH cohorts AS (
+      SELECT user_id,
+             CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id),
+    sizes AS (
+      SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_users
+      FROM cohorts GROUP BY cohort_week),
+    weekly AS (
+      SELECT c.cohort_week,
+             CAST(date_diff('day', c.cohort_week,
+                            CAST(date_trunc('week', e.ts) AS DATE)) / 7 AS INT)
+               AS week_offset,
+             SUM(e.value) AS revenue
+      FROM events e
+      JOIN cohorts c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+      GROUP BY 1, 2),
+    cum AS (
+      SELECT cohort_week, week_offset,
+             SUM(revenue) OVER (PARTITION BY cohort_week ORDER BY week_offset
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_revenue
+      FROM weekly)
+    SELECT m.cohort_week, m.week_offset, s.cohort_users,
+           ROUND(m.cum_revenue, 2) AS cum_revenue,
+           ROUND(m.cum_revenue / s.cohort_users, 4) AS ltv_per_user
+    FROM cum m JOIN sizes s ON s.cohort_week = m.cohort_week
+    """,
+    category="timeseries",
+)
+def cohort_ltv_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative cohort LTV: for each signup-week cohort and week offset,
+    total purchase revenue to date and per-user lifetime value — the curve
+    every growth model fits (cohort_retention answers "do they come
+    back", this answers "what are they worth by week N"). Cohort
+    assignment reuses the retention query's min-ts week; revenue
+    aggregates per (cohort, offset) first — the running sum then windows
+    over the TINY cohort x offset frame, never over raw events — and
+    cohort sizes broadcast back for the per-user normalization."""
+    e = table(spark, sf_dir, "events")
+    week = lambda c: F.date_trunc("week", c).cast("date")  # noqa: E731
+    cohorts = e.groupBy("user_id").agg(week(F.min("ts")).alias("cohort_week"))
+    sizes = cohorts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    weekly = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(cohorts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(week(F.col("ts")), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.sum("value").alias("revenue"))
+    )
+    w = (
+        W.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = weekly.withColumn("cum_revenue", F.sum("revenue").over(w))
+    return cum.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "cohort_users",
+        F.round("cum_revenue", 2).alias("cum_revenue"),
+        F.round(F.col("cum_revenue") / F.col("cohort_users"), 4).alias("ltv_per_user"),
+    )
