@@ -957,3 +957,107 @@ def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_vecs"),
         F.round(F.avg("d2"), 6).alias("mean_d2"),
     )
+
+
+@query("ann_ivf_recall_sweep", oracle=None, category="vector")
+def ann_ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF tuning curve: recall@5 and candidate volume per nprobe (1/2/4/8)
+    against the exact cosine top-5 — the measurement that picks an ANN
+    deployment's operating point, answered in ONE candidate-generation
+    pass: each query's cells carry their probe rank, the (query, nprobe)
+    expansion filters candidates by rank, and the ranked-intersection
+    against exact top-5 reduces per nprobe. The corpus is scored once per
+    covering cell, not once per nprobe value; at 100 TB candidates stay an
+    equi-join on the cell id over the cell-partitioned corpus layout
+    (ann_ivf_topk). Rows-only (probabilistic structure); pytest pins
+    recall monotone in nprobe and candidate counts strictly growing."""
+    e = table(spark, sf_dir, "embeddings")
+    vecs = e.select(F.col("vec_id"), to_double("embedding").alias("vec"))
+    cents = F.broadcast(
+        vecs.filter(F.col("vec_id") % 31 == 0).select(
+            F.col("vec_id").alias("cent_id"), F.col("vec").alias("cent_vec")
+        )
+    )
+    q = vecs.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec")
+    )
+
+    # exact top-5 (ground truth)
+    exact_scored = F.broadcast(q).join(vecs, F.col("vec_id") != F.col("q_id")).select(
+        "q_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine(F.col("q_vec"), F.col("vec")), 6).alias("cos_exact"),
+    )
+    w_ex = W.partitionBy("q_id").orderBy(F.col("cos_exact").desc(), F.col("neighbor_id"))
+    exact5 = (
+        exact_scored.withColumn("rnk", F.row_number().over(w_ex))
+        .filter(F.col("rnk") <= 5)
+        .select("q_id", "neighbor_id")
+    )
+
+    # corpus cell assignment (1 cell each) + query cells WITH probe rank
+    def top_cells(df, id_col, vec_col, n_cells):
+        scored = df.join(cents).withColumn(
+            "_sim", cosine(F.col(vec_col), F.col("cent_vec"))
+        )
+        ranked = scored.groupBy(id_col).agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("_sim"), F.col("cent_id"))), asc=False
+                ),
+                1,
+                n_cells,
+            ).alias("_top")
+        )
+        return ranked.select(
+            id_col,
+            F.posexplode(F.col("_top").getField("cent_id")).alias("cell_rank0", "cell"),
+        )
+
+    assigned = top_cells(vecs, "vec_id", "vec", 1).select("vec_id", "cell")
+    qcells = top_cells(q, "q_id", "q_vec", 8).select(
+        "q_id", (F.col("cell_rank0") + 1).alias("cell_rank"), F.col("cell").alias("q_cell")
+    )
+    cand = (
+        assigned.join(vecs, "vec_id")
+        .join(
+            F.broadcast(qcells.join(q, "q_id")),
+            (F.col("cell") == F.col("q_cell")) & (F.col("vec_id") != F.col("q_id")),
+        )
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "cell_rank",
+            F.round(cosine(F.col("q_vec"), F.col("vec")), 6).alias("cos_sim"),
+        )
+    )
+    probes = spark.createDataFrame([(1,), (2,), (4,), (8,)], "nprobe int")
+    expanded = cand.join(
+        F.broadcast(probes), F.col("cell_rank") <= F.col("nprobe")
+    )
+    w_iv = W.partitionBy("nprobe", "q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    ivf5 = (
+        expanded.withColumn("rnk", F.row_number().over(w_iv))
+        .filter(F.col("rnk") <= 5)
+        .select("nprobe", "q_id", "neighbor_id")
+    )
+    hits = (
+        ivf5.join(exact5, ["q_id", "neighbor_id"])
+        .groupBy("nprobe")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    n_q = q.count()
+    cand_counts = expanded.groupBy("nprobe").agg(
+        F.count(F.lit(1)).alias("n_candidates")
+    )
+    return (
+        hits.join(cand_counts, "nprobe")
+        .select(
+            "nprobe",
+            F.round(F.col("n_hits") / (5.0 * n_q), 4).alias("recall5"),
+            "n_candidates",
+        )
+        .orderBy("nprobe")
+    )

@@ -127,3 +127,21 @@ def test_percentile_approx_error_within_rank_bound(spark):
             assert bounds.lo - 1e-4 <= approx <= bounds.hi + 1e-4, (
                 r.l_returnflag, q, approx, bounds.lo, bounds.hi,
             )
+
+
+def test_ivf_recall_sweep_monotone(spark):
+    """More probes must never hurt: recall@5 non-decreasing and candidate
+    volume strictly increasing in nprobe; the curve must actually climb."""
+    from db_core_spark.registry import all_queries
+
+    rows = sorted(
+        all_queries()["ann_ivf_recall_sweep"].fn(spark, SF_MED).collect(),
+        key=lambda r: r.nprobe,
+    )
+    assert [r.nprobe for r in rows] == [1, 2, 4, 8]
+    recalls = [r.recall5 for r in rows]
+    cands = [r.n_candidates for r in rows]
+    assert all(b >= a for a, b in zip(recalls, recalls[1:])), recalls
+    assert all(b > a for a, b in zip(cands, cands[1:])), cands
+    assert recalls[-1] > recalls[0]
+    assert 0 < recalls[0] and recalls[-1] <= 1.0
