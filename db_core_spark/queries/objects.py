@@ -535,3 +535,68 @@ def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") <= 60
     )
     return d.mapInPandas(cuts, "doc_id long, frame_no int, hamming int, is_cut boolean")
+
+
+@query("multimodal_text_image_pairs", oracle=None, category="multimodal")
+def multimodal_text_image_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive text-image pair construction (the CLIP-style training
+    table): every document pairs with ITS image (label 1) and with k=2
+    hash-deterministic other documents' images (label 0) — the
+    negative-sampling arithmetic of negative_pair_sample applied to the
+    multimodal corpus. Images render and dHash ONCE through the real
+    codec inside one mapInPandas pass (64-bit hash per image, pixels
+    never shuffle); the pair table then equi-joins that hash table on
+    image_doc_id — at 100 TB this is the standard fan-out join against a
+    precomputed image-feature store, never a re-decode per pair.
+    Rows-only (codec); pytest pins positives carrying their own image's
+    hash, negatives never doing so, and bit-identical reruns."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from db_core_spark.operators.multimodal import dhash64, synth_ppm_for_text
+
+    n_docs = 100
+    d = table(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") < n_docs
+    )
+
+    def hash_images(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "image_doc_id": pdf["doc_id"],
+                    "image_dhash": [dhash64(synth_ppm_for_text(t)) for t in pdf["text"]],
+                }
+            )
+
+    dhashes = d.mapInPandas(hash_images, "image_doc_id long, image_dhash long")
+
+    k = 2
+    h32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#"), F.col("i").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    negs = (
+        d.select("doc_id")
+        .withColumn("i", F.explode(F.array(*[F.lit(j) for j in range(k)])))
+        .withColumn("raw", h32 % n_docs)
+        .select(
+            "doc_id",
+            F.when(F.col("raw") == F.col("doc_id"), (F.col("raw") + 1) % n_docs)
+            .otherwise(F.col("raw"))
+            .alias("image_doc_id"),
+            F.lit(0).alias("label"),
+        )
+    )
+    pos = d.select(
+        "doc_id", F.col("doc_id").alias("image_doc_id"), F.lit(1).alias("label")
+    )
+    return pos.unionByName(negs).join(dhashes, "image_doc_id").select(
+        "doc_id", "image_doc_id", "label", "image_dhash"
+    )

@@ -441,3 +441,24 @@ def test_scene_cuts_detect_exactly_planted_boundaries(spark):
     assert cut_h and noise_h
     assert min(cut_h) > 16 + 2, "cut margin too thin"
     assert max(noise_h) < 16 - 2, "noise margin too thin"
+
+
+def test_text_image_pairs_labels_and_determinism(spark):
+    from db_core_spark.registry import all_queries
+
+    fn = all_queries()["multimodal_text_image_pairs"].fn
+    rows = fn(spark, SF_SMALL).collect()
+    assert rows
+    own = {r.image_doc_id: r.image_dhash for r in rows if r.label == 1}
+    assert len(own) == 100  # one positive per doc
+    for r in rows:
+        if r.label == 1:
+            assert r.image_doc_id == r.doc_id
+        else:
+            assert r.image_doc_id != r.doc_id
+            # a negative carries the OTHER doc's image hash
+            assert r.image_dhash == own[r.image_doc_id]
+    n_neg = sum(1 for r in rows if r.label == 0)
+    assert n_neg == 200  # k=2 per doc
+    again = {(r.doc_id, r.image_doc_id, r.label, r.image_dhash) for r in fn(spark, SF_SMALL).collect()}
+    assert again == {(r.doc_id, r.image_doc_id, r.label, r.image_dhash) for r in rows}
