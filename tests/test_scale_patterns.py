@@ -258,3 +258,35 @@ def test_observe_inline_metrics_single_pass(spark):
     assert got["rows_seen"] == li.count()
     assert got["null_qty"] == 0
     assert got["max_price"] > 0
+
+
+def test_cbo_table_stats_flow_into_plan_estimates(spark, tmp_path):
+    """Cost-based optimization plumbing: ANALYZE TABLE writes row-count /
+    size statistics into the catalog and the optimizer's plan estimates
+    pick them up — the prerequisite for stats-driven join ordering and
+    broadcast decisions on a real warehouse (fixtures are read straight
+    from parquet elsewhere, so this is the one place catalog stats are
+    exercised)."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS cbo_t LOCATION '{tmp_path}/wh'")
+    saved_cbo = spark.conf.get("spark.sql.cbo.enabled")
+    try:
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        table(spark, SF_SMALL, "orders").limit(500).write.mode("overwrite").saveAsTable(
+            "cbo_t.orders_s"
+        )
+        spark.sql("ANALYZE TABLE cbo_t.orders_s COMPUTE STATISTICS")
+        row = spark.sql("DESCRIBE EXTENDED cbo_t.orders_s").filter(
+            F.col("col_name") == "Statistics"
+        ).collect()
+        assert row and "rows" in row[0].data_type, row
+        est = (
+            spark.table("cbo_t.orders_s")
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .stats()
+        )
+        assert est.rowCount().isDefined() and est.rowCount().get() == 500
+        assert est.sizeInBytes() > 0
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", saved_cbo)
+        spark.sql("DROP DATABASE IF EXISTS cbo_t CASCADE")
