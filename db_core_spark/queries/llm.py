@@ -908,3 +908,59 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "source")
     )
+
+
+@query(
+    "langid_confusion_matrix",
+    oracle=f"""
+    WITH pred AS (
+      SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END AS lang_true,
+             CASE WHEN len(list_filter(string_split_regex(text, '\\s+'),
+                                       x -> list_contains({_STOP_SQL}, x))) * 1.0
+                       / len(string_split_regex(text, '\\s+')) >= 0.05
+                  THEN 'en' ELSE 'other' END AS lang_pred
+      FROM documents),
+    cells AS (
+      SELECT lang_true, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+      FROM pred GROUP BY 1, 2),
+    tot AS (SELECT SUM(n) AS total,
+                   SUM(CASE WHEN lang_true = lang_pred THEN n ELSE 0 END) AS agree
+            FROM cells)
+    SELECT c.lang_true, c.lang_pred, c.n,
+           ROUND(c.n * 1.0 / t.total, 6) AS frac,
+           ROUND(t.agree * 1.0 / t.total, 6) AS overall_accuracy
+    FROM cells c, tot t
+    """,
+    category="llm",
+)
+def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation as an operator: the confusion matrix of the
+    stopword-density language classifier against the labeled lang column
+    (binarized en/other to match the classifier's output space), with
+    per-cell fractions and overall accuracy on every row — the quality
+    gate a pipeline runs before trusting any model-derived filter at
+    corpus scale. One prediction pass, one tiny cells aggregate, a 1-row
+    totals broadcast; evaluating a swapped-in fastText model reuses the
+    identical frame."""
+    d = table(spark, sf_dir, "documents")
+    toks = words(F.col("text"))
+    swr = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS))) / F.size(toks)
+    pred = d.select(
+        F.when(F.col("lang") == "en", "en").otherwise("other").alias("lang_true"),
+        F.when(swr >= 0.05, "en").otherwise("other").alias("lang_pred"),
+    )
+    cells = pred.groupBy("lang_true", "lang_pred").agg(F.count(F.lit(1)).alias("n"))
+    tot = cells.agg(
+        F.sum("n").alias("total"),
+        F.sum(F.when(F.col("lang_true") == F.col("lang_pred"), F.col("n")).otherwise(0)).alias(
+            "agree"
+        ),
+    )
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "lang_true",
+        "lang_pred",
+        "n",
+        F.round(F.col("n") * 1.0 / F.col("total"), 6).alias("frac"),
+        F.round(F.col("agree") * 1.0 / F.col("total"), 6).alias("overall_accuracy"),
+    )
