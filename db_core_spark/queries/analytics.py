@@ -2044,3 +2044,135 @@ def cohort_ltv_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("cum_revenue", 2).alias("cum_revenue"),
         F.round(F.col("cum_revenue") / F.col("cohort_users"), 4).alias("ltv_per_user"),
     )
+
+
+@query(
+    "stats_chi2_type_by_segment",
+    oracle="""
+    WITH joined AS (
+      SELECT e.event_type, c.c_mktsegment AS segment
+      FROM events e JOIN customer c ON c.c_custkey = e.user_id),
+    cells AS (
+      SELECT event_type, segment, CAST(COUNT(*) AS DOUBLE) AS obs
+      FROM joined GROUP BY 1, 2),
+    margins AS (
+      SELECT c.event_type, c.segment, c.obs,
+             SUM(c.obs) OVER (PARTITION BY c.event_type) AS row_tot,
+             SUM(c.obs) OVER (PARTITION BY c.segment) AS col_tot,
+             SUM(c.obs) OVER () AS n
+      FROM cells c),
+    terms AS (
+      SELECT ((obs - row_tot * col_tot / n)
+              * (obs - row_tot * col_tot / n)) / (row_tot * col_tot / n)
+               AS term,
+             event_type, segment
+      FROM margins)
+    SELECT ROUND(SUM(term), 6) AS chi2,
+           CAST((COUNT(DISTINCT event_type) - 1)
+                * (COUNT(DISTINCT segment) - 1) AS BIGINT) AS dof
+    FROM terms
+    """,
+    category="timeseries",
+)
+def stats_chi2_type_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared test of independence between event type and customer
+    market segment — 'does behavior depend on segment', the first
+    hypothesis test any product-analytics question reduces to. Observed
+    cell counts come from one join+aggregate; expected counts and the
+    statistic derive from window margins over the TINY (types x segments)
+    cell frame, so nothing after the first aggregate touches event-scale
+    data. The dof accompanies the statistic so any chi2 table/ppf turns
+    it into a p-value downstream."""
+    e = table(spark, sf_dir, "events")
+    c = table(spark, sf_dir, "customer")
+    joined = e.join(
+        F.broadcast(c.select(F.col("c_custkey").alias("user_id"), "c_mktsegment")),
+        "user_id",
+    ).select("event_type", F.col("c_mktsegment").alias("segment"))
+    cells = joined.groupBy("event_type", "segment").agg(
+        F.count(F.lit(1)).cast("double").alias("obs")
+    )
+    w_row = W.partitionBy("event_type")
+    w_col = W.partitionBy("segment")
+    w_all = W.partitionBy()
+    m = cells.select(
+        "event_type",
+        "segment",
+        "obs",
+        F.sum("obs").over(w_row).alias("row_tot"),
+        F.sum("obs").over(w_col).alias("col_tot"),
+        F.sum("obs").over(w_all).alias("n"),
+    )
+    exp = F.col("row_tot") * F.col("col_tot") / F.col("n")
+    terms = m.select(
+        "event_type",
+        "segment",
+        (((F.col("obs") - exp) * (F.col("obs") - exp)) / exp).alias("term"),
+    )
+    return terms.agg(
+        F.round(F.sum("term"), 6).alias("chi2"),
+        (
+            (F.countDistinct("event_type") - 1) * (F.countDistinct("segment") - 1)
+        ).cast("long").alias("dof"),
+    )
+
+
+@query(
+    "stats_welch_ttest",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             AVG(value) AS m,
+             VAR_SAMP(value) AS v
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY event_type),
+    w AS (
+      SELECT MAX(CASE WHEN event_type = 'click' THEN n END) AS n1,
+             MAX(CASE WHEN event_type = 'click' THEN m END) AS m1,
+             MAX(CASE WHEN event_type = 'click' THEN v END) AS v1,
+             MAX(CASE WHEN event_type = 'purchase' THEN n END) AS n2,
+             MAX(CASE WHEN event_type = 'purchase' THEN m END) AS m2,
+             MAX(CASE WHEN event_type = 'purchase' THEN v END) AS v2
+      FROM g)
+    SELECT ROUND(m1, 6) AS mean_click, ROUND(m2, 6) AS mean_purchase,
+           ROUND((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS t_stat,
+           ROUND(((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2))
+                 / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                    + (v2 / n2) * (v2 / n2) / (n2 - 1)), 4) AS welch_df
+    FROM w
+    """,
+    category="timeseries",
+)
+def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between click and purchase values —
+    the A/B-test reduction: two mergeable moment aggregates (count, mean,
+    sample variance — each partial-aggregatable) pivot to one row and the
+    statistic plus Welch-Satterthwaite degrees of freedom are pure
+    arithmetic on six numbers. The event stream is scanned exactly once
+    regardless of group count."""
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+    )
+    pick = lambda t, c: F.max(F.when(F.col("event_type") == t, F.col(c)))  # noqa: E731
+    w = g.agg(
+        pick("click", "n").alias("n1"), pick("click", "m").alias("m1"),
+        pick("click", "v").alias("v1"), pick("purchase", "n").alias("n2"),
+        pick("purchase", "m").alias("m2"), pick("purchase", "v").alias("v2"),
+    )
+    se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    dfw = (se2 * se2) / (
+        (F.col("v1") / F.col("n1")) * (F.col("v1") / F.col("n1")) / (F.col("n1") - 1)
+        + (F.col("v2") / F.col("n2")) * (F.col("v2") / F.col("n2")) / (F.col("n2") - 1)
+    )
+    return w.select(
+        F.round("m1", 6).alias("mean_click"),
+        F.round("m2", 6).alias("mean_purchase"),
+        F.round((F.col("m1") - F.col("m2")) / F.sqrt(se2), 6).alias("t_stat"),
+        F.round(dfw, 4).alias("welch_df"),
+    )
