@@ -730,3 +730,72 @@ def drift_psi_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     baseline = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("bn"))
     return psi_from_counts(counts, baseline)
+
+
+@query(
+    "seasonal_decompose_weekly",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(MIN(ts) AS DATE) AS lo, CAST(MAX(ts) AS DATE) AS hi FROM events),
+    spine AS (
+      SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds),
+    daily AS (
+      SELECT s.day, COALESCE(SUM(e.value), 0.0) AS revenue
+      FROM spine s
+      LEFT JOIN events e
+        ON CAST(e.ts AS DATE) = s.day AND e.event_type = 'purchase'
+      GROUP BY s.day),
+    tr AS (
+      SELECT day, revenue,
+             AVG(revenue) OVER (ORDER BY day
+                                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend
+      FROM daily),
+    se AS (
+      SELECT day, revenue, trend,
+             AVG(revenue - trend) OVER (PARTITION BY dayofweek(day)) AS seasonal
+      FROM tr)
+    SELECT day, ROUND(revenue, 2) AS revenue, ROUND(trend, 4) AS trend,
+           ROUND(seasonal, 4) AS seasonal,
+           ROUND(revenue - trend - seasonal, 4) AS residual
+    FROM se
+    """,
+    category="timeseries",
+)
+def seasonal_decompose_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of daily purchase revenue: trend = a
+    7-day centered moving average over the gap-filled date spine, weekly
+    seasonal = mean detrended value per day-of-week, residual = the rest —
+    the classical decomposition behind anomaly baselines and
+    seasonality-aware forecasts. The series frame is one row per DAY, so
+    every window here runs over a calendar-bounded frame (years = O(100s)
+    of rows) regardless of event volume; event-scale data is touched only
+    by the first aggregate. Day-of-week keys align across engines
+    (dayofweek-1 == DuckDB's Sunday-0)."""
+    e = table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.min(F.col("ts").cast("date")).alias("lo"),
+        F.max(F.col("ts").cast("date")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.sum("value").alias("rev"))
+    )
+    daily = spine.join(purchases, "day", "left").select(
+        "day", F.coalesce(F.col("rev"), F.lit(0.0)).alias("revenue")
+    )
+    w_tr = W.orderBy("day").rowsBetween(-3, 3)
+    tr = daily.withColumn("trend", F.avg("revenue").over(w_tr))
+    w_se = W.partitionBy(F.dayofweek("day") - 1)
+    se = tr.withColumn("seasonal", F.avg(F.col("revenue") - F.col("trend")).over(w_se))
+    return se.select(
+        "day",
+        F.round("revenue", 2).alias("revenue"),
+        F.round("trend", 4).alias("trend"),
+        F.round("seasonal", 4).alias("seasonal"),
+        F.round(F.col("revenue") - F.col("trend") - F.col("seasonal"), 4).alias("residual"),
+    )
