@@ -799,3 +799,100 @@ def seasonal_decompose_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("seasonal", 4).alias("seasonal"),
         F.round(F.col("revenue") - F.col("trend") - F.col("seasonal"), 4).alias("residual"),
     )
+
+
+HOLT_ALPHA, HOLT_BETA = 0.5, 0.3
+
+
+@query(
+    "forecast_holt_linear",
+    oracle=f"""
+    WITH RECURSIVE bounds AS (
+      SELECT CAST(MIN(ts) AS DATE) AS lo, CAST(MAX(ts) AS DATE) AS hi FROM events),
+    spine AS (
+      SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds),
+    daily AS (
+      SELECT s.day, COALESCE(SUM(e.value), 0.0) AS y,
+             ROW_NUMBER() OVER (ORDER BY s.day) AS rn
+      FROM spine s
+      LEFT JOIN events e
+        ON CAST(e.ts AS DATE) = s.day AND e.event_type = 'purchase'
+      GROUP BY s.day),
+    holt AS (
+      SELECT rn, y,
+             (SELECT y FROM daily WHERE rn = 1) AS l,
+             (SELECT y FROM daily WHERE rn = 2)
+               - (SELECT y FROM daily WHERE rn = 1) AS b
+      FROM daily WHERE rn = 1
+      UNION ALL
+      SELECT d.rn, d.y,
+             {HOLT_ALPHA} * d.y + {1 - HOLT_ALPHA} * (h.l + h.b),
+             {HOLT_BETA} * (({HOLT_ALPHA} * d.y + {1 - HOLT_ALPHA} * (h.l + h.b)) - h.l)
+               + {1 - HOLT_BETA} * h.b
+      FROM daily d JOIN holt h ON d.rn = h.rn + 1),
+    last AS (SELECT l, b FROM holt ORDER BY rn DESC LIMIT 1)
+    SELECT CAST(h.h AS INT) AS horizon_days,
+           ROUND(last.l + h.h * last.b, 4) AS forecast_revenue
+    FROM last, (SELECT UNNEST(range(1, 8)) AS h) h
+    """,
+    category="timeseries",
+)
+def forecast_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend forecast of daily purchase revenue: double
+    exponential smoothing (level alpha=0.5, trend beta=0.3, init l=y1,
+    b=y2-y1) folded over the gap-filled daily series, then a 7-day-ahead
+    linear extrapolation. The recurrence is inherently sequential but runs
+    over the CALENDAR-bounded daily frame (one grouped-map over ~rows =
+    days — the ewma_user_value shape with a singleton key), never over
+    raw events; the event stream is touched once by the daily aggregate.
+    Identical float64 fold order on both engines (recursive-CTE oracle),
+    so the forecast is pinned bit-for-bit like the EWMA twin."""
+    import math  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+
+    e = table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.min(F.col("ts").cast("date")).alias("lo"),
+        F.max(F.col("ts").cast("date")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.sum("value").alias("rev"))
+    )
+    daily = (
+        spine.join(purchases, "day", "left")
+        .select("day", F.coalesce(F.col("rev"), F.lit(0.0)).alias("y"))
+        .withColumn("g", F.lit(1))
+    )
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day")
+        ys = pdf["y"].to_numpy()
+        level = float(ys[0])
+        trend = float(ys[1]) - float(ys[0])
+        for y in ys[1:]:
+            y = float(y)
+            new_level = HOLT_ALPHA * y + (1 - HOLT_ALPHA) * (level + trend)
+            trend = HOLT_BETA * (new_level - level) + (1 - HOLT_BETA) * trend
+            level = new_level
+        return pd.DataFrame(
+            {
+                "horizon_days": pd.Series(range(1, 8), dtype="int32"),
+                "forecast_revenue": [
+                    # floor(x*1e4+0.5)/1e4 == SQL ROUND half-up (values are
+                    # positive revenue levels; python round() is banker's)
+                    math.floor((level + h * trend) * 10000 + 0.5) / 10000
+                    for h in range(1, 8)
+                ],
+            }
+        )
+
+    return daily.groupBy("g").applyInPandas(
+        holt, "horizon_days int, forecast_revenue double"
+    )
