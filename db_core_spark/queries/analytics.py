@@ -2176,3 +2176,70 @@ def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("m1") - F.col("m2")) / F.sqrt(se2), 6).alias("t_stat"),
         F.round(dfw, 4).alias("welch_df"),
     )
+
+
+@query(
+    "stats_mann_whitney_u",
+    oracle="""
+    WITH vals AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (ORDER BY value, event_id) AS rn
+      FROM events WHERE event_type IN ('click', 'purchase')),
+    ranked AS (
+      SELECT event_type, AVG(rn) OVER (PARTITION BY value) AS avg_rank
+      FROM vals),
+    agg AS (
+      SELECT CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS DOUBLE)
+               AS n1,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE)
+               AS n2,
+             SUM(CASE WHEN event_type = 'click' THEN avg_rank ELSE 0 END) AS r1
+      FROM ranked)
+    SELECT ROUND(r1 - n1 * (n1 + 1) / 2, 4) AS u_stat,
+           ROUND((r1 - n1 * (n1 + 1) / 2 - n1 * n2 / 2)
+                 / sqrt(n1 * n2 * (n1 + n2 + 1) / 12), 6) AS z_score
+    FROM agg
+    """,
+    category="timeseries",
+)
+def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) between click and purchase
+    values — the nonparametric A/B test for when means lie (heavy tails,
+    outliers): compare RANKS, not values. Average ranks handle ties
+    exactly (mean row_number per equal-value group), and the
+    normal-approximation z-score accompanies U. The global rank is the one
+    sequential-looking step: at 100 TB it becomes the distributed two-pass
+    rank of pareto_revenue_concentration (per-partition counts -> offsets
+    broadcast -> local ranks), identical arithmetic; the fixture-scale
+    single window keeps the oracle exact."""
+    from pyspark.sql import Window as W2
+
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    vals = e.select(
+        "event_type",
+        "value",
+        F.row_number().over(W2.orderBy("value", "event_id")).alias("rn"),
+    )
+    ranked = vals.select(
+        "event_type", F.avg("rn").over(W2.partitionBy("value")).alias("avg_rank")
+    )
+    agg = ranked.agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("double")
+        .alias("n1"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("double")
+        .alias("n2"),
+        F.sum(
+            F.when(F.col("event_type") == "click", F.col("avg_rank")).otherwise(0.0)
+        ).alias("r1"),
+    )
+    u = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2
+    z = (u - F.col("n1") * F.col("n2") / 2) / F.sqrt(
+        F.col("n1") * F.col("n2") * (F.col("n1") + F.col("n2") + 1) / 12
+    )
+    return agg.select(
+        F.round(u, 4).alias("u_stat"), F.round(z, 6).alias("z_score")
+    )
