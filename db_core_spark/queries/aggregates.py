@@ -936,3 +936,37 @@ def agg_percentile_approx_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("l_extendedprice", 0.99), 4).alias("exact_p99"),
         F.round(F.percentile_approx("l_extendedprice", 0.99, 1000), 4).alias("approx_p99"),
     )
+
+
+@query("agg_hll_datasketch_union", oracle=None, category="aggregate")
+def agg_hll_datasketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native Apache DataSketches HLL (Spark's hll_sketch_agg /
+    hll_union_agg / hll_sketch_estimate): per-group binary sketches whose
+    UNION is re-aggregated into a corpus-wide distinct estimate — the
+    interoperable-sketch path (the same binary sketch merges in any
+    DataSketches runtime, unlike approx_count_distinct's internal HLL++
+    state or the repo's hand-rolled register arrays in
+    agg_hll_mergeable_sketch, which pin the arithmetic instead). Emits
+    per-group AND unioned estimates next to exact distinct counts.
+    Rows-only (sketch estimates are engine-specific); pytest bounds every
+    relative error and checks the union estimate covers the global
+    distinct count."""
+    li = table(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_partkey", 12).alias("sk"),
+        F.countDistinct("l_partkey").alias("exact_distinct"),
+    )
+    per_flag = per.select(
+        F.col("l_returnflag").alias("scope"),
+        F.round(F.hll_sketch_estimate("sk"), 2).alias("est_distinct"),
+        "exact_distinct",
+    )
+    union_row = per.agg(
+        F.hll_union_agg("sk").alias("u"),
+        F.first(F.lit(1)).alias("_d"),
+    ).select(
+        F.lit("union").alias("scope"),
+        F.round(F.hll_sketch_estimate("u"), 2).alias("est_distinct"),
+        F.lit(None).cast("long").alias("exact_distinct"),
+    )
+    return per_flag.unionByName(union_row)

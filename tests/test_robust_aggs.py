@@ -145,3 +145,18 @@ def test_ivf_recall_sweep_monotone(spark):
     assert all(b > a for a, b in zip(cands, cands[1:])), cands
     assert recalls[-1] > recalls[0]
     assert 0 < recalls[0] and recalls[-1] <= 1.0
+
+
+def test_hll_datasketch_estimates_within_bounds(spark):
+    from db_core_spark.registry import all_queries
+
+    rows = all_queries()["agg_hll_datasketch_union"].fn(spark, SF_MED).collect()
+    per = [r for r in rows if r.scope != "union"]
+    union = [r for r in rows if r.scope == "union"]
+    assert per and len(union) == 1
+    for r in per:
+        assert abs(r.est_distinct - r.exact_distinct) / r.exact_distinct < 0.05, r
+    global_exact = (
+        table(spark, SF_MED, "lineitem").select("l_partkey").distinct().count()
+    )
+    assert abs(union[0].est_distinct - global_exact) / global_exact < 0.05
