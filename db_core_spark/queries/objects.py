@@ -600,3 +600,76 @@ def multimodal_text_image_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pos.unionByName(negs).join(dhashes, "image_doc_id").select(
         "doc_id", "image_doc_id", "label", "image_dhash"
     )
+
+
+@query("multimodal_audio_vad", oracle=None, category="multimodal")
+def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity detection over synthetic audio: each document renders
+    to a 4-segment PCM-like byte stream (speech segments = md5-keystream
+    noise, silence segments = constant midpoint — which segments are which
+    is planted per doc_id), then STFT-style frames (512-byte window,
+    256-byte hop, the chunk_audio geometry) score mean squared deviation
+    from the midpoint and frames above the energy threshold flag active —
+    the segmentation pass an ASR pipeline runs before transcribing
+    anything. Framing and scoring happen inside one mapInPandas over the
+    partition holding the payload: zero shuffle, only (doc, frame, energy,
+    flag) rows emerge. Rows-only (codec synthesis); pytest pins frames
+    inside planted silence to energy 0 / inactive and frames inside
+    planted speech to active."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    seg_bytes, window, hop = 1024, 512, 256
+    n_segs, threshold = 4, 100.0
+
+    def synth_pcm(text: str, doc_id: int) -> bytes:
+        import hashlib
+
+        buf = bytearray()
+        for s in range(n_segs):
+            if (doc_id + s) % 2 == 0:  # planted speech segment
+                seed = f"{text}:aud{s}".encode()
+                chunk = bytearray()
+                ctr = 0
+                while len(chunk) < seg_bytes:
+                    chunk.extend(hashlib.md5(seed + ctr.to_bytes(4, "big")).digest())
+                    ctr += 1
+                buf.extend(chunk[:seg_bytes])
+            else:  # planted silence
+                buf.extend(b"\x80" * seg_bytes)
+        return bytes(buf)
+
+    def vad(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out = {"doc_id": [], "frame_no": [], "start_byte": [], "energy": [], "active": []}
+        for pdf in batches:
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = synth_pcm(text, int(doc_id))
+                n = len(data)
+                i = 0
+                while i * hop < n:
+                    s = i * hop
+                    frame = data[s : s + window]
+                    energy = sum((b - 128) * (b - 128) for b in frame) / len(frame)
+                    out["doc_id"].append(doc_id)
+                    out["frame_no"].append(i)
+                    out["start_byte"].append(s)
+                    out["energy"].append(round(energy, 4))
+                    out["active"].append(energy > threshold)
+                    i += 1
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                "frame_no": pd.Series(out["frame_no"], dtype="int32"),
+                "start_byte": pd.Series(out["start_byte"], dtype="int64"),
+                "energy": pd.Series(out["energy"], dtype="float64"),
+                "active": pd.Series(out["active"], dtype="bool"),
+            }
+        )
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") <= 60
+    )
+    return d.mapInPandas(
+        vad, "doc_id long, frame_no int, start_byte long, energy double, active boolean"
+    )

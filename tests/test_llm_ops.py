@@ -462,3 +462,27 @@ def test_text_image_pairs_labels_and_determinism(spark):
     assert n_neg == 200  # k=2 per doc
     again = {(r.doc_id, r.image_doc_id, r.label, r.image_dhash) for r in fn(spark, SF_SMALL).collect()}
     assert again == {(r.doc_id, r.image_doc_id, r.label, r.image_dhash) for r in rows}
+
+
+def test_audio_vad_matches_planted_segments(spark):
+    """Frames fully inside planted silence must be exactly zero-energy and
+    inactive; frames fully inside planted speech must be active."""
+    from db_core_spark.registry import all_queries
+
+    rows = all_queries()["multimodal_audio_vad"].fn(spark, SF_SMALL).collect()
+    assert rows
+    seg_bytes, window = 1024, 512
+    checked_sil = checked_sp = 0
+    for r in rows:
+        seg_start = r.start_byte // seg_bytes
+        seg_end = (r.start_byte + window - 1) // seg_bytes
+        if seg_start != seg_end:
+            continue  # boundary frame: mixed content, either outcome fine
+        speech = (r.doc_id + seg_start) % 2 == 0
+        if speech:
+            assert r.active and r.energy > 1000, r
+            checked_sp += 1
+        else:
+            assert not r.active and r.energy == 0.0, r
+            checked_sil += 1
+    assert checked_sil > 50 and checked_sp > 50
