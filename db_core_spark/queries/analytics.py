@@ -2243,3 +2243,97 @@ def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         F.round(u, 4).alias("u_stat"), F.round(z, 6).alias("z_score")
     )
+
+
+@query(
+    "stats_bootstrap_ci",
+    oracle="""
+    WITH reps AS (SELECT unnest(range(0, 100)) AS rep),
+    w AS (
+      SELECT d.lang, r.rep, d.n_chars,
+             -ln((CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':'
+                                       || CAST(r.rep AS VARCHAR)), 1, 4))
+                       AS INT) + 1) / 65537.0) AS wt
+      FROM documents d CROSS JOIN reps r),
+    m AS (
+      SELECT lang, rep, SUM(wt * n_chars) / SUM(wt) AS mw
+      FROM w GROUP BY lang, rep),
+    ranked AS (
+      SELECT lang, mw,
+             row_number() OVER (PARTITION BY lang ORDER BY mw, rep) AS rk
+      FROM m),
+    ci AS (
+      SELECT lang,
+             ROUND(MAX(CASE WHEN rk = 3 THEN mw END), 4) AS ci_lo,
+             ROUND(MAX(CASE WHEN rk = 98 THEN mw END), 4) AS ci_hi
+      FROM ranked GROUP BY lang),
+    base AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             ROUND(AVG(n_chars), 4) AS mean_chars
+      FROM documents GROUP BY lang)
+    SELECT b.lang, b.n_docs, b.mean_chars, c.ci_lo, c.ci_hi
+    FROM base b JOIN ci c USING (lang)
+    """,
+    category="aggregate",
+)
+def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap confidence interval for mean document length per
+    language — the Bayesian bootstrap (Rubin 1981): each of 100 replicates
+    reweights every row by an Exponential(1) draw instead of resampling,
+    so the whole procedure is a single weighted aggregation, trivially
+    distributed. Draws are DETERMINISTIC — exp weight = -ln(u) with u from
+    md5(doc_id, replicate) — so any engine reproduces the same CI
+    bit-for-bit (engine-portable randomness, same trick as
+    sample_hash_deterministic). CI bounds are exact order statistics
+    (3rd / 98th of 100 replicate means), no interpolation ambiguity.
+
+    100 TB shape: the x100 replicate explode happens AFTER projection to
+    (lang, n_chars, doc_id) and feeds a hash aggregate with map-side
+    partial sums, so the shuffle carries parts x langs x 100 partial rows
+    — not 100 copies of the data. Driver-side never sees more than
+    langs x 100 replicate means. This is how you put error bars on any
+    corpus statistic without a second pass over the data."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    reps = d.select(
+        "lang",
+        "n_chars",
+        F.posexplode(F.array_repeat(F.lit(0), 100)).alias("rep", "_z"),
+        F.col("doc_id"),
+    )
+    h16 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("rep").cast("string"),
+                )
+            ),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("int")
+    wt = -F.log((h16 + F.lit(1)) / F.lit(65537.0))
+    m = (
+        reps.withColumn("wt", wt)
+        .groupBy("lang", "rep")
+        .agg((F.sum(F.col("wt") * F.col("n_chars")) / F.sum("wt")).alias("mw"))
+    )
+    rk = F.row_number().over(W.partitionBy("lang").orderBy("mw", "rep"))
+    ci = (
+        m.withColumn("rk", rk)
+        .groupBy("lang")
+        .agg(
+            F.round(F.max(F.when(F.col("rk") == 3, F.col("mw"))), 4).alias("ci_lo"),
+            F.round(F.max(F.when(F.col("rk") == 98, F.col("mw"))), 4).alias("ci_hi"),
+        )
+    )
+    base = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("mean_chars"),
+    )
+    return base.join(F.broadcast(ci), "lang").select(
+        "lang", "n_docs", "mean_chars", "ci_lo", "ci_hi"
+    )

@@ -574,3 +574,138 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_oov") * 1.0 / F.col("n_tokens"), 6).alias("oov_rate"),
         )
     )
+
+
+# --- C4-style segment-level corpus dedup -----------------------------------
+# Fixture docs are single-line, so the "line" unit of C4's famous dedup
+# (Raffel et al. 2020, §2.2: "we discarded all but one of any three-sentence
+# span occurring more than once") is re-expressed as fixed-width word
+# segments. The shape is identical: explode the corpus into segments, pick
+# ONE global winner per distinct segment (first occurrence in (doc_id,
+# seg_idx) order), drop every other copy, reassemble the surviving text.
+
+_SEG_CTE = """
+    base AS (SELECT doc_id, source, str_split(text, ' ') AS ws FROM documents),
+    segd AS (
+      SELECT doc_id, source,
+             unnest(range(0, CAST(ceil(len(ws) / {w}.0) AS BIGINT))) AS seg_idx,
+             unnest(list_transform(
+                 range(0, CAST(ceil(len(ws) / {w}.0) AS BIGINT)),
+                 i -> array_to_string(ws[(i*{w}+1):(i*{w}+{w})], ' '))) AS seg
+      FROM base)
+"""
+
+
+def _segments(d: DataFrame, width: int) -> DataFrame:
+    """Explode documents into consecutive ``width``-word segments WITHOUT a
+    shuffle: the segment array is built row-locally from ``split(text)``
+    (sequence + slice + concat_ws), then posexploded. No groupBy is needed
+    to form segments, so the only exchanges in the consuming operators are
+    the ones their own semantics require."""
+    ws = F.split(F.col("text"), " ")
+    n_seg = (F.ceil(F.size(ws) / F.lit(float(width)))).cast("int")
+    seg_arr = F.transform(
+        F.sequence(F.lit(0), n_seg - F.lit(1)),
+        lambda i: F.concat_ws(" ", F.slice(ws, i * width + 1, width)),
+    )
+    return d.select(
+        "doc_id", "source", F.posexplode(seg_arr).alias("seg_idx", "seg")
+    )
+
+
+@query(
+    "dedup_segments_global",
+    oracle="WITH "
+    + _SEG_CTE.format(w=5)
+    + """,
+    ranked AS (
+      SELECT doc_id, seg_idx, seg,
+             row_number() OVER (PARTITION BY md5(seg)
+                                ORDER BY doc_id, seg_idx) AS rn
+      FROM segd)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_seg,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN seg END, ' '
+                                   ORDER BY seg_idx), '')) AS clean_md5
+    FROM ranked
+    GROUP BY doc_id
+    """,
+    category="llm",
+)
+def dedup_segments_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style global segment dedup: every distinct 5-word segment survives
+    exactly once corpus-wide (first occurrence by (doc_id, seg_idx) wins);
+    all other copies are cut and each document is reassembled from its
+    surviving segments (per-doc kept/dropped counts + md5 of the cleaned
+    text).
+
+    100 TB shape: the winner-election window partitions by md5(seg) — a
+    fixed 32-char key — so the exchange never keys on variable-length text,
+    and segment formation itself is shuffle-free (row-local array ops).
+    This is one corpus shuffle + one per-doc hash aggregate, the minimum
+    any global cross-document dedup can do. At even larger scale the same
+    plan holds with the window swapped for a groupBy(digest).min(pos) +
+    co-partitioned self-join; semantics identical.
+
+    Reference analog: db-core dedups at object granularity via key
+    identity (/root/reference/src/instance.rs:191-210); this extends the
+    idea to sub-document granularity, the C4/RefinedWeb curation step.
+    """
+    from pyspark.sql import Window as PW
+
+    d = table(spark, sf_dir, "documents")
+    segd = _segments(d, width=5)
+    rn = F.row_number().over(
+        PW.partitionBy(F.md5("seg")).orderBy("doc_id", "seg_idx")
+    )
+    ranked = segd.withColumn("rn", rn).withColumn(
+        "kept_seg", F.when(F.col("rn") == 1, F.col("seg"))
+    )
+    kept_sorted = F.transform(
+        F.filter(
+            F.array_sort(F.collect_list(F.struct("seg_idx", "kept_seg"))),
+            lambda s: s["kept_seg"].isNotNull(),
+        ),
+        lambda s: s["kept_seg"],
+    )
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_seg"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.md5(F.concat_ws(" ", kept_sorted)).alias("clean_md5"),
+    )
+
+
+@query(
+    "text_boilerplate_segments",
+    oracle="WITH "
+    + _SEG_CTE.format(w=3)
+    + """
+    SELECT source, seg,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM segd
+    GROUP BY source, seg
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+    category="llm",
+)
+def text_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate mining: 3-word segments repeated across >= 2 distinct
+    documents of the SAME source (the nav-bar / footer / license-header
+    signature of a crawl source). The output is the removal list a cleanup
+    pass would broadcast-anti-join against the corpus.
+
+    100 TB shape: one hash aggregate keyed on (source, segment) with
+    map-side partial counts-distinct folded into the same exchange; the
+    result is tiny by construction (only repeated segments survive
+    HAVING), which is exactly what makes the follow-up broadcast join
+    cheap. Per-source grouping also mirrors how crawl corpora are laid
+    out (partitioned by source), so in a partitioned deployment this
+    aggregate runs partition-local."""
+    d = table(spark, sf_dir, "documents")
+    segd = _segments(d, width=3)
+    return (
+        segd.groupBy("source", "seg")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )
