@@ -280,3 +280,61 @@ def negative_pair_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.join(d2, "neg_doc_id").select(
         "doc_id", F.col("i").cast("int").alias("neg_rank"), "neg_doc_id", "neg_source", "neg_n_chars"
     )
+
+
+@query(
+    "corpus_mix_temperature",
+    oracle="""
+    WITH per_src AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    tot AS (
+      SELECT SUM(n_tokens) AS tot_tokens,
+             SUM(sqrt(n_tokens)) AS tot_temp
+      FROM per_src)
+    SELECT p.source, p.n_docs, p.n_tokens,
+           ROUND(p.n_tokens / t.tot_tokens, 6) AS raw_share,
+           ROUND(sqrt(p.n_tokens) / t.tot_temp, 6) AS temp_share,
+           ROUND((sqrt(p.n_tokens) / t.tot_temp)
+                 / (p.n_tokens / t.tot_tokens), 4) AS oversample_factor
+    FROM per_src p CROSS JOIN tot t
+    """,
+    category="sampling",
+)
+def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based training-mix reweighting (T=2, i.e. alpha=1/2 as
+    in multilingual pre-training: sample source i proportional to
+    tokens_i^(1/T) instead of tokens_i), reported as per-source raw vs
+    temperature-flattened sampling shares and the oversample factor a
+    sampler must apply per epoch. Complements source_mix_rebalance (the
+    hard per-source cap): this op computes the TARGET distribution, that
+    one enforces a cap row-wise.
+
+    100 TB shape: one map-side-combined hash aggregate over the corpus
+    (token counts fold per-partition before the source-keyed exchange);
+    the normalization joins a broadcast single-row totals relation against
+    the ~|sources| aggregate — the corpus is scanned once and never
+    reshuffled."""
+    d = table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
+    )
+    tot = per_src.agg(
+        F.sum("n_tokens").alias("tot_tokens"),
+        F.sum(F.sqrt("n_tokens")).alias("tot_temp"),
+    )
+    return per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("tot_tokens"), 6).alias("raw_share"),
+        F.round(F.sqrt("n_tokens") / F.col("tot_temp"), 6).alias("temp_share"),
+        F.round(
+            (F.sqrt("n_tokens") / F.col("tot_temp"))
+            / (F.col("n_tokens") / F.col("tot_tokens")),
+            4,
+        ).alias("oversample_factor"),
+    )
