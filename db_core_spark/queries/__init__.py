@@ -24,4 +24,5 @@ from db_core_spark.queries import (  # noqa: F401
     timeseries,
     graph,
     layout,
+    geo,
 )

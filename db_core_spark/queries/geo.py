@@ -1,0 +1,164 @@
+"""Geospatial operators: grid-cell binning and blocked haversine KNN.
+
+Goal-derived (SURVEY.md §2C — the reference has no relational operators at
+all, let alone spatial ones): location analytics is a standard ask of an
+analytics engine, and at 100 TB the viable shapes are exactly the two here —
+cell-grid aggregation (one hash aggregate keyed on a computed cell id) and
+top-k-nearest against a SMALL broadcast query set with rank-limit pruning.
+Fixture tables carry no coordinates, so deterministic lat/lon are seeded
+from row keys with the same engine-portable md5 trick as
+sample_hash_deterministic (queries/sampling.py) — both engines derive
+bit-identical doubles, so even the trig-heavy haversine ranking agrees
+exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from db_core_spark.registry import query
+from db_core_spark.tables import table
+
+# Synthetic but deterministic coordinates: a 1° x 1° box (~111 km square).
+# lat in [40, 41), lon in [-74.5, -73.5); 16-bit md5 prefix => ~1.7 m grid.
+_LAT0, _LON0 = 40.0, -74.5
+
+_H16_SQL = "CAST(('0x' || substr(md5({s}), 1, 4)) AS INT)"
+_LAT_KEY = "'lat:' || CAST({k} AS VARCHAR)"
+_LON_KEY = "'lon:' || CAST({k} AS VARCHAR)"
+_LAT_SQL = f"({_LAT0} + {_H16_SQL.format(s=_LAT_KEY)} / 65536.0)"
+_LON_SQL = f"({_LON0} + {_H16_SQL.format(s=_LON_KEY)} / 65536.0)"
+
+
+def _h16(col: F.Column) -> F.Column:
+    return F.conv(F.substring(F.md5(col), 1, 4), 16, 10).cast("int")
+
+
+def _lat(key: F.Column) -> F.Column:
+    return F.lit(_LAT0) + _h16(F.concat(F.lit("lat:"), key.cast("string"))) / F.lit(65536.0)
+
+
+def _lon(key: F.Column) -> F.Column:
+    return F.lit(_LON0) + _h16(F.concat(F.lit("lon:"), key.cast("string"))) / F.lit(65536.0)
+
+
+@query(
+    "geo_cell_density",
+    oracle=f"""
+    WITH pts AS (
+      SELECT c_custkey, c_acctbal,
+             {_LAT_SQL.format(k='c_custkey')} AS lat,
+             {_LON_SQL.format(k='c_custkey')} AS lon
+      FROM customer)
+    SELECT CAST(floor(lat / 0.05) AS BIGINT) AS cell_x,
+           CAST(floor(lon / 0.05) AS BIGINT) AS cell_y,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(AVG(c_acctbal), 4) AS avg_acctbal
+    FROM pts
+    GROUP BY 1, 2
+    """,
+    category="geo",
+)
+def geo_cell_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial density grid: customers binned into 0.05° (~5.5 km) cells
+    with per-cell counts and balance means. The cell id is a row-local
+    computed key, so this is ONE map-side-combined hash aggregate over the
+    points table — the canonical heatmap/tiling shape that holds at any
+    scale (shuffle volume = number of occupied cells, not points). The
+    same computed-cell-key technique is the blocking stage of every
+    distributed spatial join."""
+    c = table(spark, sf_dir, "customer")
+    lat, lon = _lat(F.col("c_custkey")), _lon(F.col("c_custkey"))
+    return (
+        c.select(
+            F.floor(lat / 0.05).alias("cell_x"),
+            F.floor(lon / 0.05).alias("cell_y"),
+            "c_acctbal",
+        )
+        .groupBy("cell_x", "cell_y")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+        )
+    )
+
+
+@query(
+    "geo_haversine_knn",
+    oracle=f"""
+    WITH q AS (
+      SELECT s_suppkey,
+             {_LAT_SQL.format(k='s_suppkey')} AS qlat,
+             {_LON_SQL.format(k='s_suppkey')} AS qlon
+      FROM supplier WHERE s_suppkey <= 10),
+    c AS (
+      SELECT c_custkey,
+             {_LAT_SQL.format(k='c_custkey')} AS clat,
+             {_LON_SQL.format(k='c_custkey')} AS clon
+      FROM customer),
+    d AS (
+      SELECT s_suppkey, c_custkey,
+             12742.0 * asin(sqrt(
+               sin(radians(clat - qlat) / 2) * sin(radians(clat - qlat) / 2)
+               + cos(radians(qlat)) * cos(radians(clat))
+                 * sin(radians(clon - qlon) / 2) * sin(radians(clon - qlon) / 2)
+             )) AS dist
+      FROM c CROSS JOIN q),
+    r AS (
+      SELECT s_suppkey, c_custkey, dist,
+             row_number() OVER (PARTITION BY s_suppkey
+                                ORDER BY dist, c_custkey) AS rk
+      FROM d)
+    SELECT s_suppkey, c_custkey, ROUND(dist, 4) AS dist_km,
+           CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= 5
+    """,
+    category="geo",
+)
+def geo_haversine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5-nearest customers to each of 10 supplier locations by
+    haversine distance (2R·asin(√h), R=6371 km).
+
+    100 TB shape: the query side is tiny and BROADCAST, so the points
+    table is scanned once with a row-local distance expression (pure
+    codegen trig — no UDF) and never reshuffled; the rank<=5 filter over
+    the per-query window triggers Spark's WindowGroupLimit, which prunes
+    each partition to its local top-5 BEFORE the exchange, capping
+    shuffle volume at partitions x queries x 5 rows regardless of table
+    size. For a LARGE query side this op composes with cell blocking
+    (geo_cell_density's computed cell key as the equi-join key) instead
+    of broadcast — same distance kernel, candidate pairs bounded by
+    neighborhood cells."""
+    q = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") <= 10)
+        .select(
+            "s_suppkey",
+            _lat(F.col("s_suppkey")).alias("qlat"),
+            _lon(F.col("s_suppkey")).alias("qlon"),
+        )
+    )
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        _lat(F.col("c_custkey")).alias("clat"),
+        _lon(F.col("c_custkey")).alias("clon"),
+    )
+    sa = F.sin(F.radians(F.col("clat") - F.col("qlat")) / 2)
+    sb = F.sin(F.radians(F.col("clon") - F.col("qlon")) / 2)
+    h = sa * sa + F.cos(F.radians("qlat")) * F.cos(F.radians("clat")) * sb * sb
+    dist = F.lit(12742.0) * F.asin(F.sqrt(h))
+    rk = F.row_number().over(
+        W.partitionBy("s_suppkey").orderBy("dist", "c_custkey")
+    )
+    return (
+        c.crossJoin(F.broadcast(q))
+        .withColumn("dist", dist)
+        .withColumn("rk", rk)
+        .filter(F.col("rk") <= 5)
+        .select(
+            "s_suppkey",
+            "c_custkey",
+            F.round("dist", 4).alias("dist_km"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
