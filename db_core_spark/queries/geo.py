@@ -162,3 +162,88 @@ def geo_haversine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("long").alias("rk"),
         )
     )
+
+
+@query(
+    "geo_cell_join_pairs",
+    oracle=f"""
+    WITH pts AS (
+      SELECT c_custkey,
+             {_LAT_SQL.format(k='c_custkey')} AS lat,
+             {_LON_SQL.format(k='c_custkey')} AS lon
+      FROM customer),
+    d AS (
+      SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+             12742.0 * asin(sqrt(
+               sin(radians(b.lat - a.lat) / 2) * sin(radians(b.lat - a.lat) / 2)
+               + cos(radians(a.lat)) * cos(radians(b.lat))
+                 * sin(radians(b.lon - a.lon) / 2) * sin(radians(b.lon - a.lon) / 2)
+             )) AS dist
+      FROM pts a JOIN pts b ON a.c_custkey < b.c_custkey)
+    SELECT id_a, id_b, ROUND(dist, 4) AS dist_km
+    FROM d WHERE dist <= 2.0
+    """,
+    category="geo",
+)
+def geo_cell_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All customer pairs within 2 km — computed with NEIGHBOR-CELL
+    BLOCKING while the oracle is the naive O(n²) self-join, so the gate
+    PROVES the blocked plan computes exactly the brute-force semantics.
+
+    Exactness argument: cells are 0.05° (>= ~4.2 km on the shortest axis
+    at this latitude), so any pair within 2 km lies in the same or an
+    adjacent cell; enumerating each point into its home cell and the
+    candidate side into the 3x3 neighborhood covers every qualifying pair
+    exactly once (dedup by home-cell ownership of the pair's first
+    element plus id ordering).
+
+    100 TB shape: this is the distributed spatial-join pattern — a 9x
+    replication of one side into neighbor cells, then a hash EQUI-join on
+    the cell key (never a cross join), distance verified row-locally
+    after the join. Candidate volume is sum over cells of n_i * m_3x3,i —
+    linear for bounded density — vs the quadratic brute force the oracle
+    runs. Same blocking composes for polygon containment and trajectory
+    joins."""
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        _lat(F.col("c_custkey")).alias("lat"),
+        _lon(F.col("c_custkey")).alias("lon"),
+    )
+    home = c.select(
+        "c_custkey", "lat", "lon",
+        F.floor(F.col("lat") / 0.05).alias("cx"),
+        F.floor(F.col("lon") / 0.05).alias("cy"),
+    )
+    # Candidate side replicated into its 3x3 cell neighborhood.
+    offsets = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    ])
+    neigh = (
+        home.select("c_custkey", "lat", "lon", "cx", "cy",
+                    F.explode(offsets).alias("o"))
+        .select(
+            F.col("c_custkey").alias("id_b"),
+            F.col("lat").alias("blat"),
+            F.col("lon").alias("blon"),
+            (F.col("cx") + F.col("o.dx")).alias("cx"),
+            (F.col("cy") + F.col("o.dy")).alias("cy"),
+        )
+    )
+    a = home.select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("lat").alias("alat"),
+        F.col("lon").alias("alon"),
+        "cx", "cy",
+    )
+    sa = F.sin(F.radians(F.col("blat") - F.col("alat")) / 2)
+    sb = F.sin(F.radians(F.col("blon") - F.col("alon")) / 2)
+    h = sa * sa + F.cos(F.radians("alat")) * F.cos(F.radians("blat")) * sb * sb
+    dist = F.lit(12742.0) * F.asin(F.sqrt(h))
+    return (
+        a.join(neigh, ["cx", "cy"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", dist)
+        .filter(F.col("dist") <= 2.0)
+        .select("id_a", "id_b", F.round("dist", 4).alias("dist_km"))
+    )
