@@ -25,4 +25,5 @@ from db_core_spark.queries import (  # noqa: F401
     graph,
     layout,
     geo,
+    privacy,
 )

@@ -2337,3 +2337,78 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.join(F.broadcast(ci), "lang").select(
         "lang", "n_docs", "mean_chars", "ci_lo", "ci_hi"
     )
+
+
+@query(
+    "stats_cuped_adjustment",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             SUM(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+                      THEN o_totalprice ELSE 0 END) AS pre,
+             SUM(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+                      THEN o_totalprice ELSE 0 END) AS post
+      FROM orders GROUP BY 1),
+    seg AS (
+      SELECT c.c_mktsegment AS segment, p.pre, p.post
+      FROM per_cust p JOIN customer c ON p.o_custkey = c.c_custkey),
+    m AS (
+      SELECT segment,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             covar_pop(pre, post) / var_pop(pre) AS theta,
+             var_pop(pre) AS var_pre,
+             var_pop(post) AS var_post
+      FROM seg GROUP BY 1)
+    SELECT segment, n_users,
+           ROUND(theta, 6) AS theta,
+           ROUND(sqrt(var_post), 2) AS sd_post,
+           ROUND(sqrt(var_post - theta * theta * var_pre), 2) AS sd_adj,
+           ROUND(100.0 * (1.0 - (var_post - theta * theta * var_pre)
+                                / var_post), 4) AS var_reduction_pct
+    FROM m
+    """,
+    category="aggregate",
+)
+def stats_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013, the standard online-
+    experimentation estimator): per customer, pre-period spend (orders
+    before 1998) is the covariate for post-period spend; per market
+    segment we report theta = cov(pre,post)/var(pre) and how much metric
+    variance the adjusted estimator post - theta*(pre - mean(pre))
+    removes. This is the op an experimentation platform runs over every
+    metric x segment pair.
+
+    100 TB shape: two chained hash aggregates — per-entity conditional
+    sums (map-side combined over the facts), then per-segment moment
+    aggregation via built-in covar_pop/var_pop (single-pass streaming
+    moments, no second scan). Nothing driver-side; segments are the only
+    output rows."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    cut = F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.when(F.col("o_orderdate") < cut, F.col("o_totalprice")).otherwise(0.0)).alias("pre"),
+        F.sum(F.when(F.col("o_orderdate") >= cut, F.col("o_totalprice")).otherwise(0.0)).alias("post"),
+    )
+    seg = per_cust.join(
+        c.select(F.col("c_custkey").alias("o_custkey"),
+                 F.col("c_mktsegment").alias("segment")),
+        "o_custkey",
+    )
+    m = seg.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        (F.covar_pop("pre", "post") / F.var_pop("pre")).alias("theta"),
+        F.var_pop("pre").alias("var_pre"),
+        F.var_pop("post").alias("var_post"),
+    )
+    var_adj = F.col("var_post") - F.col("theta") * F.col("theta") * F.col("var_pre")
+    return m.select(
+        "segment",
+        "n_users",
+        F.round("theta", 6).alias("theta"),
+        F.round(F.sqrt("var_post"), 2).alias("sd_post"),
+        F.round(F.sqrt(var_adj), 2).alias("sd_adj"),
+        F.round(100.0 * (F.lit(1.0) - var_adj / F.col("var_post")), 4).alias(
+            "var_reduction_pct"
+        ),
+    )

@@ -247,3 +247,73 @@ def geo_cell_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= 2.0)
         .select("id_a", "id_b", F.round("dist", 4).alias("dist_km"))
     )
+
+
+@query(
+    "geo_trajectory_length",
+    oracle=f"""
+    WITH pts AS (
+      SELECT user_id, ts, event_id,
+             {_LAT_SQL.format(k='event_id')} AS lat,
+             {_LON_SQL.format(k='event_id')} AS lon
+      FROM events),
+    hops AS (
+      SELECT user_id, lat, lon,
+             lag(lat) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS plat,
+             lag(lon) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS plon
+      FROM pts),
+    d AS (
+      SELECT user_id,
+             12742.0 * asin(sqrt(
+               sin(radians(lat - plat) / 2) * sin(radians(lat - plat) / 2)
+               + cos(radians(plat)) * cos(radians(lat))
+                 * sin(radians(lon - plon) / 2) * sin(radians(lon - plon) / 2)
+             )) AS hop_km
+      FROM hops WHERE plat IS NOT NULL)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_hops,
+           ROUND(SUM(hop_km), 4) AS total_km,
+           ROUND(MAX(hop_km), 4) AS max_hop_km
+    FROM d
+    GROUP BY user_id
+    """,
+    category="geo",
+)
+def geo_trajectory_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trajectory statistics: total and maximum hop distance over
+    the user's time-ordered event locations (telemetry's route-length /
+    teleport-detection kernel; a max_hop threshold is the classic GPS
+    glitch filter).
+
+    100 TB shape: ONE window exchange keyed on user_id (bounded, balanced
+    partitions) computes the lag pair; the haversine hop is row-local
+    codegen trig and the per-user reduction is a map-side-combined hash
+    aggregate over rows already co-partitioned by the window — AQE
+    coalesces the second exchange away. Event coordinates are seeded
+    deterministically from event_id (same portable md5 kernel as the rest
+    of this module)."""
+    e = table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    pts = e.select(
+        "user_id", "ts", "event_id",
+        _lat(F.col("event_id")).alias("lat"),
+        _lon(F.col("event_id")).alias("lon"),
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    hops = pts.select(
+        "user_id", "lat", "lon",
+        F.lag("lat").over(w).alias("plat"),
+        F.lag("lon").over(w).alias("plon"),
+    ).filter(F.col("plat").isNotNull())
+    sa = F.sin(F.radians(F.col("lat") - F.col("plat")) / 2)
+    sb = F.sin(F.radians(F.col("lon") - F.col("plon")) / 2)
+    h = sa * sa + F.cos(F.radians("plat")) * F.cos(F.radians("lat")) * sb * sb
+    hop = F.lit(12742.0) * F.asin(F.sqrt(h))
+    return (
+        hops.withColumn("hop_km", hop)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hops"),
+            F.round(F.sum("hop_km"), 4).alias("total_km"),
+            F.round(F.max("hop_km"), 4).alias("max_hop_km"),
+        )
+    )

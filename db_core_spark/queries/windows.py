@@ -341,3 +341,61 @@ def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_last_hour"),
         F.round(F.sum("value").over(w), 2).alias("sum_last_hour"),
     )
+
+
+@query(
+    "window_max_drawdown",
+    oracle="""
+    WITH daily AS (
+      SELECT l_returnflag AS flag, CAST(l_shipdate AS DATE) AS d,
+             SUM(l_extendedprice * (1 - l_discount)) AS rev
+      FROM lineitem GROUP BY 1, 2),
+    dd AS (
+      SELECT flag, d, rev,
+             MAX(rev) OVER (PARTITION BY flag ORDER BY d
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS peak
+      FROM daily)
+    SELECT flag,
+           ROUND(MAX(peak - rev), 2) AS max_drawdown,
+           ROUND(MAX((peak - rev) / peak), 6) AS max_drawdown_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_days
+    FROM dd
+    GROUP BY flag
+    """,
+    category="window",
+)
+def window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the daily-revenue series per return flag: the
+    largest peak-to-trough fall of daily revenue from its running maximum
+    (absolute and as a fraction of the peak) — the standard risk metric
+    for any monitored KPI series, same kernel as a price-series drawdown.
+
+    100 TB shape: the raw facts collapse through a map-side-combined
+    (flag, day) aggregate FIRST, so the running-max window runs over
+    series-length rows (thousands), not fact rows (billions); window
+    partitions are per-flag — bounded and balanced. The final per-flag
+    reduction is a second tiny hash aggregate."""
+    li = table(spark, sf_dir, "lineitem")
+    daily = (
+        li.groupBy(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_shipdate").cast("date").alias("d"),
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+        )
+    )
+    w = (
+        W.partitionBy("flag")
+        .orderBy("d")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    dd = daily.withColumn("peak", F.max("rev").over(w))
+    return dd.groupBy("flag").agg(
+        F.round(F.max(F.col("peak") - F.col("rev")), 2).alias("max_drawdown"),
+        F.round(F.max((F.col("peak") - F.col("rev")) / F.col("peak")), 6).alias(
+            "max_drawdown_pct"
+        ),
+        F.count(F.lit(1)).alias("n_days"),
+    )
