@@ -1061,3 +1061,129 @@ def ann_ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nprobe")
     )
+
+
+def logreg_train(
+    vecs: DataFrame, n_classes: int = 10, iters: int = 12, lr: float = 10.0
+) -> tuple[list[list[float]], list[tuple[int, float, float]]]:
+    """Distributed multinomial logistic regression over (vec_id, vec:
+    array<double>, label) by full-batch gradient descent — the supervised
+    twin of kmeans_lloyd and the kernel of a fastText-style quality
+    classifier a curation pipeline trains at corpus scale.
+
+    Same iterate-on-the-driver shape as kmeans_lloyd: the weight matrix
+    (n_classes x (dim+1), metadata-sized) broadcasts down each round; ONE
+    pass computes row-local class scores -> softmax (pure array
+    expressions, no shuffle, no Python), and the gradient
+    (softmax - onehot) (x) x folds through a posexplode -> (class, dim)
+    hash aggregate whose n_classes*(dim+1) result returns to the driver
+    for the update. Data never leaves the cluster; only gradients
+    round-trip. Loss/accuracy fold into the SAME aggregation pass.
+    Deterministic: W0 = 0, no sampling. Returns (weights, history of
+    (iter, mean_loss, train_acc)) — mean loss is provably decreasing for
+    small enough lr (convex objective)."""
+    from pyspark.sql import SparkSession as _S
+
+    spark = _S.getActiveSession()
+    dim = len(vecs.select("vec").first().vec)
+    xb_dim = dim + 1
+    W = [[0.0] * xb_dim for _ in range(n_classes)]
+    history: list[tuple[int, float, float]] = []
+    data = vecs.select(
+        "label", F.concat(F.col("vec"), F.array(F.lit(1.0))).alias("xb")
+    ).persist()
+    n = data.count()
+    for it in range(iters):
+        wdf = F.broadcast(
+            spark.createDataFrame([(W,)], "W: array<array<double>>")
+        )
+        scores = F.transform(
+            F.col("W"),
+            lambda wc: F.aggregate(
+                F.zip_with(wc, F.col("xb"), lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        mx = F.array_max(F.col("scores"))
+        exps = F.transform(F.col("scores"), lambda s: F.exp(s - mx))
+        z = F.aggregate(F.col("exps"), F.lit(0.0), lambda a, x: a + x)
+        probs = F.transform(F.col("exps"), lambda e: e / z)
+        scored = (
+            data.crossJoin(wdf)
+            .withColumn("scores", scores)
+            .withColumn("exps", exps)
+            .withColumn("probs", probs)
+            .withColumn(
+                "loss", -F.log(F.element_at(F.col("probs"), F.col("label") + 1))
+            )
+            .withColumn(
+                "hit",
+                (
+                    F.expr("array_position(scores, array_max(scores))")
+                    == F.col("label") + 1
+                ).cast("int"),
+            )
+        )
+        # gradient rows: one explode over classes, then one over dims of
+        # the per-class contribution vector (p_c - 1{y=c}) * xb
+        grad_rows = (
+            scored.select(
+                "label", "xb", "loss", "hit",
+                F.posexplode("probs").alias("cls", "p"),
+            )
+            .withColumn(
+                "gvec",
+                F.transform(
+                    F.col("xb"),
+                    lambda xd: (
+                        F.col("p")
+                        - (F.col("cls") == F.col("label")).cast("double")
+                    )
+                    * xd,
+                ),
+            )
+            .select(
+                "cls", "loss", "hit", F.posexplode("gvec").alias("dim", "g")
+            )
+        )
+        agg = (
+            grad_rows.groupBy("cls", "dim")
+            .agg(
+                F.sum("g").alias("gsum"),
+                F.sum("loss").alias("lsum"),
+                F.sum("hit").alias("hsum"),
+            )
+            .collect()
+        )
+        # loss/hit sums are replicated across the (cls, dim) grid — read
+        # them once from the (0, 0) row, which aggregated every vec's row
+        total_loss = next(r.lsum for r in agg if r.cls == 0 and r.dim == 0)
+        total_hit = next(r.hsum for r in agg if r.cls == 0 and r.dim == 0)
+        history.append((it, total_loss / n, total_hit / n))
+        for r in agg:
+            W[r.cls][r.dim] -= lr / n * r.gsum
+    data.unpersist()
+    return W, history
+
+
+@query("embedding_logreg_train", oracle=None, category="vector")
+def embedding_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the 10-class linear classifier on the embedding corpus by
+    distributed full-batch gradient descent (12 rounds) and emit the
+    loss/accuracy curve — the supervised-training counterpart of
+    embedding_kmeans_lloyd, and the shape of every quality-classifier /
+    langid-model training job a curation pipeline runs over labeled
+    documents. Rows-only (iterative float optimization is not
+    SQL-expressible); pytest pins: deterministic replay, strictly
+    decreasing loss, and final train accuracy beating the class prior by
+    >2x on the genuinely label-correlated fixture."""
+    e = table(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        "vec_id", to_double(F.col("embedding")).alias("vec"), "label"
+    )
+    _W, hist = logreg_train(vecs, n_classes=10, iters=12, lr=10.0)
+    return spark.createDataFrame(
+        [(it, round(l, 6), round(a, 6)) for it, l, a in hist],
+        "iter int, mean_loss double, train_acc double",
+    )

@@ -160,3 +160,22 @@ def test_hll_datasketch_estimates_within_bounds(spark):
         table(spark, SF_MED, "lineitem").select("l_partkey").distinct().count()
     )
     assert abs(union[0].est_distinct - global_exact) / global_exact < 0.05
+
+
+def test_logreg_train_convergence_and_determinism(spark):
+    """Full-batch GD on the convex multinomial objective: loss strictly
+    decreases at the tuned rate, replay is bit-deterministic, and final
+    train accuracy beats the 10-class prior by >2x (the fixture's labels
+    genuinely correlate with the embeddings)."""
+    from db_core_spark.queries.vectors import logreg_train, to_double
+
+    vecs = table(spark, SF_MED, "embeddings").select(
+        "vec_id", to_double(F.col("embedding")).alias("vec"), "label"
+    )
+    w1, h1 = logreg_train(vecs, iters=6)
+    losses = [l for _, l, _ in h1]
+    assert all(losses[i + 1] < losses[i] for i in range(len(losses) - 1)), h1
+    w2, h2 = logreg_train(vecs, iters=6)
+    assert h1 == h2 and w1 == w2
+    _, hist12 = logreg_train(vecs, iters=12)
+    assert hist12[-1][2] > 0.25, hist12[-1]
