@@ -1187,3 +1187,109 @@ def embedding_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(it, round(l, 6), round(a, 6)) for it, l, a in hist],
         "iter int, mean_loss double, train_acc double",
     )
+
+
+def covariance_sketch(vecs: DataFrame) -> tuple[int, "object", "object"]:
+    """ONE-pass distributed covariance: each Arrow batch contributes the
+    partial (n, sum x, X^T X) — O(d^2) floats per batch — and the driver
+    folds the tiny partials into (n, mean, covariance). The corpus never
+    shuffles and never round-trips; this is the moment-sketch pattern
+    every distributed PCA/whitening/Mahalanobis pipeline uses. Returns
+    (n, mu: ndarray[d], C: ndarray[d,d]) with C the population
+    covariance."""
+    import numpy as np
+
+    def part(batches):
+        import numpy as np
+        import pandas as pd
+
+        n = 0
+        s = None
+        m = None
+        for pdf in batches:
+            X = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
+            if X.size == 0:
+                continue
+            n += X.shape[0]
+            s = X.sum(0) if s is None else s + X.sum(0)
+            g = X.T @ X
+            m = g if m is None else m + g
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "m": [m.ravel().tolist()]}
+            )
+
+    parts = vecs.select("vec").mapInPandas(
+        part, "n long, s array<double>, m array<double>"
+    ).collect()
+    n = sum(p.n for p in parts)
+    d = len(parts[0].s)
+    s = np.zeros(d)
+    m = np.zeros((d, d))
+    for p in parts:
+        s += np.array(p.s)
+        m += np.array(p.m).reshape(d, d)
+    mu = s / n
+    C = m / n - np.outer(mu, mu)
+    return n, mu, C
+
+
+@query("embedding_pca_whitening", oracle=None, category="vector")
+def embedding_pca_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA of the embedding corpus from a one-pass covariance sketch
+    (covariance_sketch; eigh on the driver's d x d matrix), VERIFIED by a
+    second distributed pass: the top-8 principal components are broadcast
+    back and each component's empirical projected variance is measured on
+    the data — emp_var must reproduce the eigenvalue, and whitened_var
+    (= emp_var / eigenvalue) must be ~1, the whitening invariant. PCA
+    energy ranking is how embedding pipelines pick truncation dims
+    (Matryoshka-style) and precondition for clustering/ANN.
+
+    100 TB shape: pass 1 ships O(d^2) partials per Arrow batch (no
+    shuffle); the d x d eigendecomposition is driver-side metadata work;
+    pass 2 is a broadcast join (8 component rows) + row-local dot
+    products folding into a variance aggregate. Rows-only (eigensolves
+    are not SQL); pytest checks the sketch against numpy's direct
+    covariance and pins the whitening invariant."""
+    import numpy as np
+
+    e = table(spark, sf_dir, "embeddings")
+    vecs = e.select(to_double(F.col("embedding")).alias("vec"))
+    _n, mu, C = covariance_sketch(vecs)
+    eig, U = np.linalg.eigh(C)
+    order = np.argsort(eig)[::-1][:8]
+    comps = [
+        (int(k), float(eig[i]), [float(x) for x in U[:, i]])
+        for k, i in enumerate(order)
+    ]
+    total_var = float(np.trace(C))
+    cdf = F.broadcast(
+        spark.createDataFrame(
+            [(c, ev, v, [float(x) for x in mu]) for c, ev, v in comps],
+            "comp int, eigval double, cvec array<double>, mu array<double>",
+        )
+    )
+    proj = F.aggregate(
+        F.zip_with(
+            F.col("cvec"),
+            F.zip_with(F.col("vec"), F.col("mu"), lambda a, b: a - b),
+            lambda c, xd: c * xd,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    emp = (
+        vecs.crossJoin(cdf)
+        .withColumn("proj", proj)
+        .groupBy("comp", "eigval")
+        .agg(F.var_pop("proj").alias("emp_var"))
+    )
+    return emp.select(
+        "comp",
+        F.round("eigval", 6).alias("eigenvalue"),
+        F.round(F.col("eigval") * 100.0 / F.lit(total_var), 4).alias(
+            "explained_pct"
+        ),
+        F.round("emp_var", 6).alias("emp_var"),
+        F.round(F.col("emp_var") / F.col("eigval"), 6).alias("whitened_var"),
+    ).orderBy("comp")

@@ -179,3 +179,30 @@ def test_logreg_train_convergence_and_determinism(spark):
     assert h1 == h2 and w1 == w2
     _, hist12 = logreg_train(vecs, iters=12)
     assert hist12[-1][2] > 0.25, hist12[-1]
+
+
+def test_covariance_sketch_matches_numpy_and_whitening(spark):
+    """One-pass distributed covariance == numpy direct computation; the
+    PCA query's empirical projected variance reproduces each eigenvalue
+    (whitened_var ~ 1) and eigenvalues come out sorted descending."""
+    import numpy as np
+
+    from db_core_spark.queries.vectors import covariance_sketch, to_double
+    from db_core_spark.registry import all_queries
+
+    vecs = table(spark, SF_SMALL, "embeddings").select(
+        to_double(F.col("embedding")).alias("vec")
+    )
+    n, mu, C = covariance_sketch(vecs)
+    X = np.array([r.vec for r in vecs.collect()])
+    assert n == X.shape[0]
+    assert np.allclose(mu, X.mean(0), atol=1e-9)
+    assert np.allclose(C, np.cov(X.T, bias=True), atol=1e-9)
+    rows = (
+        all_queries()["embedding_pca_whitening"].fn(spark, SF_SMALL).collect()
+    )
+    assert len(rows) == 8
+    eigs = [r.eigenvalue for r in rows]
+    assert eigs == sorted(eigs, reverse=True)
+    for r in rows:
+        assert abs(r.whitened_var - 1.0) < 1e-3, r
