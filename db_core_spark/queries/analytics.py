@@ -2412,3 +2412,52 @@ def stats_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "var_reduction_pct"
         ),
     )
+
+
+@query(
+    "stats_benford_digits",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                         1, 1) AS INT) AS digit
+      FROM orders),
+    c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1),
+    t AS (SELECT SUM(n) AS tot FROM c)
+    SELECT digit, n,
+           ROUND(n * 100.0 / tot, 4) AS obs_pct,
+           ROUND(log10(1.0 + 1.0 / digit) * 100.0, 4) AS exp_pct,
+           ROUND((n - tot * log10(1.0 + 1.0 / digit))
+                 * (n - tot * log10(1.0 + 1.0 / digit))
+                 / (tot * log10(1.0 + 1.0 / digit)), 4) AS chi2_term
+    FROM c CROSS JOIN t
+    """,
+    category="aggregate",
+)
+def stats_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order totals: observed leading-digit
+    distribution vs the log10(1 + 1/d) expectation, with per-digit
+    chi-squared terms — the classic anomaly/fraud screen for any
+    financial measure column (synthetic TPC-H totals are roughly uniform
+    in their range, so the screen FLAGS them — large chi2 — which is the
+    correct answer and what the oracle pins).
+
+    100 TB shape: the leading digit is a row-local expression feeding one
+    9-group map-side-combined aggregate; the total is a broadcast scalar.
+    Nothing else moves."""
+    o = table(spark, sf_dir, "orders")
+    d = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        ).cast("int").alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("tot"))
+    exp_p = F.log10(F.lit(1.0) + 1.0 / F.col("digit"))
+    dev = F.col("n") - F.col("tot") * exp_p
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n",
+        F.round(F.col("n") * 100.0 / F.col("tot"), 4).alias("obs_pct"),
+        F.round(exp_p * 100.0, 4).alias("exp_pct"),
+        F.round(dev * dev / (F.col("tot") * exp_p), 4).alias("chi2_term"),
+    )

@@ -896,3 +896,95 @@ def forecast_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.groupBy("g").applyInPandas(
         holt, "horizon_days int, forecast_revenue double"
     )
+
+
+@query(
+    "survival_kaplan_meier",
+    oracle="""
+    WITH mx AS (SELECT CAST(max(ts) AS DATE) AS mdate FROM events),
+    per_user AS (
+      SELECT user_id,
+             date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)) AS dur,
+             CASE WHEN date_diff('day', CAST(max(ts) AS DATE),
+                                 (SELECT mdate FROM mx)) > 7
+                  THEN 1 ELSE 0 END AS churned
+      FROM events GROUP BY user_id),
+    by_dur AS (
+      SELECT dur, SUM(churned) AS d, SUM(1 - churned) AS c, COUNT(*) AS tot
+      FROM per_user GROUP BY dur),
+    risk AS (
+      SELECT dur, d, c,
+             SUM(tot) OVER (ORDER BY dur DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS n_risk
+      FROM by_dur),
+    km AS (
+      SELECT dur, d, c, n_risk,
+             exp(SUM(CASE WHEN d > 0 AND d < n_risk
+                          THEN ln(1.0 - CAST(d AS DOUBLE) / n_risk)
+                          ELSE 0.0 END)
+                 OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW)) AS s
+      FROM risk)
+    SELECT CAST(dur AS BIGINT) AS duration_days,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS d_churn,
+           CAST(c AS BIGINT) AS c_censored,
+           ROUND(s, 6) AS s_km
+    FROM km
+    """,
+    category="timeseries",
+)
+def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier retention curve with right-censoring: per-user
+    lifetime = first-to-last activity span; users still active within 7
+    days of the corpus horizon are CENSORED (their lifetime is a lower
+    bound), everyone else churned. S(t) = prod over churn days <= t of
+    (1 - d/n_risk) — the estimator that uses censored users correctly,
+    which naive "percent still active" retention curves get wrong.
+    (Convention: censor-only days contribute no factor; a terminal day
+    where everyone at risk churns is also skipped to keep ln defined —
+    both engines apply the identical guard.)
+
+    100 TB shape: the fact scan collapses through a per-user min/max hash
+    aggregate (map-side combined), then the KM fold runs over the tiny
+    duration-histogram series — the cumulative product is
+    exp(running-sum(ln)), all codegen window arithmetic. The horizon is
+    a broadcast 1-row aggregate."""
+    e = table(spark, sf_dir, "events")
+    mx = e.agg(F.max(F.col("ts").cast("date")).alias("mdate"))
+    per_user = (
+        e.groupBy("user_id")
+        .agg(
+            F.min(F.col("ts").cast("date")).alias("first_d"),
+            F.max(F.col("ts").cast("date")).alias("last_d"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.datediff("last_d", "first_d").alias("dur"),
+            F.when(F.datediff("mdate", "last_d") > 7, 1).otherwise(0).alias("churned"),
+        )
+    )
+    by_dur = per_user.groupBy("dur").agg(
+        F.sum("churned").alias("d"),
+        F.sum(1 - F.col("churned")).alias("c"),
+        F.count(F.lit(1)).alias("tot"),
+    )
+    w_desc = (
+        W.orderBy(F.col("dur").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    risk = by_dur.withColumn("n_risk", F.sum("tot").over(w_desc))
+    w_asc = W.orderBy("dur").rowsBetween(W.unboundedPreceding, W.currentRow)
+    term = F.when(
+        (F.col("d") > 0) & (F.col("d") < F.col("n_risk")),
+        F.log(F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk")),
+    ).otherwise(0.0)
+    km = risk.withColumn("s", F.exp(F.sum(term).over(w_asc)))
+    return km.select(
+        F.col("dur").cast("long").alias("duration_days"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("d_churn"),
+        F.col("c").cast("long").alias("c_censored"),
+        F.round("s", 6).alias("s_km"),
+    )
