@@ -45,6 +45,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -477,6 +478,81 @@ class VersionedChangeStreamReader(DataSourceStreamReader):
         pass  # manifests are immutable; nothing to release per epoch
 
 
+def _stage_rows(
+    iterator,
+    data_schema: T.StructType,
+    key_cols: list,
+    num_buckets: int,
+    bucket_cols: list,
+    out_dir: str,
+) -> tuple[list, int, list | None]:
+    """Executor-side staging shared by the batch and streaming writers:
+    materialize this partition's rows as parquet under ``out_dir``
+    (bucket=<b>/ subdirs when the table is bucketed — the python twin of the
+    JVM bucket_expr; both writer kinds MUST agree or in-partition version
+    resolution breaks, tested) and return (relative file paths, row count,
+    canonical-string write-set or None when above the tracking cap)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from db_core_spark.plans.versioned import bucket_of_py
+
+    data_cols = [f.name for f in data_schema.fields]
+    rows = [tuple(r) for r in iterator]
+    pdf = pd.DataFrame(rows, columns=data_cols)
+    pdf["_deleted"] = False
+    pdf["_opseq"] = 0
+    arrow_schema = to_arrow_schema(
+        T.StructType(
+            list(data_schema.fields)
+            + [
+                T.StructField("_deleted", T.BooleanType()),
+                T.StructField("_opseq", T.LongType()),
+            ]
+        )
+    )
+    tbl = pa.Table.from_pandas(pdf, preserve_index=False).cast(arrow_schema)
+    part_id = uuid.uuid4().hex
+    rel_paths: list = []
+    if num_buckets > 0:
+        key_vals = tbl.select(bucket_cols).to_pylist()
+        buckets = pa.array(
+            [
+                bucket_of_py([r[c] for c in bucket_cols], num_buckets)
+                for r in key_vals
+            ],
+            type=pa.int32(),
+        )
+        for b in pc.unique(buckets).to_pylist():
+            mask = pc.equal(buckets, b)
+            sub = tbl.filter(mask)
+            bdir = os.path.join(out_dir, f"bucket={b}")
+            os.makedirs(bdir, exist_ok=True)
+            rel = os.path.join(f"bucket={b}", f"part-{part_id}.parquet")
+            pq.write_table(sub, os.path.join(out_dir, rel))
+            rel_paths.append(rel)
+    else:
+        os.makedirs(out_dir, exist_ok=True)
+        rel = f"part-{part_id}.parquet"
+        pq.write_table(tbl, os.path.join(out_dir, rel))
+        rel_paths.append(rel)
+    # canonical string form of the part's write-set (same encoding as
+    # Transaction.commit so the writer kinds compare like-for-like); arrow
+    # to_pylist yields python-native values (datetime, int, str) matching
+    # what Spark Rows stringify to on the txn side
+    cap = 100_000  # VersionedTable.MAX_TRACKED_KEYS (no driver-side import here)
+    key_tbl = tbl.select(key_cols)
+    part_keys: list | None = list(
+        {tuple(str(r[c]) for c in key_cols) for r in key_tbl.to_pylist()}
+    )
+    if len(part_keys) > cap:
+        part_keys = None
+    return rel_paths, len(rows), part_keys
+
+
 @dataclass
 class StagedPart(WriterCommitMessage):
     file_path: str
@@ -515,65 +591,20 @@ class VersionedAppendWriter(DataSourceWriter):
         self.start_csn = max((c for c, _, _ in _log_names(self.path)), default=0)
 
     def write(self, iterator) -> StagedPart:
-        import pandas as pd
-        import pyarrow as pa
-        import pyarrow.compute as pc
-        import pyarrow.parquet as pq
-        from pyspark.sql.pandas.types import to_arrow_schema
-
-        from db_core_spark.plans.versioned import bucket_of_py
-
-        data_cols = [f.name for f in self.data_schema.fields]
-        rows = [tuple(r) for r in iterator]
-        pdf = pd.DataFrame(rows, columns=data_cols)
-        pdf["_deleted"] = False
-        pdf["_opseq"] = 0
-        arrow_schema = to_arrow_schema(
-            T.StructType(
-                list(self.data_schema.fields)
-                + [
-                    T.StructField("_deleted", T.BooleanType()),
-                    T.StructField("_opseq", T.LongType()),
-                ]
-            )
+        rel_paths, n_rows, part_keys = _stage_rows(
+            iterator,
+            self.data_schema,
+            self.key_cols,
+            self.num_buckets,
+            self.bucket_cols,
+            self.op_dir,
         )
-        tbl = pa.Table.from_pandas(pdf, preserve_index=False).cast(arrow_schema)
-        part_id = uuid.uuid4().hex
-        if self.num_buckets > 0:
-            # bucketed layout: the python twin of the JVM bucket_expr writes
-            # each row's slice under bucket=<b>/ — both writer kinds MUST
-            # agree or in-partition version resolution breaks (tested)
-            key_vals = tbl.select(self.bucket_cols).to_pylist()
-            buckets = pa.array(
-                [
-                    bucket_of_py([r[c] for c in self.bucket_cols], self.num_buckets)
-                    for r in key_vals
-                ],
-                type=pa.int32(),
-            )
-            for b in pc.unique(buckets).to_pylist():
-                mask = pc.equal(buckets, b)
-                sub = tbl.filter(mask)
-                bdir = os.path.join(self.op_dir, f"bucket={b}")
-                os.makedirs(bdir, exist_ok=True)
-                pq.write_table(sub, os.path.join(bdir, f"part-{part_id}.parquet"))
-            fname = self.op_dir
-        else:
-            os.makedirs(self.op_dir, exist_ok=True)
-            fname = os.path.join(self.op_dir, f"part-{part_id}.parquet")
-            pq.write_table(tbl, fname)
-        # canonical string form of the part's write-set (same encoding as
-        # Transaction.commit so the two writer kinds compare like-for-like);
-        # arrow to_pylist yields python-native values (datetime, int, str)
-        # matching what Spark Rows stringify to on the txn side
-        cap = 100_000  # VersionedTable.MAX_TRACKED_KEYS (no driver-side import here)
-        key_tbl = tbl.select(self.key_cols)
-        part_keys: list | None = list(
-            {tuple(str(r[c]) for c in self.key_cols) for r in key_tbl.to_pylist()}
+        fname = (
+            self.op_dir
+            if self.num_buckets > 0
+            else os.path.join(self.op_dir, rel_paths[0])
         )
-        if len(part_keys) > cap:
-            part_keys = None
-        return StagedPart(file_path=fname, n_rows=len(rows), keys=part_keys)
+        return StagedPart(file_path=fname, n_rows=n_rows, keys=part_keys)
 
     def commit(self, messages) -> None:
         from db_core_spark.plans.versioned import ConflictError, VersionedTable, publish_manifest
@@ -635,6 +666,179 @@ class VersionedAppendWriter(DataSourceWriter):
         shutil.rmtree(os.path.dirname(self.op_dir), ignore_errors=True)
 
 
+@dataclass
+class StagedStreamPart(WriterCommitMessage):
+    rel_paths: list
+    n_rows: int
+    keys: list | None = None
+
+
+class VersionedStreamWriter(DataSourceStreamWriter):
+    """Native exactly-once streaming sink: .writeStream.format("versioned").
+
+    Per micro-batch, executors stage parquet parts into a shared staging
+    area (_stage_rows — identical layout rules as the batch writer and txn
+    path); the driver's commit(messages, batchId) MOVES exactly this
+    batch's staged files into a fresh tsn op dir and publishes ONE manifest
+    carrying the (writer, epoch) identity — the same idempotency contract
+    as streaming.ops.commit_microbatch, so a replayed epoch (Structured
+    Streaming re-delivers the batch after a crash between sink commit and
+    checkpoint advance) is detected BEFORE publish, its staged files are
+    discarded, and snapshot AND CDC readers never observe duplicates.
+
+    Reference parity: this is the WAL-append path driven by a continuous
+    writer — staged parts are the double-buffered WAL appends
+    (/root/reference/src/log_mgr/buf.rs), publish-by-manifest is the
+    commit-record flush (log_mgr/io.rs:99-103), and the (writer, epoch)
+    marker plays the recovery-dedup role of the reference's tsn replay
+    check (instance.rs:221-304).
+
+    Concurrency: optimistic write-set check against manifests committed
+    since this writer's last publish (own manifests skipped), mirroring
+    VersionedAppendWriter.commit; an overlap raises ConflictError and the
+    stream fails loudly rather than losing an update."""
+
+    def __init__(self, schema: T.StructType, options: dict):
+        self.path = options["path"]
+        (
+            self.key_cols,
+            self.data_schema,
+            self.num_buckets,
+            self.bucket_cols,
+        ) = _load_meta(self.path)
+        if [f.name for f in schema.fields] != [
+            f.name for f in self.data_schema.fields
+        ]:
+            raise ValueError(
+                f"schema mismatch: table has {self.data_schema.fieldNames()}, "
+                f"stream write has {schema.fieldNames()}"
+            )
+        self.writer_id = options.get("writerid") or f"streamwriter:{self.path}"
+        # DETERMINISTIC staging dir (a hash of the writer identity): Spark
+        # instantiates this class separately for planning, executor write
+        # tasks, and driver commit — all instances must agree on where the
+        # staged parts live. Two concurrent streams into one table need
+        # distinct .option("writerId", ...) values (else they'd share a
+        # stage and race); the exactly-once epoch check keys on the same id.
+        import hashlib
+
+        self.stage_root = os.path.join(
+            self.path,
+            "data",
+            "_staging",
+            hashlib.md5(self.writer_id.encode()).hexdigest()[:16],
+        )
+        self.last_seen_csn = max(
+            (c for c, _, _ in _log_names(self.path)), default=0
+        )
+
+    def write(self, iterator) -> StagedStreamPart:
+        rel_paths, n_rows, part_keys = _stage_rows(
+            iterator,
+            self.data_schema,
+            self.key_cols,
+            self.num_buckets,
+            self.bucket_cols,
+            self.stage_root,
+        )
+        return StagedStreamPart(rel_paths=rel_paths, n_rows=n_rows, keys=part_keys)
+
+    def _discard(self, messages) -> None:
+        for m in messages:
+            if m is None:
+                continue
+            for rel in m.rel_paths:
+                try:
+                    os.remove(os.path.join(self.stage_root, rel))
+                except OSError:
+                    pass
+
+    def commit(self, messages, batchId: int) -> None:
+        import shutil
+
+        from db_core_spark.plans.versioned import (
+            ConflictError,
+            VersionedTable,
+            publish_manifest,
+        )
+
+        live = [m for m in messages if m is not None and m.n_rows > 0]
+        if not live:
+            self._discard(messages)
+            return
+        # exactly-once: a replayed epoch is already durable — drop the stage
+        for _, _, name in _log_names(self.path):
+            mf = _read_manifest(self.path, name)
+            if (
+                mf.get("writer") == self.writer_id
+                and mf.get("epoch") == batchId
+            ):
+                self._discard(messages)
+                return
+        tsn = f"s{uuid.uuid4().hex[:10]}b{batchId}"
+        op_dir = os.path.join(self.path, "data", f"tsn={tsn}", "opseq=0")
+        for m in live:
+            for rel in m.rel_paths:
+                dest = os.path.join(op_dir, rel)
+                os.makedirs(os.path.dirname(dest), exist_ok=True)
+                os.rename(os.path.join(self.stage_root, rel), dest)
+        n = sum(m.n_rows for m in live)
+        my_keys: set | None = set()
+        for m in live:
+            if m.keys is None:
+                my_keys = None
+                break
+            my_keys.update(tuple(k) for k in m.keys)
+        if my_keys is not None and len(my_keys) > VersionedTable.MAX_TRACKED_KEYS:
+            my_keys = None
+        log_dir = os.path.join(self.path, "_commitlog")
+        for _ in range(50):
+            names = _log_names(self.path)
+            candidate = max((c for c, _, _ in names), default=0) + 1
+            for csn, is_ck, name in names:
+                if is_ck or not (self.last_seen_csn < csn < candidate):
+                    continue
+                mf = _read_manifest(self.path, name)
+                if mf.get("writer") == self.writer_id or not _group_visible(mf):
+                    continue
+                theirs = mf.get("write_keys")
+                if my_keys is None or theirs is None:
+                    raise ConflictError(
+                        f"stream sink epoch {batchId}: concurrent commit "
+                        f"csn={mf['csn']} with untracked write-set"
+                    )
+                if my_keys & {tuple(k) for k in theirs}:
+                    raise ConflictError(
+                        f"stream sink epoch {batchId}: write-set overlaps "
+                        f"concurrent commit csn={mf['csn']}"
+                    )
+            manifest = {
+                "csn": candidate,
+                "tsn": tsn,
+                "ops": [
+                    {
+                        "dir": op_dir,
+                        "opseq": 0,
+                        "kind": "upsert",
+                        "buckets": self.num_buckets,
+                    }
+                ],
+                "write_keys": sorted(my_keys) if my_keys is not None else None,
+                "rows": n,
+                "writer": self.writer_id,
+                "epoch": batchId,
+                "ts": time.time(),
+            }
+            if publish_manifest(log_dir, f"{candidate:010d}.json", manifest):
+                self.last_seen_csn = candidate
+                shutil.rmtree(self.stage_root, ignore_errors=True)
+                return
+        raise RuntimeError("could not claim a csn (too much commit contention)")
+
+    def abort(self, messages, batchId: int) -> None:
+        self._discard(messages)
+
+
 class VersionedDataSource(DataSource):
     """format("versioned"): batch snapshot / time-travel reads, CDC streaming
     reads, and transactional appends over a VersionedTable directory."""
@@ -666,6 +870,14 @@ class VersionedDataSource(DataSource):
                 "update/delete semantics, or append + checkpoint/vacuum"
             )
         return VersionedAppendWriter(schema, dict(self.options))
+
+    def streamWriter(self, schema: T.StructType, overwrite: bool):
+        if overwrite:
+            raise NotImplementedError(
+                "streaming overwrite unsupported; the sink appends/upserts "
+                "one ACID commit per micro-batch"
+            )
+        return VersionedStreamWriter(schema, dict(self.options))
 
     def streamReader(self, schema: T.StructType):
         if self._mode() != "true":
