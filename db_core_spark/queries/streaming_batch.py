@@ -376,3 +376,77 @@ def stream_session_overlap_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.greatest(F.col("c.start_us"), F.col("p.start_us"))
         ).alias("overlap_us"),
     )
+
+
+@query(
+    "stream_native_sink_versioned",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+    category="streaming",
+)
+def stream_native_sink_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end proof of the NATIVE streaming sink
+    (.writeStream.format('versioned'), sources/versioned_datasource.py
+    VersionedStreamWriter): the bounded event fixture flows file-by-file
+    through Structured Streaming into a fresh VersionedTable — one ACID
+    manifest per micro-batch, each carrying its (writer, epoch) identity —
+    then a published epoch is deliberately REPLAYED through the same
+    writer path (staged parts + commit with the old batchId) and must be
+    skipped without publishing. The returned aggregate reads the final
+    SNAPSHOT; the oracle recomputes it straight from the fixture, so any
+    duplicate, lost, or phantom row from the sink path breaks the hash,
+    and the replay invariants are asserted in-line (loud failure, not a
+    silent wrong row).
+
+    Reference parity: WAL-append by a continuous writer with recovery
+    dedup by tsn replay check (/root/reference/src/log_mgr/buf.rs,
+    instance.rs:221-304)."""
+    import tempfile
+
+    from db_core_spark.plans.versioned import VersionedTable
+    from db_core_spark.sources.versioned_datasource import (
+        VersionedStreamWriter,
+        register,
+    )
+    from db_core_spark.streaming import events_stream, stage_events_files
+
+    register(spark)
+    work = tempfile.mkdtemp(prefix="vt_stream_native_")
+    stream_dir = stage_events_files(spark, sf_dir, work + "/in", n_files=3)
+    src = events_stream(spark, stream_dir)
+    vt = VersionedTable.create(
+        spark, work + "/vt", key_cols=["event_id"], schema=src.schema
+    )
+    q = (
+        src.writeStream.format("versioned")
+        .option("path", vt.path)
+        .option("checkpointLocation", work + "/ck")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    epochs = [
+        m["epoch"] for m in vt._manifests() if m.get("writer") is not None
+    ]
+    if len(epochs) < 2 or len(set(epochs)) != len(epochs):
+        raise AssertionError(f"expected distinct per-batch commits, got {epochs}")
+    # replay a published epoch: must not publish a second manifest
+    w = VersionedStreamWriter(src.schema, {"path": vt.path})
+    snap = vt.snapshot()
+    msg = w.write(iter(snap.limit(5).collect()))
+    before = len(vt._manifests())
+    w.commit([msg], batchId=epochs[0])
+    if len(vt._manifests()) != before:
+        raise AssertionError("replayed epoch published a duplicate manifest")
+    return snap.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
