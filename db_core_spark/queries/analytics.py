@@ -2461,3 +2461,89 @@ def stats_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(exp_p * 100.0, 4).alias("exp_pct"),
         F.round(dev * dev / (F.col("tot") * exp_p), 4).alias("chi2_term"),
     )
+
+
+@query(
+    "attribution_u_shaped",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS isp,
+             COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS journey
+      FROM events),
+    conv AS (SELECT DISTINCT user_id, journey FROM seq WHERE isp = 1),
+    touches AS (
+      SELECT s.event_type,
+             ROW_NUMBER() OVER (PARTITION BY s.user_id, s.journey
+                                ORDER BY s.ts, s.event_id) AS r,
+             COUNT(*) OVER (PARTITION BY s.user_id, s.journey) AS n
+      FROM seq s
+      JOIN conv c ON s.user_id = c.user_id AND s.journey = c.journey
+      WHERE s.isp = 0)
+    SELECT event_type AS channel,
+           ROUND(SUM(CASE WHEN n = 1 THEN 1.0
+                          WHEN n = 2 THEN 0.5
+                          WHEN r = 1 OR r = n THEN 0.4
+                          ELSE 0.2 / (n - 2) END), 4) AS total_credit,
+           CAST(COUNT(*) AS BIGINT) AS n_touches
+    FROM touches
+    GROUP BY 1
+    """,
+    category="timeseries",
+)
+def attribution_u_shaped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution: each converting
+    journey (the touch run between purchases) splits credit 40% to the
+    first touch, 40% to the last, 20% evenly across the middle —
+    degenerating to 1.0 / 0.5+0.5 for 1- and 2-touch paths. Credit sums
+    per channel. Complements attribution_last_touch (the single-touch
+    policy) with the position-weighted policy a marketing mix actually
+    compares against.
+
+    100 TB shape: journey segmentation, position rank, and path length
+    all ride ONE user-keyed window exchange (three window functions, same
+    partitioning — Spark plans one sort); the converting-journey filter
+    is a semi-join against the tiny distinct (user, journey) conversion
+    set; the final per-channel rollup is a map-side-combined aggregate
+    over |channels| rows."""
+    e = table(spark, sf_dir, "events")
+    wj = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    isp = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    seq = e.select(
+        "user_id", "event_id", "ts", "event_type",
+        isp.alias("isp"),
+        F.coalesce(F.sum(isp).over(wj), F.lit(0)).alias("journey"),
+    )
+    conv = seq.filter(F.col("isp") == 1).select("user_id", "journey").distinct()
+    wp = W.partitionBy("user_id", "journey").orderBy("ts", "event_id")
+    wn = W.partitionBy("user_id", "journey")
+    touches = (
+        seq.filter(F.col("isp") == 0)
+        .join(conv, ["user_id", "journey"])
+        .select(
+            "event_type",
+            F.row_number().over(wp).alias("r"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+    )
+    wt = (
+        F.when(F.col("n") == 1, 1.0)
+        .when(F.col("n") == 2, 0.5)
+        .when((F.col("r") == 1) | (F.col("r") == F.col("n")), 0.4)
+        .otherwise(0.2 / (F.col("n") - 2))
+    )
+    return (
+        touches.select(F.col("event_type").alias("channel"), wt.alias("wt"))
+        .groupBy("channel")
+        .agg(
+            F.round(F.sum("wt"), 4).alias("total_credit"),
+            F.count(F.lit(1)).alias("n_touches"),
+        )
+    )
