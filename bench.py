@@ -50,6 +50,16 @@ HEADLINE = [
     "object_reassembly",
 ]
 
+# Round-7 additions worth tracking at sf0.1; reported under "extra_queries",
+# excluded from the headline total to keep its 17-query basis comparable.
+EXTRA = [
+    "dedup_segments_global",
+    "geo_cell_join_pairs",
+    "q9_product_profit",
+    "q21_waiting_suppliers",
+    "attribution_u_shaped",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -102,6 +112,20 @@ def main() -> None:
         rows[name] = n
         print(f"  {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
 
+    # Secondary set: heavier round-7 additions, timed single-shot and
+    # reported OUTSIDE the headline total so round-over-round totals stay
+    # comparable (same 17-query basis since r1).
+    extra: dict[str, float] = {}
+    for name in EXTRA:
+        try:
+            rq = qs[name]
+            t0 = time.time()
+            rq.fn(spark, sf_dir).count()
+            extra[name] = round(time.time() - t0, 3)
+            print(f"  extra {name}: {extra[name]:.2f}s", file=sys.stderr)
+        except Exception as e:
+            errors[name] = f"{type(e).__name__}: {e}"[:500]
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -110,6 +134,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # non-headline additions timed for the record; NOT in "value"
+                "extra_queries": extra,
                 # per-query result row counts: a timing regression with a
                 # changed row count is a semantics change, not a perf one
                 "rows": rows,

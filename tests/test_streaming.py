@@ -665,3 +665,27 @@ def test_native_stream_writer_exactly_once(spark, stream_dir, tmp_path):
     w.commit([msg2], batchId=max(e for _, e in epochs) + 1000)
     assert len(vt._manifests()) == before + 1
     assert vt.snapshot().count() == want.count()  # upsert of existing keys
+
+
+def test_native_stream_writer_abort_discards_stage(spark, stream_dir, tmp_path):
+    """A failed micro-batch's abort() removes every staged part: nothing
+    under the staging dir survives, no manifest was published, and the
+    table's visible state is untouched."""
+    import os
+
+    from db_core_spark.plans.versioned import VersionedTable
+    from db_core_spark.sources.versioned_datasource import VersionedStreamWriter
+
+    src_schema = batch_events(spark).schema
+    vt = VersionedTable.create(
+        spark, str(tmp_path / "vt_abort"), key_cols=["event_id"], schema=src_schema
+    )
+    w = VersionedStreamWriter(src_schema, {"path": vt.path})
+    msg = w.write(iter(batch_events(spark).limit(4).collect()))
+    staged = [os.path.join(w.stage_root, rel) for rel in msg.rel_paths]
+    assert staged and all(os.path.exists(p) for p in staged)
+    before = len(vt._manifests())
+    w.abort([msg], batchId=0)
+    assert not any(os.path.exists(p) for p in staged)
+    assert len(vt._manifests()) == before
+    assert vt.snapshot().count() == 0
