@@ -525,40 +525,49 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     — late-and-sole iff n_late = 1 and the l1 row itself is late; the
     facts scan twice (once per role) but join on the order key only.
 
-    100 TB shape: the per-order aggregate is the single heavy exchange
-    (map-side combined count-distincts over the order key); supplier and
-    nation broadcast; TakeOrderedAndProject bounds the output."""
+    100 TB shape: the fact table collapses through ONE
+    (order, supplier) hash aggregate carrying (any_late, n_late_rows) —
+    no count-distinct Expand, no second fact scan — then a tiny per-order
+    reduction derives (n_supp, n_late_supp) and qualifying pairs carry
+    their late-row counts to the supplier rollup. Orders prune to F-status
+    keys for a semi-shaped join; supplier and nation broadcast;
+    TakeOrderedAndProject bounds the output."""
     li = synth_lineitem(table(spark, sf_dir, "lineitem"))
     o = table(spark, sf_dir, "orders")
     s = table(spark, sf_dir, "supplier")
     n = table(spark, sf_dir, "nation")
-    per_order = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(
-                F.col("l_receiptdate") > F.col("l_commitdate"), F.col("l_suppkey")
-            )
-        ).alias("n_late"),
+    late = (F.col("l_receiptdate") > F.col("l_commitdate")).cast("int")
+    per_pair = (
+        li.select("l_orderkey", "l_suppkey", late.alias("late"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max("late").alias("any_late"),
+            F.sum("late").alias("n_late_rows"),
+        )
+    )
+    per_order = per_pair.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("any_late").alias("n_late_supp"),
+    )
+    f_orders = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderkey").alias("l_orderkey")
     )
     return (
-        li.filter(F.col("l_receiptdate") > F.col("l_commitdate"))
-        .join(
-            o.filter(F.col("o_orderstatus") == "F"),
-            li.l_orderkey == o.o_orderkey,
-        )
+        per_pair.filter(F.col("any_late") == 1)
         .join(
             per_order.filter(
-                (F.col("n_supp") >= 2) & (F.col("n_late") == 1)
+                (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
             ),
             "l_orderkey",
         )
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(f_orders, "l_orderkey", "left_semi")
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
         .join(
             F.broadcast(n.filter(F.col("n_name") == "NATION_5")),
             F.col("s_nationkey") == F.col("n_nationkey"),
         )
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("n_late_rows").cast("long").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )
