@@ -2547,3 +2547,88 @@ def attribution_u_shaped(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_touches"),
         )
     )
+
+
+@query(
+    "stats_ratio_delta_ci",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             SUM(o_totalprice) AS x,
+             CAST(COUNT(*) AS DOUBLE) AS k
+      FROM orders GROUP BY 1),
+    seg AS (
+      SELECT c.c_mktsegment AS segment, p.x, p.k
+      FROM per_cust p JOIN customer c ON p.o_custkey = c.c_custkey),
+    m AS (
+      SELECT segment,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             AVG(x) AS mx, AVG(k) AS mk,
+             var_pop(x) AS vx, var_pop(k) AS vk,
+             covar_pop(x, k) AS cxk
+      FROM seg GROUP BY 1)
+    SELECT segment, n,
+           ROUND(mx / mk, 4) AS ratio,
+           ROUND(sqrt((vx / (mk * mk)
+                       - 2.0 * (mx / (mk * mk * mk)) * cxk
+                       + (mx * mx / (mk * mk * mk * mk)) * vk) / n), 6)
+             AS se_delta,
+           ROUND(mx / mk - 1.96 * sqrt((vx / (mk * mk)
+                       - 2.0 * (mx / (mk * mk * mk)) * cxk
+                       + (mx * mx / (mk * mk * mk * mk)) * vk) / n), 4)
+             AS ci_lo,
+           ROUND(mx / mk + 1.96 * sqrt((vx / (mk * mk)
+                       - 2.0 * (mx / (mk * mk * mk)) * cxk
+                       + (mx * mx / (mk * mk * mk * mk)) * vk) / n), 4)
+             AS ci_hi
+    FROM m
+    """,
+    category="aggregate",
+)
+def stats_ratio_delta_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method confidence interval for a RATIO metric (revenue per
+    order, the ratio-of-means every experimentation platform reports):
+    Var(x̄/k̄) ≈ (Vx/k̄² - 2·(x̄/k̄³)·Cov(x,k) + (x̄²/k̄⁴)·Vk)/n per segment —
+    the correct standard error when numerator and denominator are
+    correlated per-unit quantities, which a naive per-row average gets
+    wrong. Complements stats_cuped_adjustment (variance reduction) and
+    stats_bootstrap_ci (resampling CI) with the closed-form CI.
+
+    100 TB shape: per-entity conditional sums, then one segment-level
+    moment aggregate (covar_pop/var_pop single-pass streaming moments) —
+    identical two-exchange shape as CUPED; CI arithmetic is post-agg."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("x"),
+        F.count(F.lit(1)).cast("double").alias("k"),
+    )
+    seg = per_cust.join(
+        c.select(F.col("c_custkey").alias("o_custkey"),
+                 F.col("c_mktsegment").alias("segment")),
+        "o_custkey",
+    )
+    m = seg.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("x").alias("mx"),
+        F.avg("k").alias("mk"),
+        F.var_pop("x").alias("vx"),
+        F.var_pop("k").alias("vk"),
+        F.covar_pop("x", "k").alias("cxk"),
+    )
+    mk2 = F.col("mk") * F.col("mk")
+    var = (
+        F.col("vx") / mk2
+        - 2.0 * (F.col("mx") / (mk2 * F.col("mk"))) * F.col("cxk")
+        + (F.col("mx") * F.col("mx") / (mk2 * mk2)) * F.col("vk")
+    ) / F.col("n")
+    ratio = F.col("mx") / F.col("mk")
+    se = F.sqrt(var)
+    return m.select(
+        "segment",
+        "n",
+        F.round(ratio, 4).alias("ratio"),
+        F.round(se, 6).alias("se_delta"),
+        F.round(ratio - 1.96 * se, 4).alias("ci_lo"),
+        F.round(ratio + 1.96 * se, 4).alias("ci_hi"),
+    )
