@@ -709,3 +709,58 @@ def text_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("doc_id").alias("n_docs"))
         .filter(F.col("n_docs") >= 2)
     )
+
+
+@query(
+    "corpus_ngram_novelty",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+    segd AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(t) - 1),
+                                          i -> array_to_string(t[i:i+2], ' ')))
+               AS shs
+      FROM toks),
+    posting AS (SELECT doc_id, UNNEST(shs) AS sh FROM segd),
+    firsts AS (SELECT sh, MIN(doc_id) AS first_doc FROM posting GROUP BY sh)
+    SELECT p.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           ROUND(SUM(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 6) AS novelty
+    FROM posting p JOIN firsts f ON f.sh = p.sh
+    GROUP BY p.doc_id
+    """,
+    category="llm",
+)
+def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus novelty curve: per document (in ingest order = doc_id), the
+    fraction of its distinct word 3-grams never seen in ANY earlier
+    document. This is the diminishing-returns signal crawl pipelines
+    monitor — when marginal novelty flattens, more data from that source
+    stops buying diversity — and the exact-dup documents in the fixture
+    correctly read novelty 0.
+
+    100 TB shape: one distinct (doc, shingle) posting pass (codegen
+    window shingling, functions/text.py), a min-aggregate per shingle,
+    and a join BACK on the shingle key that reuses the same hash
+    partitioning (no extra exchange under AQE); the per-doc rollup is
+    map-side combined. No all-pairs anything — novelty is first-occurrence
+    bookkeeping, the same skeleton as the global segment dedup."""
+    d = table(spark, sf_dir, "documents")
+    posting = shingle_posting(d, n=3).distinct()
+    firsts = posting.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        posting.join(firsts, "sh")
+        .withColumn(
+            "novel", (F.col("first_doc") == F.col("doc_id")).cast("int")
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("novel").cast("long").alias("n_novel"),
+            F.round(F.sum("novel") / F.count(F.lit(1)), 6).alias("novelty"),
+        )
+    )
