@@ -238,3 +238,84 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering"),
         )
     )
+
+
+def _link_prediction_oracle() -> str:
+    from db_core_spark.queries.tpch2 import _PARTSUPP_CTE
+
+    return f"""
+    WITH {_PARTSUPP_CTE},
+    deg AS (
+      SELECT ps_suppkey, CAST(COUNT(DISTINCT ps_partkey) AS BIGINT) AS d
+      FROM partsupp GROUP BY 1),
+    pairs AS (
+      SELECT a.ps_suppkey AS supp_a, b.ps_suppkey AS supp_b,
+             CAST(COUNT(*) AS BIGINT) AS common
+      FROM partsupp a
+      JOIN partsupp b ON a.ps_partkey = b.ps_partkey
+                     AND a.ps_suppkey < b.ps_suppkey
+      GROUP BY 1, 2)
+    SELECT p.supp_a, p.supp_b, p.common,
+           ROUND(p.common * 1.0 / (da.d + db.d - p.common), 6) AS jaccard
+    FROM pairs p
+    JOIN deg da ON da.ps_suppkey = p.supp_a
+    JOIN deg db ON db.ps_suppkey = p.supp_b
+    ORDER BY jaccard DESC, p.supp_a, p.supp_b
+    LIMIT 20
+    """
+
+
+from db_core_spark.registry import query as _query  # noqa: E402
+
+
+def _register_link_prediction() -> None:
+    @_query(
+        "graph_link_prediction_jaccard",
+        oracle=_link_prediction_oracle(),
+        category="llm",
+    )
+    def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Link prediction on the supplier co-supply graph (suppliers are
+        linked through the parts they both stock, partsupp as the bipartite
+        edge list): common-neighbor counts and Jaccard similarity per
+        supplier pair, top-20 predicted links. The classic
+        collaborative-filtering / who-else-supplies-this kernel.
+
+        100 TB shape: pairs come from the POSTING-LIST self-join keyed on
+        the shared part (per-part fan-out is bounded at C(4,2)=6 pairs, the
+        same basket-bounded argument as itemset_cooccurrence_pairs), never
+        an all-pairs supplier product; degrees are a tiny aggregate joined
+        back broadcast; TakeOrderedAndProject bounds the output."""
+        from db_core_spark.queries.tpch2 import synth_partsupp
+
+        ps = synth_partsupp(spark, sf_dir).select("ps_partkey", "ps_suppkey")
+        deg = ps.groupBy("ps_suppkey").agg(
+            F.countDistinct("ps_partkey").alias("d")
+        )
+        a = ps.select(F.col("ps_partkey").alias("k"), F.col("ps_suppkey").alias("supp_a"))
+        b = ps.select(F.col("ps_partkey").alias("k"), F.col("ps_suppkey").alias("supp_b"))
+        pairs = (
+            a.join(b, "k")
+            .filter(F.col("supp_a") < F.col("supp_b"))
+            .groupBy("supp_a", "supp_b")
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
+        da = deg.select(F.col("ps_suppkey").alias("supp_a"), F.col("d").alias("da"))
+        db_ = deg.select(F.col("ps_suppkey").alias("supp_b"), F.col("d").alias("db"))
+        return (
+            pairs.join(F.broadcast(da), "supp_a")
+            .join(F.broadcast(db_), "supp_b")
+            .select(
+                "supp_a",
+                "supp_b",
+                "common",
+                F.round(
+                    F.col("common") / (F.col("da") + F.col("db") - F.col("common")), 6
+                ).alias("jaccard"),
+            )
+            .orderBy(F.col("jaccard").desc(), "supp_a", "supp_b")
+            .limit(20)
+        )
+
+
+_register_link_prediction()
