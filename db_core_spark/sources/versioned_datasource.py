@@ -186,6 +186,32 @@ def _op_table_dir(dir_path: str, op: dict, data_cols: list[str], data_schema=Non
             tbl = tbl.append_column(
                 c, pa.nulls(len(tbl), type=arrow_types.get(c, pa.null()))
             )
+    if data_schema is not None:
+        # Normalize data columns to the table's canonical arrow schema:
+        # JVM-written parquet (txn/checkpoint path; INT96 -> timestamp[ns]
+        # naive) and python-staged parquet (batch/stream writers ->
+        # timestamp[us, tz=UTC]) must concat into ONE arrow table, and
+        # naive-vs-tz timestamp fields refuse to merge. Both writers store
+        # UTC instants at microsecond semantic precision, so casting to the
+        # Spark schema's arrow type (time truncation allowed: ns -> us) is
+        # value-exact.
+        import pyarrow.compute as pc
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        want_types = {f.name: f.type for f in to_arrow_schema(data_schema)}
+        for idx, name in enumerate(tbl.schema.names):
+            t = want_types.get(name)
+            if t is not None and tbl.schema.field(idx).type != t:
+                tbl = tbl.set_column(
+                    idx,
+                    name,
+                    pc.cast(
+                        tbl.column(name),
+                        options=pc.CastOptions(
+                            target_type=t, allow_time_truncate=True
+                        ),
+                    ),
+                )
     if not op["checkpoint"]:
         tbl = tbl.append_column(
             "_csn", pa.array([op["csn"]] * len(tbl), type=pa.int64())

@@ -689,3 +689,38 @@ def test_native_stream_writer_abort_discards_stage(spark, stream_dir, tmp_path):
     assert not any(os.path.exists(p) for p in staged)
     assert len(vt._manifests()) == before
     assert vt.snapshot().count() == 0
+
+
+def test_native_stream_writer_conflict_with_concurrent_append(spark, tmp_path):
+    """A concurrent batch commit that lands between the stream writer's
+    last publish and its next epoch, touching the SAME keys, must raise
+    ConflictError (no silent lost update); disjoint keys must commit."""
+    import pytest as _pytest
+
+    from db_core_spark.plans.versioned import ConflictError, VersionedTable
+    from db_core_spark.sources.versioned_datasource import VersionedStreamWriter
+
+    ev = batch_events(spark)
+    vt = VersionedTable.create(
+        spark, str(tmp_path / "vt_conflict"), key_cols=["event_id"], schema=ev.schema
+    )
+    w = VersionedStreamWriter(ev.schema, {"path": vt.path})
+    rows = ev.limit(6).collect()
+
+    # epoch 0 lands
+    w.commit([w.write(iter(rows[:3]))], batchId=0)
+    assert vt.snapshot().count() == 3
+
+    # a concurrent txn updates one of the SAME keys after the publish
+    txn = vt.begin()
+    txn.upsert(spark.createDataFrame([rows[0]], ev.schema))
+    txn.commit()
+
+    # epoch 1 rewrites that key -> overlap with the concurrent commit
+    with _pytest.raises(ConflictError):
+        w.commit([w.write(iter(rows[:1]))], batchId=1)
+
+    # disjoint keys sail through
+    w2 = VersionedStreamWriter(ev.schema, {"path": vt.path, "writerid": "w2"})
+    w2.commit([w2.write(iter(rows[3:6]))], batchId=0)
+    assert vt.snapshot().count() == 6
