@@ -914,13 +914,62 @@ class VersionedTable:
         if retain_seconds is None:
             retain_seconds = self.config.version_retain_seconds
         manifests = self._manifests()
-        ckpts = [m for m in manifests if m.get("type") == "checkpoint"]
-        if not ckpts:
-            return 0
-        floor = max(c["csn"] for c in ckpts)
         cutoff = time.time() - retain_seconds
         removed = 0
         import shutil
+
+        # Orphan sweep (independent of checkpoints): op dirs no manifest
+        # references — a bulk append or stream-sink epoch that crashed
+        # between staging/move and publish — plus stale _staging leftovers.
+        # Invisible by construction, but they accumulate disk forever.
+        # Age-guard by newest mtime > retention window so an IN-FLIGHT
+        # writer's unpublished staging is never swept (a publish after
+        # its op dir idled longer than the retention window is the same
+        # pathological overlap the reclaim rules already exclude).
+        referenced = {
+            os.path.abspath(op["dir"]) for m in manifests for op in m.get("ops", [])
+        } | {
+            os.path.abspath(m["dir"]) for m in manifests if m.get("type") == "checkpoint"
+        }
+
+        def _newest_mtime(root: str) -> float:
+            newest = os.path.getmtime(root)
+            for base, _dirs, files in os.walk(root):
+                for f in files:
+                    try:
+                        newest = max(newest, os.path.getmtime(os.path.join(base, f)))
+                    except OSError:
+                        pass
+            return newest
+
+        if os.path.isdir(self._data_dir):
+            for d in os.listdir(self._data_dir):
+                p = os.path.join(self._data_dir, d)
+                if d == "_staging" and os.path.isdir(p):
+                    for sub in os.listdir(p):
+                        sp = os.path.join(p, sub)
+                        if _newest_mtime(sp) < cutoff:
+                            removed += 1
+                            if not dry_run:
+                                shutil.rmtree(sp, ignore_errors=True)
+                    continue
+                if not (d.startswith("tsn=") and os.path.isdir(p)):
+                    continue
+                for opd in os.listdir(p):
+                    full = os.path.join(p, opd)
+                    if (
+                        os.path.abspath(full) not in referenced
+                        and os.path.isdir(full)
+                        and _newest_mtime(full) < cutoff
+                    ):
+                        removed += 1
+                        if not dry_run:
+                            shutil.rmtree(full, ignore_errors=True)
+
+        ckpts = [m for m in manifests if m.get("type") == "checkpoint"]
+        if not ckpts:
+            return removed
+        floor = max(c["csn"] for c in ckpts)
 
         for m in manifests:
             if m.get("ts", cutoff + 1) >= cutoff:

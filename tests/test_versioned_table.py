@@ -671,3 +671,48 @@ def test_vacuum_dry_run_predicts_without_deleting(vt, spark):
     assert {r.k: r.v for r in vt.snapshot(as_of_csn=1).collect()} == {1: "v0"}
     # the real vacuum reclaims exactly what the dry run predicted
     assert vt.vacuum(retain_seconds=0.0) == predicted
+
+
+def test_vacuum_sweeps_orphaned_op_dirs_and_stale_staging(spark, tmp_path):
+    """Op dirs no manifest references (crashed bulk append / stream epoch)
+    and stale _staging leftovers are reclaimed once older than the
+    retention window; referenced dirs and FRESH orphans survive."""
+    import os
+    import time as _t
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.LongType())]
+    )
+    vt = VersionedTable.create(
+        spark, str(tmp_path / "vt_orphans"), key_cols=["k"], schema=schema
+    )
+    txn = vt.begin()
+    txn.upsert(spark.createDataFrame([(1, 10)], schema))
+    txn.commit()
+
+    data_dir = os.path.join(vt.path, "data")
+    old = _t.time() - 7200
+    orphan = os.path.join(data_dir, "tsn=deadbeef", "opseq=0")
+    os.makedirs(orphan)
+    open(os.path.join(orphan, "part-x.parquet"), "wb").write(b"junk")
+    os.utime(os.path.join(orphan, "part-x.parquet"), (old, old))
+    os.utime(orphan, (old, old))
+    stale_stage = os.path.join(data_dir, "_staging", "abc123")
+    os.makedirs(stale_stage)
+    open(os.path.join(stale_stage, "part-y.parquet"), "wb").write(b"junk")
+    os.utime(os.path.join(stale_stage, "part-y.parquet"), (old, old))
+    os.utime(stale_stage, (old, old))
+    fresh_orphan = os.path.join(data_dir, "tsn=cafebabe", "opseq=0")
+    os.makedirs(fresh_orphan)
+    open(os.path.join(fresh_orphan, "part-z.parquet"), "wb").write(b"junk")
+
+    predicted = vt.vacuum(retain_seconds=3600, dry_run=True)
+    assert predicted == 2  # orphan + stale staging; fresh one is age-guarded
+    removed = vt.vacuum(retain_seconds=3600)
+    assert removed == 2
+    assert not os.path.exists(orphan)
+    assert not os.path.exists(stale_stage)
+    assert os.path.exists(fresh_orphan)  # in-flight writer protected
+    assert vt.snapshot().count() == 1  # committed data untouched
