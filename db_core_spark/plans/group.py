@@ -279,10 +279,15 @@ class GroupTransaction:
 
     # --------------------------------------------------------------- commit
 
-    def commit(self) -> dict[str, int]:
+    def commit(self, extra: dict | None = None) -> dict[str, int]:
         """Atomically commit every touched table; returns {table: csn}.
         Raises ConflictError (whole group aborted, no table's data visible)
-        if any table's optimistic check fails — retry the group."""
+        if any table's optimistic check fails — retry the group.
+
+        ``extra`` merges into every per-table manifest — the streaming sink
+        passes (writer, epoch) identity through it so a replayed
+        micro-batch is detectable on ANY touched table (group atomicity
+        makes one table's marker proof for all)."""
         self._check_open()
         self._done = True
         touched = {n: t for n, t in self._txns.items() if t._ops}
@@ -295,7 +300,7 @@ class GroupTransaction:
             # skip the marker round-trip entirely
             (name, txn), = touched.items()
             ops_meta, keys = txn._stage()
-            return {name: txn._claim(ops_meta, keys)}
+            return {name: txn._claim(ops_meta, keys, extra=extra)}
         # 1. STAGE everything before claiming anything: a conflict found
         # while staging table k must not leave tables 1..k-1 published
         staged = {n: t._stage() for n, t in touched.items()}
@@ -306,7 +311,9 @@ class GroupTransaction:
             # are invisible until the marker decides
             for name, txn in touched.items():
                 ops_meta, keys = staged[name]
-                claimed[name] = txn._claim(ops_meta, keys, extra={"group": group_field})
+                claimed[name] = txn._claim(
+                    ops_meta, keys, extra={"group": group_field, **(extra or {})}
+                )
         except Exception:
             # 3a. DECIDE: abort. Already-claimed manifests stay as empty
             # commits; never-claimed tables just delete their staged files.

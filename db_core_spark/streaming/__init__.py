@@ -14,6 +14,7 @@ from db_core_spark.streaming.ops import (  # noqa: F401
     stream_ewma_user_value,
     stream_incremental_dedup,
     stream_ohlc_bars,
+    stream_into_database,
     stream_into_versioned_table,
     stream_static_enrich,
     stream_stream_join,

@@ -535,3 +535,48 @@ def stream_incremental_dedup(docs: DataFrame, corpus_hashes: DataFrame) -> DataF
     hashed = docs.withColumn("h", F.sha2(F.col("text"), 256))
     fresh = hashed.join(corpus_hashes, "h", "left_anti")
     return fresh.dropDuplicates(["h"]).select("doc_id", "source", "h")
+
+
+def stream_into_database(events: DataFrame, db, checkpoint_dir: str, split_fn):
+    """foreachBatch sink committing each micro-batch ATOMICALLY ACROSS
+    MULTIPLE VersionedTables: ``split_fn(batch_df) -> {table_name: df}``
+    decides what each table receives, and ONE group commit (plans/group.py
+    marker protocol) publishes all of it — a reader can never observe the
+    raw-events table ahead of its derived aggregate, the invariant the
+    reference's single WAL commit record gives multi-object transactions
+    (/root/reference/src/system/instance.rs:102-111).
+
+    Exactly-once: the group's per-table manifests all carry
+    (writer, epoch); group atomicity means ONE table's marker is proof the
+    whole batch is durable, so the replay check scans each table until a
+    hit. ConflictError from concurrent writers retries the group with
+    fresh staging (the stream does not die)."""
+    from db_core_spark.plans.versioned import ConflictError  # noqa: PLC0415
+
+    def commit_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        for name in db.table_names():
+            if any(
+                m.get("writer") == checkpoint_dir and m.get("epoch") == epoch_id
+                for m in db.table(name)._manifests()
+            ):
+                return  # replayed epoch: already durable atomically
+        parts = {n: df for n, df in split_fn(batch_df).items()}
+        for attempt in range(5):
+            g = db.begin()
+            for name, df in parts.items():
+                g.upsert(name, df)
+            try:
+                g.commit(extra={"writer": checkpoint_dir, "epoch": epoch_id})
+                return
+            except ConflictError:
+                if attempt == 4:
+                    raise
+
+    return (
+        events.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
