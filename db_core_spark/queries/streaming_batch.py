@@ -450,3 +450,101 @@ def stream_native_sink_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+@query(
+    "stream_group_sink_database",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+    category="streaming",
+)
+def stream_group_sink_database(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end proof of the ATOMIC MULTI-TABLE streaming sink
+    (streaming/ops.py stream_into_database): the bounded event fixture
+    flows through Structured Streaming into a Database where every
+    micro-batch lands as ONE group commit spanning the raw-events table
+    and a per-user running-aggregate table (merged incrementally with
+    txn-level MERGE semantics via upsert-with-read). In-line asserts pin
+    the atomicity evidence — per-table manifest (writer, epoch) pairs
+    line up 1:1, so no reader can ever see raw ahead of agg — then the
+    returned aggregate reads the FINAL agg-table snapshot; the oracle
+    recomputes it straight from the fixture, so a lost batch, double
+    batch, or torn (raw-without-agg) commit breaks the hash.
+
+    Reference parity: one WAL commit record covering every object a txn
+    wrote (/root/reference/src/system/instance.rs:102-111), driven by a
+    continuous writer."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from db_core_spark.plans import Database
+    from db_core_spark.streaming import (
+        events_stream,
+        stage_events_files,
+        stream_into_database,
+    )
+
+    work = tempfile.mkdtemp(prefix="vt_group_sink_")
+    stream_dir = stage_events_files(spark, sf_dir, work + "/in", n_files=3)
+    src = events_stream(spark, stream_dir)
+    db = Database.create(spark, work + "/db")
+    db.create_table("raw_events", key_cols=["event_id"], schema=src.schema)
+    agg_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    db.create_table("user_totals", key_cols=["user_id"], schema=agg_schema)
+    agg_vt = db.table("user_totals")
+
+    def split(batch_df):
+        delta = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        # fold the delta into current state: running totals stay correct
+        # because each batch commits exactly once (group replay marker)
+        cur = agg_vt.snapshot().select(
+            F.col("user_id"),
+            F.col("n_events").alias("n0"),
+            F.col("total_value").alias("t0"),
+        )
+        merged = delta.join(cur, "user_id", "left").select(
+            "user_id",
+            (F.col("n_events") + F.coalesce(F.col("n0"), F.lit(0))).alias("n_events"),
+            (F.col("total_value") + F.coalesce(F.col("t0"), F.lit(0.0))).alias(
+                "total_value"
+            ),
+        )
+        return {"raw_events": batch_df, "user_totals": merged}
+
+    q = stream_into_database(src, db, work + "/ck", split)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def epochs(vt):
+        return sorted(
+            (m["writer"], m["epoch"])
+            for m in vt._manifests()
+            if m.get("writer") is not None
+        )
+
+    raw_e = epochs(db.table("raw_events"))
+    agg_e = epochs(agg_vt)
+    if raw_e != agg_e or len(raw_e) < 2 or len(set(raw_e)) != len(raw_e):
+        raise AssertionError(
+            f"atomic epoch pairing violated: raw={raw_e} agg={agg_e}"
+        )
+    return agg_vt.snapshot().select(
+        "user_id", "n_events", F.round("total_value", 2).alias("total_value")
+    )

@@ -988,3 +988,74 @@ def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").cast("long").alias("c_censored"),
         F.round("s", 6).alias("s_km"),
     )
+
+
+@query(
+    "anomaly_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(l_shipdate AS DATE) AS d,
+             SUM(l_extendedprice * (1 - l_discount)) AS rev
+      FROM lineitem GROUP BY 1),
+    base AS (
+      SELECT d, rev,
+             AVG(rev) OVER () AS mu,
+             stddev_pop(rev) OVER () AS sd
+      FROM daily),
+    y AS (
+      SELECT d, rev, (rev - mu - 0.5 * sd) / sd AS yv FROM base),
+    c AS (
+      SELECT d, rev, yv,
+             SUM(yv) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND CURRENT ROW) AS cs
+      FROM y),
+    s AS (
+      SELECT d, rev,
+             cs - LEAST(0.0,
+                        MIN(cs) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+                                      PRECEDING AND CURRENT ROW)) AS cusum
+      FROM c)
+    SELECT d, ROUND(rev, 2) AS rev, ROUND(cusum, 6) AS cusum,
+           CAST(CASE WHEN cusum > 5.0 THEN 1 ELSE 0 END AS INT) AS alarm
+    FROM s
+    WHERE cusum > 5.0
+    """,
+    category="timeseries",
+)
+def anomaly_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change-point monitor on daily revenue (slack k =
+    0.5σ, threshold h = 5σ — the standard upward-shift detector): days
+    where the cumulative standardized excursion exceeds the alarm line.
+    The textbook recursion S_i = max(0, S_{i-1} + y_i) is rewritten
+    WINDOW-ONLY via the identity S_i = cumsum_i - min(0, running-min of
+    cumsum) — no recursion, no UDF, so the monitor runs as plain codegen
+    window arithmetic on any engine (the oracle uses the identical
+    rewrite; forecast_holt_linear is the recursive-CTE counterpart).
+
+    100 TB shape: facts collapse through the (day) hash aggregate first;
+    all windows run over the tiny daily series. Global mean/sd are
+    unpartitioned window aggregates over that series, not the facts."""
+    li = table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.col("l_shipdate").cast("date").alias("d")).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    )
+    wall = W.partitionBy()
+    base = daily.select(
+        "d", "rev",
+        F.avg("rev").over(wall).alias("mu"),
+        F.stddev_pop("rev").over(wall).alias("sd"),
+    )
+    y = base.withColumn(
+        "yv", (F.col("rev") - F.col("mu") - 0.5 * F.col("sd")) / F.col("sd")
+    )
+    ww = W.orderBy("d").rowsBetween(W.unboundedPreceding, W.currentRow)
+    c = y.withColumn("cs", F.sum("yv").over(ww))
+    s = c.withColumn(
+        "cusum", F.col("cs") - F.least(F.lit(0.0), F.min("cs").over(ww))
+    )
+    return s.filter(F.col("cusum") > 5.0).select(
+        "d",
+        F.round("rev", 2).alias("rev"),
+        F.round("cusum", 6).alias("cusum"),
+        F.when(F.col("cusum") > 5.0, 1).otherwise(0).cast("int").alias("alarm"),
+    )
