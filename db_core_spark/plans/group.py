@@ -115,6 +115,25 @@ class Database:
     def begin(self) -> "GroupTransaction":
         return GroupTransaction(self)
 
+    def sql(self, query: str, as_of: dict[str, int] | None = None):
+        """SQL-text interface over the database's versioned tables: every
+        table registers as a temp view of its CURRENT snapshot — or, with
+        ``as_of={'table': csn}``, a time-travel snapshot — then the query
+        runs through spark.sql (full Catalyst: joins, windows, CTEs).
+        Cross-table consistency: pass ``as_of=db.snapshot_pin()`` to query
+        a validated consistent cut (the same pin clone() uses), which is
+        the multi-table repeatable-read the reference gives one txn's
+        read_csn (/root/reference/src/instance.rs:88-122).
+
+        Views are scoped to the Spark session and re-registered per call
+        (cheap: snapshot() builds a lazy plan; nothing materializes until
+        the query runs)."""
+        as_of = as_of or {}
+        for name in self.table_names():
+            snap = self.table(name).snapshot(as_of_csn=as_of.get(name))
+            snap.createOrReplaceTempView(name)
+        return self.spark.sql(query)
+
     def clone(self, dst_path: str, max_retries: int = 5) -> "Database":
         """Zero-copy clone of the WHOLE database at one mutually consistent
         cut: the cut comes from snapshot_pin (validated against group

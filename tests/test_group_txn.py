@@ -504,3 +504,39 @@ def test_stream_into_database_atomic_multi_table(spark, tmp_path):
     assert hit  # marker present -> helper returns before any commit
     assert len(raw._manifests()) == before_raw
     assert len(agg._manifests()) == before_agg
+
+
+def test_database_sql_with_time_travel_pin(spark, tmp_path):
+    """db.sql() joins versioned tables through spark.sql; as_of=pin gives a
+    consistent cross-table cut — a commit AFTER the pin is invisible to
+    the pinned query but visible to the current-state query."""
+    from pyspark.sql import types as T
+
+    from db_core_spark.plans import Database
+
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.LongType())]
+    )
+    db = Database.create(spark, str(tmp_path / "db_sql"))
+    db.create_table("a", key_cols=["k"], schema=schema)
+    db.create_table("b", key_cols=["k"], schema=schema)
+    g = db.begin()
+    g.upsert("a", spark.createDataFrame([(1, 10), (2, 20)], schema))
+    g.upsert("b", spark.createDataFrame([(1, 100), (2, 200)], schema))
+    g.commit()
+
+    pin = db.snapshot_pin()
+    joined = db.sql(
+        "SELECT a.k, a.v + b.v AS s FROM a JOIN b USING (k) ORDER BY k",
+        as_of=pin,
+    ).collect()
+    assert [(r.k, r.s) for r in joined] == [(1, 110), (2, 220)]
+
+    g2 = db.begin()
+    g2.upsert("a", spark.createDataFrame([(3, 30)], schema))
+    g2.upsert("b", spark.createDataFrame([(3, 300)], schema))
+    g2.commit()
+
+    pinned = db.sql("SELECT COUNT(*) AS n FROM a", as_of=pin).collect()[0].n
+    current = db.sql("SELECT COUNT(*) AS n FROM a").collect()[0].n
+    assert (pinned, current) == (2, 3)
