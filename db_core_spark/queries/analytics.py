@@ -2632,3 +2632,67 @@ def stats_ratio_delta_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ratio - 1.96 * se, 4).alias("ci_lo"),
         F.round(ratio + 1.96 * se, 4).alias("ci_hi"),
     )
+
+
+@query(
+    "funnel_latency_percentiles",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS st
+      FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    p AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS pt
+      FROM events e JOIN s ON s.user_id = e.user_id
+                         AND epoch_us(e.ts) >= s.st
+      WHERE e.event_type = 'purchase'
+      GROUP BY e.user_id),
+    lat AS (
+      SELECT s.user_id, (p.pt - s.st) / 1000000.0 AS secs
+      FROM s JOIN p ON p.user_id = s.user_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           ROUND(quantile_cont(secs, 0.25), 2) AS p25_secs,
+           ROUND(quantile_cont(secs, 0.5), 2) AS p50_secs,
+           ROUND(quantile_cont(secs, 0.9), 2) AS p90_secs,
+           ROUND(MAX(secs), 2) AS max_secs
+    FROM lat
+    """,
+    category="timeseries",
+)
+def funnel_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: for every user whose first purchase
+    follows their first signup, the signup->purchase latency in seconds,
+    summarized as exact interpolated percentiles — the SLA-style view of
+    the funnel that conversion-rate counting (funnel_signup_to_purchase)
+    cannot give.
+
+    100 TB shape: two conditional per-user aggregates (map-side combined
+    on the user key; the purchase pass semi-joins the signup frame on the
+    SAME key so AQE plans one co-partitioned exchange), then one global
+    percentile reduction over |converted users| latencies. At larger
+    cardinalities swap percentile for approx_percentile; the plan is
+    otherwise unchanged."""
+    e = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("st"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", us.alias("pus"))
+        .join(s, "user_id")
+        .filter(F.col("pus") >= F.col("st"))
+        .groupBy("user_id")
+        .agg(F.min("pus").alias("pt"))
+    )
+    lat = s.join(p, "user_id").select(
+        ((F.col("pt") - F.col("st")) / 1000000.0).alias("secs")
+    )
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.percentile("secs", F.lit(0.25)), 2).alias("p25_secs"),
+        F.round(F.percentile("secs", F.lit(0.5)), 2).alias("p50_secs"),
+        F.round(F.percentile("secs", F.lit(0.9)), 2).alias("p90_secs"),
+        F.round(F.max("secs"), 2).alias("max_secs"),
+    )
