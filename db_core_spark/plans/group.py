@@ -132,7 +132,50 @@ class Database:
         for name in self.table_names():
             snap = self.table(name).snapshot(as_of_csn=as_of.get(name))
             snap.createOrReplaceTempView(name)
+        for vname, vsql in self.view_names().items():
+            self.spark.sql(vsql).createOrReplaceTempView(vname)
         return self.spark.sql(query)
+
+    # ------------------------------------------------------------- views
+
+    @property
+    def _views_path(self) -> str:
+        return os.path.join(self.path, "_views.json")
+
+    def view_names(self) -> dict[str, str]:
+        """{view name: stored SQL text}. Views resolve over table snapshots
+        (and earlier-defined views) at query time."""
+        if not os.path.isfile(self._views_path):
+            return {}
+        with open(self._views_path) as f:
+            return dict(json.load(f))
+
+    def create_view(self, name: str, sql_text: str, replace: bool = False) -> None:
+        """Persist a named SQL view (catalog metadata only — no data is
+        materialized; the text re-plans against the LIVE table snapshots
+        on every db.sql() call, so views track table state like any
+        catalog view). The canonical use is a governed projection — e.g. a
+        masked or row-filtered face of a table that analysts query instead
+        of the base table. Definition order matters: a view may reference
+        previously created views. Names must not shadow tables."""
+        if name in self.table_names():
+            raise ValueError(f"view {name!r} would shadow a table")
+        views = self.view_names()
+        if name in views and not replace:
+            raise ValueError(f"view {name!r} exists (pass replace=True)")
+        views[name] = sql_text
+        tmp = self._views_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(views, f, indent=1)
+        os.replace(tmp, self._views_path)
+
+    def drop_view(self, name: str) -> None:
+        views = self.view_names()
+        views.pop(name, None)
+        tmp = self._views_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(views, f, indent=1)
+        os.replace(tmp, self._views_path)
 
     def clone(self, dst_path: str, max_retries: int = 5) -> "Database":
         """Zero-copy clone of the WHOLE database at one mutually consistent

@@ -895,6 +895,26 @@ class VersionedTable:
             return 0
         return self.checkpoint()
 
+    def expire_rows(self, condition: str) -> int:
+        """Row-level TTL / retention: tombstone every CURRENT row matching
+        ``condition`` (a SQL expression over the data columns) in ONE
+        atomic transaction; returns the number of rows expired. This is
+        data-retention policy (drop rows older than X, purge a user's
+        records) — distinct from vacuum(), which reclaims version HISTORY.
+        The expiry commits through the normal txn path, so it is
+        conflict-checked, CDC-visible as deletes (with pre-images when
+        enabled), and time-travel before the expiry csn still sees the
+        rows until vacuum retires that history."""
+        txn = self.begin()
+        doomed = txn.read().filter(F.expr(condition)).select(*self.key_cols)
+        n = doomed.count()
+        if n == 0:
+            txn.rollback()
+            return 0
+        txn.delete_keys(doomed)
+        txn.commit()
+        return n
+
     def vacuum(self, retain_seconds: float | None = None, dry_run: bool = False) -> int:
         """Reclaim op files/manifests fully covered by the newest checkpoint
         AND older than the retention window (version_store.rs:264-309

@@ -540,3 +540,52 @@ def test_database_sql_with_time_travel_pin(spark, tmp_path):
     pinned = db.sql("SELECT COUNT(*) AS n FROM a", as_of=pin).collect()[0].n
     current = db.sql("SELECT COUNT(*) AS n FROM a").collect()[0].n
     assert (pinned, current) == (2, 3)
+
+
+def test_persisted_views_and_expire_rows(spark, tmp_path):
+    """create_view persists catalog metadata that re-plans over LIVE
+    snapshots (a masked governed projection tracks expiry); expire_rows
+    tombstones matching rows atomically, CDC sees deletes, and time
+    travel before the expiry csn still sees them."""
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    from db_core_spark.plans import Database
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("email", T.StringType()),
+            T.StructField("age_days", T.LongType()),
+        ]
+    )
+    db = Database.create(spark, str(tmp_path / "db_views"))
+    db.create_table("users", key_cols=["k"], schema=schema)
+    g = db.begin()
+    g.upsert(
+        "users",
+        spark.createDataFrame(
+            [(1, "a@x.com", 10), (2, "b@x.com", 400), (3, "c@x.com", 500)], schema
+        ),
+    )
+    g.commit()
+
+    db.create_view(
+        "users_masked",
+        "SELECT k, regexp_replace(email, '^[^@]+', '***') AS email FROM users",
+    )
+    with _pytest.raises(ValueError):
+        db.create_view("users", "SELECT 1")  # shadowing a table
+    masked = {r.email for r in db.sql("SELECT email FROM users_masked").collect()}
+    assert masked == {"***@x.com"}
+
+    vt = db.table("users")
+    pre_csn = vt.latest_csn()
+    expired = vt.expire_rows("age_days > 365")
+    assert expired == 2
+    assert vt.snapshot().count() == 1
+    # the persisted view tracks live state
+    assert db.sql("SELECT COUNT(*) AS n FROM users_masked").collect()[0].n == 1
+    # time travel before expiry still sees all rows
+    assert vt.snapshot(as_of_csn=pre_csn).count() == 3
+    assert vt.expire_rows("age_days > 365") == 0  # idempotent re-run
