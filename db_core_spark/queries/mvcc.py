@@ -465,3 +465,64 @@ def versioned_clone_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("relation"),
         )
     )
+
+
+@query(
+    "versioned_view_masked_sql",
+    oracle="""
+    WITH loaded AS (
+      SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+      FROM customer WHERE c_custkey < 400),
+    kept AS (SELECT * FROM loaded WHERE c_acctbal >= 0)
+    SELECT c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT masked) AS BIGINT) AS n_masked,
+           ROUND(SUM(c_acctbal), 2) AS total_bal
+    FROM (SELECT *, regexp_replace(c_name, '[0-9]', 'x', 'g') AS masked
+          FROM kept)
+    GROUP BY 1
+    """,
+    category="mvcc",
+)
+def versioned_view_masked_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog views + SQL-text path end-to-end: a customer slice commits
+    into a Database table, negative-balance rows are expired via
+    expire_rows (row-level retention through the txn path), a PERSISTED
+    masked view (digits scrubbed from names) is created with
+    db.create_view, and the final report runs as SQL TEXT over that view
+    via db.sql() — catalog metadata, governed projection, and Catalyst
+    planning in one path. The oracle recomputes the same report
+    relationally from the fixture, so a view that leaked expired rows or
+    unmasked names breaks the hash.
+
+    Engine surface exercised: Database.sql (temp-view registration over
+    live snapshots), create_view (persisted catalog), expire_rows
+    (tombstones via txn; plans/versioned.py), snapshot fold."""
+    import tempfile
+
+    from db_core_spark.plans import Database
+
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 400).select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+    db = Database.create(spark, tempfile.mkdtemp(prefix="vt_view_") + "/db")
+    db.create_table("cust", key_cols=["c_custkey"], schema=c.schema)
+    g = db.begin()
+    g.upsert("cust", c)
+    g.commit()
+    db.table("cust").expire_rows("c_acctbal < 0")
+    db.create_view(
+        "cust_masked",
+        "SELECT c_custkey, regexp_replace(c_name, '[0-9]', 'x') AS masked, "
+        "c_mktsegment, c_acctbal FROM cust",
+    )
+    return db.sql(
+        """
+        SELECT c_mktsegment AS segment,
+               COUNT(*) AS n,
+               COUNT(DISTINCT masked) AS n_masked,
+               ROUND(SUM(c_acctbal), 2) AS total_bal
+        FROM cust_masked
+        GROUP BY c_mktsegment
+        """
+    )
