@@ -2696,3 +2696,71 @@ def funnel_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("secs", F.lit(0.9)), 2).alias("p90_secs"),
         F.round(F.max("secs"), 2).alias("max_secs"),
     )
+
+
+@query(
+    "stats_power_analysis",
+    oracle="""
+    WITH m AS (
+      SELECT c.c_mktsegment AS segment,
+             CAST(COUNT(*) AS BIGINT) AS n_current,
+             AVG(o.o_totalprice) AS mu,
+             stddev_samp(o.o_totalprice) AS sd
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1)
+    SELECT segment, n_current,
+           ROUND(mu, 2) AS mean_price,
+           ROUND(sd, 2) AS sd_price,
+           CAST(CEIL(2.0 * ((1.959964 + 0.841621) * (1.959964 + 0.841621))
+                     * (sd * sd) / (0.02 * mu * 0.02 * mu)) AS BIGINT)
+             AS n_per_arm_mde2pct,
+           CAST(CEIL(2.0 * ((1.959964 + 0.841621) * (1.959964 + 0.841621))
+                     * (sd * sd) / (0.05 * mu * 0.05 * mu)) AS BIGINT)
+             AS n_per_arm_mde5pct
+    FROM m
+    """,
+    category="aggregate",
+)
+def stats_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment sizing per segment: the required sample per arm to
+    detect a 2% / 5% relative lift in mean order value at alpha=0.05
+    (two-sided, z=1.959964) with 80% power (z=0.841621) — the two-sample
+    z formula n = 2 (z_a + z_b)^2 sigma^2 / delta^2. Paired with
+    stats_cuped_adjustment (whose variance reduction shrinks these n's)
+    and stats_ratio_delta_ci, this completes the experimentation
+    planning->adjustment->inference loop.
+
+    100 TB shape: one fact-side aggregate (moments per segment, map-side
+    combined after a broadcast dim join); the sizing arithmetic is
+    post-agg scalar math."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    m = (
+        o.join(
+            F.broadcast(c.select(F.col("c_custkey").alias("o_custkey"),
+                                 F.col("c_mktsegment").alias("segment"))),
+            "o_custkey",
+        )
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_current"),
+            F.avg("o_totalprice").alias("mu"),
+            F.stddev_samp("o_totalprice").alias("sd"),
+        )
+    )
+    z2 = (1.959964 + 0.841621) ** 2
+
+    def n_for(mde):
+        return F.ceil(
+            2.0 * F.lit(z2) * F.col("sd") * F.col("sd")
+            / (F.lit(mde) * F.col("mu") * F.lit(mde) * F.col("mu"))
+        ).cast("long")
+
+    return m.select(
+        "segment",
+        "n_current",
+        F.round("mu", 2).alias("mean_price"),
+        F.round("sd", 2).alias("sd_price"),
+        n_for(0.02).alias("n_per_arm_mde2pct"),
+        n_for(0.05).alias("n_per_arm_mde5pct"),
+    )

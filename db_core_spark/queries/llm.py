@@ -964,3 +964,89 @@ def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n") * 1.0 / F.col("total"), 6).alias("frac"),
         F.round(F.col("agree") * 1.0 / F.col("total"), 6).alias("overall_accuracy"),
     )
+
+
+@query(
+    "dedup_url_canonical",
+    oracle="""
+    WITH urls AS (
+      SELECT doc_id,
+             doc_id // 3 AS base_id,
+             CASE CAST(doc_id % 3 AS INT)
+               WHEN 0 THEN 'https://src' || CAST((doc_id // 3) % 20 AS VARCHAR)
+                 || '.example.com/docs/' || CAST(doc_id // 3 AS VARCHAR)
+               WHEN 1 THEN 'HTTPS://SRC' || CAST((doc_id // 3) % 20 AS VARCHAR)
+                 || '.EXAMPLE.COM/docs/' || CAST(doc_id // 3 AS VARCHAR) || '/'
+               ELSE 'https://src' || CAST((doc_id // 3) % 20 AS VARCHAR)
+                 || '.example.com/docs/' || CAST(doc_id // 3 AS VARCHAR)
+                 || '?utm_source=feed&utm_campaign=x#frag'
+             END AS url
+      FROM documents),
+    canon AS (
+      SELECT doc_id, url,
+             lower(regexp_replace(regexp_replace(regexp_replace(url,
+                 '#.*$', ''), '\\?utm_[^#]*', ''), '/$', '')) AS curl
+      FROM urls)
+    SELECT curl AS canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_variants,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc
+    FROM canon
+    GROUP BY curl
+    HAVING COUNT(*) > 1
+    """,
+    category="llm",
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup — the crawl-frontier collapse every web
+    pipeline runs before fetching or keeping a page twice: strip the
+    fragment, strip utm_* tracking params, strip the trailing slash,
+    case-fold (safe here because paths are constructed case-insensitive),
+    then keep one document per canonical URL. Fixture docs carry no URLs,
+    so deterministic variant triplets (clean / SHOUTED+slash / tracking
+    params) are seeded from doc_id — the same seeding convention as
+    scalar_url_parse — and the operator must collapse exactly those
+    triplets.
+
+    100 TB shape: canonicalization is row-local regex codegen; the dedup
+    is one hash aggregate keyed on the canonical string (at larger scale,
+    key on md5(curl) exactly like dedup_segments_global)."""
+    d = table(spark, sf_dir, "documents")
+    base = (F.col("doc_id") / 3).cast("long")
+    host = F.concat(
+        F.lit("src"), (base % 20).cast("string"), F.lit(".example.com/docs/")
+    )
+    url = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("https://"), host, base.cast("string")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit("HTTPS://SRC"), (base % 20).cast("string"),
+                F.lit(".EXAMPLE.COM/docs/"), base.cast("string"), F.lit("/"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://"), host, base.cast("string"),
+                F.lit("?utm_source=feed&utm_campaign=x#frag"),
+            )
+        )
+    )
+    curl = F.lower(
+        F.regexp_replace(
+            F.regexp_replace(F.regexp_replace(url, "#.*$", ""), r"\?utm_[^#]*", ""),
+            "/$",
+            "",
+        )
+    )
+    return (
+        d.select("doc_id", curl.alias("curl"))
+        .groupBy(F.col("curl").alias("canonical_url"))
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.min("doc_id").alias("keep_doc"),
+        )
+        .filter(F.col("n_variants") > 1)
+    )

@@ -1059,3 +1059,52 @@ def anomaly_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("cusum", 6).alias("cusum"),
         F.when(F.col("cusum") > 5.0, 1).otherwise(0).cast("int").alias("alarm"),
     )
+
+
+@query(
+    "window_rolling_corr",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(l_shipdate AS DATE) AS d,
+             SUM(l_extendedprice * (1 - l_discount)) AS rev,
+             SUM(l_quantity) AS qty
+      FROM lineitem GROUP BY 1),
+    r AS (
+      SELECT d, rev, qty,
+             corr(rev, qty) OVER (ORDER BY d ROWS BETWEEN 29 PRECEDING
+                                                      AND CURRENT ROW) AS c,
+             COUNT(*) OVER (ORDER BY d ROWS BETWEEN 29 PRECEDING
+                                                AND CURRENT ROW) AS n
+      FROM daily)
+    SELECT d, floor(rev * 100 + 0.5) / 100 AS rev, ROUND(c, 6) AS corr30
+    FROM r WHERE n = 30
+    """,
+    category="window",
+)
+def window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-30-day rolling correlation between daily revenue and
+    shipped quantity — the co-movement monitor that flags when price mix
+    decouples from volume (a mix-shift or pricing regime change). Only
+    full 30-day windows emit, so the series has no warm-up artifacts.
+
+    100 TB shape: facts collapse through the daily aggregate first;
+    corr() runs as a window aggregate over the tiny series (single-pass
+    covariance moments per frame). Same collapsed-series discipline as
+    window_max_drawdown/anomaly_cusum_changepoint."""
+    li = table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.col("l_shipdate").cast("date").alias("d")).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        F.sum("l_quantity").alias("qty"),
+    )
+    w = W.orderBy("d").rowsBetween(-29, W.currentRow)
+    r = daily.select(
+        "d",
+        "rev",
+        F.corr("rev", "qty").over(w).alias("c"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    return r.filter(F.col("n") == 30).select(
+        "d",
+        (F.floor(F.col("rev") * 100 + 0.5) / 100).alias("rev"),
+        F.round("c", 6).alias("corr30"),
+    )
