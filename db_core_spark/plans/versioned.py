@@ -827,7 +827,114 @@ class VersionedTable:
             if m.get("ops"):
                 m["ops"] = [dict(op, dir=translate(op["dir"])) for op in m["ops"]]
             publish_manifest(dst_log, name, m)
+        # fork provenance: merge_from() defaults its base to this cut
+        with open(os.path.join(dst_path, "_fork.json"), "w") as f:
+            json.dump({"src_path": self.path, "fork_csn": src_csn}, f)
         return VersionedTable(self.spark, dst_path, config=self.config)
+
+    def merge_from(
+        self,
+        other: "VersionedTable",
+        base_csn: int | None = None,
+        on_conflict: str = "error",
+    ) -> dict:
+        """Three-way branch merge: fold the changes ``other`` (typically a
+        clone of this table) made since the common base csn back into this
+        table, in ONE atomic transaction — the git-merge workflow for
+        data: clone -> experiment on the branch -> merge back.
+
+        Change sets come from manifest ``write_keys`` (pure metadata — no
+        data scan decides the merge); a side with an untracked write-set
+        raises. Keys changed on BOTH sides since the base are conflicts:
+        ``on_conflict='error'`` raises ConflictError listing them,
+        ``'ours'`` keeps this table's version (applies only their
+        non-conflicting changes), ``'theirs'`` lets the branch win.
+        Applied state is read from the branch's CHANGE FEED (latest change
+        per key, typed end-to-end): a key whose final change is a delete
+        is tombstoned here, anything else upserts the branch's final row.
+        The apply commits through the normal txn path, so concurrent
+        writers are conflict-checked as usual. Returns
+        {'applied', 'deleted', 'conflicts'}.
+
+        Reference analog: recovery folds another log's tail onto the
+        current state (/root/reference/src/instance.rs:221-304) — here the
+        other log is a diverged fork and overlap is adjudicated instead
+        of replayed blindly."""
+        if on_conflict not in ("error", "ours", "theirs"):
+            raise ValueError(f"on_conflict must be error|ours|theirs, got {on_conflict!r}")
+        if base_csn is None:
+            fork_path = os.path.join(other.path, "_fork.json")
+            if not os.path.isfile(fork_path):
+                raise ValueError(
+                    "base_csn not given and the other table has no _fork.json "
+                    "(not created by clone()?)"
+                )
+            with open(fork_path) as f:
+                base_csn = int(json.load(f)["fork_csn"])
+
+        def changed(t: "VersionedTable") -> set:
+            keys: set = set()
+            for m in t._manifests():
+                if m.get("type") == "checkpoint" or m["csn"] <= base_csn:
+                    continue
+                wk = m.get("write_keys")
+                if wk is None:
+                    raise ConflictError(
+                        f"merge_from: commit csn={m['csn']} on {t.path} has an "
+                        "untracked write-set; cannot compute a key-level merge"
+                    )
+                keys |= {tuple(k) for k in wk}
+            return keys
+
+        ours, theirs = changed(self), changed(other)
+        conflicts = ours & theirs
+        if conflicts and on_conflict == "error":
+            sample = sorted(conflicts)[:10]
+            raise ConflictError(
+                f"merge_from: {len(conflicts)} key(s) changed on both sides "
+                f"since csn {base_csn} (e.g. {sample}); pass "
+                "on_conflict='ours'|'theirs'"
+            )
+        apply_keys = theirs if on_conflict == "theirs" else theirs - ours
+        if not apply_keys:
+            return {"applied": 0, "deleted": 0, "conflicts": len(conflicts)}
+
+        kc = self.key_cols
+        # feed kinds are op kinds: 'upsert' / 'delete' (+ retraction rows
+        # tagged 'update_preimage' when preimages are enabled — not state)
+        feed = other.changes(from_csn=base_csn).filter(
+            F.col("_change") != "update_preimage"
+        )
+        # canonical-string key for membership against write_keys encoding
+        kstr = F.concat_ws("\x00", *[F.col(k).cast("string") for k in kc])
+        wanted = self.spark.createDataFrame(
+            [("\x00".join(k),) for k in sorted(apply_keys)], "kstr string"
+        )
+        latest = (
+            feed.withColumn("kstr", kstr)
+            .join(F.broadcast(wanted), "kstr", "left_semi")
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    W.partitionBy("kstr").orderBy(F.col("_csn").desc())
+                ),
+            )
+            .filter(F.col("_rn") == 1)
+        )
+        data_cols = [f.name for f in self.schema.fields]
+        ups = latest.filter(F.col("_change") != "delete").select(*data_cols)
+        dels = latest.filter(F.col("_change") == "delete").select(*kc)
+        n_ups, n_dels = ups.count(), dels.count()
+        txn = self.begin()
+        if n_ups:
+            txn.upsert(ups)
+        if n_dels:
+            txn.delete_keys(dels)
+        if n_ups or n_dels:
+            txn.commit()
+        else:
+            txn.rollback()
+        return {"applied": n_ups, "deleted": n_dels, "conflicts": len(conflicts)}
 
     def stats(self) -> dict:
         """Operational table statistics — the input every maintenance

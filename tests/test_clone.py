@@ -209,3 +209,50 @@ def test_clone_inherits_exactly_once_epoch_markers(vt, spark, tmp_path):
     assert 3 in rows_of(c.snapshot()) and 3 not in rows_of(vt.snapshot())
     # source replay protection is intact too
     assert commit_microbatch(vt, df0, 0, "w1") is False
+
+
+def test_branch_merge_from_clone(spark, tmp_path):
+    """Git-style workflow: clone at a cut, diverge both sides, merge the
+    branch back — disjoint changes (upserts AND a delete) fold in one
+    atomic commit; overlapping keys raise unless a winner is chosen;
+    on_conflict='theirs' lets the branch win."""
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    from db_core_spark.plans.versioned import ConflictError, VersionedTable
+
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.LongType())]
+    )
+    src = VersionedTable.create(
+        spark, str(tmp_path / "src"), key_cols=["k"], schema=schema
+    )
+    t = src.begin()
+    t.upsert(spark.createDataFrame([(i, i * 10) for i in range(5)], schema))
+    t.commit()
+
+    br = src.clone(str(tmp_path / "branch"))
+
+    # diverge: src changes k=0; branch changes k=3, adds k=9, deletes k=4
+    t = src.begin(); t.upsert(spark.createDataFrame([(0, 111)], schema)); t.commit()
+    t = br.begin(); t.upsert(spark.createDataFrame([(3, 333), (9, 999)], schema)); t.commit()
+    t = br.begin(); t.delete_keys([(4,)]); t.commit()
+
+    res = src.merge_from(br)  # base_csn from _fork.json
+    assert res == {"applied": 2, "deleted": 1, "conflicts": 0}
+    state = {r.k: r.v for r in src.snapshot().collect()}
+    assert state == {0: 111, 1: 10, 2: 20, 3: 333, 9: 999}
+
+    # now make a true conflict: both sides touch k=1
+    base2 = src.latest_csn()
+    br2 = src.clone(str(tmp_path / "branch2"))
+    t = src.begin(); t.upsert(spark.createDataFrame([(1, 100)], schema)); t.commit()
+    t = br2.begin(); t.upsert(spark.createDataFrame([(1, 200)], schema)); t.commit()
+    with _pytest.raises(ConflictError):
+        src.merge_from(br2, base_csn=base2)
+    res2 = src.merge_from(br2, base_csn=base2, on_conflict="theirs")
+    assert res2["conflicts"] == 1 and res2["applied"] == 1
+    assert {r.v for r in src.lookup({"k": 1}).collect()} == {200}
+    # 'ours' with nothing else to apply is a no-op
+    res3 = src.merge_from(br2, base_csn=base2, on_conflict="ours")
+    assert res3 == {"applied": 0, "deleted": 0, "conflicts": 1}
