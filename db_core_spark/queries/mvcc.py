@@ -526,3 +526,88 @@ def versioned_view_masked_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c_mktsegment
         """
     )
+
+
+@query(
+    "versioned_branch_merge",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS price
+      FROM orders WHERE o_orderkey < 3000),
+    merged AS (
+      SELECT k, st,
+             CASE WHEN k % 5 = 0 THEN price + 1000.0   -- main's change kept
+                  WHEN k % 5 = 1 THEN price * 2.0      -- branch's change merged
+                  ELSE price END AS price
+      FROM base
+      WHERE k % 5 <> 2)                                -- branch's delete merged
+    SELECT st,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(price), 2) AS total_price
+    FROM merged
+    GROUP BY st
+    """,
+    category="mvcc",
+)
+def versioned_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branch-merge workflow end-to-end (plans/versioned.py merge_from):
+    an orders slice commits to main, a zero-copy clone forks it, the two
+    sides diverge on DISJOINT keys (main bumps k%5==0 prices, the branch
+    doubles k%5==1 and deletes k%5==2), and merge_from folds the branch
+    back in one atomic conflict-checked commit — main's own change,
+    both branch changes, and the branch delete must all survive. The
+    oracle recomputes the merged state relationally, so a merge that
+    dropped, duplicated, or resurrected a key breaks the hash. In-line
+    assert pins the merge report (applied/deleted/conflicts) too."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from db_core_spark.plans.versioned import VersionedTable
+
+    base = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 3000)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("st"),
+            F.col("o_totalprice").alias("price"),
+        )
+    )
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("st", T.StringType()),
+            T.StructField("price", T.DoubleType()),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="vt_branch_")
+    main = VersionedTable.create(spark, root + "/main", key_cols=["k"], schema=schema)
+    t = main.begin()
+    t.upsert(base)
+    t.commit()
+    br = main.clone(root + "/branch")
+    t = main.begin()
+    t.upsert(
+        base.filter(F.col("k") % 5 == 0).withColumn("price", F.col("price") + 1000.0)
+    )
+    t.commit()
+    t = br.begin()
+    t.upsert(
+        base.filter(F.col("k") % 5 == 1).withColumn("price", F.col("price") * 2.0)
+    )
+    t.commit()
+    t = br.begin()
+    t.delete_keys(base.filter(F.col("k") % 5 == 2).select("k"))
+    t.commit()
+    report = main.merge_from(br)
+    if report["conflicts"] != 0 or report["deleted"] == 0 or report["applied"] == 0:
+        raise AssertionError(f"unexpected merge report: {report}")
+    return (
+        main.snapshot()
+        .groupBy("st")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("price"), 2).alias("total_price"),
+        )
+    )
