@@ -319,3 +319,66 @@ def _register_link_prediction() -> None:
 
 
 _register_link_prediction()
+
+
+def kcore_decompose(edges: DataFrame, k: int, max_rounds: int = 30) -> DataFrame:
+    """Iterative k-core peel over an undirected edge list (a, b): drop
+    every node with degree < k, recompute, repeat to fixpoint — the
+    classic O(rounds) distributed formulation. Each round is one degree
+    aggregate + two semi-joins; only the shrinking edge frame shuffles,
+    and the survivor set is what remains. Returns (node, core_degree).
+
+    100 TB shape: identical to every fixed-round iteration here
+    (pagerank/kmeans/closure): data stays distributed, the driver sees
+    only the convergence counter. Rounds are bounded by max_rounds; the
+    peel provably terminates in <= |V| rounds and empirically in a
+    handful."""
+    ed = edges.select(
+        F.col("a").alias("x"), F.col("b").alias("y")
+    ).unionAll(edges.select(F.col("b").alias("x"), F.col("a").alias("y")))
+    cur = ed.persist()
+    prev_n = -1
+    for _ in range(max_rounds):
+        deg = cur.groupBy("x").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.filter(F.col("d") >= k).select("x")
+        n = keep.count()
+        if n == prev_n:
+            break
+        prev_n = n
+        nxt = (
+            cur.join(F.broadcast(keep), "x", "left_semi")
+            .join(
+                F.broadcast(keep.select(F.col("x").alias("y"))), "y", "left_semi"
+            )
+            .persist()
+        )
+        cur.unpersist()
+        cur = nxt
+    out = cur.groupBy("x").agg(F.count(F.lit(1)).alias("core_degree")).select(
+        F.col("x").alias("node"), "core_degree"
+    )
+    return out
+
+
+@query("graph_kcore_suppliers", oracle=None, category="llm")
+def graph_kcore_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the supplier co-supply graph (edges = supplier pairs
+    stocking a shared part, the graph_link_prediction_jaccard edge list):
+    the maximal subgraph where every supplier has >= 3 co-supply
+    partners — the dense-community filter used for seed expansion and
+    spam-ring detection. Rows-only (iterative fixpoint is not SQL);
+    pytest pins the invariants: every member's in-core degree >= k, the
+    peel is a fixpoint (one more round changes nothing), and replay is
+    deterministic."""
+    from db_core_spark.queries.tpch2 import synth_partsupp
+
+    ps = synth_partsupp(spark, sf_dir).select("ps_partkey", "ps_suppkey")
+    a = ps.select(F.col("ps_partkey").alias("k"), F.col("ps_suppkey").alias("a"))
+    b = ps.select(F.col("ps_partkey").alias("k"), F.col("ps_suppkey").alias("b"))
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    return kcore_decompose(edges, k=3)

@@ -486,3 +486,29 @@ def test_audio_vad_matches_planted_segments(spark):
             assert not r.active and r.energy == 0.0, r
             checked_sil += 1
     assert checked_sil > 50 and checked_sp > 50
+
+
+def test_kcore_invariants(spark):
+    """k-core guarantees: every member's in-core degree >= k; the result
+    is a fixpoint (peeling the core again removes nobody); deterministic."""
+    from db_core_spark.queries.graph import kcore_decompose
+    from db_core_spark.queries.tpch2 import synth_partsupp
+    from db_core_spark.registry import all_queries
+
+    rows = all_queries()["graph_kcore_suppliers"].fn(spark, SF_SMALL).collect()
+    assert rows, "3-core unexpectedly empty"
+    assert min(r.core_degree for r in rows) >= 3
+    ps = synth_partsupp(spark, SF_SMALL).select("ps_partkey", "ps_suppkey")
+    a = ps.select(F.col("ps_partkey").alias("k"), F.col("ps_suppkey").alias("a"))
+    b = ps.select(F.col("ps_partkey").alias("k"), F.col("ps_suppkey").alias("b"))
+    edges = a.join(b, "k").filter(F.col("a") < F.col("b")).select("a", "b").distinct()
+    core_nodes = {r.node for r in rows}
+    core_edges = edges.filter(
+        F.col("a").isin(core_nodes) & F.col("b").isin(core_nodes)
+    )
+    again = {r.node for r in kcore_decompose(core_edges, k=3).collect()}
+    assert again == core_nodes  # fixpoint
+    rows2 = all_queries()["graph_kcore_suppliers"].fn(spark, SF_SMALL).collect()
+    assert {(r.node, r.core_degree) for r in rows} == {
+        (r.node, r.core_degree) for r in rows2
+    }
