@@ -2764,3 +2764,77 @@ def stats_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_for(0.02).alias("n_per_arm_mde2pct"),
         n_for(0.05).alias("n_per_arm_mde5pct"),
     )
+
+
+@query(
+    "stats_ols_two_factor",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag AS flag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             covar_pop(l_quantity, l_quantity) AS s11,
+             covar_pop(l_quantity, l_discount) AS s12,
+             covar_pop(l_discount, l_discount) AS s22,
+             covar_pop(l_quantity, l_extendedprice) AS s1y,
+             covar_pop(l_discount, l_extendedprice) AS s2y,
+             var_pop(l_extendedprice) AS syy,
+             AVG(l_quantity) AS m1, AVG(l_discount) AS m2,
+             AVG(l_extendedprice) AS my
+      FROM lineitem GROUP BY 1),
+    sol AS (
+      SELECT flag, n, m1, m2, my, syy, s1y, s2y,
+             (s22 * s1y - s12 * s2y) / (s11 * s22 - s12 * s12) AS b1,
+             (s11 * s2y - s12 * s1y) / (s11 * s22 - s12 * s12) AS b2
+      FROM m)
+    SELECT flag, n,
+           ROUND(b1, 4) AS beta_qty,
+           ROUND(b2, 4) AS beta_disc,
+           ROUND(my - b1 * m1 - b2 * m2, 2) AS intercept,
+           ROUND((b1 * s1y + b2 * s2y) / syy, 6) AS r2
+    FROM sol
+    """,
+    category="aggregate",
+)
+def stats_ols_two_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-factor OLS fit IN ONE AGGREGATION PASS: extendedprice ~
+    quantity + discount per return flag, solved from the normal equations
+    in closed form over population covariances (2x2 Cramer inverse), with
+    R² = explained/total variance from the same moments. No iteration, no
+    driver round-trip, no ML library: multivariate regression as a
+    single-pass streaming-moment aggregate — the distributed-systems
+    shape that scales to any row count and contrasts with
+    embedding_logreg_train's iterative GD (use THAT shape when the loss
+    has no closed form).
+
+    100 TB shape: one map-side-combined hash aggregate computing all six
+    second moments simultaneously; solve/score arithmetic is post-agg."""
+    li = table(spark, sf_dir, "lineitem")
+    m = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.covar_pop("l_quantity", "l_quantity").alias("s11"),
+        F.covar_pop("l_quantity", "l_discount").alias("s12"),
+        F.covar_pop("l_discount", "l_discount").alias("s22"),
+        F.covar_pop("l_quantity", "l_extendedprice").alias("s1y"),
+        F.covar_pop("l_discount", "l_extendedprice").alias("s2y"),
+        F.var_pop("l_extendedprice").alias("syy"),
+        F.avg("l_quantity").alias("m1"),
+        F.avg("l_discount").alias("m2"),
+        F.avg("l_extendedprice").alias("my"),
+    )
+    det = F.col("s11") * F.col("s22") - F.col("s12") * F.col("s12")
+    b1 = (F.col("s22") * F.col("s1y") - F.col("s12") * F.col("s2y")) / det
+    b2 = (F.col("s11") * F.col("s2y") - F.col("s12") * F.col("s1y")) / det
+    sol = m.withColumn("b1", b1).withColumn("b2", b2)
+    return sol.select(
+        "flag",
+        "n",
+        F.round("b1", 4).alias("beta_qty"),
+        F.round("b2", 4).alias("beta_disc"),
+        F.round(
+            F.col("my") - F.col("b1") * F.col("m1") - F.col("b2") * F.col("m2"), 2
+        ).alias("intercept"),
+        F.round(
+            (F.col("b1") * F.col("s1y") + F.col("b2") * F.col("s2y")) / F.col("syy"),
+            6,
+        ).alias("r2"),
+    )
