@@ -338,3 +338,36 @@ def scalar_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_null_path"),
         )
     )
+
+
+@query(
+    "scalar_format_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           printf('%09d', o_orderkey) AS padded_key,
+           printf('order %d totals %.2f', o_orderkey, o_totalprice)
+             AS summary_line,
+           lpad(o_orderstatus, 4, '.') AS status_padded,
+           printf('%,d', CAST(floor(o_totalprice) AS BIGINT)) AS grouped_price
+    FROM orders WHERE o_orderkey < 200
+    """,
+    category="scalar",
+)
+def scalar_format_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String formatting surface — zero-padded ids, printf-style
+    templating, pad alignment, and thousands-grouped money — the
+    report/export rendering layer (Spark format_string == C printf ==
+    DuckDB printf, including the %,d grouping flag; format_number's
+    locale-dependence is avoided on purpose). Pure row-local codegen."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    return o.select(
+        "o_orderkey",
+        F.format_string("%09d", "o_orderkey").alias("padded_key"),
+        F.format_string(
+            "order %d totals %.2f", "o_orderkey", "o_totalprice"
+        ).alias("summary_line"),
+        F.lpad("o_orderstatus", 4, ".").alias("status_padded"),
+        F.format_string(
+            "%,d", F.floor("o_totalprice").cast("long")
+        ).alias("grouped_price"),
+    )

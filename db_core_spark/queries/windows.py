@@ -399,3 +399,47 @@ def window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n_days"),
     )
+
+
+@query(
+    "window_topk_trending",
+    oracle="""
+    WITH hourly AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, ts) AS h, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    ranked AS (
+      SELECT h, event_type, n,
+             row_number() OVER (PARTITION BY h
+                                ORDER BY n DESC, event_type) AS rk,
+             n - LAG(n) OVER (PARTITION BY event_type ORDER BY h) AS delta
+      FROM hourly)
+    SELECT h, event_type, n, CAST(rk AS BIGINT) AS rk,
+           CAST(delta AS BIGINT) AS delta_vs_prev_hour
+    FROM ranked WHERE rk <= 3
+    """,
+    category="window",
+)
+def window_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending dashboard kernel: top-3 event types per hour with their
+    count delta vs the previous hour — rank answers "what's hot",
+    delta answers "what's RISING", the pair every live-trends surface
+    ships. Both windows (per-hour rank, per-type lag) run over the
+    ALREADY-AGGREGATED hourly frame.
+
+    100 TB shape: facts collapse through one (hour, type) map-side-
+    combined aggregate; rank<=3 engages WindowGroupLimit on the tiny
+    frame; the streaming twin is the same plan over tumbling windows
+    (stream_tumbling_window) with the rank in foreachBatch."""
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wr = W.partitionBy("h").orderBy(F.col("n").desc(), "event_type")
+    wl = W.partitionBy("event_type").orderBy("h")
+    ranked = hourly.select(
+        "h", "event_type", "n",
+        F.row_number().over(wr).cast("long").alias("rk"),
+        (F.col("n") - F.lag("n").over(wl)).cast("long").alias("delta_vs_prev_hour"),
+    )
+    return ranked.filter(F.col("rk") <= 3)
