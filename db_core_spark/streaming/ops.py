@@ -580,3 +580,55 @@ def stream_into_database(events: DataFrame, db, checkpoint_dir: str, split_fn):
         .outputMode("update")
         .start()
     )
+
+
+def stream_trending_topk(
+    events: DataFrame, sink_table: str, k: int = 3, window: str = "1 hour"
+):
+    """Live trending top-k: watermarked tumbling counts stream into a
+    foreachBatch stage that folds each batch's UPDATED windows into a
+    driver-side state dict and re-ranks — rank is not incrementally
+    maintainable per-row (a new count can demote an arbitrary other row),
+    so the correct streaming shape is incremental AGGREGATION in the
+    engine + per-batch RANK over the tiny aggregated frame (the batch
+    plan of window_topk_trending fed by streaming state). The per-batch
+    emission is windows x types rows — dashboard-sized by construction —
+    which is what makes the driver-side fold legitimate here and exactly
+    how live-trends sinks work. Results publish to temp view
+    ``sink_table`` as (window_start, event_type, n_events, rk)."""
+    from pyspark.sql import Window as W
+
+    counts = (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    spark = events.sparkSession
+    state: dict = {}
+
+    def rank_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        for r in batch_df.collect():
+            state[(r.window_start, r.event_type)] = r.n_events
+        rows = [(ws, et, n) for (ws, et), n in state.items()]
+        sdf = spark.createDataFrame(
+            rows, "window_start timestamp, event_type string, n_events long"
+        )
+        wr = W.partitionBy("window_start").orderBy(
+            F.col("n_events").desc(), "event_type"
+        )
+        (
+            sdf.withColumn("rk", F.row_number().over(wr).cast("long"))
+            .filter(F.col("rk") <= k)
+            .createOrReplaceTempView(sink_table)
+        )
+
+    return (
+        counts.writeStream.foreachBatch(rank_batch)
+        .outputMode("update")
+        .start()
+    )

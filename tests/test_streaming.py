@@ -724,3 +724,28 @@ def test_native_stream_writer_conflict_with_concurrent_append(spark, tmp_path):
     w2 = VersionedStreamWriter(ev.schema, {"path": vt.path, "writerid": "w2"})
     w2.commit([w2.write(iter(rows[3:6]))], batchId=0)
     assert vt.snapshot().count() == 6
+
+
+def test_stream_trending_topk_converges_to_batch(spark, stream_dir, tmp_path):
+    """Live trending: after the bounded stream drains, the sink view's
+    per-window top-3 equals the batch operator's answer (rank re-derived
+    per batch over incrementally maintained counts)."""
+    from db_core_spark.registry import all_queries
+    from db_core_spark.streaming.ops import stream_trending_topk
+
+    q = stream_trending_topk(
+        events_stream(spark, stream_dir), sink_table="trending_sink"
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.window_start, r.event_type, r.n_events, r.rk)
+        for r in spark.table("trending_sink").collect()
+    }
+    want_df = all_queries()["window_topk_trending"].fn(spark, SF_SMALL)
+    want = {
+        (r.h, r.event_type, r.n, r.rk) for r in want_df.collect()
+    }
+    assert got == want and len(got) > 0
