@@ -1160,6 +1160,24 @@ class Transaction:
             keys = self.table.spark.createDataFrame(rows, key_schema)
         self._ops.append(_Op("delete", keys.select(*kc), opseq=len(self._ops)))
 
+    def savepoint(self) -> int:
+        """Mark the current op position; a later :meth:`rollback_to` this
+        mark discards every op staged after it while keeping the ones
+        before — partial rollback inside one transaction (the reference's
+        per-op undo within an open txn, instance.rs rollback path,
+        without giving up the whole txn's work)."""
+        self._check_open()
+        return len(self._ops)
+
+    def rollback_to(self, sp: int) -> None:
+        """Discard ops staged after savepoint ``sp`` (buffered only — no
+        files were written yet, so this is pure list truncation; commit
+        stages exactly the surviving ops)."""
+        self._check_open()
+        if not (0 <= sp <= len(self._ops)):
+            raise ValueError(f"invalid savepoint {sp} (have {len(self._ops)} ops)")
+        del self._ops[sp:]
+
     def update_read_csn(self) -> int:
         """Refresh this transaction's read snapshot to the latest published
         commit (Transaction::update_read_csn, instance.rs:378-387): a

@@ -716,3 +716,30 @@ def test_vacuum_sweeps_orphaned_op_dirs_and_stale_staging(spark, tmp_path):
     assert not os.path.exists(stale_stage)
     assert os.path.exists(fresh_orphan)  # in-flight writer protected
     assert vt.snapshot().count() == 1  # committed data untouched
+
+
+def test_txn_savepoint_partial_rollback(spark, tmp_path):
+    """Savepoint semantics: ops staged after the mark vanish on
+    rollback_to (read-your-own-writes reflects it immediately); ops
+    before it commit; the mark validates its range."""
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.LongType())]
+    )
+    vt = VersionedTable.create(
+        spark, str(tmp_path / "vt_sp"), key_cols=["k"], schema=schema
+    )
+    t = vt.begin()
+    t.upsert(spark.createDataFrame([(1, 10)], schema))
+    sp = t.savepoint()
+    t.upsert(spark.createDataFrame([(2, 20)], schema))
+    t.delete_keys([(1,)])
+    assert {r.k for r in t.read().collect()} == {2}
+    t.rollback_to(sp)
+    assert {(r.k, r.v) for r in t.read().collect()} == {(1, 10)}
+    with _pytest.raises(ValueError):
+        t.rollback_to(99)
+    t.commit()
+    assert {(r.k, r.v) for r in vt.snapshot().collect()} == {(1, 10)}
