@@ -428,9 +428,10 @@ def window_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     ALREADY-AGGREGATED hourly frame.
 
     100 TB shape: facts collapse through one (hour, type) map-side-
-    combined aggregate; rank<=3 engages WindowGroupLimit on the tiny
-    frame; the streaming twin is the same plan over tumbling windows
-    (stream_tumbling_window) with the rank in foreachBatch."""
+    combined aggregate and BOTH windows run over that tiny frame (the
+    lag-delta window needs every aggregated row, so rank pruning cannot
+    apply — the collapse is what bounds the cost); the streaming twin is
+    stream_trending_topk (same plan fed by streaming state)."""
     e = table(spark, sf_dir, "events")
     hourly = e.groupBy(
         F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"

@@ -460,3 +460,40 @@ def test_no_row_at_a_time_python_udf_anywhere(spark, queries):
         if "BatchEvalPython" in plan:
             offenders.append(name)
     assert not offenders, f"row-at-a-time Python UDFs in: {offenders}"
+
+
+def test_geo_knn_prunes_with_window_group_limit(spark, queries):
+    """geo_haversine_knn's rank<=5 must plan a partition-local
+    WindowGroupLimit BELOW the exchange (local top-5 before shuffle) and
+    broadcast the query-point side."""
+    plan = plan_of(queries["geo_haversine_knn"].fn(spark, SF_SMALL))
+    assert "WindowGroupLimit" in plan
+    first_wgl = plan.index("WindowGroupLimit")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # formatted plans list operators leaves-last; a WGL both above AND
+    # below the exchange shows the partial (pre-shuffle) instance exists
+    assert plan.count("WindowGroupLimit") >= 2
+
+
+def test_geo_cell_join_is_hash_equi_join_not_nlj(spark, queries):
+    """The blocked spatial self-join must plan a HASH equi-join on the
+    cell key — never a nested-loop/cartesian over points."""
+    plan = plan_of(queries["geo_cell_join_pairs"].fn(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
+
+
+def test_trending_topk_collapses_before_windows(spark, queries):
+    """window_topk_trending must aggregate facts to the hourly frame
+    BEFORE any window (the windows run over the aggregate, never raw
+    events) — visible as a HashAggregate below the Window operators and
+    no WindowExec over the scan. (WindowGroupLimit can NOT apply here:
+    the lag-delta window needs every row, which is why the rank filter
+    does not prune — asserting the aggregate-first shape instead.)"""
+    plan = plan_of(queries["window_topk_trending"].fn(spark, SF_SMALL))
+    assert "HashAggregate" in plan and "Window" in plan
+    # formatted plans print root-first: Window above the aggregate means
+    # the aggregate executes FIRST (it is deeper in the tree)
+    assert plan.index("Window") < plan.index("HashAggregate")
