@@ -297,6 +297,16 @@ class VersionedSnapshotReader(DataSourceReader):
             self.legacy_parts = int(options.get("numpartitions", 8))
             self.bucket_groups = None
 
+    # NOTE — filter pushdown (DataSourceReader.pushFilters) was implemented
+    # and then REMOVED after a verified correctness leak: Spark constructs
+    # ONE python reader instance per load() and reuses it for every query
+    # derived from that DataFrame, so per-query partition pruning mutated in
+    # pushFilters leaks into sibling queries (measured: an unfiltered
+    # count() after a pruned point lookup returned only the pruned bucket's
+    # rows). Until the API gives per-query reader instances, explicit
+    # .option("keyEquals", ...) remains the safe single-bucket path; plain
+    # .filter() predicates stay row-wise correct (just unpruned).
+
     # ------------------------------------------------------------- planning
 
     def partitions(self):

@@ -477,3 +477,31 @@ def test_batch_changes_feed_matches_commits(spark, tmp_path):
 
     with _pytest.raises(Exception):
         vt.changes(from_csn=5, to_csn=1).count()
+
+
+def test_unfiltered_read_unaffected_by_sibling_point_lookup(spark, tmp_path):
+    """Regression guard for the pushFilters leak (see the reader's NOTE):
+    sibling queries on one load() must not contaminate each other — a
+    point-lookup filter followed by an unfiltered count must see the whole
+    table, and the full bucket fan-out must plan for the unfiltered read."""
+    from pyspark.sql import functions as F, types as T
+
+    from db_core_spark.plans.versioned import VersionedTable
+    from db_core_spark.sources.versioned_datasource import register
+
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.LongType())]
+    )
+    vt = VersionedTable.create(
+        spark, str(tmp_path / "vt_push"), key_cols=["k"], schema=schema,
+        num_buckets=8,
+    )
+    t = vt.begin()
+    t.upsert(spark.createDataFrame([(i, i * 10) for i in range(64)], schema))
+    t.commit()
+    register(spark)
+    base = spark.read.format("versioned").option("path", vt.path).load()
+    eq = base.filter(F.col("k") == 7)
+    assert [(r.k, r.v) for r in eq.collect()] == [(7, 70)]
+    assert base.count() == 64
+    assert base.rdd.getNumPartitions() == 8
