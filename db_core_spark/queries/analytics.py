@@ -2838,3 +2838,51 @@ def stats_ols_two_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+@query(
+    "stats_price_elasticity",
+    oracle="""
+    WITH obs AS (
+      SELECT p.p_type AS ptype,
+             ln(l.l_extendedprice / l.l_quantity) AS ln_p,
+             ln(l.l_quantity) AS ln_q
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_quantity > 0)
+    SELECT ptype,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(regr_slope(ln_q, ln_p), 6) AS elasticity,
+           ROUND(regr_r2(ln_q, ln_p), 6) AS r2,
+           ROUND(AVG(ln_p), 6) AS mean_ln_price
+    FROM obs
+    GROUP BY ptype
+    """,
+    category="aggregate",
+)
+def stats_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-log price elasticity of demand per part type: the slope of
+    ln(quantity) on ln(unit price) — the % quantity change per 1% price
+    change, the pricing team's first regression — via the built-in
+    bivariate regression aggregates (regr_slope/regr_r2: single-pass
+    streaming moments on both engines; the synthetic fixture's quantity
+    is price-independent, so elasticity ~ 0 with tiny r2 IS the right
+    answer and the oracle pins it).
+
+    100 TB shape: broadcast part join, one map-side-combined moment
+    aggregate per type; log transforms are row-local codegen."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    p = table(spark, sf_dir, "part")
+    obs = li.join(
+        F.broadcast(p.select("p_partkey", F.col("p_type").alias("ptype"))),
+        li.l_partkey == F.col("p_partkey"),
+    ).select(
+        "ptype",
+        F.log(F.col("l_extendedprice") / F.col("l_quantity")).alias("ln_p"),
+        F.log("l_quantity").alias("ln_q"),
+    )
+    return obs.groupBy("ptype").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.regr_slope("ln_q", "ln_p"), 6).alias("elasticity"),
+        F.round(F.regr_r2("ln_q", "ln_p"), 6).alias("r2"),
+        F.round(F.avg("ln_p"), 6).alias("mean_ln_price"),
+    )
