@@ -1108,3 +1108,129 @@ def window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("rev") * 100 + 0.5) / 100).alias("rev"),
         F.round("c", 6).alias("corr30"),
     )
+
+
+@query(
+    "forecast_backtest_rolling",
+    oracle=f"""
+    WITH RECURSIVE bounds AS (
+      SELECT CAST(MIN(ts) AS DATE) AS lo, CAST(MAX(ts) AS DATE) AS hi FROM events),
+    spine AS (
+      SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds),
+    daily AS (
+      SELECT s.day, COALESCE(SUM(e.value), 0.0) AS y,
+             ROW_NUMBER() OVER (ORDER BY s.day) AS rn
+      FROM spine s
+      LEFT JOIN events e
+        ON CAST(e.ts AS DATE) = s.day AND e.event_type = 'purchase'
+      GROUP BY s.day),
+    origins AS (SELECT UNNEST(range(20, 27)) AS o),
+    holt AS (
+      SELECT og.o, d1.rn,
+             (SELECT y FROM daily WHERE rn = 1) AS l,
+             (SELECT y FROM daily WHERE rn = 2)
+               - (SELECT y FROM daily WHERE rn = 1) AS b
+      FROM origins og, daily d1 WHERE d1.rn = 1
+      UNION ALL
+      SELECT h.o, d.rn,
+             {HOLT_ALPHA} * d.y + {1 - HOLT_ALPHA} * (h.l + h.b),
+             {HOLT_BETA} * (({HOLT_ALPHA} * d.y + {1 - HOLT_ALPHA} * (h.l + h.b)) - h.l)
+               + {1 - HOLT_BETA} * h.b
+      FROM daily d JOIN holt h ON d.rn = h.rn + 1 AND d.rn <= h.o),
+    fitted AS (SELECT o, l, b FROM holt WHERE rn = o),
+    fc AS (
+      SELECT f.o, hh.h, f.l + hh.h * f.b AS yhat
+      FROM fitted f, (SELECT UNNEST(range(1, 8)) AS h) hh
+      WHERE f.o + hh.h <= (SELECT MAX(rn) FROM daily)),
+    joined AS (
+      SELECT fc.o, fc.yhat, d.y
+      FROM fc JOIN daily d ON d.rn = fc.o + fc.h)
+    SELECT CAST(o AS BIGINT) AS origin_rn,
+           CAST(COUNT(*) AS BIGINT) AS n_horizons,
+           ROUND(AVG(ABS(yhat - y)), 4) AS mae,
+           ROUND(AVG(CASE WHEN y <> 0 THEN ABS(yhat - y) / y END), 6) AS mape
+    FROM joined
+    GROUP BY o
+    """,
+    category="timeseries",
+)
+def forecast_backtest_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin forecast evaluation — the honest way to score a
+    forecaster: for each origin day o (days 20..26 of the series), fit
+    Holt on data THROUGH o only, forecast up to 7 days ahead, and score
+    against the actuals that origin could not see (MAE + MAPE per
+    origin). One grouped-map fits ALL origins in parallel (each group is
+    its own truncated series — the replicate-and-truncate pattern turns
+    sequential backtesting into one shuffle); the oracle runs the
+    origin-parameterized recursive CTE, pinning every fold bit-for-bit.
+
+    100 TB shape: raw events collapse to the calendar-bounded daily
+    frame ONCE; replication is origins x days of that tiny frame, never
+    of facts. More origins = more parallelism, not more passes."""
+    import math  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+
+    e = table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.min(F.col("ts").cast("date")).alias("lo"),
+        F.max(F.col("ts").cast("date")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.sum("value").alias("rev"))
+    )
+    daily = (
+        spine.join(purchases, "day", "left")
+        .select("day", F.coalesce(F.col("rev"), F.lit(0.0)).alias("y"))
+        .withColumn("rn", F.row_number().over(W.orderBy("day")))
+    )
+    n_days = daily.count()
+    origins = spark.range(20, 27).select(F.col("id").alias("o"))
+    train = daily.crossJoin(F.broadcast(origins)).filter(F.col("rn") <= F.col("o"))
+
+    def fit_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("rn")
+        o = int(pdf["o"].iloc[0])
+        ys = pdf["y"].to_numpy()
+        level = float(ys[0])
+        trend = float(ys[1]) - float(ys[0])
+        for y in ys[1:]:
+            y = float(y)
+            new_level = HOLT_ALPHA * y + (1 - HOLT_ALPHA) * (level + trend)
+            trend = HOLT_BETA * (new_level - level) + (1 - HOLT_BETA) * trend
+            level = new_level
+        hs = [h for h in range(1, 8) if o + h <= n_days]
+        return pd.DataFrame(
+            {
+                "o": [o] * len(hs),
+                "rn": [o + h for h in hs],
+                "yhat": [level + h * trend for h in hs],
+            }
+        )
+
+    fc = train.groupBy("o").applyInPandas(fit_one, "o long, rn int, yhat double")
+    joined = fc.join(daily.select("rn", "y"), "rn")
+    return joined.groupBy(F.col("o").alias("origin_rn")).agg(
+        F.count(F.lit(1)).alias("n_horizons"),
+        (F.floor(F.avg(F.abs(F.col("yhat") - F.col("y"))) * 10000 + 0.5) / 10000)
+        .alias("mae"),
+        (
+            F.floor(
+                F.avg(
+                    F.when(
+                        F.col("y") != 0,
+                        F.abs(F.col("yhat") - F.col("y")) / F.col("y"),
+                    )
+                )
+                * 1000000
+                + 0.5
+            )
+            / 1000000
+        ).alias("mape"),
+    )
