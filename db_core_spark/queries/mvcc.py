@@ -611,3 +611,91 @@ def versioned_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("price"), 2).alias("total_price"),
         )
     )
+
+
+@query(
+    "versioned_commit_audit",
+    oracle="""
+    SELECT * FROM (VALUES
+      (1, 'txn',        3, 0),
+      (2, 'txn',        2, 1),
+      (3, 'bulk',       4, 0),
+      (3, 'checkpoint', 0, 0),
+      (4, 'txn',        1, 1)
+    ) AS t(csn, commit_kind, n_upserts, n_deletes)
+    """,
+    category="mvcc",
+)
+def versioned_commit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The commit log AS A TABLE — who wrote what, when, how: a
+    deterministic history (two txns with upserts/deletes, one DataSource
+    bulk append, a checkpoint, one more txn) is replayed onto a fresh
+    table and the audit query folds its manifests into (csn, kind,
+    upsert-rows, delete-rows). This is the observability surface every
+    governed deployment needs (change auditing, write attribution,
+    compaction accounting) — and the literal Spark rendering of the
+    reference's WAL inspection (/root/reference/src/log_mgr/io.rs:254-441
+    reads records back by lsn exactly like this folds manifests by csn).
+    The oracle pins the expected ledger as VALUES — any drift in commit
+    accounting (a lost op, a miscounted delete, a mislabeled checkpoint)
+    breaks the hash."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from db_core_spark.plans.versioned import VersionedTable
+    from db_core_spark.sources.versioned_datasource import register
+
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.LongType())]
+    )
+    vt = VersionedTable.create(
+        spark, tempfile.mkdtemp(prefix="vt_audit_") + "/t",
+        key_cols=["k"], schema=schema,
+    )
+    t = vt.begin()
+    t.upsert(spark.createDataFrame([(1, 10), (2, 20), (3, 30)], schema))
+    t.commit()
+    t = vt.begin()
+    t.upsert(spark.createDataFrame([(4, 40), (5, 50)], schema))
+    t.delete_keys([(1,)])
+    t.commit()
+    register(spark)
+    (
+        spark.createDataFrame([(6, 60), (7, 70), (8, 80), (9, 90)], schema)
+        .coalesce(1)
+        .write.format("versioned")
+        .mode("append")
+        .option("path", vt.path)
+        .save()
+    )
+    vt.checkpoint()
+    t = vt.begin()
+    t.delete_keys([(6,)])
+    t.upsert(spark.createDataFrame([(2, 22)], schema))
+    t.commit()
+
+    import pyarrow.dataset as pads
+
+    out = []
+    for m in vt._manifests():
+        if m.get("type") == "checkpoint":
+            out.append((m["csn"], "checkpoint", 0, 0))
+            continue
+        # bulk-append manifests (VersionedAppendWriter) record a claimed
+        # "rows" field; txn manifests do not
+        kind = "bulk" if m.get("rows") is not None else "txn"
+        n_up = n_del = 0
+        for op in m.get("ops", []):
+            # count rows from the op's physical parts: the audit reports
+            # truth from storage, not the manifest's claim
+            d = pads.dataset(op["dir"], format="parquet").to_table(
+                columns=["_deleted"]
+            )
+            dl = sum(1 for x in d.column("_deleted").to_pylist() if x)
+            n_up += len(d) - dl
+            n_del += dl
+        out.append((m["csn"], kind, n_up, n_del))
+    return spark.createDataFrame(
+        out, "csn int, commit_kind string, n_upserts int, n_deletes int"
+    )
