@@ -2886,3 +2886,55 @@ def stats_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_r2("ln_q", "ln_p"), 6).alias("r2"),
         F.round(F.avg("ln_p"), 6).alias("mean_ln_price"),
     )
+
+
+@query(
+    "market_concentration_hhi",
+    oracle="""
+    WITH rev AS (
+      SELECT p.p_type AS ptype, l.l_suppkey,
+             SUM(l.l_extendedprice * (1 - l.l_discount)) AS r
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2),
+    tot AS (SELECT ptype, SUM(r) AS t, CAST(COUNT(*) AS BIGINT) AS n_supp
+            FROM rev GROUP BY 1)
+    SELECT rev.ptype, tot.n_supp,
+           ROUND(SUM((rev.r / tot.t) * (rev.r / tot.t)) * 10000, 2) AS hhi,
+           ROUND(MAX(rev.r / tot.t) * 100, 4) AS top_share_pct
+    FROM rev JOIN tot ON rev.ptype = tot.ptype
+    GROUP BY rev.ptype, tot.n_supp
+    """,
+    category="aggregate",
+)
+def market_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman market concentration per part type: the sum of
+    squared supplier revenue shares on the standard 0-10000 scale (the
+    antitrust screen: <1500 competitive, >2500 concentrated) plus the top
+    supplier's share. Generalizes to any per-entity concentration audit
+    (crawl-source domination of a corpus, tenant hot-spotting).
+
+    100 TB shape: facts collapse through one (type, supplier) aggregate;
+    shares normalize against a per-type total joined back broadcast;
+    squares fold map-side."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    rev = (
+        li.join(
+            F.broadcast(p.select("p_partkey", F.col("p_type").alias("ptype"))),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy("ptype", "l_suppkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("r"))
+    )
+    tot = rev.groupBy("ptype").agg(
+        F.sum("r").alias("t"), F.count(F.lit(1)).alias("n_supp")
+    )
+    share = F.col("r") / F.col("t")
+    return (
+        rev.join(F.broadcast(tot), "ptype")
+        .groupBy("ptype", "n_supp")
+        .agg(
+            F.round(F.sum(share * share) * 10000, 2).alias("hhi"),
+            F.round(F.max(share) * 100, 4).alias("top_share_pct"),
+        )
+    )

@@ -1234,3 +1234,107 @@ def forecast_backtest_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000
         ).alias("mape"),
     )
+
+
+@query(
+    "events_interarrival_stats",
+    oracle="""
+    WITH gaps AS (
+      SELECT event_type,
+             (epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY event_type
+                                                    ORDER BY ts, event_id)))
+               / 1000000.0 AS gap_s
+      FROM events)
+    SELECT event_type,
+           CAST(COUNT(gap_s) AS BIGINT) AS n_gaps,
+           ROUND(AVG(gap_s), 4) AS mean_gap_s,
+           ROUND(quantile_cont(gap_s, 0.5), 4) AS p50_gap_s,
+           ROUND(quantile_cont(gap_s, 0.95), 4) AS p95_gap_s,
+           ROUND(MAX(gap_s), 4) AS max_gap_s
+    FROM gaps
+    GROUP BY event_type
+    """,
+    category="timeseries",
+)
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival time distribution per event type (mean/median/p95/max
+    gap seconds) — the queueing-theory view of a stream that sizes
+    consumers and sets staleness alarms (a p95 gap above the alert
+    threshold = the stream is bursty, not just slow).
+
+    100 TB shape: one type-keyed window for the lag (bounded partitions),
+    then a per-type percentile reduction; gaps, not raw timestamps,
+    aggregate."""
+    e = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = e.select(
+        "event_type", ((us - F.lag(us).over(w)) / 1000000.0).alias("gap_s")
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count("gap_s").alias("n_gaps"),
+        F.round(F.avg("gap_s"), 4).alias("mean_gap_s"),
+        F.round(F.percentile("gap_s", F.lit(0.5)), 4).alias("p50_gap_s"),
+        F.round(F.percentile("gap_s", F.lit(0.95)), 4).alias("p95_gap_s"),
+        F.round(F.max("gap_s"), 4).alias("max_gap_s"),
+    )
+
+
+@query(
+    "orders_backlog_curve",
+    oracle="""
+    WITH marks AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, 1 AS delta FROM orders
+      UNION ALL
+      SELECT CAST(o_orderdate AS DATE)
+               + (1 + CAST(('0x' || substr(md5('close:' ||
+                     CAST(o_orderkey AS VARCHAR)), 1, 4)) AS INT) % 90) AS d,
+             -1 AS delta
+      FROM orders),
+    daily AS (
+      SELECT date_trunc('month', d) AS month, SUM(delta) AS net
+      FROM marks GROUP BY 1),
+    curve AS (
+      SELECT month,
+             SUM(net) OVER (ORDER BY month ROWS BETWEEN UNBOUNDED PRECEDING
+                                                    AND CURRENT ROW) AS backlog
+      FROM daily)
+    SELECT CAST(month AS DATE) AS month, CAST(backlog AS BIGINT) AS open_orders
+    FROM curve
+    """,
+    category="timeseries",
+)
+def orders_backlog_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog over time by interval accounting: every order
+    contributes +1 at placement and -1 at its (deterministically
+    synthesized, 1-90 day) close date; the monthly net folds through one
+    running sum — concurrent-interval counting WITHOUT expanding any
+    interval into its days (two marker rows per order, the only shape
+    that survives when intervals span months and orders number billions).
+    Same +1/-1 prefix-sum kernel as concurrent-sessions/occupancy
+    counting."""
+    o = table(spark, sf_dir, "orders")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("close:"), F.col("o_orderkey").cast("string"))),
+            1, 4,
+        ),
+        16, 10,
+    ).cast("int")
+    opens = o.select(
+        F.col("o_orderdate").cast("date").alias("d"), F.lit(1).alias("delta")
+    )
+    closes = o.select(
+        F.date_add(F.col("o_orderdate").cast("date"), 1 + h % 90).alias("d"),
+        F.lit(-1).alias("delta"),
+    )
+    daily = (
+        opens.unionAll(closes)
+        .groupBy(F.date_trunc("month", "d").alias("month"))
+        .agg(F.sum("delta").alias("net"))
+    )
+    w = W.orderBy("month").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return daily.select(
+        F.col("month").cast("date").alias("month"),
+        F.sum("net").over(w).cast("long").alias("open_orders"),
+    )
