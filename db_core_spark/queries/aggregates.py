@@ -6,7 +6,7 @@ plus a single shuffle per grouping, which is the optimal shape at scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from db_core_spark.registry import query
 from db_core_spark.tables import table
@@ -970,3 +970,37 @@ def agg_hll_datasketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("exact_distinct"),
     )
     return per_flag.unionByName(union_row)
+
+
+@query(
+    "agg_top_modes_per_group",
+    oracle="""
+    WITH c AS (
+      SELECT c_mktsegment AS segment, c_nationkey,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM customer GROUP BY 1, 2),
+    r AS (
+      SELECT segment, c_nationkey, n,
+             row_number() OVER (PARTITION BY segment
+                                ORDER BY n DESC, c_nationkey) AS rk
+      FROM c)
+    SELECT segment, c_nationkey AS nation_key, n, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= 3
+    """,
+    category="aggregate",
+)
+def agg_top_modes_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 modes per group (most common nations per market segment) with
+    deterministic tie-breaks — the multi-modal generalization of
+    agg_mode_deterministic (single mode): count, rank, cut. rank<=3 over
+    the collapsed count frame engages WindowGroupLimit pruning."""
+    c = table(spark, sf_dir, "customer")
+    counts = c.groupBy(
+        F.col("c_mktsegment").alias("segment"), "c_nationkey"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("segment").orderBy(F.col("n").desc(), "c_nationkey")
+    return (
+        counts.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("segment", F.col("c_nationkey").alias("nation_key"), "n", "rk")
+    )

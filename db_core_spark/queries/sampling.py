@@ -13,7 +13,7 @@ sample reads-and-drops at full scan speed with zero shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from db_core_spark.registry import query
 from db_core_spark.tables import table
@@ -337,4 +337,60 @@ def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_tokens") / F.col("tot_tokens")),
             4,
         ).alias("oversample_factor"),
+    )
+
+
+@query(
+    "sample_balanced_classes",
+    oracle="""
+    WITH sized AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n
+      FROM embeddings GROUP BY 1),
+    m AS (SELECT MIN(n) AS m FROM sized),
+    ranked AS (
+      SELECT e.vec_id, e.label,
+             row_number() OVER (PARTITION BY e.label
+                                ORDER BY md5(CAST(e.vec_id AS VARCHAR)),
+                                         e.vec_id) AS rk
+      FROM embeddings e)
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(MIN(vec_id) AS BIGINT) AS min_id,
+           CAST(SUM(vec_id) AS BIGINT) AS id_sum
+    FROM ranked CROSS JOIN m
+    WHERE rk <= m.m
+    GROUP BY label
+    """,
+    category="sampling",
+)
+def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: every label keeps exactly the minority
+    class's count, members chosen by deterministic md5 rank (same rows on
+    any engine/partitioning — the property that keeps a training set
+    reproducible across rebuilds). Output summarizes the kept set per
+    label; equality of n_kept across rows IS the balance proof the oracle
+    pins.
+
+    100 TB shape: the per-label rank window partitions on the label key;
+    the minority size is a broadcast scalar. For labels too large to
+    sort, the two-phase prefix-threshold trick of source_mix_rebalance
+    applies unchanged."""
+    e = table(spark, sf_dir, "embeddings")
+    sized = e.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    m = sized.agg(F.min("n").alias("m"))
+    w = W.partitionBy("label").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    ranked = e.select("vec_id", "label").withColumn(
+        "rk", F.row_number().over(w)
+    )
+    return (
+        ranked.crossJoin(F.broadcast(m))
+        .filter(F.col("rk") <= F.col("m"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("vec_id").alias("min_id"),
+            F.sum("vec_id").alias("id_sum"),
+        )
     )

@@ -371,3 +371,37 @@ def scalar_format_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "%,d", F.floor("o_totalprice").cast("long")
         ).alias("grouped_price"),
     )
+
+
+@query(
+    "scalar_uuid_deterministic",
+    oracle="""
+    WITH h AS (
+      SELECT o_orderkey, md5('order:' || CAST(o_orderkey AS VARCHAR)) AS hx
+      FROM orders WHERE o_orderkey < 200)
+    SELECT o_orderkey,
+           substr(hx, 1, 8) || '-' || substr(hx, 9, 4) || '-5'
+             || substr(hx, 14, 3) || '-' || substr(hx, 17, 4) || '-'
+             || substr(hx, 21, 12) AS stable_uuid
+    FROM h
+    """,
+    category="scalar",
+)
+def scalar_uuid_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-derived stable UUIDs (the UUIDv5 idea rendered portably:
+    md5 of a namespaced key formatted as 8-4-4-4-12 with the version
+    nibble pinned) — the surrogate-key generator that stays IDENTICAL
+    across engines, re-runs, and partitionings, unlike uuid()/rand()
+    which poison reproducible pipelines. Pure row-local codegen."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    hx = F.md5(F.concat(F.lit("order:"), F.col("o_orderkey").cast("string")))
+    return o.select(
+        "o_orderkey",
+        F.concat(
+            F.substring(hx, 1, 8), F.lit("-"),
+            F.substring(hx, 9, 4), F.lit("-5"),
+            F.substring(hx, 14, 3), F.lit("-"),
+            F.substring(hx, 17, 4), F.lit("-"),
+            F.substring(hx, 21, 12),
+        ).alias("stable_uuid"),
+    )
