@@ -2938,3 +2938,65 @@ def market_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max(share) * 100, 4).alias("top_share_pct"),
         )
     )
+
+
+@query(
+    "session_bounce_rate_daily",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS session_no
+      FROM seq),
+    per_sess AS (
+      SELECT user_id, session_no,
+             CAST(MIN(ts) AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM sess GROUP BY 1, 2)
+    SELECT d,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           ROUND(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 100.0
+                 / COUNT(*), 4) AS bounce_rate_pct
+    FROM per_sess
+    GROUP BY d
+    """,
+    category="timeseries",
+)
+def session_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: the share of 30-min-gap sessions containing
+    exactly ONE event, keyed to the session's start day — the engagement
+    KPI sitting on top of sessionization (sessionize_gap_events assigns
+    the ids; this rolls them up). One user-keyed window exchange shared
+    by the lag and the cumulative session id, then two tiny hash
+    aggregates."""
+    e = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    is_new = F.when(
+        F.lag(us).over(w).isNull() | ((us - F.lag(us).over(w)) > 1800 * 1000 * 1000),
+        1,
+    ).otherwise(0)
+    sess = e.select("user_id", "ts", "event_id").withColumn(
+        "session_no",
+        F.sum(is_new).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    per_sess = sess.groupBy("user_id", "session_no").agg(
+        F.min(F.col("ts").cast("date")).alias("d"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    bounce = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return per_sess.groupBy("d").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        bounce.cast("long").alias("n_bounces"),
+        F.round(bounce * 100.0 / F.count(F.lit(1)), 4).alias("bounce_rate_pct"),
+    )

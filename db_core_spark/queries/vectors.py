@@ -1293,3 +1293,64 @@ def embedding_pca_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("emp_var", 6).alias("emp_var"),
         F.round(F.col("emp_var") / F.col("eigval"), 6).alias("whitened_var"),
     ).orderBy("comp")
+
+
+@query("embedding_mmr_rerank", oracle=None, category="vector")
+def embedding_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking: for each of 5 query vectors,
+    fetch the cosine top-15 shortlist DISTRIBUTED (the knn_bruteforce
+    kernel), then greedily pick 5 results balancing relevance against
+    redundancy (lambda=0.7: score = 0.7·sim(q,d) - 0.3·max sim(d,
+    already-picked)) — the diversified retrieval every RAG/search stack
+    bolts onto raw ANN, which happily returns 5 near-duplicates. The
+    greedy loop runs per-query inside ONE applyInPandas over the 15-row
+    shortlist groups (bounded work; the corpus-scale part stays the
+    distributed shortlist). Rows-only (greedy selection is not SQL);
+    pytest pins: pick 1 = argmax cosine, picks are distinct shortlist
+    members, and the MMR set is more diverse (lower mean pairwise sim)
+    than plain top-5 whenever they differ."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    e = table(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", to_double(F.col("embedding")).alias("vec"))
+    q = vecs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec")
+    )
+    cand = (
+        vecs.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("sim", cosine(F.col("vec"), F.col("q_vec")))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("sim").desc(), "vec_id")
+    short = cand.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 15)
+
+    def mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("rk")
+        X = np.array(pdf["vec"].tolist())
+        X = X / np.linalg.norm(X, axis=1, keepdims=True)
+        sims = pdf["sim"].to_numpy()
+        picked: list[int] = []
+        for _ in range(5):
+            best, best_score = -1, -1e18
+            for i in range(len(pdf)):
+                if i in picked:
+                    continue
+                red = max((float(X[i] @ X[j]) for j in picked), default=0.0)
+                score = 0.7 * float(sims[i]) - 0.3 * red
+                if score > best_score + 1e-12:
+                    best, best_score = i, score
+            picked.append(best)
+        out = pdf.iloc[picked]
+        return pd.DataFrame(
+            {
+                "q_id": out["q_id"].to_numpy(),
+                "vec_id": out["vec_id"].to_numpy(),
+                "sim": [round(float(s), 6) for s in out["sim"]],
+                "mmr_rank": list(range(1, 6)),
+            }
+        )
+
+    return short.groupBy("q_id").applyInPandas(
+        mmr, "q_id long, vec_id long, sim double, mmr_rank int"
+    )

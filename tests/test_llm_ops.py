@@ -512,3 +512,42 @@ def test_kcore_invariants(spark):
     assert {(r.node, r.core_degree) for r in rows} == {
         (r.node, r.core_degree) for r in rows2
     }
+
+
+def test_mmr_rerank_properties(spark):
+    """MMR invariants: the first pick per query is the raw top-1; picks
+    are 5 distinct shortlist members; and where MMR diverges from plain
+    top-5 it is MORE diverse (lower mean pairwise cosine)."""
+    import numpy as np
+
+    from db_core_spark.functions.vectors import to_double
+    from db_core_spark.registry import all_queries
+    from pyspark.sql import Window as W
+
+    mmr_rows = all_queries()["embedding_mmr_rerank"].fn(spark, SF_SMALL).collect()
+    by_q: dict = {}
+    for r in mmr_rows:
+        by_q.setdefault(r.q_id, []).append(r)
+    assert len(by_q) == 5
+    e = table(spark, SF_SMALL, "embeddings").select(
+        "vec_id", to_double(F.col("embedding")).alias("vec")
+    )
+    vecs = {r.vec_id: np.array(r.vec) for r in e.collect()}
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    for q_id, rows in by_q.items():
+        rows = sorted(rows, key=lambda r: r.mmr_rank)
+        ids = [r.vec_id for r in rows]
+        assert len(set(ids)) == 5 and q_id not in ids
+        qv = vecs[q_id]
+        sims = {vid: cos(qv, v) for vid, v in vecs.items() if vid != q_id}
+        top5 = sorted(sims, key=lambda k: (-sims[k], k))[:5]
+        assert ids[0] == top5[0]  # first pick = raw argmax
+        if set(ids) != set(top5):
+            def mean_pair(s):
+                return np.mean(
+                    [cos(vecs[a], vecs[b]) for i, a in enumerate(s) for b in s[i + 1:]]
+                )
+            assert mean_pair(ids) <= mean_pair(top5) + 1e-9
