@@ -529,7 +529,9 @@ def test_mmr_rerank_properties(spark):
     for r in mmr_rows:
         by_q.setdefault(r.q_id, []).append(r)
     assert len(by_q) == 5
-    e = table(spark, SF_SMALL, "embeddings").select(
+    from db_core_spark.tables import table as _table
+
+    e = _table(spark, SF_SMALL, "embeddings").select(
         "vec_id", to_double(F.col("embedding")).alias("vec")
     )
     vecs = {r.vec_id: np.array(r.vec) for r in e.collect()}
