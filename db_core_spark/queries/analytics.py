@@ -3000,3 +3000,69 @@ def session_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         bounce.cast("long").alias("n_bounces"),
         F.round(bounce * 100.0 / F.count(F.lit(1)), 4).alias("bounce_rate_pct"),
     )
+
+
+@query(
+    "rfm_segment_migration",
+    oracle="""
+    WITH monthly AS (
+      SELECT o_custkey, date_trunc('month', o_orderdate) AS m,
+             SUM(o_totalprice) AS spend
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY 1, 2),
+    tiered AS (
+      SELECT o_custkey, m,
+             CASE WHEN spend >= 300000 THEN 'high'
+                  WHEN spend >= 150000 THEN 'mid'
+                  ELSE 'low' END AS tier
+      FROM monthly),
+    paired AS (
+      SELECT o_custkey, m, tier,
+             LAG(tier) OVER (PARTITION BY o_custkey ORDER BY m) AS prev_tier,
+             LAG(m) OVER (PARTITION BY o_custkey ORDER BY m) AS prev_m
+      FROM tiered)
+    SELECT prev_tier, tier AS next_tier,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM paired
+    WHERE prev_tier IS NOT NULL
+      AND m = prev_m + INTERVAL 1 MONTH
+    GROUP BY prev_tier, tier
+    """,
+    category="timeseries",
+)
+def rfm_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-tier migration matrix: month-over-month transitions of each
+    customer's spend tier (high/mid/low), counting only CONSECUTIVE
+    months — the churn-risk heatmap behind lifecycle marketing (a fat
+    high->low cell is the alarm). Complements rfm_customer_segments
+    (point-in-time snapshot) with the dynamics.
+
+    100 TB shape: facts collapse to (customer, month) once; the lag
+    window partitions on the customer key; the 3x3 matrix is the only
+    driver-visible output."""
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    monthly = o.groupBy(
+        "o_custkey", F.date_trunc("month", "o_orderdate").alias("m")
+    ).agg(F.sum("o_totalprice").alias("spend"))
+    tier = (
+        F.when(F.col("spend") >= 300000, "high")
+        .when(F.col("spend") >= 150000, "mid")
+        .otherwise("low")
+    )
+    w = W.partitionBy("o_custkey").orderBy("m")
+    paired = monthly.select("o_custkey", "m", tier.alias("tier")).select(
+        "o_custkey", "m", "tier",
+        F.lag("tier").over(w).alias("prev_tier"),
+        F.lag("m").over(w).alias("prev_m"),
+    )
+    return (
+        paired.filter(
+            F.col("prev_tier").isNotNull()
+            & (F.col("m") == F.col("prev_m") + F.expr("INTERVAL 1 MONTH"))
+        )
+        .groupBy("prev_tier", F.col("tier").alias("next_tier"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )

@@ -1338,3 +1338,68 @@ def orders_backlog_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("month").cast("date").alias("month"),
         F.sum("net").over(w).cast("long").alias("open_orders"),
     )
+
+
+@query(
+    "window_peak_valley",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(l_shipdate AS DATE) AS d,
+             SUM(l_extendedprice * (1 - l_discount)) AS rev
+      FROM lineitem GROUP BY 1),
+    marked AS (
+      SELECT d, rev,
+             LAG(rev) OVER (ORDER BY d) AS prev,
+             LEAD(rev) OVER (ORDER BY d) AS nxt,
+             AVG(rev) OVER () AS mu,
+             stddev_pop(rev) OVER () AS sd
+      FROM daily)
+    SELECT d, floor(rev * 100 + 0.5) / 100 AS rev,
+           CAST(CASE WHEN rev > prev AND rev > nxt THEN 'peak'
+                     ELSE 'valley' END AS VARCHAR) AS kind,
+           ROUND((rev - mu) / sd, 4) AS z
+    FROM marked
+    WHERE prev IS NOT NULL AND nxt IS NOT NULL
+      AND ((rev > prev AND rev > nxt) OR (rev < prev AND rev < nxt))
+      AND ABS(rev - mu) > 1.5 * sd
+    """,
+    category="timeseries",
+)
+def window_peak_valley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prominent local extrema of the daily-revenue series: strict local
+    peaks/valleys (greater/less than BOTH neighbors) that also clear a
+    1.5-sigma prominence bar — the turning-point detector feeding
+    annotation layers and alert digests (plain extrema fire on noise;
+    the z-filter keeps the ones a human would circle).
+
+    100 TB shape: facts collapse to the daily frame first; lag/lead and
+    the global moments are windows over that tiny series."""
+    li = table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.col("l_shipdate").cast("date").alias("d")).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    )
+    wo = W.orderBy("d")
+    wall = W.partitionBy()
+    m = daily.select(
+        "d", "rev",
+        F.lag("rev").over(wo).alias("prev"),
+        F.lead("rev").over(wo).alias("nxt"),
+        F.avg("rev").over(wall).alias("mu"),
+        F.stddev_pop("rev").over(wall).alias("sd"),
+    )
+    is_peak = (F.col("rev") > F.col("prev")) & (F.col("rev") > F.col("nxt"))
+    is_valley = (F.col("rev") < F.col("prev")) & (F.col("rev") < F.col("nxt"))
+    return (
+        m.filter(
+            F.col("prev").isNotNull()
+            & F.col("nxt").isNotNull()
+            & (is_peak | is_valley)
+            & (F.abs(F.col("rev") - F.col("mu")) > 1.5 * F.col("sd"))
+        )
+        .select(
+            "d",
+            (F.floor(F.col("rev") * 100 + 0.5) / 100).alias("rev"),
+            F.when(is_peak, "peak").otherwise("valley").alias("kind"),
+            F.round((F.col("rev") - F.col("mu")) / F.col("sd"), 4).alias("z"),
+        )
+    )
