@@ -749,3 +749,42 @@ def test_stream_trending_topk_converges_to_batch(spark, stream_dir, tmp_path):
         (r.h, r.event_type, r.n, r.rk) for r in want_df.collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_session_bounce_converges_to_batch(spark, stream_dir, tmp_path):
+    """Native streaming session windows (30-min gap, append mode after
+    watermark finalization) produce the same daily bounce rate as the
+    batch lag/cumsum sessionization twin — the two session definitions
+    are semantically identical for point events."""
+    from db_core_spark.registry import all_queries
+    from db_core_spark.streaming import events_stream, run_to_memory, session_counts
+
+    got_sessions = run_to_memory(
+        session_counts(events_stream(spark, stream_dir), gap="30 minutes"),
+        "append",
+        str(tmp_path / "ck_bounce"),
+    )
+    live = (
+        got_sessions.groupBy(F.col("session_start").cast("date").alias("d"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_bounces"),
+        )
+        .collect()
+    )
+    want_all = {
+        (r.d, r.n_sessions, r.n_bounces)
+        for r in all_queries()["session_bounce_rate_daily"]
+        .fn(spark, SF_SMALL)
+        .select("d", "n_sessions", "n_bounces")
+        .collect()
+    }
+    # append mode withholds sessions the final watermark never passed:
+    # the bounded stream's LAST day stays partially unfinalized, exactly
+    # the closed-windows-only contract — compare the finalized days
+    last = max(d for d, _, _ in want_all)
+    want = {t for t in want_all if t[0] < last}
+    got = {(r.d, r.n_sessions, r.n_bounces) for r in live if r.d < last}
+    assert got == want and len(got) > 0
