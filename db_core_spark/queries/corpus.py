@@ -764,3 +764,144 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("novel") / F.count(F.lit(1)), 6).alias("novelty"),
         )
     )
+
+
+@query(
+    "perplexity_bigram_lm",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             UNNEST(string_split_regex(text, '\\s+')) AS tok,
+             generate_subscripts(string_split_regex(text, '\\s+'), 1) AS pos
+      FROM documents),
+    bigrams AS (
+      SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+      FROM toks a JOIN toks b
+        ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+    bg_counts AS (SELECT w1, w2, COUNT(*) AS c12 FROM bigrams GROUP BY 1, 2),
+    ug_counts AS (SELECT w1, COUNT(*) AS c1 FROM bigrams GROUP BY 1),
+    vsize AS (SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE) AS v FROM toks)
+    SELECT bi.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(-LN((bg.c12 + 0.5) / (ug.c1 + 0.5 * vs.v))), 6)
+             AS avg_neg_logp,
+           ROUND(EXP(AVG(-LN((bg.c12 + 0.5) / (ug.c1 + 0.5 * vs.v)))), 4)
+             AS perplexity
+    FROM bigrams bi
+    JOIN bg_counts bg ON bg.w1 = bi.w1 AND bg.w2 = bi.w2
+    JOIN ug_counts ug ON ug.w1 = bi.w1
+    CROSS JOIN vsize vs
+    GROUP BY bi.doc_id
+    """,
+    category="llm",
+)
+def perplexity_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model perplexity with add-0.5 smoothing: every doc
+    scored by mean -ln P(w2|w1) under the corpus's own bigram counts —
+    one modeling step past perplexity_unigram_proxy and the closest
+    SQL-expressible stand-in for the KenLM filter tier (CCNet): docs
+    whose word ORDER is unusual now score high even when their unigram
+    mix looks normal (shuffled text fools the unigram proxy, not this).
+
+    100 TB shape: bigrams come from the codegen window shingler's shape
+    (posexplode + lead, one doc-keyed exchange); the bigram/unigram count
+    tables are the broadcast side (vocab² is bounded by observed pairs,
+    not |V|²); the corpus-side scoring pass is map-only and the final
+    per-doc average is the one wide shuffle."""
+    from pyspark.sql import Window as PW
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), r"\s+")).alias("pos", "tok")
+    )
+    w = PW.partitionBy("doc_id").orderBy("pos")
+    bigrams = (
+        toks.select(
+            "doc_id", F.col("tok").alias("w1"), F.lead("tok").over(w).alias("w2")
+        )
+        .filter(F.col("w2").isNotNull())
+    )
+    bg = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ug = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vs = toks.agg(F.countDistinct("tok").cast("double").alias("v"))
+    neg_logp = -F.log(
+        (F.col("c12") + 0.5) / (F.col("c1") + 0.5 * F.col("v"))
+    )
+    scored = (
+        bigrams.join(F.broadcast(bg), ["w1", "w2"])
+        .join(F.broadcast(ug), "w1")
+        .crossJoin(F.broadcast(vs))
+        .withColumn("nlp", neg_logp)
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("nlp"), 6).alias("avg_neg_logp"),
+        F.round(F.exp(F.avg("nlp")), 4).alias("perplexity"),
+    )
+
+
+@query(
+    "corpus_lognormal_length_fit",
+    oracle="""
+    WITH lens AS (
+      SELECT LN(CAST(n_chars AS DOUBLE)) AS x FROM documents WHERE n_chars > 0),
+    fit AS (
+      SELECT AVG(x) AS mu, stddev_pop(x) AS sigma,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM lens),
+    binned AS (
+      SELECT CAST(floor((l.x - f.mu) / f.sigma * 2) AS BIGINT) AS z_bin,
+             CAST(COUNT(*) AS BIGINT) AS obs, MAX(f.n) AS n
+      FROM lens l CROSS JOIN fit f
+      WHERE ABS(l.x - f.mu) < 3 * f.sigma
+      GROUP BY 1)
+    SELECT f.n AS n_docs,
+           ROUND(f.mu, 6) AS mu_ln,
+           ROUND(f.sigma, 6) AS sigma_ln,
+           ROUND(EXP(f.mu + f.sigma * f.sigma / 2), 2) AS implied_mean_chars,
+           CAST((SELECT COUNT(*) FROM binned) AS BIGINT) AS n_bins,
+           (SELECT CAST(MAX(obs) AS BIGINT) FROM binned) AS modal_bin_count
+    FROM fit f
+    """,
+    category="llm",
+)
+def corpus_lognormal_length_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-normal fit of the document-length distribution — the standard
+    model for text lengths (and the basis for principled length cutoffs:
+    filter at mu ± k·sigma in LOG space rather than arbitrary char
+    counts). Reports the fitted (mu, sigma) of ln(length), the implied
+    arithmetic mean exp(mu + sigma²/2) as a moment-consistency check, and
+    half-sigma bin occupancy within ±3σ.
+
+    100 TB shape: one moment aggregate over a row-local log transform,
+    then a tiny binned pass against broadcast fit parameters."""
+    d = table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    lens = d.select(F.log(F.col("n_chars").cast("double")).alias("x"))
+    fit = lens.agg(
+        F.avg("x").alias("mu"),
+        F.stddev_pop("x").alias("sigma"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    binned = (
+        lens.crossJoin(F.broadcast(fit))
+        .filter(F.abs(F.col("x") - F.col("mu")) < 3 * F.col("sigma"))
+        .groupBy(
+            F.floor((F.col("x") - F.col("mu")) / F.col("sigma") * 2)
+            .cast("long")
+            .alias("z_bin")
+        )
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    bstats = binned.agg(
+        F.count(F.lit(1)).alias("n_bins"), F.max("obs").alias("modal_bin_count")
+    )
+    return fit.crossJoin(F.broadcast(bstats)).select(
+        F.col("n").alias("n_docs"),
+        F.round("mu", 6).alias("mu_ln"),
+        F.round("sigma", 6).alias("sigma_ln"),
+        F.round(F.exp(F.col("mu") + F.col("sigma") * F.col("sigma") / 2), 2).alias(
+            "implied_mean_chars"
+        ),
+        F.col("n_bins").cast("long"),
+        F.col("modal_bin_count").cast("long"),
+    )
