@@ -405,3 +405,44 @@ def scalar_uuid_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring(hx, 21, 12),
         ).alias("stable_uuid"),
     )
+
+
+@query(
+    "scalar_trig_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(sin(radians(o_orderkey % 360)), 6) AS sin_deg,
+           ROUND(cos(radians(o_orderkey % 360)), 6) AS cos_deg,
+           ROUND(degrees(atan2(CAST(o_orderkey % 7 AS DOUBLE),
+                               CAST(1 + o_orderkey % 5 AS DOUBLE))), 6)
+             AS bearing_deg,
+           ROUND(cbrt(o_totalprice), 6) AS cbrt_price,
+           ROUND((EXP(CAST(o_orderkey % 3 AS DOUBLE))
+                  - EXP(-CAST(o_orderkey % 3 AS DOUBLE))) / 2, 6) AS sinh_k
+    FROM orders WHERE o_orderkey < 200
+    """,
+    category="scalar",
+)
+def scalar_trig_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigonometric/hyperbolic scalar surface — sin/cos over radians
+    conversion, atan2 bearings back to degrees, cube root, sinh — the
+    numeric kernel pieces geo math and signal features are built from
+    (geo.py composes the same primitives into haversine). Pure row-local
+    codegen; both engines agree to the shown rounding."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    return o.select(
+        "o_orderkey",
+        F.round(F.sin(F.radians(F.col("o_orderkey") % 360)), 6).alias("sin_deg"),
+        F.round(F.cos(F.radians(F.col("o_orderkey") % 360)), 6).alias("cos_deg"),
+        F.round(
+            F.degrees(
+                F.atan2(
+                    (F.col("o_orderkey") % 7).cast("double"),
+                    (1 + F.col("o_orderkey") % 5).cast("double"),
+                )
+            ),
+            6,
+        ).alias("bearing_deg"),
+        F.round(F.cbrt("o_totalprice"), 6).alias("cbrt_price"),
+        F.round(F.sinh((F.col("o_orderkey") % 3).cast("double")), 6).alias("sinh_k"),
+    )

@@ -1403,3 +1403,76 @@ def window_peak_valley(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.col("rev") - F.col("mu")) / F.col("sd"), 4).alias("z"),
         )
     )
+
+
+@query(
+    "dq_missing_days",
+    oracle="""
+    WITH b AS (SELECT CAST(MIN(o_orderdate) AS DATE) AS lo,
+                      CAST(MAX(o_orderdate) AS DATE) AS hi FROM orders),
+    spine AS (
+      SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+      FROM b),
+    have AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders)
+    SELECT s.d AS missing_day,
+           CAST(dayofweek(s.d) + 1 AS INT) AS dow
+    FROM spine s LEFT JOIN have h ON h.d = s.d
+    WHERE h.d IS NULL
+    """,
+    category="timeseries",
+)
+def dq_missing_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-completeness monitor: calendar days inside the table's own
+    span with ZERO rows — the silent-pipeline-failure detector (a feed
+    that skips a day never announces it; the calendar anti-join does).
+    Returns each hole with its weekday, since weekend-shaped holes are
+    usually legitimate and alert routing wants the distinction.
+
+    100 TB shape: the observed-day set is one distinct aggregate
+    (|days| rows); the calendar spine derives from a broadcast 1-row
+    bounds aggregate; the anti-join is spine-sized."""
+    o = table(spark, sf_dir, "orders")
+    b = o.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("lo"),
+        F.max(F.col("o_orderdate").cast("date")).alias("hi"),
+    )
+    spine = b.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("d")
+    )
+    have = o.select(F.col("o_orderdate").cast("date").alias("d")).distinct()
+    return (
+        spine.join(have, "d", "left_anti")
+        .select(
+            F.col("d").alias("missing_day"),
+            F.dayofweek("d").cast("int").alias("dow"),
+        )
+    )
+
+
+@query(
+    "events_heatmap_hour_dow",
+    oracle="""
+    SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
+           CAST(EXTRACT(hour FROM ts) AS INT) AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(AVG(value), 4) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    category="timeseries",
+)
+def events_heatmap_hour_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The activity heatmap: event volume and mean value by (day-of-week,
+    hour-of-day) — the load-shape fingerprint behind capacity planning,
+    send-time optimization, and anomaly baselines (compare any hour to
+    its own weekday-hour cell, not the global mean). One map-side-
+    combined aggregate over row-local calendar extractions; at most
+    7 x 24 output rows at any scale."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.dayofweek("ts").cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hour"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
