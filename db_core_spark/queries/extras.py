@@ -316,3 +316,72 @@ def sql_api_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("customer", "orders", "lineitem"):
         table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_SQL_Q3)
+
+
+@query(
+    "correlated_exists_above_own_avg",
+    oracle="""
+    SELECT o1.o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_above_avg,
+           ROUND(MAX(o1.o_totalprice), 2) AS max_price
+    FROM orders o1
+    WHERE o1.o_totalprice > (SELECT AVG(o2.o_totalprice)
+                             FROM orders o2
+                             WHERE o2.o_custkey = o1.o_custkey)
+    GROUP BY o1.o_custkey
+    """,
+    category="subquery",
+)
+def correlated_exists_above_own_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated self-comparison: each customer's orders priced above that
+    CUSTOMER'S OWN average (the 'which purchases were big for THEM'
+    question). The oracle states it as the textbook correlated scalar
+    subquery; the Spark plan is the decorrelated form every optimizer
+    rewrites it to — one window AVG over the customer key, then a
+    row-local comparison — turning N correlated rescans into ONE
+    exchange. The gate proves rewrite == textbook semantics."""
+    o = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey")
+    return (
+        o.withColumn("cust_avg", F.avg("o_totalprice").over(w))
+        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_above_avg"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+    )
+
+
+@query(
+    "scalar_subquery_share_of_customer",
+    oracle="""
+    SELECT o1.o_orderkey, o1.o_custkey,
+           ROUND(o1.o_totalprice * 100.0
+                 / (SELECT SUM(o2.o_totalprice) FROM orders o2
+                    WHERE o2.o_custkey = o1.o_custkey), 4) AS pct_of_customer
+    FROM orders o1
+    WHERE o1.o_orderkey < 1000
+    """,
+    category="subquery",
+)
+def scalar_subquery_share_of_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row correlated scalar subquery in the SELECT list: each order's
+    share of its customer's lifetime spend. Decorrelated to a window SUM
+    on the customer key (the denominator must aggregate over ALL the
+    customer's orders, so the window runs BEFORE the orderkey filter
+    prunes rows — ordering the rewrite wrong silently changes the
+    denominator, which the oracle would catch)."""
+    o = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey")
+    return (
+        o.withColumn("cust_total", F.sum("o_totalprice").over(w))
+        .filter(F.col("o_orderkey") < 1000)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100.0 / F.col("cust_total"), 4).alias(
+                "pct_of_customer"
+            ),
+        )
+    )
