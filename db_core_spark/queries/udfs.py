@@ -8,6 +8,8 @@ every other query in the engine stays JVM-side."""
 
 from __future__ import annotations
 
+from typing import Iterator, Tuple
+
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -129,4 +131,45 @@ def applyinpandas_udaf_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     return o.groupBy("o_custkey").applyInPandas(
         gini, schema="o_custkey long, gini double, n_orders long"
+    )
+
+
+@query(
+    "pandas_udf_iter_minmax_scale",
+    oracle="""
+    WITH b AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events)
+    SELECT e.event_id,
+           ROUND((e.value - b.lo) / (b.hi - b.lo), 6) AS value_scaled
+    FROM events e CROSS JOIN b
+    WHERE e.event_id < 500
+    """,
+    category="udf",
+)
+def pandas_udf_iter_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALAR_ITER pandas UDF (the iterator form: one generator per
+    partition, Arrow batches streamed through it) min-max scaling event
+    values against broadcast global bounds — the UDF shape for per-
+    partition one-time setup (model load, dictionary mmap) amortized
+    across every batch, which the plain scalar form re-pays per batch.
+    The bounds ride in as regular columns (broadcast 1-row aggregate);
+    the UDF itself is pure arithmetic, so the oracle can pin it
+    exactly."""
+    @F.pandas_udf("double")
+    def scale(
+        it: Iterator[Tuple[pd.Series, pd.Series, pd.Series]],
+    ) -> Iterator[pd.Series]:
+        # per-partition setup would run HERE, once, before the batch loop
+        for value, lo, hi in it:
+            yield (value - lo) / (hi - lo)
+
+    e = table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    b = table(spark, sf_dir, "events").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    return (
+        e.crossJoin(F.broadcast(b))
+        .select(
+            "event_id",
+            F.round(scale("value", "lo", "hi"), 6).alias("value_scaled"),
+        )
     )
