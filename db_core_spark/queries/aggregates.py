@@ -1004,3 +1004,34 @@ def agg_top_modes_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("segment", F.col("c_nationkey").alias("nation_key"), "n", "rk")
     )
+
+
+@query(
+    "agg_geometric_harmonic_means",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(EXP(AVG(LN(l_extendedprice))), 4) AS geo_mean_price,
+           ROUND(COUNT(*) / SUM(1.0 / l_extendedprice), 4) AS harm_mean_price,
+           ROUND(AVG(l_extendedprice), 4) AS arith_mean_price
+    FROM lineitem WHERE l_extendedprice > 0
+    GROUP BY l_returnflag
+    """,
+    category="aggregate",
+)
+def agg_geometric_harmonic_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Pythagorean-means triple per group: geometric
+    (exp-mean-log — the right average for ratios and growth rates),
+    harmonic (n / sum of reciprocals — the right average for rates), and
+    arithmetic, whose mandatory ordering harmonic <= geometric <=
+    arithmetic doubles as a built-in self-check. All three are streaming
+    one-pass aggregates over row-local transforms."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") > 0)
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.exp(F.avg(F.log("l_extendedprice"))), 4).alias("geo_mean_price"),
+        F.round(
+            F.count(F.lit(1)) / F.sum(1.0 / F.col("l_extendedprice")), 4
+        ).alias("harm_mean_price"),
+        F.round(F.avg("l_extendedprice"), 4).alias("arith_mean_price"),
+    )

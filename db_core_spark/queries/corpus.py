@@ -12,7 +12,7 @@ set, vocabulary) broadcast so the corpus never reshuffles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from db_core_spark.functions.text import EN_STOPWORDS, shingle_posting
 from db_core_spark.registry import query
@@ -904,4 +904,93 @@ def corpus_lognormal_length_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("n_bins").cast("long"),
         F.col("modal_bin_count").cast("long"),
+    )
+
+
+@query(
+    "text_keywords_rake",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             UNNEST(string_split_regex(text, '\\s+')) AS tok,
+             generate_subscripts(string_split_regex(text, '\\s+'), 1) AS pos
+      FROM documents),
+    flagged AS (
+      SELECT doc_id, tok, pos,
+             CASE WHEN tok IN ('the','a','of','and','to','in','is','it',
+                               'that','for') THEN 1 ELSE 0 END AS is_stop
+      FROM toks),
+    runs AS (
+      SELECT doc_id, tok, pos, is_stop,
+             SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS run_id
+      FROM flagged),
+    phrases AS (
+      SELECT doc_id, run_id,
+             string_agg(tok, ' ' ORDER BY pos) AS phrase,
+             CAST(COUNT(*) AS BIGINT) AS n_words
+      FROM runs WHERE is_stop = 0
+      GROUP BY doc_id, run_id
+      HAVING COUNT(*) BETWEEN 2 AND 4),
+    scored AS (
+      SELECT phrase, n_words,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM phrases GROUP BY phrase, n_words),
+    ranked AS (
+      SELECT phrase, n_words, freq, n_docs,
+             row_number() OVER (ORDER BY freq * n_words DESC, phrase) AS rk
+      FROM scored)
+    SELECT phrase, n_words, freq, n_docs, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 25
+    """,
+    category="llm",
+)
+def text_keywords_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE-style keyword extraction: candidate phrases are the maximal
+    stopword-free token runs (2-4 words), scored by frequency x length —
+    the unsupervised keyword/tag surface a corpus browser ships. The cute
+    part is the segmentation: phrase boundaries are a CUMULATIVE SUM of
+    the stopword flag (every stopword increments the run id; non-stop
+    runs share one), i.e. sessionization transplanted from time gaps to
+    token gaps — no UDF, no regex backtracking.
+
+    100 TB shape: one doc-keyed window for run ids, one hash aggregate to
+    assemble phrases, one to score them, TakeOrderedAndProject for the
+    top-k."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), r"\s+")).alias("pos", "tok")
+    )
+    is_stop = F.when(F.col("tok").isin(*EN_STOPWORDS), 1).otherwise(0)
+    w = W.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    runs = toks.withColumn("is_stop", is_stop).withColumn(
+        "run_id", F.sum("is_stop").over(w)
+    )
+    phrases = (
+        runs.filter(F.col("is_stop") == 0)
+        .groupBy("doc_id", "run_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            ).alias("phrase"),
+            F.count(F.lit(1)).alias("n_words"),
+        )
+        .filter(F.col("n_words").between(2, 4))
+    )
+    scored = phrases.groupBy("phrase", "n_words").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    wr = W.orderBy((F.col("freq") * F.col("n_words")).desc(), "phrase")
+    return (
+        scored.withColumn("rk", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rk") <= 25)
     )

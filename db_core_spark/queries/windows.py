@@ -444,3 +444,47 @@ def window_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") - F.lag("n").over(wl)).cast("long").alias("delta_vs_prev_hour"),
     )
     return ranked.filter(F.col("rk") <= 3)
+
+
+@query(
+    "window_recency_features",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST((epoch_us(ts) - LAG(epoch_us(ts)) OVER w) // 1000000
+                AS BIGINT) AS secs_since_prev,
+           CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING) AS BIGINT)
+             AS n_prior_events,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                AS BIGINT) AS n_prior_purchases
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    category="window",
+)
+def window_recency_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe per-event recency features: seconds since the user's
+    previous event, prior event count, prior purchase count — every frame
+    ends at 1 PRECEDING so the current row never sees itself (the
+    training-feature hygiene point-in-time joins exist for, here in pure
+    window form). All three features share ONE user-keyed sort/exchange."""
+    e = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wp = w.rowsBetween(W.unboundedPreceding, -1)
+    return e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.floor((us - F.lag(us).over(w)) / 1000000)
+        .cast("long")
+        .alias("secs_since_prev"),
+        F.count(F.lit(1)).over(wp).cast("long").alias("n_prior_events"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .over(wp)
+        .cast("long")
+        .alias("n_prior_purchases"),
+    )
