@@ -3066,3 +3066,67 @@ def rfm_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_tier", F.col("tier").alias("next_tier"))
         .agg(F.count(F.lit(1)).alias("n_customers"))
     )
+
+
+@query(
+    "fraud_duplicate_payments",
+    oracle="""
+    SELECT a.o_orderkey AS order_a, b.o_orderkey AS order_b,
+           a.o_custkey,
+           ROUND(a.o_totalprice, 2) AS amount,
+           CAST(date_diff('day', CAST(a.o_orderdate AS DATE),
+                          CAST(b.o_orderdate AS DATE)) AS BIGINT) AS days_apart
+    FROM orders a JOIN orders b
+      ON a.o_custkey = b.o_custkey
+     AND floor(a.o_totalprice / 5000) = floor(b.o_totalprice / 5000)
+     AND a.o_orderkey < b.o_orderkey
+     AND CAST(b.o_orderdate AS DATE)
+         BETWEEN CAST(a.o_orderdate AS DATE)
+             AND CAST(a.o_orderdate AS DATE) + 90
+    """,
+    category="join",
+)
+def fraud_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-charge screen: pairs of orders by the SAME customer in the
+    SAME amount bucket (5k-wide — real audits match on near-equal, not
+    bit-equal, amounts) within 90 days. The join is EQUI on the
+    (customer, amount-bucket) composite — a sharp hash-join key — with
+    the date band as a post-join row filter, never a banded range join
+    over customers. (Boundary caveat a production screen handles with a
+    two-bucket probe: amounts straddling a bucket edge don't pair.)
+
+    100 TB shape: candidate volume is bounded by per-(customer, amount)
+    multiplicity (~1), exactly like the blocked spatial join's density
+    argument; at scale the same key also bucket-co-locates both sides."""
+    o = table(spark, sf_dir, "orders")
+    a = o.select(
+        F.col("o_orderkey").alias("order_a"),
+        "o_custkey",
+        F.col("o_totalprice").alias("amount"),
+        F.floor(F.col("o_totalprice") / 5000).alias("bkt"),
+        F.col("o_orderdate").cast("date").alias("da"),
+    )
+    b = o.select(
+        F.col("o_orderkey").alias("order_b"),
+        F.col("o_custkey").alias("ck2"),
+        F.floor(F.col("o_totalprice") / 5000).alias("bkt2"),
+        F.col("o_orderdate").cast("date").alias("db"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("o_custkey") == F.col("ck2"))
+            & (F.col("bkt") == F.col("bkt2"))
+            & (F.col("order_a") < F.col("order_b")),
+        )
+        .filter(
+            (F.col("db") >= F.col("da")) & (F.col("db") <= F.date_add("da", 90))
+        )
+        .select(
+            "order_a",
+            "order_b",
+            "o_custkey",
+            F.round("amount", 2).alias("amount"),
+            F.datediff("db", "da").cast("long").alias("days_apart"),
+        )
+    )

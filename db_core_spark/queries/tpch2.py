@@ -571,3 +571,42 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )
+
+
+@query(
+    "supplier_otif_delivery",
+    oracle=f"""
+    WITH {_LSYNTH_CTE}
+    SELECT s.s_name,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(SUM(CASE WHEN l.l_receiptdate <= l.l_commitdate
+                          THEN 1 ELSE 0 END) * 100.0 / COUNT(*), 4)
+             AS on_time_pct,
+           CAST(SUM(CASE WHEN l.l_receiptdate > l.l_commitdate
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+    FROM lsynth l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    GROUP BY s.s_name
+    """,
+    category="tpch",
+)
+def supplier_otif_delivery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier on-time delivery scorecard: the share of each supplier's
+    lineitems received by their commitment date (the OTIF KPI driving
+    supplier reviews; q21 finds the BLAMEWORTHY late ones, this ranks
+    everyone). Synth commit/receipt dates are row-local on the fact scan;
+    supplier broadcasts; one supplier-keyed aggregate."""
+    li = synth_lineitem(table(spark, sf_dir, "lineitem"))
+    s = table(spark, sf_dir, "supplier")
+    on_time = F.when(F.col("l_receiptdate") <= F.col("l_commitdate"), 1).otherwise(0)
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(on_time) * 100.0 / F.count(F.lit(1)), 4).alias(
+                "on_time_pct"
+            ),
+            F.sum(1 - on_time).cast("long").alias("n_late"),
+        )
+    )
