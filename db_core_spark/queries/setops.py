@@ -74,3 +74,51 @@ def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _big_cust(spark, sf_dir).exceptAll(_urgent_cust(spark, sf_dir)).distinct()
+
+
+@query(
+    "setop_symmetric_diff",
+    oracle="""
+    WITH y96 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                   AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'),
+    y97 AS (SELECT DISTINCT o_custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00')
+    SELECT o_custkey, CAST('1996_only' AS VARCHAR) AS side
+    FROM y96 WHERE o_custkey NOT IN (SELECT o_custkey FROM y97)
+    UNION ALL
+    SELECT o_custkey, CAST('1997_only' AS VARCHAR) AS side
+    FROM y97 WHERE o_custkey NOT IN (SELECT o_custkey FROM y96)
+    """,
+    category="setop",
+)
+def setop_symmetric_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric difference with side attribution: customers active in
+    exactly one of two years, tagged with which — the churned/acquired
+    split a single EXCEPT cannot answer (it loses direction). Two
+    anti-joins over the distinct key sets; both sets are post-distinct
+    small and the anti-joins broadcast."""
+    o = table(spark, sf_dir, "orders")
+
+    def year(lo: str, hi: str):
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(lo).cast("timestamp_ntz"))
+                & (F.col("o_orderdate") < F.lit(hi).cast("timestamp_ntz"))
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    y96 = year("1996-01-01 00:00:00", "1997-01-01 00:00:00")
+    y97 = year("1997-01-01 00:00:00", "1998-01-01 00:00:00")
+    return (
+        y96.join(y97, "o_custkey", "left_anti")
+        .select("o_custkey", F.lit("1996_only").alias("side"))
+        .unionAll(
+            y97.join(y96, "o_custkey", "left_anti").select(
+                "o_custkey", F.lit("1997_only").alias("side")
+            )
+        )
+    )

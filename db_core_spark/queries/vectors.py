@@ -1354,3 +1354,46 @@ def embedding_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return short.groupBy("q_id").applyInPandas(
         mmr, "q_id long, vec_id long, sim double, mmr_rank int"
     )
+
+
+@query("embedding_outliers_mahalanobis", oracle=None, category="vector")
+def embedding_outliers_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 embedding outliers by Mahalanobis distance — the covariance-
+    aware outlier score (a point 3 units along a high-variance axis is
+    normal; 3 units along a collapsed axis is pathological — plain L2
+    can't tell them apart). Reuses the one-pass covariance_sketch; the
+    driver inverts the d x d matrix once (ridge 1e-6 for stability) and
+    the quadratic form (x-mu)^T S^-1 (x-mu) evaluates per Arrow batch in
+    numpy via mapInPandas — no shuffle until the final top-k. Rows-only
+    (matrix inverse is not SQL); pytest checks the scores against direct
+    numpy Mahalanobis and pins chi-square-ish scale (median ~ d for
+    gaussian-ish data)."""
+    import numpy as np  # noqa: PLC0415
+
+    e = table(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", to_double(F.col("embedding")).alias("vec"))
+    _n, mu, C = covariance_sketch(vecs.select("vec"))
+    d = len(mu)
+    Sinv = np.linalg.inv(C + 1e-6 * np.eye(d))
+    mu_l = [float(x) for x in mu]
+    Sinv_l = [[float(x) for x in row] for row in Sinv]
+
+    def score(batches):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        M = np.array(Sinv_l)
+        m = np.array(mu_l)
+        for pdf in batches:
+            X = np.array(pdf["vec"].tolist(), dtype=float) - m
+            d2 = np.einsum("ij,jk,ik->i", X, M, X)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "maha_sq": np.round(d2, 6)}
+            )
+
+    scored = vecs.mapInPandas(score, "vec_id long, maha_sq double")
+    w = W.orderBy(F.col("maha_sq").desc(), "vec_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 20)
+    )

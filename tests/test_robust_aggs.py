@@ -206,3 +206,37 @@ def test_covariance_sketch_matches_numpy_and_whitening(spark):
     assert eigs == sorted(eigs, reverse=True)
     for r in rows:
         assert abs(r.whitened_var - 1.0) < 1e-3, r
+
+
+def test_mahalanobis_outliers_match_numpy(spark):
+    """Distributed Mahalanobis scores == direct numpy computation; median
+    score sits near the dimensionality (the chi-square location for
+    roughly gaussian data); top-k ordering correct."""
+    import numpy as np
+
+    from db_core_spark.queries.vectors import to_double
+    from db_core_spark.registry import all_queries
+
+    rows = (
+        all_queries()["embedding_outliers_mahalanobis"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    )
+    assert len(rows) == 20
+    e = table(spark, SF_SMALL, "embeddings").select(
+        "vec_id", to_double(F.col("embedding")).alias("vec")
+    )
+    data = {r.vec_id: np.array(r.vec) for r in e.collect()}
+    X = np.array(list(data.values()))
+    mu = X.mean(0)
+    C = np.cov(X.T, bias=True) + 1e-6 * np.eye(X.shape[1])
+    Sinv = np.linalg.inv(C)
+    d2 = {
+        vid: float((v - mu) @ Sinv @ (v - mu)) for vid, v in data.items()
+    }
+    for r in rows:
+        assert abs(r.maha_sq - round(d2[r.vec_id], 6)) < 1e-4, r
+    top = sorted(d2, key=lambda k: (-d2[k], k))[:20]
+    assert [r.vec_id for r in sorted(rows, key=lambda r: r.rk)] == top
+    med = float(np.median(list(d2.values())))
+    assert X.shape[1] * 0.5 < med < X.shape[1] * 1.5
