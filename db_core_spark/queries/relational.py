@@ -411,3 +411,37 @@ def dq_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), F.col("user_id"))
         .limit(10)
     )
+
+
+@query(
+    "relational_keyset_pagination",
+    oracle="""
+    WITH page3 AS (
+      SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice
+      FROM orders
+      WHERE o_orderkey > 200
+      ORDER BY o_orderkey
+      LIMIT 100)
+    SELECT * FROM page3
+    """,
+    category="relational",
+)
+def relational_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (seek) pagination: page N fetches WHERE key > last_seen
+    ORDER BY key LIMIT page_size — cost stays O(page) forever because the
+    key predicate pushes into the parquet scan, unlike OFFSET pagination,
+    which reads and discards every earlier page (O(N · page) by page N —
+    the classic API-backend scaling bug). Shown fetching page 3 (after
+    two 100-row pages ending at key 200); TakeOrderedAndProject caps the
+    work."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderkey") > 200)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
