@@ -1035,3 +1035,35 @@ def agg_geometric_harmonic_means(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("harm_mean_price"),
         F.round(F.avg("l_extendedprice"), 4).alias("arith_mean_price"),
     )
+
+
+@query(
+    "agg_weighted_avg_mix_adjusted",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(AVG(l_extendedprice / l_quantity), 4) AS simple_avg_unit,
+           ROUND(SUM(l_extendedprice) / SUM(l_quantity), 4) AS wtd_avg_unit,
+           ROUND(SUM(l_extendedprice) / SUM(l_quantity)
+                 - AVG(l_extendedprice / l_quantity), 4) AS mix_effect
+    FROM lineitem WHERE l_quantity > 0
+    GROUP BY l_returnflag
+    """,
+    category="aggregate",
+)
+def agg_weighted_avg_mix_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple vs quantity-weighted average unit price, and their gap (the
+    MIX EFFECT): when the two diverge, big orders trade at different unit
+    prices than small ones — the decomposition behind every 'average
+    price moved, but why?' analysis. Both averages and the gap fold in
+    one map-side-combined aggregate."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    unit = F.col("l_extendedprice") / F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.avg(unit), 4).alias("simple_avg_unit"),
+        F.round(F.sum("l_extendedprice") / F.sum("l_quantity"), 4).alias(
+            "wtd_avg_unit"
+        ),
+        F.round(
+            F.sum("l_extendedprice") / F.sum("l_quantity") - F.avg(unit), 4
+        ).alias("mix_effect"),
+    )

@@ -382,3 +382,60 @@ def graph_kcore_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return kcore_decompose(edges, k=3)
+
+
+@query(
+    "graph_degree_distribution",
+    oracle="""
+    WITH ps AS (
+      SELECT p_partkey AS k,
+             CAST((p_partkey + 7 + 13 * i.i) % s.ns AS BIGINT) AS supp
+      FROM part
+      CROSS JOIN (SELECT unnest(range(0, 4)) AS i) i
+      CROSS JOIN (SELECT COUNT(*) AS ns FROM supplier) s),
+    edges AS (
+      SELECT DISTINCT a.supp AS x, b.supp AS y
+      FROM ps a JOIN ps b ON a.k = b.k AND a.supp < b.supp),
+    deg AS (
+      SELECT x, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT x FROM edges UNION ALL SELECT y FROM edges)
+      GROUP BY x)
+    SELECT d AS degree,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           ROUND(COUNT(*) * 100.0 / (SELECT COUNT(*) FROM deg), 4) AS pct
+    FROM deg
+    GROUP BY d
+    """,
+    category="llm",
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the supplier co-supply graph — the first
+    diagnostic of any graph workload (a heavy tail says salt the hot
+    vertices before any neighborhood join; a flat histogram says plain
+    hash partitioning is fine). Edges from the bounded posting-list
+    self-join (C(4,2) pairs per part); two tiny aggregates after."""
+    from db_core_spark.queries.tpch2 import synth_partsupp
+
+    ps = synth_partsupp(spark, sf_dir).select("ps_partkey", "ps_suppkey")
+    a = ps.select(F.col("ps_partkey").alias("k"), F.col("ps_suppkey").alias("x"))
+    b = ps.select(F.col("ps_partkey").alias("k"), F.col("ps_suppkey").alias("y"))
+    edges = (
+        a.join(b, "k").filter(F.col("x") < F.col("y")).select("x", "y").distinct()
+    )
+    deg = (
+        edges.select("x")
+        .unionAll(edges.select(F.col("y").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    tot = deg.agg(F.count(F.lit(1)).alias("t"))
+    return (
+        deg.groupBy(F.col("d").alias("degree"))
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "degree",
+            "n_nodes",
+            F.round(F.col("n_nodes") * 100.0 / F.col("t"), 4).alias("pct"),
+        )
+    )
