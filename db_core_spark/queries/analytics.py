@@ -3130,3 +3130,135 @@ def fraud_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff("db", "da").cast("long").alias("days_apart"),
         )
     )
+
+
+@query(
+    "cohort_age_revenue_curve",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey, MIN(date_trunc('month', o_orderdate)) AS m0
+      FROM orders GROUP BY 1),
+    aged AS (
+      SELECT o.o_custkey,
+             CAST(datediff('month', f.m0,
+                           date_trunc('month', o.o_orderdate)) AS BIGINT)
+               AS age_months,
+             o.o_totalprice
+      FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey)
+    SELECT age_months,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           ROUND(SUM(o_totalprice) / COUNT(DISTINCT o_custkey), 2)
+             AS revenue_per_customer
+    FROM aged
+    GROUP BY age_months
+    """,
+    category="timeseries",
+)
+def cohort_age_revenue_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by ACCOUNT AGE: every order bucketed by months since its
+    customer's first order, with per-customer revenue at each age — the
+    aging curve LTV models integrate (cohort_retention answers 'do they
+    come back'; this answers 'what are they worth at month k'). One
+    first-order aggregate joined back on the customer key, then an
+    age-keyed rollup."""
+    o = table(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", "o_orderdate")).alias("m0")
+    )
+    aged = o.join(firsts, "o_custkey").select(
+        "o_custkey",
+        F.months_between(
+            F.date_trunc("month", "o_orderdate"), F.col("m0")
+        ).cast("long").alias("age_months"),
+        "o_totalprice",
+    )
+    return aged.groupBy("age_months").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.round(
+            F.sum("o_totalprice") / F.countDistinct("o_custkey"), 2
+        ).alias("revenue_per_customer"),
+    )
+
+
+@query(
+    "stats_aa_test_calibration",
+    oracle="""
+    WITH assigned AS (
+      SELECT user_id,
+             CASE WHEN (CAST(('0x' || substr(md5('arm:' ||
+                    CAST(user_id AS VARCHAR)), 1, 4)) AS INT) % 2) = 0
+                  THEN 'A1' ELSE 'A2' END AS arm,
+             SUM(value) AS user_value
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1),
+    m AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+             AVG(user_value) AS mu, var_samp(user_value) AS v
+      FROM assigned GROUP BY 1),
+    w AS (
+      SELECT a1.n AS n1, a2.n AS n2, a1.mu AS mu1, a2.mu AS mu2,
+             (a1.mu - a2.mu)
+               / sqrt(a1.v / a1.n + a2.v / a2.n) AS t_stat
+      FROM (SELECT * FROM m WHERE arm = 'A1') a1,
+           (SELECT * FROM m WHERE arm = 'A2') a2)
+    SELECT n1, n2, ROUND(mu1, 4) AS mean_a1, ROUND(mu2, 4) AS mean_a2,
+           ROUND(t_stat, 6) AS t_stat,
+           CAST(CASE WHEN ABS(t_stat) < 1.96 THEN 1 ELSE 0 END AS INT)
+             AS calibrated
+    FROM w
+    """,
+    category="aggregate",
+)
+def stats_aa_test_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The A/A test — the experimentation platform's own unit test: users
+    hash-split into two arms that received IDENTICAL treatment must show
+    no significant difference (|t| < 1.96), or the assignment/metric
+    plumbing is broken (biased hashing, metric leakage across arms).
+    Assignment uses the portable md5 kernel so the split is reproducible
+    anywhere; Welch t over per-user purchase values; `calibrated` = the
+    pass flag a platform alerts on.
+
+    100 TB shape: per-user conditional sums, one 2-group moment
+    aggregate, post-agg arithmetic — the CUPED/power-analysis family's
+    cheapest member, run continuously in production."""
+    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    arm = F.when(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("arm:"), F.col("user_id").cast("string"))),
+                1, 4,
+            ),
+            16, 10,
+        ).cast("int") % 2
+        == 0,
+        "A1",
+    ).otherwise("A2")
+    assigned = (
+        e.groupBy("user_id")
+        .agg(F.sum("value").alias("user_value"))
+        .withColumn("arm", arm)
+    )
+    m = assigned.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("user_value").alias("mu"),
+        F.var_samp("user_value").alias("v"),
+    )
+    a1 = m.filter(F.col("arm") == "A1").select(
+        F.col("n").alias("n1"), F.col("mu").alias("mu1"), F.col("v").alias("v1")
+    )
+    a2 = m.filter(F.col("arm") == "A2").select(
+        F.col("n").alias("n2"), F.col("mu").alias("mu2"), F.col("v").alias("v2")
+    )
+    t = (F.col("mu1") - F.col("mu2")) / F.sqrt(
+        F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    )
+    return a1.crossJoin(a2).select(
+        "n1",
+        "n2",
+        F.round("mu1", 4).alias("mean_a1"),
+        F.round("mu2", 4).alias("mean_a2"),
+        F.round(t, 6).alias("t_stat"),
+        F.when(F.abs(t) < 1.96, 1).otherwise(0).cast("int").alias("calibrated"),
+    )
