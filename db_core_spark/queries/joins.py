@@ -412,3 +412,39 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         )
     )
+
+
+@query(
+    "join_reconciliation_audit",
+    oracle="""
+    WITH c AS (SELECT c_custkey FROM customer),
+    o AS (SELECT DISTINCT o_custkey FROM orders)
+    SELECT CAST(CASE WHEN c.c_custkey IS NOT NULL AND o.o_custkey IS NOT NULL
+                     THEN 'both'
+                     WHEN o.o_custkey IS NULL THEN 'customer_only'
+                     ELSE 'orders_only' END AS VARCHAR) AS status,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey
+    GROUP BY 1
+    """,
+    category="join",
+)
+def join_reconciliation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-system reconciliation: FULL OUTER join of the customer master
+    against the distinct customer set observed in orders, rolled into
+    both / left-only / right-only counts — the daily recon report every
+    pair of systems-of-record runs (an orders_only row would mean orders
+    referencing customers the master has never seen — here correctly
+    absent, which the oracle pins). Complements dq_fk_orphans (the
+    row-level anti-join) with the summary contract."""
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    o = table(spark, sf_dir, "orders").select("o_custkey").distinct()
+    j = c.join(o, c.c_custkey == o.o_custkey, "full_outer")
+    status = (
+        F.when(
+            F.col("c_custkey").isNotNull() & F.col("o_custkey").isNotNull(), "both"
+        )
+        .when(F.col("o_custkey").isNull(), "customer_only")
+        .otherwise("orders_only")
+    )
+    return j.groupBy(status.alias("status")).agg(F.count(F.lit(1)).alias("n"))

@@ -488,3 +488,57 @@ def window_recency_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_prior_purchases"),
     )
+
+
+@query(
+    "window_vwap_running",
+    oracle="""
+    WITH daily AS (
+      SELECT l_returnflag AS flag, CAST(l_shipdate AS DATE) AS d,
+             SUM(l_extendedprice) AS pv, SUM(l_quantity) AS vol
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY 1, 2)
+    SELECT flag, d,
+           floor(SUM(pv) OVER w / SUM(vol) OVER w * 10000 + 0.5) / 10000
+             AS vwap_running,
+           floor(pv / vol * 10000 + 0.5) / 10000 AS unit_price_day
+    FROM daily
+    WINDOW w AS (PARTITION BY flag ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    category="window",
+)
+def window_vwap_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running VWAP (volume-weighted average price) per return flag over
+    Q1-1996: cumulative value / cumulative volume at each day against the
+    day's own unit price — the benchmark-vs-spot pair every execution
+    desk charts, and the general 'cumulative weighted average' kernel
+    (works unchanged for rolling cost basis or blended rates). Facts
+    collapse to the daily frame first; both running sums share one
+    flag-keyed window."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    daily = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_shipdate").cast("date").alias("d"),
+    ).agg(
+        F.sum("l_extendedprice").alias("pv"), F.sum("l_quantity").alias("vol")
+    )
+    w = (
+        W.partitionBy("flag")
+        .orderBy("d")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return daily.select(
+        "flag",
+        "d",
+        (F.floor(F.sum("pv").over(w) / F.sum("vol").over(w) * 10000 + 0.5)
+         / 10000).alias("vwap_running"),
+        (F.floor(F.col("pv") / F.col("vol") * 10000 + 0.5) / 10000).alias(
+            "unit_price_day"
+        ),
+    )
