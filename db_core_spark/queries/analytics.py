@@ -3262,3 +3262,73 @@ def stats_aa_test_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(t, 6).alias("t_stat"),
         F.when(F.abs(t) < 1.96, 1).otherwise(0).cast("int").alias("calibrated"),
     )
+
+
+@query(
+    "session_top_paths",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, event_id, ts, event_type,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS session_no
+      FROM seq),
+    tri AS (
+      SELECT event_type AS s1,
+             LEAD(event_type, 1) OVER ws AS s2,
+             LEAD(event_type, 2) OVER ws AS s3
+      FROM sess
+      WINDOW ws AS (PARTITION BY user_id, session_no ORDER BY ts, event_id)),
+    paths AS (
+      SELECT s1 || ' > ' || s2 || ' > ' || s3 AS path,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM tri WHERE s3 IS NOT NULL
+      GROUP BY 1),
+    ranked AS (
+      SELECT path, n, row_number() OVER (ORDER BY n DESC, path) AS rk
+      FROM paths)
+    SELECT path, n, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 10
+    """,
+    category="timeseries",
+)
+def session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 three-step journeys WITHIN sessions: event-type trigrams by
+    sliding lead over each session's ordered events — the path-mining
+    view behind flow diagrams and funnel discovery (markov transitions
+    give pairwise hops; this surfaces the common multi-step routes, and
+    session-scoping stops paths from crossing the 30-min gap). All
+    windows share the user-keyed exchange; the trigram rollup and top-k
+    are tiny."""
+    e = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    is_new = F.when(
+        F.lag(us).over(w).isNull() | ((us - F.lag(us).over(w)) > 1800 * 1000 * 1000),
+        1,
+    ).otherwise(0)
+    sess = e.select("user_id", "event_id", "ts", "event_type").withColumn(
+        "session_no",
+        F.sum(is_new).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    ws = W.partitionBy("user_id", "session_no").orderBy("ts", "event_id")
+    tri = sess.select(
+        F.col("event_type").alias("s1"),
+        F.lead("event_type", 1).over(ws).alias("s2"),
+        F.lead("event_type", 2).over(ws).alias("s3"),
+    ).filter(F.col("s3").isNotNull())
+    paths = tri.groupBy(
+        F.concat_ws(" > ", "s1", "s2", "s3").alias("path")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wr = W.orderBy(F.col("n").desc(), "path")
+    return (
+        paths.withColumn("rk", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rk") <= 10)
+    )
