@@ -1067,3 +1067,40 @@ def agg_weighted_avg_mix_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum("l_extendedprice") / F.sum("l_quantity") - F.avg(unit), 4
         ).alias("mix_effect"),
     )
+
+
+@query(
+    "agg_value_deciles",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey, o_totalprice,
+             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      FROM orders)
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM t GROUP BY decile
+    """,
+    category="aggregate",
+)
+def agg_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-value deciles with boundaries and per-decile totals — the
+    equal-COUNT banding behind decile reports and monotonic-lift charts
+    (quantile_bucket_features bands by VALUE cutpoints; ntile guarantees
+    equal membership instead). Ties break on the unique key so both
+    engines agree bit-for-bit. The global ntile sorts once over the
+    single series — for sharded deployment swap in percent_rank against
+    broadcast quantile bounds; semantics match to tie-handling."""
+    o = table(spark, sf_dir, "orders")
+    w = W.orderBy("o_totalprice", "o_orderkey")
+    t = o.select(
+        "o_totalprice", F.ntile(10).over(w).cast("long").alias("decile")
+    )
+    return t.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )

@@ -446,3 +446,30 @@ def scalar_trig_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cbrt("o_totalprice"), 6).alias("cbrt_price"),
         F.round(F.sinh((F.col("o_orderkey") % 3).cast("double")), 6).alias("sinh_k"),
     )
+
+
+@query(
+    "scalar_slugify",
+    oracle="""
+    SELECT doc_id,
+           trim(BOTH '-' FROM regexp_replace(
+               lower(substr(text, 1, 40)), '[^a-z0-9]+', '-', 'g'))
+             AS slug
+    FROM documents WHERE doc_id < 300
+    """,
+    category="scalar",
+)
+def scalar_slugify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-slug generation from document text (first 40 chars: lowercase,
+    non-alphanumeric runs collapse to single hyphens, edges trimmed) —
+    the id-from-title utility of every CMS/catalog exporter. One regexp
+    pass, row-local."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    slug = F.regexp_replace(
+        F.regexp_replace(
+            F.lower(F.substring("text", 1, 40)), "[^a-z0-9]+", "-"
+        ),
+        "^-+|-+$",
+        "",
+    )
+    return d.select("doc_id", slug.alias("slug"))
