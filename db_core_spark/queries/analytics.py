@@ -3332,3 +3332,157 @@ def session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         paths.withColumn("rk", F.row_number().over(wr).cast("long"))
         .filter(F.col("rk") <= 10)
     )
+
+
+@query(
+    "returns_rate_monthly_trend",
+    oracle="""
+    WITH m AS (
+      SELECT date_trunc('month', l_shipdate) AS month,
+             CAST(COUNT(*) AS BIGINT) AS n_lines,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_returned
+      FROM lineitem GROUP BY 1)
+    SELECT CAST(month AS DATE) AS month, n_lines, n_returned,
+           ROUND(n_returned * 100.0 / n_lines, 4) AS return_rate_pct,
+           ROUND(n_returned * 100.0 / n_lines
+                 - LAG(n_returned * 100.0 / n_lines)
+                   OVER (ORDER BY month), 4) AS mom_delta_pts
+    FROM m
+    """,
+    category="timeseries",
+)
+def returns_rate_monthly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly return-rate trend with month-over-month movement in
+    percentage points — the operations KPI whose DELTA matters more than
+    its level (a 2-point jump is an incident; a steady 25% is a
+    baseline). One month-keyed aggregate; the lag runs over the tiny
+    monthly series."""
+    li = table(spark, sf_dir, "lineitem")
+    m = li.groupBy(F.date_trunc("month", "l_shipdate").alias("month")).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("long")
+        .alias("n_returned"),
+    )
+    rate = F.col("n_returned") * 100.0 / F.col("n_lines")
+    w = W.orderBy("month")
+    return m.select(
+        F.col("month").cast("date").alias("month"),
+        "n_lines",
+        "n_returned",
+        F.round(rate, 4).alias("return_rate_pct"),
+        F.round(rate - F.lag(rate).over(w), 4).alias("mom_delta_pts"),
+    )
+
+
+@query(
+    "pricing_dispersion_governance",
+    oracle="""
+    WITH u AS (
+      SELECT p.p_brand, p.p_type,
+             l.l_extendedprice / l.l_quantity AS unit
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_quantity > 0)
+    SELECT p_brand, p_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(unit), 4) AS mean_unit,
+           ROUND(stddev_pop(unit) / AVG(unit), 6) AS cv,
+           ROUND(MAX(unit) / MIN(unit), 4) AS max_min_ratio
+    FROM u
+    GROUP BY p_brand, p_type
+    HAVING COUNT(*) >= 50
+    """,
+    category="aggregate",
+)
+def pricing_dispersion_governance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-dispersion governance: coefficient of variation and max/min
+    ratio of realized unit price per (brand, type) — the leakage screen
+    that finds the same assortment selling at wildly different unit
+    prices (discount discipline, channel arbitrage). Broadcast part
+    join, one moment aggregate, support floor of 50 lines."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    p = table(spark, sf_dir, "part")
+    u = li.join(
+        F.broadcast(p.select("p_partkey", "p_brand", "p_type")),
+        li.l_partkey == F.col("p_partkey"),
+    ).select(
+        "p_brand", "p_type",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit"),
+    )
+    return (
+        u.groupBy("p_brand", "p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("unit"), 4).alias("mean_unit"),
+            F.round(F.stddev_pop("unit") / F.avg("unit"), 6).alias("cv"),
+            F.round(F.max("unit") / F.min("unit"), 4).alias("max_min_ratio"),
+        )
+        .filter(F.col("n") >= 50)
+    )
+
+
+@query(
+    "supplier_rank_movers",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(EXTRACT(year FROM l_shipdate) AS INT) AS yr,
+             SUM(l_extendedprice * (1 - l_discount)) AS r
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT l_suppkey, yr, r,
+             row_number() OVER (PARTITION BY yr ORDER BY r DESC, l_suppkey)
+               AS rk
+      FROM rev)
+    SELECT a.l_suppkey,
+           CAST(a.rk AS BIGINT) AS rank_1996,
+           CAST(b.rk AS BIGINT) AS rank_1997,
+           CAST(a.rk - b.rk AS BIGINT) AS places_gained,
+           ROUND(b.r - a.r, 2) AS revenue_delta
+    FROM ranked a JOIN ranked b
+      ON a.l_suppkey = b.l_suppkey AND a.yr = 1996 AND b.yr = 1997
+    WHERE ABS(a.rk - b.rk) >= 20
+    """,
+    category="window",
+)
+def supplier_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """League-table movers: suppliers whose revenue RANK shifted by 20+
+    places between 1996 and 1997, with the revenue delta behind the move
+    — the report that turns two league tables into a story (rank deltas
+    surface churn that absolute deltas hide for mid-table rows). Facts
+    collapse per (supplier, year); per-year rank windows partition on the
+    year; the self-join keys on the supplier."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    rev = li.groupBy(
+        "l_suppkey", F.year("l_shipdate").cast("int").alias("yr")
+    ).agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("r"))
+    w = W.partitionBy("yr").orderBy(F.col("r").desc(), "l_suppkey")
+    ranked = rev.withColumn("rk", F.row_number().over(w))
+    a = ranked.filter(F.col("yr") == 1996).select(
+        "l_suppkey", F.col("rk").alias("rank_1996"), F.col("r").alias("r96")
+    )
+    b = ranked.filter(F.col("yr") == 1997).select(
+        F.col("l_suppkey").alias("sk2"),
+        F.col("rk").alias("rank_1997"),
+        F.col("r").alias("r97"),
+    )
+    return (
+        a.join(b, a.l_suppkey == b.sk2)
+        .filter(F.abs(F.col("rank_1996") - F.col("rank_1997")) >= 20)
+        .select(
+            "l_suppkey",
+            F.col("rank_1996").cast("long"),
+            F.col("rank_1997").cast("long"),
+            (F.col("rank_1996") - F.col("rank_1997")).cast("long").alias(
+                "places_gained"
+            ),
+            F.round(F.col("r97") - F.col("r96"), 2).alias("revenue_delta"),
+        )
+    )
