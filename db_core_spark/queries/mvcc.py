@@ -699,3 +699,61 @@ def versioned_commit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "csn int, commit_kind string, n_upserts int, n_deletes int"
     )
+
+
+@query(
+    "versioned_schema_evolution",
+    oracle="""
+    SELECT * FROM (VALUES
+      (1, 'pre_alter',  3, 3, 0),
+      (2, 'post_alter', 5, 3, 2)
+    ) AS t(phase_no, phase, n_rows, n_null_region, n_with_region)
+    """,
+    category="mvcc",
+)
+def versioned_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution end-to-end: rows commit under the original schema,
+    alter_add_column widens it, more rows commit WITH the new column, and
+    both the pre-alter time-travel snapshot and the current snapshot are
+    audited — old rows must read back with the new column NULL (never a
+    read error, never a rewrite), the Delta-style latest-schema-governs
+    contract (plans/versioned.py alter_add_column; the reference's
+    schema-less analog is clients reinterpreting bytes at will,
+    /root/reference/src/instance.rs:141-187). The oracle pins the audit
+    as VALUES: row counts and null/with-value splits per phase."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from db_core_spark.plans.versioned import VersionedTable
+
+    s1 = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.LongType())]
+    )
+    vt = VersionedTable.create(
+        spark, tempfile.mkdtemp(prefix="vt_evo_") + "/t", key_cols=["k"], schema=s1
+    )
+    t = vt.begin()
+    t.upsert(spark.createDataFrame([(1, 10), (2, 20), (3, 30)], s1))
+    t.commit()
+    pre_csn = vt.latest_csn()
+    vt.alter_add_column("region", T.StringType())
+    s2 = vt.schema
+    t = vt.begin()
+    t.upsert(spark.createDataFrame([(4, 40, "emea"), (5, 50, "apac")], s2))
+    t.commit()
+
+    def audit(df, phase_no, phase):
+        n = df.count()
+        n_null = df.filter(F.col("region").isNull()).count()
+        return (phase_no, phase, n, n_null, n - n_null)
+
+    rows = [
+        audit(vt.snapshot(as_of_csn=pre_csn), 1, "pre_alter"),
+        audit(vt.snapshot(), 2, "post_alter"),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "phase_no int, phase string, n_rows long, n_null_region long, "
+        "n_with_region long",
+    )

@@ -473,3 +473,28 @@ def scalar_slugify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "",
     )
     return d.select("doc_id", slug.alias("slug"))
+
+
+@query(
+    "scalar_base64_hex_funcs",
+    oracle="""
+    SELECT doc_id,
+           to_base64(CAST(substr(text, 1, 12) AS BLOB)) AS b64,
+           hex(CAST(substr(text, 1, 6) AS BLOB)) AS hex6,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+    FROM documents WHERE doc_id < 200
+    """,
+    category="scalar",
+)
+def scalar_base64_hex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary text encodings — base64, hex, byte length — the
+    serialization surface for payload columns (API exports, digests,
+    debugging binary cells). ASCII fixture text makes the varchar->blob
+    casts byte-exact across engines. Pure row-local codegen."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id",
+        F.base64(F.encode(F.substring("text", 1, 12), "UTF-8")).alias("b64"),
+        F.hex(F.encode(F.substring("text", 1, 6), "UTF-8")).alias("hex6"),
+        F.length(F.encode("text", "UTF-8")).cast("long").alias("n_bytes"),
+    )
