@@ -498,3 +498,30 @@ def scalar_base64_hex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hex(F.encode(F.substring("text", 1, 6), "UTF-8")).alias("hex6"),
         F.length(F.encode("text", "UTF-8")).cast("long").alias("n_bytes"),
     )
+
+
+@query(
+    "scalar_mask_pii",
+    oracle="""
+    SELECT c_custkey,
+           regexp_replace(regexp_replace(regexp_replace(c_name,
+               '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+             AS masked_name,
+           CAST(length(c_name) AS BIGINT) AS orig_len
+    FROM customer WHERE c_custkey < 300
+    """,
+    category="scalar",
+)
+def scalar_mask_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shape-preserving data masking via the built-in mask() (Spark 3.4+):
+    uppercase -> X, lowercase -> x, digits -> n, punctuation kept —
+    redaction that preserves format validators and lengths (the display
+    rule for PII columns in lower environments). The oracle re-derives
+    the same mapping with regexp chains, proving the builtin's contract;
+    text_redact_pii is the pattern-targeted sibling."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
+    return c.select(
+        "c_custkey",
+        F.mask("c_name").alias("masked_name"),
+        F.length("c_name").cast("long").alias("orig_len"),
+    )

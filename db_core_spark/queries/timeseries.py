@@ -1476,3 +1476,77 @@ def events_heatmap_hour_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.avg("value"), 4).alias("avg_value"),
     )
+
+
+@query(
+    "window_momentum_rsi",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(l_shipdate AS DATE) AS d,
+             SUM(l_extendedprice * (1 - l_discount)) AS rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'
+      GROUP BY 1),
+    chg AS (
+      SELECT d, rev,
+             rev - LAG(rev) OVER (ORDER BY d) AS delta
+      FROM daily),
+    gl AS (
+      SELECT d, rev,
+             CASE WHEN delta > 0 THEN delta ELSE 0 END AS gain,
+             CASE WHEN delta < 0 THEN -delta ELSE 0 END AS loss,
+             COUNT(delta) OVER (ORDER BY d ROWS BETWEEN 13 PRECEDING
+                                                    AND CURRENT ROW) AS nw
+      FROM chg WHERE delta IS NOT NULL),
+    sm AS (
+      SELECT d, rev, nw,
+             AVG(gain) OVER w AS avg_gain,
+             AVG(loss) OVER w AS avg_loss
+      FROM gl
+      WINDOW w AS (ORDER BY d ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+    SELECT d, floor(rev * 100 + 0.5) / 100 AS rev,
+           ROUND(100.0 - 100.0 / (1.0 + avg_gain / avg_loss), 4) AS rsi14
+    FROM sm
+    WHERE nw = 14 AND avg_loss > 0
+    """,
+    category="timeseries",
+)
+def window_momentum_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-day RSI (simple-average Cutler variant) of daily revenue: mean
+    gain vs mean loss over a trailing 14-change window folded into
+    100 - 100/(1+RS) — the overbought/oversold oscillator, applied to a
+    business KPI exactly as chartists apply it to prices (RSI > 70 =
+    unusually persistent growth run). Only full windows emit; the
+    simple-average form keeps it window-expressible on both engines
+    (Wilder's recursive smoothing is forecast_holt_linear territory).
+    All windows run over the collapsed daily series."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01 00:00:00").cast("timestamp_ntz"))
+    )
+    daily = li.groupBy(F.col("l_shipdate").cast("date").alias("d")).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    )
+    wo = W.orderBy("d")
+    chg = daily.withColumn("delta", F.col("rev") - F.lag("rev").over(wo)).filter(
+        F.col("delta").isNotNull()
+    )
+    ww = W.orderBy("d").rowsBetween(-13, W.currentRow)
+    sm = chg.select(
+        "d", "rev",
+        F.count("delta").over(ww).alias("nw"),
+        F.avg(F.when(F.col("delta") > 0, F.col("delta")).otherwise(0.0))
+        .over(ww)
+        .alias("avg_gain"),
+        F.avg(F.when(F.col("delta") < 0, -F.col("delta")).otherwise(0.0))
+        .over(ww)
+        .alias("avg_loss"),
+    )
+    return sm.filter((F.col("nw") == 14) & (F.col("avg_loss") > 0)).select(
+        "d",
+        (F.floor(F.col("rev") * 100 + 0.5) / 100).alias("rev"),
+        F.round(
+            100.0 - 100.0 / (1.0 + F.col("avg_gain") / F.col("avg_loss")), 4
+        ).alias("rsi14"),
+    )
