@@ -757,3 +757,85 @@ def versioned_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "phase_no int, phase string, n_rows long, n_null_region long, "
         "n_with_region long",
     )
+
+
+@query(
+    "versioned_restore_rebucket",
+    oracle="""
+    SELECT * FROM (VALUES
+      (1, 'initial',        4, 0),
+      (2, 'after_damage',   2, 2),
+      (3, 'after_restore',  4, 0),
+      (4, 'after_rebucket', 4, 0)
+    ) AS t(phase_no, phase, n_rows, n_deleted_keys)
+    """,
+    category="mvcc",
+)
+def versioned_restore_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE + layout migration end-to-end: commit 4 rows, 'damage' the
+    table (delete 2, overwrite 1), restore(as_of) resurrects the original
+    state AS A NEW COMMIT (append-only undo — history including the
+    damage stays time-travelable), then rebucket() migrates the physical
+    layout 4 -> 8 buckets and the data must read identically through the
+    mixed-layout reader and a point lookup. The audit (row count +
+    tombstoned-key count per phase) is VALUES-pinned; any resurrection
+    miss, phantom tombstone, or migration row loss breaks the hash.
+
+    Reference parity: restore = checkpoint-restore resurrecting earlier
+    state (/root/reference/src/storage/block_driver.rs:604-621); rebucket
+    has no reference analog (physical layout is Spark-side) and is the
+    live-migration path SURVEY §2B documents."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from db_core_spark.plans.versioned import VersionedTable
+
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.LongType())]
+    )
+    vt = VersionedTable.create(
+        spark, tempfile.mkdtemp(prefix="vt_rr_") + "/t",
+        key_cols=["k"], schema=schema, num_buckets=4,
+    )
+    t = vt.begin()
+    t.upsert(spark.createDataFrame([(i, i * 10) for i in range(1, 5)], schema))
+    t.commit()
+    good_csn = vt.latest_csn()
+
+    def phase(no, name):
+        snap = vt.snapshot()
+        n = snap.count()
+        # tombstoned keys visible in the raw version stream at latest csn
+        hist = vt._versions(None)
+        n_del = (
+            hist.filter(F.col("_deleted"))
+            .select("k")
+            .distinct()
+            .join(snap.select("k"), "k", "left_anti")
+            .count()
+        )
+        return (no, name, n, n_del)
+
+    rows = [phase(1, "initial")]
+    t = vt.begin()
+    t.delete_keys([(1,)])
+    t.commit()
+    t = vt.begin()
+    t.delete_keys([(2,)])
+    t.upsert(spark.createDataFrame([(3, 999)], schema))
+    t.commit()
+    rows.append(phase(2, "after_damage"))
+    vt.restore(good_csn)
+    rows.append(phase(3, "after_restore"))
+    vt.rebucket(8)
+    if {(r.k, r.v) for r in vt.snapshot().collect()} != {
+        (i, i * 10) for i in range(1, 5)
+    }:
+        raise AssertionError("rebucket changed visible data")
+    if [r.v for r in vt.lookup({"k": 3}).collect()] != [30]:
+        raise AssertionError("post-migration point lookup wrong")
+    rows.append(phase(4, "after_rebucket"))
+    return spark.createDataFrame(
+        rows, "phase_no int, phase string, n_rows long, n_deleted_keys long"
+    )
