@@ -3486,3 +3486,65 @@ def supplier_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("r97") - F.col("r96"), 2).alias("revenue_delta"),
         )
     )
+
+
+@query(
+    "gini_by_segment_window",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_mktsegment AS segment, o.o_custkey,
+             SUM(o.o_totalprice) AS spend
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT segment, spend,
+             row_number() OVER (PARTITION BY segment
+                                ORDER BY spend, o_custkey) AS i,
+             COUNT(*) OVER (PARTITION BY segment) AS n,
+             SUM(spend) OVER (PARTITION BY segment) AS tot
+      FROM per_cust)
+    SELECT segment,
+           CAST(MAX(n) AS BIGINT) AS n_customers,
+           ROUND(2.0 * SUM(i * spend) / (MAX(n) * MAX(tot))
+                 - (MAX(n) + 1.0) / MAX(n), 6) AS gini
+    FROM ranked
+    GROUP BY segment
+    """,
+    category="aggregate",
+)
+def gini_by_segment_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend per segment via the sorted-rank
+    identity G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n — revenue-concentration
+    inequality in PURE WINDOW ARITHMETIC (the codegen twin of the
+    applyInPandas UDAF gini, which exists to prove the UDAF surface;
+    this is the form you deploy). One rank window per segment over the
+    per-customer aggregate, then one fold."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    per_cust = (
+        o.join(
+            F.broadcast(
+                c.select(F.col("c_custkey").alias("o_custkey"),
+                         F.col("c_mktsegment").alias("segment"))
+            ),
+            "o_custkey",
+        )
+        .groupBy("segment", "o_custkey")
+        .agg(F.sum("o_totalprice").alias("spend"))
+    )
+    wseg = W.partitionBy("segment")
+    ranked = per_cust.select(
+        "segment", "spend",
+        F.row_number().over(wseg.orderBy("spend", "o_custkey")).alias("i"),
+        F.count(F.lit(1)).over(wseg).alias("n"),
+        F.sum("spend").over(wseg).alias("tot"),
+    )
+    return ranked.groupBy("segment").agg(
+        F.max("n").cast("long").alias("n_customers"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("spend"))
+            / (F.max("n") * F.max("tot"))
+            - (F.max("n") + 1.0) / F.max("n"),
+            6,
+        ).alias("gini"),
+    )

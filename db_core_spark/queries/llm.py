@@ -1050,3 +1050,45 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_variants") > 1)
     )
+
+
+@query(
+    "dedup_cross_source_overlap",
+    oracle="""
+    WITH digests AS (
+      SELECT source,
+             md5(array_to_string(
+                 (string_split_regex(text, '\\s+'))[1:10], ' ')) AS dg
+      FROM documents),
+    pairs AS (
+      SELECT DISTINCT a.source AS src_a, b.source AS src_b, a.dg
+      FROM digests a JOIN digests b
+        ON a.dg = b.dg AND a.source < b.source)
+    SELECT src_a, src_b,
+           CAST(COUNT(DISTINCT dg) AS BIGINT) AS n_shared_docs
+    FROM pairs
+    GROUP BY src_a, src_b
+    """,
+    category="llm",
+)
+def dedup_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair, how many
+    shared leading-10-word digests BOTH carry — the mirror-feed report
+    that decides which crawl sources deserve independent quota (feeding
+    source_mix_rebalance / corpus_mix_temperature with dedup-aware
+    weights). Prefix digests catch the syndication pattern (same lede,
+    diverging bodies) that full-text digests miss — the fixture's exact
+    dups never cross sources, its shared ledes do. Only 16-byte digests
+    ride the join; the matrix is |sources|² at most."""
+    d = table(spark, sf_dir, "documents")
+    prefix = F.concat_ws(" ", F.slice(F.split(F.col("text"), r"\s+"), 1, 10))
+    dg = d.select("source", F.md5(prefix).alias("dg"))
+    a = dg.select(F.col("source").alias("src_a"), "dg")
+    b = dg.select(F.col("source").alias("src_b"), F.col("dg").alias("dg2"))
+    return (
+        a.join(b, (F.col("dg") == F.col("dg2")) & (F.col("src_a") < F.col("src_b")))
+        .select("src_a", "src_b", "dg")
+        .distinct()
+        .groupBy("src_a", "src_b")
+        .agg(F.countDistinct("dg").alias("n_shared_docs"))
+    )
