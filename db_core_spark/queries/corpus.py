@@ -994,3 +994,81 @@ def text_keywords_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(wr).cast("long"))
         .filter(F.col("rk") <= 25)
     )
+
+
+@query(
+    "corpus_heaps_law_fit",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(string_split_regex(text, '\\s+')) AS tok
+      FROM documents),
+    firsts AS (SELECT tok, MIN(doc_id) AS first_doc FROM toks GROUP BY tok),
+    per_doc AS (
+      SELECT t.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_toks,
+             CAST(SUM(CASE WHEN f.first_doc = t.doc_id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_new_types
+      FROM toks t JOIN firsts f ON f.tok = t.tok
+      GROUP BY t.doc_id),
+    cum AS (
+      SELECT doc_id,
+             SUM(n_toks) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED
+                               PRECEDING AND CURRENT ROW) AS cum_tokens,
+             SUM(n_new_types) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED
+                                    PRECEDING AND CURRENT ROW) AS vocab
+      FROM per_doc)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+           ROUND(regr_slope(LN(CAST(vocab AS DOUBLE)),
+                            LN(CAST(cum_tokens AS DOUBLE))), 6) AS heaps_beta,
+           ROUND(EXP(regr_intercept(LN(CAST(vocab AS DOUBLE)),
+                                    LN(CAST(cum_tokens AS DOUBLE)))), 4)
+             AS heaps_k,
+           ROUND(regr_r2(LN(CAST(vocab AS DOUBLE)),
+                         LN(CAST(cum_tokens AS DOUBLE))), 6) AS r2,
+           CAST(MAX(vocab) AS BIGINT) AS final_vocab,
+           CAST(MAX(cum_tokens) AS BIGINT) AS final_tokens
+    FROM cum
+    """,
+    category="llm",
+)
+def corpus_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit V = K·N^β of vocabulary growth in ingest order:
+    cumulative distinct types vs cumulative tokens, log-log regressed
+    with the built-in bivariate aggregates — the growth exponent that
+    predicts how much NEW vocabulary (hence tokenizer/embedding churn)
+    the next 10x of crawl will bring (β near the fixture's small-vocab
+    saturation reads low — the right answer, which the oracle pins;
+    natural corpora sit near 0.5). Cumulative distinct uses the
+    first-occurrence trick (corpus_ngram_novelty's kernel): count a type
+    on its FIRST doc only, then a running sum — never a quadratic
+    distinct-over-prefix."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("tok")
+    )
+    firsts = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        toks.join(firsts, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_new_types"),
+        )
+    )
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = per_doc.select(
+        F.sum("n_toks").over(w).alias("cum_tokens"),
+        F.sum("n_new_types").over(w).alias("vocab"),
+    )
+    lv = F.log(F.col("vocab").cast("double"))
+    ln = F.log(F.col("cum_tokens").cast("double"))
+    return cum.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.regr_slope(lv, ln), 6).alias("heaps_beta"),
+        F.round(F.exp(F.regr_intercept(lv, ln)), 4).alias("heaps_k"),
+        F.round(F.regr_r2(lv, ln), 6).alias("r2"),
+        F.max("vocab").cast("long").alias("final_vocab"),
+        F.max("cum_tokens").cast("long").alias("final_tokens"),
+    )

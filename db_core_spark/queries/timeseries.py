@@ -1550,3 +1550,54 @@ def window_momentum_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
             100.0 - 100.0 / (1.0 + F.col("avg_gain") / F.col("avg_loss")), 4
         ).alias("rsi14"),
     )
+
+
+@query(
+    "window_leader_changes",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    leaders AS (
+      SELECT d, event_type, n
+      FROM (SELECT d, event_type, n,
+                   row_number() OVER (PARTITION BY d
+                                      ORDER BY n DESC, event_type) AS rk
+            FROM daily)
+      WHERE rk = 1),
+    marked AS (
+      SELECT d, event_type AS leader, n,
+             LAG(event_type) OVER (ORDER BY d) AS prev_leader
+      FROM leaders)
+    SELECT d, leader, prev_leader, n
+    FROM marked
+    WHERE prev_leader IS NOT NULL AND leader <> prev_leader
+    """,
+    category="timeseries",
+)
+def window_leader_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leader-change detection: days where the highest-volume event type
+    DIFFERS from the previous day's — rank alone shows who leads,
+    this shows WHEN the regime flips (mix-shift alerts key on exactly
+    these rows). Per-day rank over the collapsed daily frame, then one
+    lag over the 1-row-per-day leader series."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.col("ts").cast("date").alias("d"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wr = W.partitionBy("d").orderBy(F.col("n").desc(), "event_type")
+    leaders = (
+        daily.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 1)
+        .select("d", F.col("event_type").alias("leader"), "n")
+    )
+    wl = W.orderBy("d")
+    return (
+        leaders.withColumn("prev_leader", F.lag("leader").over(wl))
+        .filter(
+            F.col("prev_leader").isNotNull()
+            & (F.col("leader") != F.col("prev_leader"))
+        )
+        .select("d", "leader", "prev_leader", "n")
+    )
