@@ -3148,8 +3148,8 @@ def fraud_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT age_months,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
            CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
-           ROUND(SUM(o_totalprice) / COUNT(DISTINCT o_custkey), 2)
-             AS revenue_per_customer
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(DISTINCT o_custkey), 2) AS revenue_per_customer
     FROM aged
     GROUP BY age_months
     """,
@@ -3173,11 +3173,17 @@ def cohort_age_revenue_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("age_months"),
         "o_totalprice",
     )
+    # exact DECIMAL sums: double partial-sum order varies between Spark
+    # runs (AQE/partitioning), which can flip a .xx5 rounding boundary —
+    # decimal accumulation is order-independent, so the quotient is
+    # run-deterministic AND engine-identical
     return aged.groupBy("age_months").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.countDistinct("o_custkey").alias("n_customers"),
         F.round(
-            F.sum("o_totalprice") / F.countDistinct("o_custkey"), 2
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            / F.countDistinct("o_custkey"),
+            2,
         ).alias("revenue_per_customer"),
     )
 
