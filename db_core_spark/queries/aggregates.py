@@ -1104,3 +1104,42 @@ def agg_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("o_totalprice"), 2).alias("hi"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+@query(
+    "agg_decimal_exact_money",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR)
+             AS exact_revenue,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,4))) AS VARCHAR) AS exact_discounted,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    category="aggregate",
+)
+def agg_decimal_exact_money(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Money aggregation in exact DECIMAL: sums accumulate in fixed-point,
+    so the result is ORDER-INDEPENDENT — identical on every engine, every
+    partitioning, every rerun — where double sums drift in their low bits
+    with Spark's run-varying partial-sum order (this round's one test
+    flake was exactly that drift flipping a rounding boundary; the fix
+    was this technique). Emitted as exact decimal STRINGS, the financial
+    reporting contract. Decimal hash aggregation stays whole-stage-
+    codegen'd; the cost over doubles is negligible next to the shuffle."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("string")
+        .alias("exact_revenue"),
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,4)"
+            )
+        )
+        .cast("string")
+        .alias("exact_discounted"),
+        F.count(F.lit(1)).alias("n"),
+    )
