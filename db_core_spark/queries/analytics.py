@@ -3554,3 +3554,73 @@ def gini_by_segment_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@query(
+    "abc_part_classification",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey, SUM(l_extendedprice * (1 - l_discount)) AS r
+      FROM lineitem GROUP BY 1),
+    ranked AS (
+      SELECT l_partkey, r,
+             SUM(r) OVER (ORDER BY r DESC, l_partkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               / SUM(r) OVER () AS cum_share
+      FROM rev),
+    classed AS (
+      SELECT l_partkey, r,
+             CASE WHEN cum_share <= 0.8 THEN 'A'
+                  WHEN cum_share <= 0.95 THEN 'B'
+                  ELSE 'C' END AS klass
+      FROM ranked)
+    SELECT klass,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           ROUND(SUM(r), 2) AS revenue,
+           ROUND(SUM(r) * 100.0 / (SELECT SUM(r) FROM rev), 4)
+             AS revenue_pct
+    FROM classed
+    GROUP BY klass
+    """,
+    category="aggregate",
+)
+def abc_part_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: parts ranked by revenue, classed A
+    (first 80% of cumulative revenue), B (to 95%), C (tail) — the Pareto
+    banding behind stocking policy and slotting (count A-parts daily,
+    count C-parts quarterly). Facts collapse per part first; the
+    cumulative-share window runs over |parts| rows; class rollup and the
+    grand total are tiny."""
+    li = table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("r")
+    )
+    wc = W.orderBy(F.col("r").desc(), "l_partkey").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    wall = W.partitionBy()
+    ranked = rev.select(
+        "l_partkey", "r",
+        (F.sum("r").over(wc) / F.sum("r").over(wall)).alias("cum_share"),
+    )
+    klass = (
+        F.when(F.col("cum_share") <= 0.8, "A")
+        .when(F.col("cum_share") <= 0.95, "B")
+        .otherwise("C")
+    )
+    tot = rev.agg(F.sum("r").alias("t"))
+    return (
+        ranked.withColumn("klass", klass)
+        .groupBy("klass")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.sum("r"), 2).alias("revenue"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "klass",
+            "n_parts",
+            "revenue",
+            F.round(F.col("revenue") * 100.0 / F.col("t"), 4).alias("revenue_pct"),
+        )
+    )

@@ -1072,3 +1072,47 @@ def corpus_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("vocab").cast("long").alias("final_vocab"),
         F.max("cum_tokens").cast("long").alias("final_tokens"),
     )
+
+
+@query(
+    "corpus_diversity_indices",
+    oracle="""
+    WITH mix AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1, 2),
+    tot AS (SELECT lang, SUM(n) AS t FROM mix GROUP BY 1)
+    SELECT m.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_sources,
+           ROUND(1.0 - SUM((m.n * 1.0 / t.t) * (m.n * 1.0 / t.t)), 6)
+             AS simpson_diversity,
+           ROUND(-SUM((m.n * 1.0 / t.t) * LN(m.n * 1.0 / t.t)), 6)
+             AS shannon_entropy,
+           ROUND(EXP(-SUM((m.n * 1.0 / t.t) * LN(m.n * 1.0 / t.t))), 4)
+             AS effective_sources
+    FROM mix m JOIN tot t ON t.lang = m.lang
+    GROUP BY m.lang
+    """,
+    category="llm",
+)
+def corpus_diversity_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-diversity indices per language — Simpson (1-Σp², the
+    probability two random docs come from different sources), Shannon
+    entropy, and its exponential (EFFECTIVE source count, the number of
+    equally-sized sources that would give the same diversity) — the
+    ecology metrics a corpus curator reads before trusting a language
+    slice ('12 sources' can be 1.3 effective sources). Two chained tiny
+    aggregates over the (lang, source) mix."""
+    d = table(spark, sf_dir, "documents")
+    mix = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    tot = mix.groupBy("lang").agg(F.sum("n").alias("t"))
+    p = F.col("n") / F.col("t")
+    return (
+        mix.join(tot, "lang")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sources"),
+            F.round(1.0 - F.sum(p * p), 6).alias("simpson_diversity"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("shannon_entropy"),
+            F.round(F.exp(-F.sum(p * F.log(p))), 4).alias("effective_sources"),
+        )
+    )
