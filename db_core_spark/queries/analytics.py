@@ -3624,3 +3624,44 @@ def abc_part_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("revenue") * 100.0 / F.col("t"), 4).alias("revenue_pct"),
         )
     )
+
+
+@query(
+    "skyline_pareto_frontier",
+    oracle="""
+    WITH pts AS (
+      SELECT o_orderkey, o_totalprice, CAST(o_orderdate AS DATE) AS d
+      FROM orders WHERE o_orderkey < 3000),
+    ranked AS (
+      SELECT o_orderkey, o_totalprice, d,
+             MAX(d) OVER (ORDER BY o_totalprice, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS best_d_cheaper
+      FROM pts)
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice, d
+    FROM ranked
+    WHERE best_d_cheaper IS NULL OR d > best_d_cheaper
+    """,
+    category="window",
+)
+def skyline_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2D skyline (Pareto frontier): orders not DOMINATED on (cheaper,
+    more recent) — no other order is both cheaper and newer. The classic
+    dominance query (best-tradeoff shortlists: price-vs-freshness,
+    cost-vs-quality), computed with the sort-sweep identity: sort by
+    price, keep rows whose date beats the running max over everything
+    cheaper — one window pass instead of the naive O(n²) self-join. Ties
+    on price resolve by key so the frontier is deterministic."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    pts = o.select(
+        "o_orderkey", "o_totalprice", F.col("o_orderdate").cast("date").alias("d")
+    )
+    w = W.orderBy("o_totalprice", "o_orderkey").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    ranked = pts.withColumn("best_d_cheaper", F.max("d").over(w))
+    return ranked.filter(
+        F.col("best_d_cheaper").isNull() | (F.col("d") > F.col("best_d_cheaper"))
+    ).select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"), "d"
+    )

@@ -610,3 +610,57 @@ def supplier_otif_delivery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(1 - on_time).cast("long").alias("n_late"),
         )
     )
+
+
+@query(
+    "supply_risk_single_source",
+    oracle="""
+    WITH src AS (
+      SELECT l_partkey, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+             SUM(l_extendedprice * (1 - l_discount)) AS r
+      FROM lineitem GROUP BY 1)
+    SELECT CAST(CASE WHEN n_supp = 1 THEN 'single_source'
+                     WHEN n_supp <= 3 THEN 'dual_to_triple'
+                     ELSE 'diversified' END AS VARCHAR) AS risk_band,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           ROUND(SUM(r), 2) AS revenue_at_risk,
+           ROUND(SUM(r) * 100.0 / (SELECT SUM(r) FROM src), 4) AS revenue_pct
+    FROM src
+    GROUP BY 1
+    """,
+    category="tpch",
+)
+def supply_risk_single_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-chain concentration risk: parts banded by how many distinct
+    suppliers actually ship them, with the revenue riding on each band —
+    the single-source exposure report procurement reviews quarterly
+    (revenue flowing through 1-supplier parts is the firm's fragility
+    number). One (part) aggregate with a count-distinct, a band rollup,
+    and a broadcast grand total."""
+    li = table(spark, sf_dir, "lineitem")
+    src = li.groupBy("l_partkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("r"),
+    )
+    band = (
+        F.when(F.col("n_supp") == 1, "single_source")
+        .when(F.col("n_supp") <= 3, "dual_to_triple")
+        .otherwise("diversified")
+    )
+    tot = src.agg(F.sum("r").alias("t"))
+    return (
+        src.groupBy(band.alias("risk_band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.sum("r"), 2).alias("revenue_at_risk"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "risk_band",
+            "n_parts",
+            "revenue_at_risk",
+            F.round(F.col("revenue_at_risk") * 100.0 / F.col("t"), 4).alias(
+                "revenue_pct"
+            ),
+        )
+    )
