@@ -3665,3 +3665,108 @@ def skyline_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"), "d"
     )
+
+
+@query(
+    "repeat_purchase_curve",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS nth
+      FROM orders),
+    tot AS (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust
+            FROM orders)
+    SELECT nth AS order_number,
+           CAST(COUNT(*) AS BIGINT) AS n_customers_reaching,
+           ROUND(COUNT(*) * 100.0 / t.n_cust, 4) AS pct_of_customers
+    FROM seq CROSS JOIN tot t
+    WHERE nth <= 10
+    GROUP BY nth, t.n_cust
+    """,
+    category="timeseries",
+)
+def repeat_purchase_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase curve: how many customers reach their 2nd, 3rd,
+    ... 10th order — the retention ladder whose step-to-step ratios ARE
+    the repeat rates (the drop from 1 to 2 is where most businesses bleed;
+    flat steps after 3 mean a habit formed). One customer-keyed rank
+    window, a rollup by order number, a broadcast denominator."""
+    o = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select("o_custkey", F.row_number().over(w).alias("nth")).filter(
+        F.col("nth") <= 10
+    )
+    tot = o.agg(F.countDistinct("o_custkey").alias("n_cust"))
+    return (
+        seq.groupBy(F.col("nth").alias("order_number"))
+        .agg(F.count(F.lit(1)).alias("n_customers_reaching"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "order_number",
+            "n_customers_reaching",
+            F.round(
+                F.col("n_customers_reaching") * 100.0 / F.col("n_cust"), 4
+            ).alias("pct_of_customers"),
+        )
+    )
+
+
+@query(
+    "sre_error_budget_burn",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS n_total,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_err
+      FROM events GROUP BY 1),
+    burn AS (
+      SELECT d, n_total, n_err,
+             SUM(n_err) OVER w AS cum_err,
+             SUM(n_total) OVER w AS cum_total
+      FROM daily
+      WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW))
+    SELECT d,
+           ROUND(n_err * 100.0 / n_total, 4) AS daily_error_pct,
+           ROUND(cum_err * 100.0 / cum_total, 4) AS cum_error_pct,
+           ROUND((cum_err * 1.0 / cum_total) / 0.20, 4) AS budget_burn_ratio,
+           CAST(CASE WHEN (cum_err * 1.0 / cum_total) > 0.20 THEN 1 ELSE 0
+                END AS INT) AS budget_exceeded
+    FROM burn
+    """,
+    category="timeseries",
+)
+def sre_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLO error-budget burn: daily and cumulative error-event share
+    against a 20% budget (the fixture's error rate — a real service
+    budgets 0.1%; the arithmetic is identical), with the burn ratio
+    (>1 = budget blown, page someone) — the SRE report that turns an
+    error stream into a paging policy. Facts collapse to the daily frame;
+    the burn is a running-sum window over it."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("n_err"),
+    )
+    w = W.orderBy("d").rowsBetween(W.unboundedPreceding, W.currentRow)
+    burn = daily.select(
+        "d", "n_total", "n_err",
+        F.sum("n_err").over(w).alias("cum_err"),
+        F.sum("n_total").over(w).alias("cum_total"),
+    )
+    cum_rate = F.col("cum_err") / F.col("cum_total")
+    return burn.select(
+        "d",
+        F.round(F.col("n_err") * 100.0 / F.col("n_total"), 4).alias(
+            "daily_error_pct"
+        ),
+        F.round(cum_rate * 100.0, 4).alias("cum_error_pct"),
+        F.round(cum_rate / 0.20, 4).alias("budget_burn_ratio"),
+        F.when(cum_rate > 0.20, 1).otherwise(0).cast("int").alias(
+            "budget_exceeded"
+        ),
+    )
