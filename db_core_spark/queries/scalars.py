@@ -525,3 +525,32 @@ def scalar_mask_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.mask("c_name").alias("masked_name"),
         F.length("c_name").cast("long").alias("orig_len"),
     )
+
+
+@query(
+    "scalar_translate_char_funcs",
+    oracle="""
+    SELECT doc_id,
+           translate(substr(text, 1, 30), 'aeiou', '#####') AS vowels_masked,
+           ascii(substr(text, 1, 1)) AS first_code,
+           chr(65 + CAST(doc_id % 26 AS INT)) AS rotor_letter,
+           repeat('*', CAST(1 + doc_id % 5 AS INT)) AS stars
+    FROM documents WHERE doc_id < 200
+    """,
+    category="scalar",
+)
+def scalar_translate_char_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level scalar surface — translate (per-char substitution,
+    the one-pass masking/transliteration primitive), ascii/chr codepoint
+    round-trip, repeat — the low-level string kernel fancier masking and
+    encoding ops compose from. Pure row-local codegen."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id",
+        F.translate(F.substring("text", 1, 30), "aeiou", "#####").alias(
+            "vowels_masked"
+        ),
+        F.ascii(F.substring("text", 1, 1)).alias("first_code"),
+        F.chr(65 + F.col("doc_id") % 26).alias("rotor_letter"),
+        F.repeat(F.lit("*"), (1 + F.col("doc_id") % 5).cast("int")).alias("stars"),
+    )

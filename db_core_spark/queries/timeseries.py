@@ -1601,3 +1601,59 @@ def window_leader_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("d", "leader", "prev_leader", "n")
     )
+
+
+@query(
+    "window_same_weekday_growth",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(l_shipdate AS DATE) AS d,
+             SUM(l_extendedprice * (1 - l_discount)) AS rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'
+      GROUP BY 1),
+    g AS (
+      SELECT d, rev,
+             LAG(rev, 7) OVER (ORDER BY d) AS rev_prev_week,
+             LAG(d, 7) OVER (ORDER BY d) AS d_prev
+      FROM daily)
+    SELECT d, floor(rev * 100 + 0.5) / 100 AS rev,
+           ROUND((rev - rev_prev_week) * 100.0 / rev_prev_week, 4)
+             AS wow_growth_pct
+    FROM g
+    WHERE rev_prev_week IS NOT NULL AND d_prev = d - 7
+    """,
+    category="timeseries",
+)
+def window_same_weekday_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth against the SAME WEEKDAY (lag 7 on the dense
+    daily series): the calendar-adjusted growth retail reads instead of
+    day-over-day, which mostly measures the weekly cycle itself. The
+    d_prev guard proves the lag really landed 7 calendar days back (a
+    gap in the series would silently compare wrong days otherwise)."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01 00:00:00").cast("timestamp_ntz"))
+    )
+    daily = li.groupBy(F.col("l_shipdate").cast("date").alias("d")).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    )
+    w = W.orderBy("d")
+    g = daily.select(
+        "d", "rev",
+        F.lag("rev", 7).over(w).alias("rev_prev_week"),
+        F.lag("d", 7).over(w).alias("d_prev"),
+    )
+    return g.filter(
+        F.col("rev_prev_week").isNotNull()
+        & (F.col("d_prev") == F.date_sub("d", 7))
+    ).select(
+        "d",
+        (F.floor(F.col("rev") * 100 + 0.5) / 100).alias("rev"),
+        F.round(
+            (F.col("rev") - F.col("rev_prev_week")) * 100.0
+            / F.col("rev_prev_week"),
+            4,
+        ).alias("wow_growth_pct"),
+    )
