@@ -1116,3 +1116,93 @@ def corpus_diversity_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.exp(-F.sum(p * F.log(p))), 4).alias("effective_sources"),
         )
     )
+
+
+@query(
+    "pipeline_curation_report",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, text,
+             string_split_regex(text, '\\s+') AS t
+      FROM documents),
+    quality AS (
+      SELECT doc_id, source, text, len(t) AS n_toks,
+             CASE WHEN len(t) BETWEEN 20 AND 1000
+                   AND len(list_filter(t, x -> list_contains(
+                       ['the','a','of','and','to','in','is','it','that','for'],
+                       x))) * 1.0 / len(t) > 0.02
+                  THEN 1 ELSE 0 END AS q_ok
+      FROM toks),
+    deduped AS (
+      SELECT doc_id, source, n_toks, q_ok,
+             row_number() OVER (PARTITION BY md5(text)
+                                ORDER BY doc_id) AS rn
+      FROM quality),
+    kept AS (
+      SELECT source, n_toks FROM deduped WHERE q_ok = 1 AND rn = 1),
+    per_src AS (
+      SELECT d.source,
+             CAST(COUNT(*) AS BIGINT) AS n_raw,
+             CAST(SUM(CASE WHEN d.q_ok = 1 AND d.rn = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_kept,
+             CAST(SUM(CASE WHEN d.q_ok = 1 AND d.rn = 1 THEN d.n_toks
+                           ELSE 0 END) AS BIGINT) AS kept_tokens
+      FROM deduped d GROUP BY d.source),
+    tot AS (
+      SELECT SUM(kept_tokens) AS t, SUM(sqrt(kept_tokens)) AS ts
+      FROM per_src)
+    SELECT p.source, p.n_raw, p.n_kept, p.kept_tokens,
+           ROUND(p.n_kept * 100.0 / p.n_raw, 4) AS keep_rate_pct,
+           ROUND(p.kept_tokens / t.t, 6) AS raw_share,
+           ROUND(sqrt(p.kept_tokens) / t.ts, 6) AS temp_share
+    FROM per_src p CROSS JOIN tot t
+    """,
+    category="llm",
+)
+def pipeline_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE curation pipeline in one declarative plan: quality gate
+    (length band + stopword floor) -> exact dedup (first doc per content
+    digest) -> per-source keep rates and surviving token counts -> the
+    T=2 temperature mix over the KEPT corpus — raw crawl to training-mix
+    weights in a single Catalyst-optimized query, the capstone composing
+    text_quality_score, dedup_exact_keep, and corpus_mix_temperature.
+
+    100 TB shape: quality flags are row-local; the dedup window keys on
+    the 16-byte digest; everything after is per-source rollup against
+    a broadcast totals row. ONE corpus scan, two bounded exchanges —
+    the whole pipeline's cost model in one EXPLAIN."""
+    from pyspark.sql import Window as PW
+
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), r"\s+")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
+    q_ok = (
+        F.size(toks).between(20, 1000) & (n_stop / F.size(toks) > 0.02)
+    ).cast("int")
+    w = PW.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = d.select(
+        "doc_id", "source", F.size(toks).alias("n_toks"), q_ok.alias("q_ok")
+    ).withColumn("rn", F.row_number().over(w))
+    keep = (F.col("q_ok") == 1) & (F.col("rn") == 1)
+    per_src = deduped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(keep, F.col("n_toks")).otherwise(0))
+        .cast("long")
+        .alias("kept_tokens"),
+    )
+    tot = per_src.agg(
+        F.sum("kept_tokens").alias("t"),
+        F.sum(F.sqrt("kept_tokens")).alias("ts"),
+    )
+    return per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_raw",
+        "n_kept",
+        "kept_tokens",
+        F.round(F.col("n_kept") * 100.0 / F.col("n_raw"), 4).alias(
+            "keep_rate_pct"
+        ),
+        F.round(F.col("kept_tokens") / F.col("t"), 6).alias("raw_share"),
+        F.round(F.sqrt("kept_tokens") / F.col("ts"), 6).alias("temp_share"),
+    )
