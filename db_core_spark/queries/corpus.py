@@ -1179,10 +1179,14 @@ def pipeline_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_ok = (
         F.size(toks).between(20, 1000) & (n_stop / F.size(toks) > 0.02)
     ).cast("int")
-    w = PW.partitionBy(F.md5("text")).orderBy("doc_id")
-    deduped = d.select(
-        "doc_id", "source", F.size(toks).alias("n_toks"), q_ok.alias("q_ok")
-    ).withColumn("rn", F.row_number().over(w))
+    w = PW.partitionBy("dg").orderBy("doc_id")
+    deduped = (
+        d.select(
+            "doc_id", "source", F.md5("text").alias("dg"),
+            F.size(toks).alias("n_toks"), q_ok.alias("q_ok"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+    )
     keep = (F.col("q_ok") == 1) & (F.col("rn") == 1)
     per_src = deduped.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_raw"),
