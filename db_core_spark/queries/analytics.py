@@ -3770,3 +3770,100 @@ def sre_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
             "budget_exceeded"
         ),
     )
+
+
+@query(
+    "user_recency_decay_score",
+    oracle="""
+    WITH ref AS (SELECT MAX(epoch_us(ts)) AS mx FROM events),
+    scored AS (
+      SELECT e.user_id,
+             e.value * EXP(-((r.mx - epoch_us(e.ts)) / 86400000000.0) / 7.0)
+               AS w_value
+      FROM events e CROSS JOIN ref r
+      WHERE e.event_type = 'purchase')
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           ROUND(SUM(w_value), 4) AS decay_score
+    FROM scored
+    GROUP BY user_id
+    """,
+    category="timeseries",
+)
+def user_recency_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted engagement score: each purchase contributes its
+    value times exp(-age/7d) against the corpus horizon — the
+    exponential-decay scoring every ranking/churn model uses for 'recent
+    activity matters more', computed as ONE aggregate because the decay
+    anchors to a fixed reference (no recursion, unlike running EWMA: the
+    same model, two computation shapes). Horizon is a broadcast scalar;
+    weights are row-local."""
+    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    ref = table(spark, sf_dir, "events").agg(
+        F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("mx")
+    )
+    scored = e.crossJoin(F.broadcast(ref)).select(
+        "user_id",
+        (
+            F.col("value")
+            * F.exp(-((F.col("mx") - us) / 86400000000.0) / 7.0)
+        ).alias("w_value"),
+    )
+    return scored.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.round(F.sum("w_value"), 4).alias("decay_score"),
+    )
+
+
+@query(
+    "dq_join_fanout_audit",
+    oracle="""
+    SELECT * FROM (
+      SELECT CAST('orders_x_lineitem' AS VARCHAR) AS join_name,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS left_rows,
+             (SELECT CAST(COUNT(*) AS BIGINT)
+              FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey)
+               AS joined_rows,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                                WHERE l.l_orderkey = o.o_orderkey))
+               AS left_unmatched
+      UNION ALL
+      SELECT 'lineitem_x_part',
+             (SELECT COUNT(*) FROM lineitem),
+             (SELECT COUNT(*) FROM lineitem l
+              JOIN part p ON p.p_partkey = l.l_partkey),
+             (SELECT COUNT(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM part p
+                                WHERE p.p_partkey = l.l_partkey)))
+    """,
+    category="join",
+)
+def dq_join_fanout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-multiplicity audit: for each declared relationship, the left
+    row count, post-join row count, and unmatched-left count — the
+    pipeline guard that catches BOTH silent row loss (inner join dropping
+    unmatched) and accidental fan-out (a 'dimension' that turned
+    many-to-many and doubled the facts). joined/left and unmatched are
+    the two numbers every join in a pipeline should assert on; at scale
+    each line is one join + two count aggregates on already-needed
+    keys."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = table(spark, sf_dir, "part").select("p_partkey")
+
+    def audit(name, left, right, lk, rk):
+        lr = left.count()
+        jr = left.join(right, left[lk] == right[rk]).count()
+        um = left.join(right, left[lk] == right[rk], "left_anti").count()
+        return (name, lr, jr, um)
+
+    rows = [
+        audit("orders_x_lineitem", o, li, "o_orderkey", "l_orderkey"),
+        audit("lineitem_x_part", li, p, "l_partkey", "p_partkey"),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "join_name string, left_rows long, joined_rows long, left_unmatched long",
+    )
