@@ -3867,3 +3867,68 @@ def dq_join_fanout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "join_name string, left_rows long, joined_rows long, left_unmatched long",
     )
+
+
+@query(
+    "brand_share_shift",
+    oracle="""
+    WITH rev AS (
+      SELECT p.p_brand,
+             CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS yr,
+             SUM(l.l_extendedprice * (1 - l.l_discount)) AS r
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY 1, 2),
+    tot AS (SELECT yr, SUM(r) AS t FROM rev GROUP BY 1),
+    share AS (
+      SELECT rev.p_brand, rev.yr, rev.r / tot.t AS s
+      FROM rev JOIN tot ON tot.yr = rev.yr)
+    SELECT a.p_brand,
+           ROUND(a.s * 100, 4) AS share_1996_pct,
+           ROUND(b.s * 100, 4) AS share_1997_pct,
+           ROUND((b.s - a.s) * 100, 4) AS shift_pts
+    FROM share a JOIN share b
+      ON a.p_brand = b.p_brand AND a.yr = 1996 AND b.yr = 1997
+    WHERE ABS(b.s - a.s) * 100 >= 0.15
+    """,
+    category="aggregate",
+)
+def brand_share_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand share-shift report: revenue share per brand in consecutive
+    years and the movement in points, filtered to material moves (≥0.15
+    pts) — the mix-shift table a category review opens with (share
+    deltas, not revenue deltas, strip out market growth). Year totals
+    broadcast back onto the per-brand aggregate; the self-join keys on
+    the brand."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    p = table(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(p.select("p_partkey", "p_brand")),
+                li.l_partkey == F.col("p_partkey"))
+        .groupBy("p_brand", F.year("l_shipdate").cast("int").alias("yr"))
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("r"))
+    )
+    tot = rev.groupBy("yr").agg(F.sum("r").alias("t"))
+    share = rev.join(F.broadcast(tot), "yr").select(
+        "p_brand", "yr", (F.col("r") / F.col("t")).alias("s")
+    )
+    a = share.filter(F.col("yr") == 1996).select(
+        "p_brand", F.col("s").alias("s96")
+    )
+    b = share.filter(F.col("yr") == 1997).select(
+        F.col("p_brand").alias("pb2"), F.col("s").alias("s97")
+    )
+    return (
+        a.join(b, a.p_brand == b.pb2)
+        .filter(F.abs(F.col("s97") - F.col("s96")) * 100 >= 0.15)
+        .select(
+            "p_brand",
+            F.round(F.col("s96") * 100, 4).alias("share_1996_pct"),
+            F.round(F.col("s97") * 100, 4).alias("share_1997_pct"),
+            F.round((F.col("s97") - F.col("s96")) * 100, 4).alias("shift_pts"),
+        )
+    )

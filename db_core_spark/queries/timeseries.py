@@ -1657,3 +1657,55 @@ def window_same_weekday_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("wow_growth_pct"),
     )
+
+
+@query(
+    "dau_new_vs_returning",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS first_d
+      FROM events GROUP BY 1),
+    daily AS (
+      SELECT CAST(e.ts AS DATE) AS d, e.user_id,
+             MIN(CASE WHEN CAST(e.ts AS DATE) = f.first_d
+                      THEN 1 ELSE 0 END) AS is_new
+      FROM events e JOIN firsts f ON f.user_id = e.user_id
+      GROUP BY 1, 2)
+    SELECT d,
+           CAST(SUM(is_new) AS BIGINT) AS new_users,
+           CAST(SUM(1 - is_new) AS BIGINT) AS returning_users,
+           ROUND(SUM(1 - is_new) * 100.0 / COUNT(*), 4) AS returning_pct
+    FROM daily
+    GROUP BY d
+    """,
+    category="timeseries",
+)
+def dau_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: daily actives split into NEW (first-ever day)
+    vs RETURNING users — the decomposition that tells acquisition apart
+    from retention in the same DAU line (a flat DAU of all-new users is
+    a leaky bucket). First-seen days come from one per-user aggregate
+    joined back on the user key; the daily split is a per-(day, user)
+    dedup then a day rollup."""
+    e = table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_d")
+    )
+    daily = (
+        e.join(firsts, "user_id")
+        .groupBy(F.col("ts").cast("date").alias("d"), "user_id")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("ts").cast("date") == F.col("first_d"), 1
+                ).otherwise(0)
+            ).alias("is_new")
+        )
+    )
+    return daily.groupBy("d").agg(
+        F.sum("is_new").cast("long").alias("new_users"),
+        F.sum(1 - F.col("is_new")).cast("long").alias("returning_users"),
+        F.round(
+            F.sum(1 - F.col("is_new")) * 100.0 / F.count(F.lit(1)), 4
+        ).alias("returning_pct"),
+    )
