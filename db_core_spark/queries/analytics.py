@@ -3932,3 +3932,52 @@ def brand_share_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.col("s97") - F.col("s96")) * 100, 4).alias("shift_pts"),
         )
     )
+
+
+@query(
+    "quarter_end_loading",
+    oracle="""
+    WITH q AS (
+      SELECT date_trunc('quarter', o_orderdate) AS qtr,
+             CAST(o_orderdate AS DATE) AS d,
+             o_totalprice
+      FROM orders),
+    marked AS (
+      SELECT qtr, o_totalprice,
+             CASE WHEN d >= CAST(qtr + INTERVAL 3 MONTH AS DATE) - 7
+                  THEN 1 ELSE 0 END AS last_week
+      FROM q)
+    SELECT CAST(qtr AS DATE) AS quarter,
+           ROUND(SUM(o_totalprice), 2) AS total_rev,
+           ROUND(SUM(CASE WHEN last_week = 1 THEN o_totalprice ELSE 0 END),
+                 2) AS last_week_rev,
+           ROUND(SUM(CASE WHEN last_week = 1 THEN o_totalprice ELSE 0 END)
+                 * 100.0 / SUM(o_totalprice), 4) AS last_week_pct
+    FROM marked
+    GROUP BY qtr
+    """,
+    category="timeseries",
+)
+def quarter_end_loading(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarter-end loading: the share of each quarter's revenue booked in
+    its FINAL WEEK — the pull-forward/hockey-stick detector auditors and
+    RevOps watch (uniform booking ≈ 7.7%; a quarter at 20% means the
+    close dragged deals in). Quarter boundary arithmetic is row-local;
+    one quarter-keyed aggregate."""
+    o = table(spark, sf_dir, "orders")
+    qtr = F.date_trunc("quarter", "o_orderdate")
+    last_week = (
+        F.col("o_orderdate").cast("date")
+        >= F.date_sub(F.add_months(qtr.cast("date"), 3), 7)
+    ).cast("int")
+    m = o.select(
+        qtr.cast("date").alias("quarter"),
+        "o_totalprice",
+        last_week.alias("last_week"),
+    )
+    lw = F.sum(F.when(F.col("last_week") == 1, F.col("o_totalprice")).otherwise(0.0))
+    return m.groupBy("quarter").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total_rev"),
+        F.round(lw, 2).alias("last_week_rev"),
+        F.round(lw * 100.0 / F.sum("o_totalprice"), 4).alias("last_week_pct"),
+    )
