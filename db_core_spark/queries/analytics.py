@@ -3981,3 +3981,66 @@ def quarter_end_loading(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(lw, 2).alias("last_week_rev"),
         F.round(lw * 100.0 / F.sum("o_totalprice"), 4).alias("last_week_pct"),
     )
+
+
+@query(
+    "customer_order_cadence",
+    oracle="""
+    WITH gaps AS (
+      SELECT o_custkey,
+             date_diff('day',
+                       LAG(CAST(o_orderdate AS DATE))
+                         OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey),
+                       CAST(o_orderdate AS DATE)) AS gap_days
+      FROM orders),
+    per_cust AS (
+      SELECT o_custkey,
+             CAST(COUNT(gap_days) AS BIGINT) AS n_gaps,
+             AVG(gap_days) AS mean_gap,
+             stddev_samp(gap_days) AS sd_gap
+      FROM gaps GROUP BY 1
+      HAVING COUNT(gap_days) >= 5)
+    SELECT CAST(CASE WHEN sd_gap / mean_gap < 0.6 THEN 'regular'
+                     WHEN sd_gap / mean_gap < 1.2 THEN 'mixed'
+                     ELSE 'erratic' END AS VARCHAR) AS cadence_band,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(AVG(mean_gap), 2) AS avg_mean_gap_days,
+           ROUND(AVG(sd_gap / mean_gap), 4) AS avg_cv
+    FROM per_cust
+    GROUP BY 1
+    """,
+    category="timeseries",
+)
+def customer_order_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-cadence segmentation: customers banded by how REGULAR their
+    inter-order gaps are (coefficient of variation of gap days — the
+    dispersion-over-mean that separates subscription-like rhythm from
+    erratic bursts), with a 5-gap support floor. Regular customers get
+    replenishment nudges timed to their own cadence; erratic ones don't.
+    One customer-keyed lag window, per-customer moments, tiny band
+    rollup."""
+    o = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    d = F.col("o_orderdate").cast("date")
+    gaps = o.select(
+        "o_custkey", F.datediff(d, F.lag(d).over(w)).alias("gap_days")
+    )
+    per_cust = (
+        gaps.groupBy("o_custkey")
+        .agg(
+            F.count("gap_days").alias("n_gaps"),
+            F.avg("gap_days").alias("mean_gap"),
+            F.stddev_samp("gap_days").alias("sd_gap"),
+        )
+        .filter(F.col("n_gaps") >= 5)
+    )
+    cv = F.col("sd_gap") / F.col("mean_gap")
+    band = (
+        F.when(cv < 0.6, "regular").when(cv < 1.2, "mixed").otherwise("erratic")
+    )
+    return per_cust.groupBy(band.alias("cadence_band")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.avg("mean_gap"), 2).alias("avg_mean_gap_days"),
+        F.round(F.avg(cv), 4).alias("avg_cv"),
+    )
