@@ -542,3 +542,39 @@ def window_vwap_running(spark: SparkSession, sf_dir: str) -> DataFrame:
             "unit_price_day"
         ),
     )
+
+
+@query(
+    "window_personal_percentile",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           ROUND(o_totalprice, 2) AS o_totalprice,
+           ROUND(percent_rank() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice, o_orderkey),
+                 6) AS personal_pctile,
+           CAST(CASE WHEN percent_rank() OVER (PARTITION BY o_custkey
+                          ORDER BY o_totalprice, o_orderkey) >= 0.99
+                     THEN 1 ELSE 0 END AS INT) AS personal_max_flag
+    FROM orders
+    WHERE o_orderkey < 2000
+    """,
+    category="window",
+)
+def window_personal_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each order's percentile within ITS OWN customer's history — the
+    personalization twin of global percentiles: a $500 order is routine
+    for a whale and a fraud signal for a small account, and
+    personal_pctile is the number that tells them apart (per-entity
+    baselining, the same shape fraud velocity checks and 'biggest order
+    yet!' notifications use). One customer-keyed percent_rank window;
+    unique-key ties keep both engines bit-identical."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    w = W.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    pr = F.percent_rank().over(w)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        F.round(pr, 6).alias("personal_pctile"),
+        F.when(pr >= 0.99, 1).otherwise(0).cast("int").alias("personal_max_flag"),
+    )
