@@ -4044,3 +4044,84 @@ def customer_order_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("mean_gap"), 2).alias("avg_mean_gap_days"),
         F.round(F.avg(cv), 4).alias("avg_cv"),
     )
+
+
+@query(
+    "order_basket_size_mix",
+    oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+             SUM(l_extendedprice * (1 - l_discount)) AS r
+      FROM lineitem GROUP BY 1)
+    SELECT n_lines AS basket_lines,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(r), 2) AS revenue,
+           ROUND(AVG(r), 2) AS avg_order_value
+    FROM per_order
+    GROUP BY n_lines
+    """,
+    category="aggregate",
+)
+def order_basket_size_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basket-size mix: orders and revenue by line count, with average
+    order value per basket size — the attach-rate view merchandising
+    reads (AOV rising with lines quantifies what each extra line is
+    worth; the 1-line share is the cross-sell headroom). Facts collapse
+    per order, then a tiny size rollup."""
+    li = table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("r"),
+    )
+    return per_order.groupBy(F.col("n_lines").alias("basket_lines")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("r"), 2).alias("revenue"),
+        F.round(F.avg("r"), 2).alias("avg_order_value"),
+    )
+
+
+@query(
+    "priority_sla_aging",
+    oracle=f"""
+    WITH aged AS (
+      SELECT o.o_orderpriority,
+             CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE)
+               AS days_to_ship
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey)
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(AVG(days_to_ship), 2) AS avg_days,
+           ROUND(quantile_cont(days_to_ship, 0.9), 2) AS p90_days,
+           ROUND(SUM(CASE WHEN days_to_ship > 90 THEN 1 ELSE 0 END)
+                 * 100.0 / COUNT(*), 4) AS breach_pct
+    FROM aged
+    GROUP BY o_orderpriority
+    """,
+    category="aggregate",
+)
+def priority_sla_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment SLA by order priority: order-to-ship aging (mean, p90,
+    and the share beyond a 90-day breach line) sliced by the priority the
+    customer paid for — the report that catches URGENT orders aging like
+    LOW ones (priority inversion, the fulfillment bug that churns the
+    best customers). One fact join on the order key, per-priority
+    percentile reduction."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    aged = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("days_to_ship"),
+    )
+    return aged.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.avg("days_to_ship"), 2).alias("avg_days"),
+        F.round(F.percentile("days_to_ship", F.lit(0.9)), 2).alias("p90_days"),
+        F.round(
+            F.sum(F.when(F.col("days_to_ship") > 90, 1).otherwise(0))
+            * 100.0
+            / F.count(F.lit(1)),
+            4,
+        ).alias("breach_pct"),
+    )
