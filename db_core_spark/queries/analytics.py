@@ -4125,3 +4125,119 @@ def priority_sla_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("breach_pct"),
     )
+
+
+@query(
+    "discount_depth_response",
+    oracle="""
+    WITH banded AS (
+      SELECT CAST(floor(l_discount * 100 / 2) * 2 AS BIGINT) AS disc_band_pct,
+             l_quantity, l_extendedprice,
+             l_extendedprice * (1 - l_discount) AS net
+      FROM lineitem)
+    SELECT disc_band_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(SUM(net), 2) AS net_revenue,
+           ROUND(SUM(l_extendedprice) - SUM(net), 2) AS discount_cost
+    FROM banded
+    GROUP BY disc_band_pct
+    """,
+    category="aggregate",
+)
+def discount_depth_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount-depth response curve: volume, net revenue, and the cost
+    of discounting by 2-point discount bands — the promo-effectiveness
+    table that asks whether deeper cuts actually move quantity (flat
+    avg_qty across bands = the discount budget bought nothing, which is
+    the synthetic fixture's correct answer and what the oracle pins).
+    Banding is row-local; one band-keyed aggregate."""
+    li = table(spark, sf_dir, "lineitem")
+    band = (F.floor(F.col("l_discount") * 100 / 2) * 2).cast("long")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.select(
+            band.alias("disc_band_pct"), "l_quantity", "l_extendedprice",
+            net.alias("net"),
+        )
+        .groupBy("disc_band_pct")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.sum("net"), 2).alias("net_revenue"),
+            F.round(F.sum("l_extendedprice") - F.sum("net"), 2).alias(
+                "discount_cost"
+            ),
+        )
+    )
+
+
+@query(
+    "nation_trade_balance",
+    oracle="""
+    WITH flows AS (
+      SELECT ns.n_name AS exporter, nc.n_name AS importer,
+             SUM(l.l_extendedprice * (1 - l.l_discount)) AS v
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+      WHERE ns.n_name <> nc.n_name
+      GROUP BY 1, 2),
+    exp AS (SELECT exporter AS nation, SUM(v) AS x FROM flows GROUP BY 1),
+    imp AS (SELECT importer AS nation, SUM(v) AS m FROM flows GROUP BY 1)
+    SELECT COALESCE(e.nation, i.nation) AS nation,
+           ROUND(COALESCE(e.x, 0), 2) AS exports,
+           ROUND(COALESCE(i.m, 0), 2) AS imports,
+           ROUND(COALESCE(e.x, 0) - COALESCE(i.m, 0), 2) AS balance
+    FROM exp e FULL OUTER JOIN imp i ON i.nation = e.nation
+    """,
+    category="join",
+)
+def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trade balance per nation: cross-border revenue where the supplier's
+    nation exports to the customer's nation, netted into
+    exports - imports — the macro summary of the q7 flow matrix (the
+    same role-playing double nation join), closed over ALL partners
+    instead of one pair. Facts scan once; both nation joins broadcast;
+    the balance is a FULL OUTER self-reconciliation of two tiny
+    rollups."""
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    ns = n.select(
+        F.col("n_nationkey").alias("s_nationkey"), F.col("n_name").alias("exporter")
+    )
+    nc = n.select(
+        F.col("n_nationkey").alias("c_nationkey"), F.col("n_name").alias("importer")
+    )
+    flows = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), "s_nationkey")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nc), "c_nationkey")
+        .filter(F.col("exporter") != F.col("importer"))
+        .groupBy("exporter", "importer")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("v"))
+    )
+    exp = flows.groupBy(F.col("exporter").alias("nation")).agg(
+        F.sum("v").alias("x")
+    )
+    imp = flows.groupBy(F.col("importer").alias("nation")).agg(
+        F.sum("v").alias("m")
+    )
+    j = exp.join(imp, "nation", "full_outer")
+    return j.select(
+        "nation",
+        F.round(F.coalesce(F.col("x"), F.lit(0.0)), 2).alias("exports"),
+        F.round(F.coalesce(F.col("m"), F.lit(0.0)), 2).alias("imports"),
+        F.round(
+            F.coalesce(F.col("x"), F.lit(0.0)) - F.coalesce(F.col("m"), F.lit(0.0)),
+            2,
+        ).alias("balance"),
+    )
