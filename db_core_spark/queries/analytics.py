@@ -4241,3 +4241,57 @@ def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("balance"),
     )
+
+
+@query(
+    "customer_lifecycle_stage",
+    oracle="""
+    WITH horizon AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS h FROM orders),
+    per_cust AS (
+      SELECT o_custkey,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             MIN(CAST(o_orderdate AS DATE)) AS first_d,
+             MAX(CAST(o_orderdate AS DATE)) AS last_d
+      FROM orders GROUP BY 1),
+    staged AS (
+      SELECT p.*,
+             CASE WHEN date_diff('day', p.first_d, h.h) <= 180 THEN 'new'
+                  WHEN date_diff('day', p.last_d, h.h) <= 180 THEN 'active'
+                  WHEN date_diff('day', p.last_d, h.h) <= 540 THEN 'lapsing'
+                  ELSE 'dormant' END AS stage
+      FROM per_cust p CROSS JOIN horizon h)
+    SELECT stage,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(AVG(n_orders), 4) AS avg_orders,
+           CAST(MIN(n_orders) AS BIGINT) AS min_orders
+    FROM staged
+    GROUP BY stage
+    """,
+    category="timeseries",
+)
+def customer_lifecycle_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lifecycle staging: every customer classed new / active / lapsing /
+    dormant from first- and last-order recency against the data horizon —
+    the segmentation CRM journeys branch on (win-back campaigns target
+    'lapsing' BEFORE they become 'dormant'; the stage boundaries are the
+    campaign calendar). One per-customer aggregate, broadcast horizon,
+    tiny stage rollup."""
+    o = table(spark, sf_dir, "orders")
+    horizon = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("h"))
+    per_cust = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min(F.col("o_orderdate").cast("date")).alias("first_d"),
+        F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
+    )
+    staged = per_cust.crossJoin(F.broadcast(horizon))
+    stage = (
+        F.when(F.datediff("h", "first_d") <= 180, "new")
+        .when(F.datediff("h", "last_d") <= 180, "active")
+        .when(F.datediff("h", "last_d") <= 540, "lapsing")
+        .otherwise("dormant")
+    )
+    return staged.groupBy(stage.alias("stage")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.avg("n_orders"), 4).alias("avg_orders"),
+        F.min("n_orders").cast("long").alias("min_orders"),
+    )

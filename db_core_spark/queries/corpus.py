@@ -1210,3 +1210,41 @@ def pipeline_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("kept_tokens") / F.col("t"), 6).alias("raw_share"),
         F.round(F.sqrt("kept_tokens") / F.col("ts"), 6).alias("temp_share"),
     )
+
+
+@query(
+    "corpus_length_percentile_cutoffs",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(quantile_cont(n_chars, 0.01), 2) AS p01_chars,
+           ROUND(quantile_cont(n_chars, 0.99), 2) AS p99_chars,
+           CAST(SUM(CASE WHEN n_chars < (SELECT quantile_cont(n_chars, 0.01)
+                                         FROM documents) THEN 1 ELSE 0 END)
+                AS BIGINT) AS below_global_p01
+    FROM documents
+    GROUP BY lang
+    """,
+    category="llm",
+)
+def corpus_length_percentile_cutoffs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length-cutoff table: the p01/p99 character bounds a
+    truncation-and-floor filter would apply PER LANGUAGE, plus how many
+    of each language's docs fall under the GLOBAL p01 — the check that
+    catches a global cutoff silently deleting a short-form language
+    (CJK-style) that a per-language cutoff would keep. Exact percentiles
+    per group; the global bound is a broadcast scalar subquery."""
+    d = table(spark, sf_dir, "documents")
+    g01 = d.agg(F.percentile("n_chars", F.lit(0.01)).alias("g"))
+    return (
+        d.crossJoin(F.broadcast(g01))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.percentile("n_chars", F.lit(0.01)), 2).alias("p01_chars"),
+            F.round(F.percentile("n_chars", F.lit(0.99)), 2).alias("p99_chars"),
+            F.sum(F.when(F.col("n_chars") < F.col("g"), 1).otherwise(0))
+            .cast("long")
+            .alias("below_global_p01"),
+        )
+    )
