@@ -29,8 +29,10 @@ _REGISTRY: dict[str, RegisteredQuery] = {}
 
 # Emission order for queries()/oracle_sql(): the driver's correctness run
 # caps at the FIRST 50 registry entries, so coverage rotates round-over-round:
+# queries whose driver row errored/mismatched in a committed round and were
+# never since seen green sort FIRST (fix re-confirmation beats breadth), then
 # queries that never earned a driver CORRECTNESS row (green or rows-only) in
-# any committed CORRECTNESS_r*.json sort FIRST — oracle-eligible before
+# any committed CORRECTNESS_r*.json — oracle-eligible before
 # rows-only — so each round's 50-slot window lands on fresh evidence. Ties
 # break by category priority below (custom/high-value surfaces lead), then
 # registration order. Once every operator has a driver row, the order
@@ -74,19 +76,25 @@ def query(name: str, oracle: str | None = None, category: str = "relational"):
     return deco
 
 
-def _driver_checked_names() -> frozenset[str]:
-    """Names with a usable driver CORRECTNESS row in any committed round.
+def _driver_history() -> tuple[frozenset[str], frozenset[str]]:
+    """Return ``(checked, errored)`` driver CORRECTNESS history across rounds.
 
-    A row counts if it exists and either passed its oracle comparison or was
-    the intentional rows-only path (``err == "no_oracle"``). Errored or
-    mismatched rows do NOT count — those queries re-enter the front of the
-    rotation until the driver sees them green.
+    ``checked``: names with a usable driver row in any committed round — the
+    row passed its oracle comparison or was the intentional rows-only path
+    (``err == "no_oracle"``).
+    ``errored``: names whose row errored or mismatched in some round and that
+    have NEVER been seen green/rows-only by the driver — these re-enter the
+    FRONT of the rotation (ahead even of never-checked registrations) until
+    the driver confirms the fix. Mirrors the reference's recovery discipline:
+    finish replaying in-flight work before accepting new work
+    (/root/reference/src/system/instance.rs:239-304).
     """
     import json
     from pathlib import Path
 
     repo = Path(__file__).resolve().parent.parent
     checked: set[str] = set()
+    bad: set[str] = set()
     for path in sorted(repo.glob("CORRECTNESS_r*.json")):
         try:
             rows = json.loads(path.read_text())
@@ -101,21 +109,24 @@ def _driver_checked_names() -> frozenset[str]:
                 and row.get("hash_match")
             ):
                 checked.add(name)
-    return frozenset(checked)
+            else:
+                bad.add(name)
+    return frozenset(checked), frozenset(bad - checked)
 
 
 def all_queries() -> dict[str, RegisteredQuery]:
     # Import for side effect: each module registers its operators.
     from db_core_spark import queries as _q  # noqa: F401
 
-    checked = _driver_checked_names()
+    checked, errored = _driver_history()
     rank = {c: i for i, c in enumerate(CATEGORY_PRIORITY)}
     order = {name: i for i, name in enumerate(_REGISTRY)}
     return dict(
         sorted(
             _REGISTRY.items(),
             key=lambda kv: (
-                kv[0] in checked,  # never-driver-checked first
+                kv[0] not in errored,  # driver-errored rows front the window
+                kv[0] in checked,  # then never-driver-checked
                 kv[1].oracle is None,  # oracle-eligible before rows-only
                 rank.get(kv[1].category, len(rank)),
                 order[kv[0]],
