@@ -1,0 +1,167 @@
+"""Distributed two-pass prefix rank / prefix sum.
+
+The scale-safe replacement for an UNPARTITIONED window (``ROW_NUMBER() OVER
+(ORDER BY ...)`` / running ``SUM() OVER (ORDER BY ...)``): a global window
+funnels every row through one partition — the exact hazard SURVEY §7.3 flags,
+and the reason 100 TB jobs die at the last stage. The reference engine never
+has this problem because its scans are single-node streams; on Spark the
+equivalent sequential semantics need an explicit two-pass formulation:
+
+Pass 1 — range-partition on the sort key (order-preserving ACROSS partitions),
+count/sum per partition: O(num_parts) rows to the driver, not O(rows).
+Pass 2 — broadcast the exclusive per-partition offsets back; every partition
+computes its LOCAL row_number / running sum in parallel (window partitioned by
+partition id) and adds its offset. Identical arithmetic to the global window;
+no single-partition stage anywhere.
+
+First grown inline in ``pareto_revenue_concentration`` and
+``pack_training_sequences_scalable``; factored here so every rank-the-world
+query shares one audited implementation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+
+def _staged(df: DataFrame, sort_cols: list[Column], num_parts: int) -> DataFrame:
+    """Range-partition + locally sort ``df`` on ``sort_cols``; tag partition id.
+
+    localCheckpoint pins ONE materialization shared by both passes — without
+    it pass 2 would re-run the (sampled) range partitioner and could disagree
+    with the offsets pass 1 collected.
+    """
+    return (
+        df.repartitionByRange(num_parts, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+
+
+def global_row_number(
+    df: DataFrame,
+    sort_cols: list[Column],
+    *,
+    num_parts: int = 8,
+    out: str = "rk",
+) -> tuple[DataFrame, int]:
+    """Add 1-based global rank ``out`` in ``sort_cols`` order; return (df, n).
+
+    ``sort_cols`` must be a total order (include a unique tiebreak key) for
+    the rank to be deterministic. ``n`` is the total row count (free — pass 1
+    already aggregates it).
+    """
+    spark = df.sparkSession
+    staged = _staged(df, sort_cols, num_parts)
+    counts = {
+        r["__pid"]: r.n
+        for r in staged.groupBy("__pid").agg(F.count("*").alias("n")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    offset_df = F.broadcast(
+        spark.createDataFrame(offsets or [(0, 0)], "__pid int, __offset long")
+    )
+    w_local = W.partitionBy("__pid").orderBy(*sort_cols)
+    ranked = (
+        staged.join(offset_df, "__pid")
+        .withColumn(out, F.col("__offset") + F.row_number().over(w_local))
+        .drop("__pid", "__offset")
+    )
+    return ranked, acc
+
+
+def global_running_sums(
+    df: DataFrame,
+    sort_cols: list[Column],
+    value_cols: dict[str, str],
+    *,
+    num_parts: int = 8,
+) -> DataFrame:
+    """Inclusive running sums of SEVERAL columns in one two-pass sweep.
+
+    ``value_cols`` maps input column -> output cumulative-column name. One
+    staging shuffle, one O(num_parts) driver collect, one broadcast join —
+    the n-column generalization of :func:`global_running_sum`.
+    """
+    spark = df.sparkSession
+    staged = _staged(df, sort_cols, num_parts)
+    part_rows = (
+        staged.groupBy("__pid")
+        .agg(*[F.sum(c).alias(c) for c in value_cols])
+        .collect()
+    )
+    acc = {c: 0 for c in value_cols}
+    offsets = []
+    for r in sorted(part_rows, key=lambda r: r["__pid"]):
+        offsets.append((r["__pid"], *[acc[c] for c in value_cols]))
+        for c in value_cols:
+            acc[c] += r[c] or 0
+    floaty = [isinstance(acc[c], float) for c in value_cols]
+    fields = ", ".join(
+        f"__off_{i} {'double' if fl else 'long'}" for i, fl in enumerate(floaty)
+    )
+    offsets = [
+        (row[0], *[float(v) if fl else v for v, fl in zip(row[1:], floaty)])
+        for row in offsets
+    ]
+    offset_df = F.broadcast(
+        spark.createDataFrame(
+            offsets or [(0, *[0.0 if fl else 0 for fl in floaty])],
+            f"__pid int, {fields}",
+        )
+    )
+    w_local = W.partitionBy("__pid").orderBy(*sort_cols).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    res = staged.join(offset_df, "__pid")
+    for i, (c, out) in enumerate(value_cols.items()):
+        res = res.withColumn(out, F.col(f"__off_{i}") + F.sum(c).over(w_local))
+    return res.drop("__pid", *[f"__off_{i}" for i in range(len(value_cols))])
+
+
+def global_running_sum(
+    df: DataFrame,
+    sort_cols: list[Column],
+    value_col: str,
+    *,
+    num_parts: int = 8,
+    out: str = "cumsum",
+) -> DataFrame:
+    """Add the INCLUSIVE running sum of ``value_col`` in ``sort_cols`` order.
+
+    Same two-pass shape as :func:`global_row_number`, summing instead of
+    counting. Exclusive prefix = ``out - value_col``. For float values the
+    offset addition is not bit-identical to a sequential left fold — sum
+    exact types (long / decimal) when downstream comparisons are exact.
+    """
+    spark = df.sparkSession
+    staged = _staged(df, sort_cols, num_parts)
+    totals = {
+        r["__pid"]: r.total
+        for r in staged.groupBy("__pid")
+        .agg(F.sum(value_col).alias("total"))
+        .collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(totals):
+        offsets.append((pid, acc))
+        acc += totals[pid] or 0
+    off_type = "double" if isinstance(acc, float) else "long"
+    if off_type == "double":
+        offsets = [(pid, float(off)) for pid, off in offsets]
+    offset_df = F.broadcast(
+        spark.createDataFrame(offsets or [(0, 0)], f"__pid int, __offset {off_type}")
+    )
+    w_local = W.partitionBy("__pid").orderBy(*sort_cols).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return (
+        staged.join(offset_df, "__pid")
+        .withColumn(out, F.col("__offset") + F.sum(value_col).over(w_local))
+        .drop("__pid", "__offset")
+    )

@@ -1090,14 +1090,29 @@ def agg_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal-COUNT banding behind decile reports and monotonic-lift charts
     (quantile_bucket_features bands by VALUE cutpoints; ntile guarantees
     equal membership instead). Ties break on the unique key so both
-    engines agree bit-for-bit. The global ntile sorts once over the
-    single series — for sharded deployment swap in percent_rank against
-    broadcast quantile bounds; semantics match to tie-handling."""
+    engines agree bit-for-bit.
+
+    Scale shape: NOT a global ntile window (that funnels every order
+    through one partition). The global rank comes from the two-pass prefix
+    rank (`operators/prefixrank.py`), then ntile's exact bucket arithmetic
+    is replayed from (rank, n): with base = n//10 and rem = n%10 the first
+    rem deciles get base+1 members — bit-identical membership to the
+    engines' NTILE, every stage parallel."""
+    from db_core_spark.operators.prefixrank import global_row_number
+
     o = table(spark, sf_dir, "orders")
-    w = W.orderBy("o_totalprice", "o_orderkey")
-    t = o.select(
-        "o_totalprice", F.ntile(10).over(w).cast("long").alias("decile")
+    ranked, n = global_row_number(
+        o.select("o_totalprice", "o_orderkey"),
+        [F.col("o_totalprice"), F.col("o_orderkey")],
+        num_parts=32,
     )
+    base, rem = n // 10, n % 10
+    pivot = rem * (base + 1)
+    rk = F.col("rk")
+    decile = F.when(rk <= pivot, ((rk - 1) / (base + 1)).cast("long") + 1).otherwise(
+        F.lit(rem) + ((rk - 1 - pivot) / base).cast("long") + 1
+    ) if base > 0 else rk  # degenerate n < 10: ntile gives row i bucket i
+    t = ranked.select("o_totalprice", decile.cast("long").alias("decile"))
     return t.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.min("o_totalprice"), 2).alias("lo"),

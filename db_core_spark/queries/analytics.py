@@ -2206,35 +2206,33 @@ def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Whitney U (Wilcoxon rank-sum) between click and purchase
     values — the nonparametric A/B test for when means lie (heavy tails,
     outliers): compare RANKS, not values. Average ranks handle ties
-    exactly (mean row_number per equal-value group), and the
-    normal-approximation z-score accompanies U. The global rank is the one
-    sequential-looking step: at 100 TB it becomes the distributed two-pass
-    rank of pareto_revenue_concentration (per-partition counts -> offsets
-    broadcast -> local ranks), identical arithmetic; the fixture-scale
-    single window keeps the oracle exact."""
-    from pyspark.sql import Window as W2
+    exactly, and the normal-approximation z-score accompanies U.
+
+    Scale shape: NO per-row global rank. The midrank of a tied value group
+    is (#rows below) + (group size + 1)/2, so the whole statistic folds
+    over the DISTINCT-VALUE frame: one groupBy(value) aggregate (rows per
+    value, clicks per value), then a two-pass prefix sum
+    (`operators/prefixrank.py`) over distinct values gives rows-below; r1 =
+    SUM(clicks_v * midrank_v). Identical arithmetic to AVG(row_number)
+    per value group — midranks are half-integers, exact in doubles — with
+    the only ordered pass running over |distinct values|, fully parallel."""
+    from db_core_spark.operators.prefixrank import global_running_sum
 
     e = table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "purchase")
     )
-    vals = e.select(
-        "event_type",
-        "value",
-        F.row_number().over(W2.orderBy("value", "event_id")).alias("rn"),
+    per_val = e.groupBy("value").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("n_click"),
     )
-    ranked = vals.select(
-        "event_type", F.avg("rn").over(W2.partitionBy("value")).alias("avg_rank")
+    cum = global_running_sum(
+        per_val, [F.col("value")], "cnt", num_parts=16, out="cum_incl"
     )
-    agg = ranked.agg(
-        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
-        .cast("double")
-        .alias("n1"),
-        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
-        .cast("double")
-        .alias("n2"),
-        F.sum(
-            F.when(F.col("event_type") == "click", F.col("avg_rank")).otherwise(0.0)
-        ).alias("r1"),
+    midrank = (F.col("cum_incl") - F.col("cnt")) + (F.col("cnt") + 1) / 2.0
+    agg = cum.agg(
+        F.sum("n_click").cast("double").alias("n1"),
+        F.sum(F.col("cnt") - F.col("n_click")).cast("double").alias("n2"),
+        F.sum(F.col("n_click") * midrank).alias("r1"),
     )
     u = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2
     z = (u - F.col("n1") * F.col("n2") / 2) / F.sqrt(
@@ -3589,26 +3587,34 @@ def abc_part_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     (first 80% of cumulative revenue), B (to 95%), C (tail) — the Pareto
     banding behind stocking policy and slotting (count A-parts daily,
     count C-parts quarterly). Facts collapse per part first; the
-    cumulative-share window runs over |parts| rows; class rollup and the
-    grand total are tiny."""
+    cumulative share then comes from the distributed two-pass prefix sum
+    (`operators/prefixrank.py`) over the |parts| frame — |parts| scales
+    with SF, so no unpartitioned window even at the entity level; the
+    grand total falls out of pass 1 for free (it is the last offset +
+    last partition's total, recomputed here as a tiny agg)."""
+    from db_core_spark.operators.prefixrank import global_running_sum
+
     li = table(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(
         F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("r")
     )
-    wc = W.orderBy(F.col("r").desc(), "l_partkey").rowsBetween(
-        W.unboundedPreceding, W.currentRow
+    cum = global_running_sum(
+        rev, [F.col("r").desc(), F.col("l_partkey")], "r", num_parts=16, out="cum_r"
     )
-    wall = W.partitionBy()
-    ranked = rev.select(
-        "l_partkey", "r",
-        (F.sum("r").over(wc) / F.sum("r").over(wall)).alias("cum_share"),
+    # grand total = the largest cumulative (revenue is positive, so cum_r is
+    # monotone); cum is checkpointed inside the helper, so this reuse is one
+    # tiny agg, not a second lineitem scan
+    ranked = cum.crossJoin(
+        F.broadcast(cum.agg(F.max("cum_r").alias("__t")))
+    ).select(
+        "l_partkey", "r", (F.col("cum_r") / F.col("__t")).alias("cum_share")
     )
     klass = (
         F.when(F.col("cum_share") <= 0.8, "A")
         .when(F.col("cum_share") <= 0.95, "B")
         .otherwise("C")
     )
-    tot = rev.agg(F.sum("r").alias("t"))
+    tot = cum.agg(F.max("cum_r").alias("t"))
     return (
         ranked.withColumn("klass", klass)
         .groupBy("klass")

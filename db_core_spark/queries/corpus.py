@@ -1041,7 +1041,10 @@ def corpus_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     natural corpora sit near 0.5). Cumulative distinct uses the
     first-occurrence trick (corpus_ngram_novelty's kernel): count a type
     on its FIRST doc only, then a running sum — never a quadratic
-    distinct-over-prefix."""
+    distinct-over-prefix. Both running sums (tokens, vocab) run as ONE
+    two-pass distributed prefix sum over the per-doc frame
+    (`operators/prefixrank.py::global_running_sums`) — no unpartitioned
+    window anywhere; integer sums make the offset addition exact."""
     d = table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("tok")
@@ -1057,11 +1060,14 @@ def corpus_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_new_types"),
         )
     )
-    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
-    cum = per_doc.select(
-        F.sum("n_toks").over(w).alias("cum_tokens"),
-        F.sum("n_new_types").over(w).alias("vocab"),
-    )
+    from db_core_spark.operators.prefixrank import global_running_sums
+
+    cum = global_running_sums(
+        per_doc,
+        [F.col("doc_id")],
+        {"n_toks": "cum_tokens", "n_new_types": "vocab"},
+        num_parts=16,
+    ).select("cum_tokens", "vocab")
     lv = F.log(F.col("vocab").cast("double"))
     ln = F.log(F.col("cum_tokens").cast("double"))
     return cum.agg(

@@ -755,15 +755,25 @@ def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-sequence packing (concat-and-chunk allocation): documents in
     stable corpus order are laid head-to-tail and cut into 2048-token bins —
-    bin_id = floor(tokens_before / capacity), a running-sum window. This is
-    the allocation MAP of the packing step every pretraining pipeline runs
-    (the actual token-level splitting of boundary documents is the chunk
-    step, `udtf_chunk_documents`); emitting (bin, docs, utilization) makes
-    packing efficiency auditable before any tokens move. The global-order
-    cumsum is the one inherently sequential step: at 100 TB you run it as a
-    two-pass prefix sum — per-partition token totals (tiny) broadcast as
-    offsets, then each partition bins locally — same arithmetic, no global
-    window; the fixture-scale single window keeps the oracle exact."""
+    bin_id = floor(tokens_before / capacity). This is the allocation MAP of
+    the packing step every pretraining pipeline runs (the actual token-level
+    splitting of boundary documents is the chunk step,
+    `udtf_chunk_documents`); emitting (bin, docs, utilization) makes packing
+    efficiency auditable before any tokens move. The registered plan is the
+    distributed two-pass prefix sum (:func:`pack_training_sequences_scalable`):
+    per-partition token totals broadcast as offsets, then each partition bins
+    locally in parallel — same arithmetic as a global running-sum window
+    (bin-exact parity pytested at 1/3/8 partitions against
+    :func:`pack_training_sequences_global_window`) with no single-partition
+    stage anywhere."""
+    return pack_training_sequences_scalable(spark, sf_dir)
+
+
+def pack_training_sequences_global_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-global-window formulation — the parity REFERENCE for
+    :func:`pack_training_sequences_scalable`, not registered: the
+    unpartitioned running sum moves every row through one partition, the
+    exact scale hazard SURVEY §7.3 flags."""
     d = table(spark, sf_dir, "documents")
     from pyspark.sql import Window as W
 

@@ -417,11 +417,11 @@ def pipeline_multimodal_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment and intra-shard byte offset.
 
     Deterministic rows-only (codec-bound); pytest checks exact equality
-    with a pure-Python pipeline over the same seeded inputs. At 100 TB the
-    packing stage swaps to the distributed two-pass prefix sum
-    (`pack_training_sequences_scalable` pattern); at fixture scale the
-    survivor set is spine-sized so a single window over it is the honest
-    plan."""
+    with a pure-Python pipeline over the same seeded inputs. The packing
+    stage IS the distributed two-pass prefix sum
+    (`operators/prefixrank.py::global_running_sum`) — integer byte counts
+    make the offset addition exact, and no stage sees more than its own
+    partition's survivors."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -429,6 +429,7 @@ def pipeline_multimodal_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     from db_core_spark.operators.multimodal import dhash64, synth_ppm_for_text
+    from db_core_spark.operators.prefixrank import global_running_sum
 
     base = table(spark, sf_dir, "documents").select("doc_id", "text").filter(
         F.col("doc_id") <= 300
@@ -457,9 +458,10 @@ def pipeline_multimodal_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
-    # shard packing: running byte total in doc_id order -> shard id + offset
-    wp = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
-    packed = kept.withColumn("cum", F.sum("n_bytes").over(wp)).select(
+    # shard packing: two-pass prefix byte sum in doc_id order -> shard + offset
+    packed = global_running_sum(
+        kept, [F.col("doc_id")], "n_bytes", num_parts=8, out="cum"
+    ).select(
         "doc_id",
         "dhash",
         "n_bytes",

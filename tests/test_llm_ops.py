@@ -228,11 +228,11 @@ def test_scalable_packing_matches_global_window(spark):
     """The two-pass prefix-sum packing (no single-partition stage) must
     produce exactly the bins of the global-window formulation."""
     from db_core_spark.queries.llm import (
-        pack_training_sequences,
+        pack_training_sequences_global_window,
         pack_training_sequences_scalable,
     )
 
-    ref = {tuple(r) for r in pack_training_sequences(spark, SF_SMALL).collect()}
+    ref = {tuple(r) for r in pack_training_sequences_global_window(spark, SF_SMALL).collect()}
     for parts in (1, 3, 8):
         got = {
             tuple(r)
