@@ -124,6 +124,55 @@ def global_running_sums(
     return res.drop("__pid", *[f"__off_{i}" for i in range(len(value_cols))])
 
 
+def global_prefix_max(
+    df: DataFrame,
+    sort_cols: list[Column],
+    value_col: str,
+    *,
+    num_parts: int = 8,
+    out: str = "prefix_max",
+) -> DataFrame:
+    """EXCLUSIVE running max of ``value_col`` in ``sort_cols`` order — the
+    frame ``ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING`` — NULL for
+    the first row. Max is associative, so the two-pass shape carries over:
+    per-partition maxes fold to exclusive cross-partition offsets
+    driver-side; each row's answer is greatest(partition offset, local
+    exclusive max) with greatest's skip-nulls semantics handling both the
+    first partition (no offset) and each partition's first row (no local
+    prefix). Works for any orderable type (the offset column clones the
+    value column's DataType). The sort-sweep operators (skyline dominance)
+    are the consumers.
+    """
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    staged = _staged(df, sort_cols, num_parts)
+    part_rows = staged.groupBy("__pid").agg(F.max(value_col).alias("mx")).collect()
+    offsets, best = [], None
+    for r in sorted(part_rows, key=lambda r: r["__pid"]):
+        offsets.append((r["__pid"], best))
+        if r.mx is not None and (best is None or r.mx > best):
+            best = r.mx
+    dtype = staged.schema[value_col].dataType
+    schema = T.StructType(
+        [
+            T.StructField("__pid", T.IntegerType(), False),
+            T.StructField("__offmax", dtype, True),
+        ]
+    )
+    offset_df = F.broadcast(spark.createDataFrame(offsets or [(0, None)], schema))
+    w_local = W.partitionBy("__pid").orderBy(*sort_cols).rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    return (
+        staged.join(offset_df, "__pid")
+        .withColumn(
+            out, F.greatest(F.col("__offmax"), F.max(value_col).over(w_local))
+        )
+        .drop("__pid", "__offmax")
+    )
+
+
 def global_running_sum(
     df: DataFrame,
     sort_cols: list[Column],

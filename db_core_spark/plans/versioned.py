@@ -905,22 +905,47 @@ class VersionedTable:
         feed = other.changes(from_csn=base_csn).filter(
             F.col("_change") != "update_preimage"
         )
-        # canonical-string key for membership against write_keys encoding
-        kstr = F.concat_ws("\x00", *[F.col(k).cast("string") for k in kc])
-        wanted = self.spark.createDataFrame(
-            [("\x00".join(k),) for k in sorted(apply_keys)], "kstr string"
-        )
-        latest = (
-            feed.withColumn("kstr", kstr)
-            .join(F.broadcast(wanted), "kstr", "left_semi")
-            .withColumn(
+        # Latest change per key, partitioned on the TYPED key columns (no
+        # string encoding involved).
+        latest_all = (
+            feed.withColumn(
                 "_rn",
                 F.row_number().over(
-                    W.partitionBy("kstr").orderBy(F.col("_csn").desc())
+                    W.partitionBy(*kc).orderBy(F.col("_csn").desc())
                 ),
             )
             .filter(F.col("_rn") == 1)
         )
+        # Membership against apply_keys must use the SAME encoding that
+        # produced write_keys — Python str() over arrow-materialized values
+        # (_stage, above). Spark's cast('string') diverges for booleans
+        # ('true' vs 'True'), tz-aware timestamps, and floats in scientific
+        # notation, and a miss here silently DROPS a branch change (the
+        # unsafe direction — unlike the conflict check, where a collision
+        # is merely a spurious conflict). So: collect the branch's distinct
+        # changed keys (bounded by max_tracked_keys — merge already
+        # requires tracked write-sets), str-encode them driver-side exactly
+        # like _stage, and join back on the TYPED key values.
+        import datetime as _dt  # noqa: PLC0415
+
+        def _enc(v) -> str:
+            # DataFrame.toArrow() materializes timestamps tz-aware (session
+            # tz = UTC); _stage's parquet read yields them NAIVE. Normalize
+            # to the naive form str() saw when write_keys were recorded.
+            if isinstance(v, _dt.datetime) and v.tzinfo is not None:
+                v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            return str(v)
+
+        key_schema = latest_all.select(*kc).schema
+        arrow_keys = latest_all.select(*kc).toArrow()
+        typed_rows = list(zip(*(arrow_keys.column(c).to_pylist() for c in kc)))
+        wanted_typed = [
+            r for r in typed_rows if tuple(_enc(v) for v in r) in apply_keys
+        ]
+        if not wanted_typed:
+            return {"applied": 0, "deleted": 0, "conflicts": len(conflicts)}
+        wanted = self.spark.createDataFrame(wanted_typed, key_schema)
+        latest = latest_all.join(F.broadcast(wanted), kc, "left_semi")
         data_cols = [f.name for f in self.schema.fields]
         ups = latest.filter(F.col("_change") != "delete").select(*data_cols)
         dels = latest.filter(F.col("_change") == "delete").select(*kc)

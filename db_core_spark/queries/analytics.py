@@ -3658,14 +3658,22 @@ def skyline_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     price, keep rows whose date beats the running max over everything
     cheaper — one window pass instead of the naive O(n²) self-join. Ties
     on price resolve by key so the frontier is deterministic."""
+    from db_core_spark.operators.prefixrank import global_prefix_max
+
     o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
     pts = o.select(
         "o_orderkey", "o_totalprice", F.col("o_orderdate").cast("date").alias("d")
     )
-    w = W.orderBy("o_totalprice", "o_orderkey").rowsBetween(
-        W.unboundedPreceding, -1
+    # exclusive prefix max via the two-pass sweep — the fixture filter keeps
+    # this input constant-size, but the sort-sweep pattern should not rely
+    # on that: this shape survives the filter being lifted
+    ranked = global_prefix_max(
+        pts,
+        [F.col("o_totalprice"), F.col("o_orderkey")],
+        "d",
+        num_parts=8,
+        out="best_d_cheaper",
     )
-    ranked = pts.withColumn("best_d_cheaper", F.max("d").over(w))
     return ranked.filter(
         F.col("best_d_cheaper").isNull() | (F.col("d") > F.col("best_d_cheaper"))
     ).select(

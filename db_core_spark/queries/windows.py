@@ -154,14 +154,41 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE frame (value-based): count of orders within $10k below each
-    price. Unpartitioned window over a filtered subset — at scale you'd
-    partition this by a bucketing key first."""
+    price — RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW.
+
+    Scale shape: NOT an unpartitioned RANGE window (single partition, and
+    Spark's range-frame scan is O(n·k) besides). The value-distance count
+    is a BANDED RANGE SELF-JOIN — the geo_cell_join pattern in 1-D: prices
+    collapse to a distinct-value count table, each value group lands in a
+    width-10000 band and is replicated to the band above (a group can only
+    serve probes in its own or the next band), probes equi-join on band and
+    filter to the exact [p-10000, p] range, then sum group counts. Join
+    fan-out per probe is <= 2 bands regardless of data size; everything
+    shuffles on the band key."""
+    band_w = 10000
     o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 50)
-    w = W.orderBy("o_totalprice").rangeBetween(-10000, W.currentRow)
-    return o.select(
-        "o_orderkey",
-        "o_totalprice",
-        F.count(F.lit(1)).over(w).alias("n_within_10k"),
+    probes = o.select("o_orderkey", "o_totalprice").withColumn(
+        "band", F.floor(F.col("o_totalprice") / band_w).cast("long")
+    )
+    groups = (
+        o.groupBy(F.col("o_totalprice").alias("gp"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("gband", F.floor(F.col("gp") / band_w).cast("long"))
+        .select(
+            F.explode(F.array(F.col("gband"), F.col("gband") + 1)).alias("band"),
+            "gp",
+            "cnt",
+        )
+    )
+    return (
+        probes.join(
+            groups,
+            (probes.band == groups.band)
+            & (F.col("gp") <= F.col("o_totalprice"))
+            & (F.col("gp") >= F.col("o_totalprice") - band_w),
+        )
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(F.sum("cnt").alias("n_within_10k"))
     )
 
 

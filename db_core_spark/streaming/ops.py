@@ -547,19 +547,40 @@ def stream_into_database(events: DataFrame, db, checkpoint_dir: str, split_fn):
     (/root/reference/src/system/instance.rs:102-111).
 
     Exactly-once: the group's per-table manifests all carry
-    (writer, epoch); group atomicity means ONE table's marker is proof the
-    whole batch is durable, so the replay check scans each table until a
-    hit. ConflictError from concurrent writers retries the group with
-    fresh staging (the stream does not die)."""
-    from db_core_spark.plans.versioned import ConflictError  # noqa: PLC0415
+    (writer, epoch); group atomicity means ONE table's COMMITTED marker is
+    proof the whole batch is durable, so the replay check scans each table
+    until a hit. The (writer, epoch) match alone is NOT proof: an aborted
+    group commit (conflict retries exhausted, or coordinator death between
+    claim and marker followed by a reader force-abort) leaves its claimed
+    per-table manifests on disk as empty commits still carrying those
+    fields — treating one as durable would silently drop the replayed
+    batch. So a manifest only counts when it has no group field (plain
+    commit, durable by construction) or its group marker resolves to
+    'committed'. ConflictError from concurrent writers retries the group
+    with fresh staging (the stream does not die)."""
+    from db_core_spark.plans.versioned import (  # noqa: PLC0415
+        ConflictError,
+        resolve_group_status,
+    )
+
+    def _durable(m: dict, grace: float) -> bool:
+        if m.get("group") is None:
+            return True
+        return (
+            resolve_group_status(m["group"], m.get("ts", 0.0), grace) == "committed"
+        )
 
     def commit_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
         for name in db.table_names():
+            t = db.table(name)
+            grace = t.config.group_pending_grace_seconds
             if any(
-                m.get("writer") == checkpoint_dir and m.get("epoch") == epoch_id
-                for m in db.table(name)._manifests()
+                m.get("writer") == checkpoint_dir
+                and m.get("epoch") == epoch_id
+                and _durable(m, grace)
+                for m in t._manifests()
             ):
                 return  # replayed epoch: already durable atomically
         parts = {n: df for n, df in split_fn(batch_df).items()}

@@ -256,3 +256,45 @@ def test_branch_merge_from_clone(spark, tmp_path):
     # 'ours' with nothing else to apply is a no-op
     res3 = src.merge_from(br2, base_csn=base2, on_conflict="ours")
     assert res3 == {"applied": 0, "deleted": 0, "conflicts": 1}
+
+
+def test_branch_merge_boolean_and_timestamp_keys(spark, tmp_path):
+    """Regression: write_keys are str()-encoded from arrow values
+    ('True', '2024-01-01 00:00:00'), while a Spark cast('string') yields
+    'true' / a different timestamp text — a membership check mixing the
+    two encodings silently SKIPS the branch's changes for such keys.
+    merge_from must apply changes for boolean and timestamp keys."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    from db_core_spark.plans.versioned import VersionedTable
+
+    schema = T.StructType(
+        [
+            T.StructField("flag", T.BooleanType()),
+            T.StructField("at", T.TimestampType()),
+            T.StructField("v", T.LongType()),
+        ]
+    )
+    ts0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    ts1 = datetime.datetime(2024, 6, 15, 12, 30, 0)
+    src = VersionedTable.create(
+        spark, str(tmp_path / "src"), key_cols=["flag", "at"], schema=schema
+    )
+    t = src.begin()
+    t.upsert(spark.createDataFrame([(True, ts0, 1), (False, ts1, 2)], schema))
+    t.commit()
+
+    br = src.clone(str(tmp_path / "branch"))
+    t = br.begin()
+    t.upsert(spark.createDataFrame([(True, ts0, 100), (True, ts1, 300)], schema))
+    t.commit()
+    t = br.begin()
+    t.delete_keys([(False, ts1)])
+    t.commit()
+
+    res = src.merge_from(br)
+    assert res == {"applied": 2, "deleted": 1, "conflicts": 0}
+    state = {(r.flag, r.at): r.v for r in src.snapshot().collect()}
+    assert state == {(True, ts0): 100, (True, ts1): 300}

@@ -497,3 +497,52 @@ def test_trending_topk_collapses_before_windows(spark, queries):
     # formatted plans print root-first: Window above the aggregate means
     # the aggregate executes FIRST (it is deeper in the tree)
     assert plan.index("Window") < plan.index("HashAggregate")
+
+
+GLOBAL_WINDOW_FIXED = [
+    # round 5: rewrote each from a global single-partition window to the
+    # two-pass prefix rank/sum (operators/prefixrank.py); these audits pin
+    # the fix — any reintroduced unpartitioned window over unbounded input
+    # fails here before it ships
+    "agg_value_deciles",
+    "stats_mann_whitney_u",
+    "pack_training_sequences",
+    "corpus_heaps_law_fit",
+    "pipeline_multimodal_prepare",
+    "abc_part_classification",
+    # found by the new detector itself (value-filter-bounded at fixture
+    # scale, but rewritten so the shape survives the filter being lifted)
+    "skyline_pareto_frontier",
+    "window_range_frame",
+]
+
+
+def test_global_window_detector_flags_regression(spark):
+    """The smell detector must SEE a deliberately-built global window over
+    an unbounded (raw scan) input — guards the detector itself."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from db_core_spark.plans.planaudit import global_window_smells
+    from db_core_spark.tables import table
+
+    o = table(spark, SF_SMALL, "orders")
+    w = W.orderBy("o_orderkey").rowsBetween(W.unboundedPreceding, W.currentRow)
+    bad = o.select("o_orderkey", F.sum("o_totalprice").over(w).alias("c"))
+    assert global_window_smells(plan_of(bad)), "detector missed a global window"
+
+    # bounded input (top-k below the exchange) must NOT flag
+    ok = (
+        o.orderBy(F.desc("o_totalprice"))
+        .limit(50)
+        .select("o_orderkey", F.sum("o_totalprice").over(w).alias("c"))
+    )
+    assert not global_window_smells(plan_of(ok)), "detector flagged a bounded window"
+
+
+@pytest.mark.parametrize("name", GLOBAL_WINDOW_FIXED)
+def test_no_unbounded_global_window(spark, queries, name):
+    from db_core_spark.plans.planaudit import global_window_smells
+
+    plan = plan_of(queries[name].fn(spark, SF_SMALL))
+    assert global_window_smells(plan) == [], f"{name}: unbounded global window"

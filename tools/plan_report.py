@@ -17,6 +17,7 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
+from db_core_spark.plans.planaudit import global_window_smells  # noqa: E402
 from db_core_spark.registry import all_queries  # noqa: E402
 from db_core_spark.session import get_spark  # noqa: E402
 
@@ -37,9 +38,12 @@ def summarize(plan: str) -> dict:
             [m for m in re.findall(r"PushedFilters: \[([^\]]*)\]", plan) if m.strip()]
         ),
         "smells": ", ".join(
-            s
-            for s in ("CartesianProduct", "BatchEvalPython")
-            if s in plan and "BatchEvalPythonUDTF" not in plan
+            [
+                s
+                for s in ("CartesianProduct", "BatchEvalPython")
+                if s in plan and "BatchEvalPythonUDTF" not in plan
+            ]
+            + global_window_smells(plan)
         )
         or "",
     }
