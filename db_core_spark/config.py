@@ -66,6 +66,15 @@ class EngineConfig:
     #: (seconds); the analog of the reference's lock wait timeout
     #: (tran_mgr.rs:108-127) applied to the commit point itself.
     group_pending_grace_seconds: float = 60.0
+    #: FLOOR on the age below which vacuum's orphan sweep will never
+    #: delete an unreferenced op/staging dir, INDEPENDENT of the caller's
+    #: retain_seconds. Version-history reclamation at retain_seconds=0 is
+    #: legitimate (drop checkpoint-covered history now); but an orphan dir
+    #: may be a concurrent writer's staged-but-unclaimed transaction —
+    #: sweeping it would let that writer publish a manifest referencing
+    #: deleted files, breaking every later snapshot read. Must comfortably
+    #: exceed the longest healthy stage->publish gap.
+    orphan_min_age_seconds: float = 600.0
 
 
 DEFAULT_CONFIG = EngineConfig()

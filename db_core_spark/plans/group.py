@@ -374,7 +374,7 @@ class GroupTransaction:
             for name, txn in touched.items():
                 ops_meta, keys = staged[name]
                 claimed[name] = txn._claim(
-                    ops_meta, keys, extra={"group": group_field, **(extra or {})}
+                    ops_meta, keys, extra=extra, group=group_field
                 )
         except Exception:
             # 3a. DECIDE: abort. Already-claimed manifests stay as empty

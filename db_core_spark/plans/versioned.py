@@ -1074,10 +1074,15 @@ class VersionedTable:
         # references — a bulk append or stream-sink epoch that crashed
         # between staging/move and publish — plus stale _staging leftovers.
         # Invisible by construction, but they accumulate disk forever.
-        # Age-guard by newest mtime > retention window so an IN-FLIGHT
-        # writer's unpublished staging is never swept (a publish after
-        # its op dir idled longer than the retention window is the same
-        # pathological overlap the reclaim rules already exclude).
+        # Age-guard by newest mtime, floored at orphan_min_age_seconds
+        # INDEPENDENT of retain_seconds: vacuum(retain_seconds=0) is a
+        # legitimate history-reclaim call, but an "orphan" younger than the
+        # floor may be a concurrent IN-FLIGHT writer's staged-but-unclaimed
+        # txn — deleting it would let that writer publish a manifest
+        # referencing dead files, breaking every subsequent snapshot read.
+        orphan_cutoff = time.time() - max(
+            retain_seconds, self.config.orphan_min_age_seconds
+        )
         referenced = {
             os.path.abspath(op["dir"]) for m in manifests for op in m.get("ops", [])
         } | {
@@ -1100,7 +1105,7 @@ class VersionedTable:
                 if d == "_staging" and os.path.isdir(p):
                     for sub in os.listdir(p):
                         sp = os.path.join(p, sub)
-                        if _newest_mtime(sp) < cutoff:
+                        if _newest_mtime(sp) < orphan_cutoff:
                             removed += 1
                             if not dry_run:
                                 shutil.rmtree(sp, ignore_errors=True)
@@ -1112,7 +1117,7 @@ class VersionedTable:
                     if (
                         os.path.abspath(full) not in referenced
                         and os.path.isdir(full)
-                        and _newest_mtime(full) < cutoff
+                        and _newest_mtime(full) < orphan_cutoff
                     ):
                         removed += 1
                         if not dry_run:
@@ -1424,9 +1429,23 @@ class Transaction:
         my_keys: set[tuple] | None,
         max_csn_attempts: int = 50,
         extra: dict | None = None,
+        group: dict | None = None,
     ) -> int:
         """Phase 2 of commit: claim the next csn by atomic manifest publish,
-        conflict-checking the (start_csn, candidate) window on every attempt."""
+        conflict-checking the (start_csn, candidate) window on every attempt.
+
+        ``extra`` merges LAST into the manifest, so a caller key colliding
+        with a protocol field would silently overwrite it (a 'csn' in extra
+        corrupts the log's contiguity; an 'ops' breaks every snapshot
+        read). Reserved names are rejected loudly instead — namespace
+        custom metadata (the streaming sink's writer/epoch are fine)."""
+        _RESERVED = {"csn", "tsn", "ops", "write_keys", "ts", "type", "dir", "group"}
+        bad = _RESERVED & set(extra or ())
+        if bad:
+            raise ValueError(
+                f"extra manifest keys {sorted(bad)} collide with protocol "
+                "fields; rename or namespace them"
+            )
         t = self.table
         for _ in range(max_csn_attempts):
             candidate = t.latest_csn() + 1
@@ -1437,6 +1456,7 @@ class Transaction:
                 "ops": ops_meta,
                 "write_keys": sorted(my_keys) if my_keys is not None else None,
                 "ts": time.time(),
+                **({"group": group} if group is not None else {}),
                 **(extra or {}),
             }
             if t._publish(f"{candidate:010d}.json", manifest):

@@ -439,7 +439,9 @@ def stream_native_sink_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     if len(epochs) < 2 or len(set(epochs)) != len(epochs):
         raise AssertionError(f"expected distinct per-batch commits, got {epochs}")
     # replay a published epoch: must not publish a second manifest
-    w = VersionedStreamWriter(src.schema, {"path": vt.path})
+    w = VersionedStreamWriter(
+        src.schema, {"path": vt.path, "checkpointlocation": work + "/ck"}
+    )
     snap = vt.snapshot()
     msg = w.write(iter(snap.limit(5).collect()))
     before = len(vt._manifests())

@@ -749,7 +749,26 @@ class VersionedStreamWriter(DataSourceStreamWriter):
                 f"schema mismatch: table has {self.data_schema.fieldNames()}, "
                 f"stream write has {schema.fieldNames()}"
             )
-        self.writer_id = options.get("writerid") or f"streamwriter:{self.path}"
+        # Writer identity keys the exactly-once replay check — it must be
+        # unique PER QUERY LIFETIME, not per table: a restart with a NEW
+        # checkpoint location resets batchId to 0, and if the identity were
+        # derived from the table path alone the new query's early epochs
+        # would match the old query's (writer, epoch) manifests and be
+        # silently discarded as replays. Default derives from the
+        # checkpoint location (new checkpoint <=> new batchId counter <=>
+        # new identity); with neither writerId nor checkpointLocation there
+        # is nothing safe to derive from, so fail loudly.
+        ckpt = options.get("checkpointlocation")
+        self.writer_id = options.get("writerid") or (
+            f"streamwriter:{self.path}@{ckpt}" if ckpt else None
+        )
+        if self.writer_id is None:
+            raise ValueError(
+                "versioned stream sink needs .option('writerId', ...) or a "
+                "checkpointLocation to derive one: a table-path-only default "
+                "would treat a restarted query's early epochs as replays of "
+                "an older checkpoint's and silently drop them"
+            )
         # DETERMINISTIC staging dir (a hash of the writer identity): Spark
         # instantiates this class separately for planning, executor write
         # tasks, and driver commit — all instances must agree on where the

@@ -132,7 +132,7 @@ def test_crashed_coordinator_force_aborted_by_reader(db, spark):
     for name, txn in touched.items():
         ops_meta, keys = staged[name]
         txn._done = True
-        txn._claim(ops_meta, keys, extra={"group": group_field})
+        txn._claim(ops_meta, keys, group=group_field)
     # crash here: no marker. Readers resolve after grace (0.2 s).
     assert state(db, "a") == set()
     assert state(db, "b") == set()
@@ -209,7 +209,7 @@ def test_cdc_stream_excludes_aborted_group(db, spark, tmp_path):
         ops_meta, keys = txn._stage()
         txn._done = True
         txn._claim(
-            ops_meta, keys, extra={"group": {"dir": db.group_dir, "id": g2.gid}}
+            ops_meta, keys, group={"dir": db.group_dir, "id": g2.gid}
         )
     from db_core_spark.plans.versioned import publish_manifest
 
@@ -589,3 +589,30 @@ def test_persisted_views_and_expire_rows(spark, tmp_path):
     # time travel before expiry still sees all rows
     assert vt.snapshot(as_of_csn=pre_csn).count() == 3
     assert vt.expire_rows("age_days > 365") == 0  # idempotent re-run
+
+
+def test_extra_cannot_shadow_protocol_fields(db, spark):
+    """`extra` merges last into the manifest; a caller key named like a
+    protocol field (csn/ops/group/...) would silently corrupt it. Reserved
+    names must be rejected loudly, on both the group and single-table
+    commit paths; benign custom metadata still passes through."""
+    import pytest as _pytest
+
+    g = db.begin()
+    g.upsert("a", rows(spark, (900, "x")))
+    with _pytest.raises(ValueError, match="protocol"):
+        g.commit(extra={"ops": [], "writer": "w"})
+
+    # multi-table path rejects too (incl. a forged 'group' field)
+    g2 = db.begin()
+    g2.upsert("a", rows(spark, (901, "y")))
+    g2.upsert("b", rows(spark, (901, "y")))
+    with _pytest.raises(ValueError, match="protocol"):
+        g2.commit(extra={"group": {"dir": "/tmp/forged", "id": "evil"}})
+
+    g3 = db.begin()
+    g3.upsert("a", rows(spark, (902, "z")))
+    csns = g3.commit(extra={"writer": "w", "epoch": 7, "note": "ok"})
+    assert csns
+    m = [m for m in db.table("a")._manifests() if m.get("writer") == "w"]
+    assert m and m[0]["epoch"] == 7

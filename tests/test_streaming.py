@@ -653,7 +653,10 @@ def test_native_stream_writer_exactly_once(spark, stream_dir, tmp_path):
 
     # replay: stage fresh parts for an ALREADY-PUBLISHED epoch and commit —
     # must be a no-op (staged files discarded, no new manifest, count flat)
-    w = VersionedStreamWriter(src.schema, {"path": vt.path})
+    w = VersionedStreamWriter(
+        src.schema,
+        {"path": vt.path, "checkpointlocation": str(tmp_path / "ck_native")},
+    )
     msg = w.write(iter(want.limit(3).collect()))
     before = len(vt._manifests())
     w.commit([msg], batchId=epochs[0][1])
@@ -680,7 +683,9 @@ def test_native_stream_writer_abort_discards_stage(spark, stream_dir, tmp_path):
     vt = VersionedTable.create(
         spark, str(tmp_path / "vt_abort"), key_cols=["event_id"], schema=src_schema
     )
-    w = VersionedStreamWriter(src_schema, {"path": vt.path})
+    w = VersionedStreamWriter(
+        src_schema, {"path": vt.path, "writerid": "w_abort"}
+    )
     msg = w.write(iter(batch_events(spark).limit(4).collect()))
     staged = [os.path.join(w.stage_root, rel) for rel in msg.rel_paths]
     assert staged and all(os.path.exists(p) for p in staged)
@@ -704,7 +709,7 @@ def test_native_stream_writer_conflict_with_concurrent_append(spark, tmp_path):
     vt = VersionedTable.create(
         spark, str(tmp_path / "vt_conflict"), key_cols=["event_id"], schema=ev.schema
     )
-    w = VersionedStreamWriter(ev.schema, {"path": vt.path})
+    w = VersionedStreamWriter(ev.schema, {"path": vt.path, "writerid": "w1"})
     rows = ev.limit(6).collect()
 
     # epoch 0 lands
@@ -788,3 +793,48 @@ def test_stream_session_bounce_converges_to_batch(spark, stream_dir, tmp_path):
     want = {t for t in want_all if t[0] < last}
     got = {(r.d, r.n_sessions, r.n_bounces) for r in live if r.d < last}
     assert got == want and len(got) > 0
+
+
+def test_native_stream_writer_identity_per_checkpoint(spark, tmp_path):
+    """Regression: the default writer identity must change with the
+    checkpoint location. A restart with a NEW checkpoint resets batchId to
+    0 — under a table-path-only identity its early epochs would match the
+    old run's (writer, epoch) manifests and be silently dropped. And with
+    neither writerId nor checkpointLocation the sink must refuse."""
+    import pytest as _pytest
+
+    from db_core_spark.plans.versioned import VersionedTable
+    from db_core_spark.sources.versioned_datasource import VersionedStreamWriter
+
+    ev = batch_events(spark)
+    vt = VersionedTable.create(
+        spark, str(tmp_path / "vt_ident"), key_cols=["event_id"], schema=ev.schema
+    )
+    rows = ev.limit(4).collect()
+
+    with _pytest.raises(ValueError, match="writerId"):
+        VersionedStreamWriter(ev.schema, {"path": vt.path})
+
+    # run 1 (checkpoint A) publishes epoch 0
+    wa = VersionedStreamWriter(
+        ev.schema, {"path": vt.path, "checkpointlocation": str(tmp_path / "ckA")}
+    )
+    wa.commit([wa.write(iter(rows[:2]))], batchId=0)
+    assert vt.snapshot().count() == 2
+
+    # run 2 restarts with checkpoint B: its epoch 0 must LAND, not be
+    # treated as a replay of run 1's epoch 0
+    wb = VersionedStreamWriter(
+        ev.schema, {"path": vt.path, "checkpointlocation": str(tmp_path / "ckB")}
+    )
+    wb.commit([wb.write(iter(rows[2:4]))], batchId=0)
+    assert vt.snapshot().count() == 4
+
+    # same checkpoint replaying its own epoch is still skipped
+    wb2 = VersionedStreamWriter(
+        ev.schema, {"path": vt.path, "checkpointlocation": str(tmp_path / "ckB")}
+    )
+    before = len(vt._manifests())
+    wb2.commit([wb2.write(iter(rows[:2]))], batchId=0)
+    assert len(vt._manifests()) == before
+    assert vt.snapshot().count() == 4

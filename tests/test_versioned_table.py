@@ -717,6 +717,12 @@ def test_vacuum_sweeps_orphaned_op_dirs_and_stale_staging(spark, tmp_path):
     assert os.path.exists(fresh_orphan)  # in-flight writer protected
     assert vt.snapshot().count() == 1  # committed data untouched
 
+    # regression: retain_seconds=0 (reclaim history NOW) must STILL not
+    # sweep a young unreferenced dir — it may be a concurrent writer's
+    # staged-but-unclaimed txn; the orphan age floor is independent
+    vt.vacuum(retain_seconds=0)
+    assert os.path.exists(fresh_orphan)
+
 
 def test_txn_savepoint_partial_rollback(spark, tmp_path):
     """Savepoint semantics: ops staged after the mark vanish on
