@@ -525,13 +525,17 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     — late-and-sole iff n_late = 1 and the l1 row itself is late; the
     facts scan twice (once per role) but join on the order key only.
 
-    100 TB shape: the fact table collapses through ONE
-    (order, supplier) hash aggregate carrying (any_late, n_late_rows) —
-    no count-distinct Expand, no second fact scan — then a tiny per-order
-    reduction derives (n_supp, n_late_supp) and qualifying pairs carry
-    their late-row counts to the supplier rollup. Orders prune to F-status
-    keys for a semi-shaped join; supplier and nation broadcast;
-    TakeOrderedAndProject bounds the output."""
+    100 TB shape: the fact table is scanned (and its synthesized date
+    columns computed) exactly ONCE — one (order, supplier) hash aggregate
+    carrying (any_late, n_late_rows), no count-distinct Expand; the
+    per-order stats (n_supp, n_late_supp) come from a window PARTITIONED
+    BY the order key over that pair frame instead of a second aggregation
+    branch, so nothing in the plan re-derives the pair aggregate or
+    rescans lineitem. Orders prune to F-status keys for a semi-shaped
+    join; supplier and nation broadcast; TakeOrderedAndProject bounds the
+    output."""
+    from pyspark.sql import Window as W
+
     li = synth_lineitem(table(spark, sf_dir, "lineitem"))
     o = table(spark, sf_dir, "orders")
     s = table(spark, sf_dir, "supplier")
@@ -545,22 +549,21 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("late").alias("n_late_rows"),
         )
     )
-    per_order = per_pair.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_supp"),
-        F.sum("any_late").alias("n_late_supp"),
+    w_ord = W.partitionBy("l_orderkey")
+    qualified = (
+        per_pair.withColumn("n_supp", F.count(F.lit(1)).over(w_ord))
+        .withColumn("n_late_supp", F.sum("any_late").over(w_ord))
+        .filter(
+            (F.col("any_late") == 1)
+            & (F.col("n_supp") >= 2)
+            & (F.col("n_late_supp") == 1)
+        )
     )
     f_orders = o.filter(F.col("o_orderstatus") == "F").select(
         F.col("o_orderkey").alias("l_orderkey")
     )
     return (
-        per_pair.filter(F.col("any_late") == 1)
-        .join(
-            per_order.filter(
-                (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
-            ),
-            "l_orderkey",
-        )
-        .join(f_orders, "l_orderkey", "left_semi")
+        qualified.join(f_orders, "l_orderkey", "left_semi")
         .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
         .join(
             F.broadcast(n.filter(F.col("n_name") == "NATION_5")),
