@@ -270,6 +270,11 @@ def bpe_train_reference(word_freqs: dict[str, int], n_merges: int = BPE_MERGES):
     return merges
 
 
+#: driver rounds taken by the last bpe_train_merges call (pytest asserts the
+#: batched selector keeps this far below the merge count)
+BPE_LAST_ROUNDS = 0
+
+
 @query("bpe_train_merges", oracle=None, category="llm")
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE (byte-pair-encoding) merge-table training — the
@@ -280,14 +285,37 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape — the part that matters at 100 TB: the corpus collapses to a
     (word, freq) vocabulary with ONE distributed aggregation (the classic
     word-count; vocab is millions of rows where the corpus is billions), and
-    all 20 merge iterations run over that small vocab table — pair counting
-    is an explode + hash aggregate per round, the argmax is a 1-row driver
-    scalar (the merge decision itself IS driver state, like the PageRank
-    loop bound), and the merge rewrite is a per-word array fold. The corpus
-    is never re-read after the first pass. Deterministic: no RNG, total
-    tie-break order. Not SQL-expressible (20 data-dependent rewrite rounds),
-    so rows-only for the driver; pytest checks exact equality with the
-    pure-Python reference above."""
+    all merge iterations run over that small vocab table — pair counting
+    is an explode + hash aggregate per round and the merge rewrite is a
+    per-word array fold. The corpus is never re-read after the first pass.
+
+    Driver rounds are BATCHED (the standard distributed-BPE trick, without
+    which a real 32k-merge vocab would mean 32k sequential collect+replan
+    round-trips), with a HEAD + TAIL decomposition. Each round collects
+    (1) the top-64 pair counts, (2) the exact trigram counts adjacent to
+    those pairs, and (3) the top `BPE_TOP_WORDS` heavy-hitter words in
+    full. Pair counts split exactly: total = head (from the collected
+    words, re-derivable after every simulated merge, so exact at ANY
+    depth) + tail (everything else). The tail residuals are maintained
+    through each simulated pick by trigram accounting — merging (l1, r1)
+    with l1 != r1 destroys exactly TRI(l2, l1, r1) occurrences of
+    (l2, l1) and TRI(l1, r1, r2) of (r1, r2), and creates (x, l1r1) /
+    (l1r1, y) with exactly the corresponding trigram counts — exact while
+    every consulted trigram is fresh (no symbol consumed earlier) and the
+    pick is chain-unambiguous; anything uncertain demotes to an upper
+    bound, and the simulation stops the moment the best fully-exact
+    candidate no longer strictly beats every bound. When the head covers
+    the whole vocabulary the tail is empty and a single round decides
+    every merge; at real scale correctness is unchanged and round count
+    degrades gracefully with tail mass. The rewrite applies the round's
+    picks IN RANK ORDER as chained array folds inside ONE Spark job.
+    Ranks, ties, and recorded frequencies match the one-at-a-time
+    reference EXACTLY — pytest pins bit-equality against the pure-Python
+    trainer (also under a head too small to cover the vocab) and asserts
+    the round count stays <= 5 for the fixture. Deterministic: no RNG,
+    total tie-break order. Not SQL-expressible (data-dependent rewrite
+    rounds), so rows-only for the driver."""
+    global BPE_LAST_ROUNDS
     d = table(spark, sf_dir, "documents")
     vocab = (
         d.select(F.explode(F.split(F.col("text"), r"\s+")).alias("word"))
@@ -296,8 +324,9 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("syms", F.split(F.col("word"), ""))
         .localCheckpoint()
     )
-    merges = []
-    for rank in range(BPE_MERGES):
+    merges: list[tuple[int, str, str, int]] = []
+    rounds = 0
+    while len(merges) < BPE_MERGES:
         pairs = (
             vocab.filter(F.size("syms") >= 2)  # 1-symbol words have no pairs
             .select(
@@ -312,29 +341,277 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("p.l", "p.r")
             .agg(F.sum("freq").alias("cnt"))
         )
-        top = pairs.orderBy(F.col("cnt").desc(), F.col("l"), F.col("r")).limit(1).collect()
-        if not top:
+        cands = pairs.orderBy(
+            F.col("cnt").desc(), F.col("l"), F.col("r")
+        ).limit(64).collect()
+        if not cands:
             break
-        left, right, cnt = top[0].l, top[0].r, top[0].cnt
-        merges.append((rank, left, right, int(cnt)))
-        # left-to-right non-overlapping merge as an array fold: append, or
-        # replace the tail element when (tail, current) == (left, right).
-        # The tail can never itself complete a second merge in the same pass
-        # because the merged symbol differs from `left`... unless left ==
-        # left+right which is impossible for non-empty right.
-        lq, rq = left.replace("'", "\\'"), right.replace("'", "\\'")
-        vocab = vocab.withColumn(
-            "syms",
-            F.expr(
-                "aggregate(syms, CAST(array() AS array<string>), (acc, x) -> "
-                f"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '{lq}' AND x = '{rq}' "
-                f"THEN concat(slice(acc, 1, size(acc) - 1), array('{lq}{rq}')) "
-                "ELSE concat(acc, array(x)) END)"
-            ),
-        ).localCheckpoint()
+        rounds += 1
+        # threshold T: every uncollected pair counts <= T (0 when the
+        # collected set is complete); ties at T are not decidable here
+        if len(cands) == 64:
+            T = int(cands[-1].cnt)
+            cands = [c for c in cands if int(c.cnt) > T] or cands[:1]
+        else:
+            T = 0
+        # exact trigram counts adjacent to the candidate pairs — the only
+        # patterns through which one merge can disturb another's count
+        tri = vocab.filter(F.size("syms") >= 3).select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(2, size(syms) - 1), "
+                    "i -> struct(syms[i-2] AS a, syms[i-1] AS b, syms[i] AS c))"
+                )
+            ).alias("t"),
+        )
+        keys = [f"{c.l}\x00{c.r}" for c in cands]
+        tri_cnt = {
+            (row.a, row.b, row.c): int(row.s)
+            for row in tri.groupBy(
+                F.col("t.a").alias("a"),
+                F.col("t.b").alias("b"),
+                F.col("t.c").alias("c"),
+            )
+            .agg(F.sum("freq").alias("s"))
+            .filter(
+                F.concat_ws("\x00", "b", "c").isin(keys)
+                | F.concat_ws("\x00", "a", "b").isin(keys)
+            )
+            .collect()
+        }
+        head_rows = (
+            vocab.orderBy(F.col("freq").desc(), "word")
+            .select("freq", "syms")
+            .limit(BPE_TOP_WORDS)
+            .collect()
+        )
+        head = [(list(r.syms), int(r.freq)) for r in head_rows]
+        complete = len(head_rows) < BPE_TOP_WORDS
+        picks = _bpe_simulate_round(
+            {(c.l, c.r): int(c.cnt) for c in cands},
+            tri_cnt,
+            T,
+            BPE_MERGES - len(merges),
+            head,
+            complete,
+        )
+        for l, r, cnt in picks:
+            merges.append((len(merges), l, r, cnt))
+        if not picks:
+            break
+        # apply the round's picks IN RANK ORDER: one chained fold per pick
+        # (innermost = earliest rank), single Spark job, zero extra driver
+        # round-trips
+        expr_sql = "syms"
+        for l, r, _ in picks:
+            lq = l.replace("\\", "\\\\").replace("'", "\\'")
+            rq = r.replace("\\", "\\\\").replace("'", "\\'")
+            mq = (l + r).replace("\\", "\\\\").replace("'", "\\'")
+            expr_sql = (
+                f"aggregate({expr_sql}, CAST(array() AS array<string>), "
+                f"(acc, x) -> CASE WHEN size(acc) > 0 AND "
+                f"element_at(acc, -1) = '{lq}' AND x = '{rq}' "
+                f"THEN concat(slice(acc, 1, size(acc) - 1), array('{mq}')) "
+                f"ELSE concat(acc, array(x)) END)"
+            )
+        vocab = vocab.withColumn("syms", F.expr(expr_sql)).localCheckpoint()
+    BPE_LAST_ROUNDS = rounds
     return spark.createDataFrame(
         merges, "rank int, left string, right string, pair_freq bigint"
     )
+
+
+#: heavy-hitter word budget for the driver-side head simulation
+BPE_TOP_WORDS = 512
+
+
+def _head_pair_counts(head) -> dict[tuple[str, str], int]:
+    d: dict[tuple[str, str], int] = {}
+    for syms, f in head:
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            d[p] = d.get(p, 0) + f
+    return d
+
+
+def _head_tri_counts(head) -> dict[tuple[str, str, str], int]:
+    d: dict[tuple[str, str, str], int] = {}
+    for syms, f in head:
+        for i in range(len(syms) - 2):
+            t = (syms[i], syms[i + 1], syms[i + 2])
+            d[t] = d.get(t, 0) + f
+    return d
+
+
+def _merge_word(syms: list[str], l: str, r: str, m: str) -> list[str]:
+    out: list[str] = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+            out.append(m)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _bpe_simulate_round(
+    total_pairs: dict[tuple[str, str], int],
+    tri_total: dict[tuple[str, str, str], int],
+    T: int,
+    max_picks: int,
+    head: list[tuple[list[str], int]],
+    complete: bool,
+) -> list[tuple[str, str, int]]:
+    """Driver-side exact simulation of sequential BPE picks for one round.
+
+    HEAD: the collected heavy-hitter words, whose pair counts are
+    re-derived after every simulated merge — exact at any depth. TAIL:
+    everything else, maintained through trigram accounting on the
+    residual counts (``total - head``): per pick (l1, r1) with l1 != r1,
+
+    - destroyed: tail(l2, l1) -= TAILTRI(l2, l1, r1); tail(r1, r2) -=
+      TAILTRI(l1, r1, r2) — exact while the trigram is fresh (no symbol
+      of it consumed earlier) and single-sided;
+    - created: tail(x, l1r1) = TAILTRI(x, l1, r1) / tail(l1r1, y) =
+      TAILTRI(l1, r1, y) — exact under the same freshness rule and
+      x != r1 / y != l1;
+    - anything uncertain (chain-ambiguous l == r, created-symbol picks,
+      stale trigrams, double-sided overlap) demotes the affected tail
+      residual to an upper BOUND — counts and trigram counts only ever
+      decrease, so stale values stay valid bounds; uncertain CREATIONS
+      (whose landing identity can be ambiguous when a flanking symbol may
+      itself have merged) feed one scalar ``anon_bound``.
+
+    A pick is admitted only while its exact total strictly beats the
+    upper bound of every non-exact candidate (dirty tails; uncollected
+    originals <= T; anonymous creations <= anon_bound; with a
+    known-identity bound, a tie resolves by the sequential lexicographic
+    rule). ``complete=True`` (head == whole vocabulary) empties the tail
+    and the simulation runs to max_picks.
+    """
+    picks: list[tuple[str, str, int]] = []
+    consumed: set[str] = set()
+    created_syms: set[str] = set()
+    anon_bound = 0
+    head = [(list(syms), f) for syms, f in head]
+
+    if complete:
+        tail_exact: dict[tuple[str, str], int] = {}
+        tail_dirty: dict[tuple[str, str], int] = {}
+        tail_tri: dict[tuple[str, str, str], int] = {}
+        T = 0
+    else:
+        hp0 = _head_pair_counts(head)
+        ht0 = _head_tri_counts(head)
+        tail_exact = {
+            p: c - hp0.get(p, 0) for p, c in total_pairs.items()
+        }
+        tail_dirty = {}
+        tail_tri = {t: s - ht0.get(t, 0) for t, s in tri_total.items()}
+
+    while len(picks) < max_picks:
+        hp = _head_pair_counts(head)
+        exact_totals: dict[tuple[str, str], int] = {}
+        uppers: dict[tuple[str, str], int] = {}
+        for p in set(hp) | set(tail_exact) | set(tail_dirty):
+            h = hp.get(p, 0)
+            if p in tail_exact:
+                exact_totals[p] = h + tail_exact[p]
+            elif complete:
+                exact_totals[p] = h
+            elif p in tail_dirty:
+                uppers[p] = h + tail_dirty[p]
+            else:
+                uppers[p] = h + T  # unknown tail, bounded by the cut
+        if not exact_totals:
+            break
+        (l1, r1), cnt = min(
+            exact_totals.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if not complete:
+            # anonymous mass: identity unknown, any tie is unsafe
+            if cnt <= T or cnt <= anon_bound:
+                break
+            blocked = any(
+                u > cnt or (u == cnt and q < (l1, r1))
+                for q, u in uppers.items()
+                if q != (l1, r1)
+            )
+            if blocked:
+                break
+        picks.append((l1, r1, cnt))
+        mk = l1 + r1
+        # HEAD: apply the merge to the collected words (exact, any depth)
+        head = [
+            (_merge_word(syms, l1, r1, mk) if l1 in syms else syms, f)
+            for syms, f in head
+        ]
+        if not complete:
+            tail_exact.pop((l1, r1), None)
+            tail_dirty.pop((l1, r1), None)
+            chain_pick = (
+                l1 == r1 or l1 in created_syms or r1 in created_syms
+            )
+            stale_pick = l1 in consumed or r1 in consumed
+            # destroyed tail occurrences of (x, l1) and (r1, y)
+            for (l2, r2), c2 in list(tail_exact.items()):
+                s1 = r2 == l1
+                s2 = l2 == r1
+                if not s1 and not s2:
+                    continue
+                if chain_pick or stale_pick or (s1 and s2):
+                    ok = False
+                elif s1:
+                    ok = l2 not in created_syms and l2 not in consumed
+                    dec = tail_tri.get((l2, l1, r1), 0)
+                else:
+                    ok = r2 not in created_syms and r2 not in consumed
+                    dec = tail_tri.get((l1, r1, r2), 0)
+                if ok:
+                    tail_exact[(l2, r2)] = c2 - dec
+                else:
+                    bound = tail_exact.pop((l2, r2))
+                    tail_dirty[(l2, r2)] = max(
+                        tail_dirty.get((l2, r2), 0), bound
+                    )
+                    # its destroyed occurrences re-emerge as creations of
+                    # ambiguous identity (the flank may itself merge)
+                    anon_bound = max(anon_bound, bound)
+            # creations seeded from already-dirty pairs adjacent to the pick
+            for (l2, r2), b in tail_dirty.items():
+                if r2 == l1 or l2 == r1:
+                    anon_bound = max(anon_bound, b)
+            if not chain_pick:
+                # created tail pairs around the new symbol: exact when the
+                # flank is fresh (it provably did not merge), else anonymous
+                for (a, b, c), s in tail_tri.items():
+                    if s <= 0:
+                        continue
+                    if (b, c) == (l1, r1):
+                        if stale_pick or a == r1 or a in consumed:
+                            anon_bound = max(anon_bound, s)
+                        else:
+                            tail_exact[(a, mk)] = s
+                    if (a, b) == (l1, r1):
+                        if stale_pick or c == l1 or c in consumed:
+                            anon_bound = max(anon_bound, s)
+                        else:
+                            tail_exact[(mk, c)] = s
+                # depth-2 creations (merged-next-to-merged) and same-pair
+                # chains descend from the trigrams flanking this pick
+                for lp, rp, _c in picks[:-1]:
+                    anon_bound = max(
+                        anon_bound,
+                        tail_tri.get((rp, l1, r1), 0),
+                        tail_tri.get((l1, r1, lp), 0),
+                    )
+                anon_bound = max(anon_bound, tail_tri.get((r1, l1, r1), 0))
+        consumed |= {l1, r1}
+        created_syms.add(mk)
+    return picks
 
 
 def bpe_apply_reference(text: str, merges) -> list[str]:

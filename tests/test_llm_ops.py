@@ -264,6 +264,11 @@ def test_bpe_train_matches_reference(spark):
     )
     assert got == bpe_train_reference(wf)
     assert len(got) == 20
+    # batched selection must have compressed the driver round-trips: the
+    # admission rule is what makes a real 32k-merge vocab tractable
+    from db_core_spark.queries import corpus as _corpus
+
+    assert 1 <= _corpus.BPE_LAST_ROUNDS <= 5, _corpus.BPE_LAST_ROUNDS
 
 
 def test_bpe_apply_matches_reference(spark):
@@ -575,3 +580,30 @@ def test_dominant_colors_palette_properties(spark):
     assert {(r.doc_id, r.color_cell, r.share, r.rank) for r in rows} == {
         (r.doc_id, r.color_cell, r.share, r.rank) for r in rows2
     }
+
+
+def test_bpe_train_exact_with_partial_head(spark, monkeypatch):
+    """Force the heavy-hitter head to cover only a few words: the tail
+    trigram accounting must keep every admitted pick provably exact —
+    more driver rounds, bit-identical merge table."""
+    import duckdb
+
+    import db_core_spark.queries.corpus as corpus
+
+    wf = dict(
+        duckdb.sql(
+            f"""SELECT word, COUNT(*) FROM (
+                  SELECT UNNEST(string_split_regex(text, '\\s+')) AS word
+                  FROM read_parquet('{SF_SMALL}/documents.parquet'))
+                GROUP BY word"""
+        ).fetchall()
+    )
+    want = corpus.bpe_train_reference(wf)
+    for head_words in (1, 4):
+        monkeypatch.setattr(corpus, "BPE_TOP_WORDS", head_words)
+        got = [
+            (r.rank, r.left, r.right, r.pair_freq)
+            for r in corpus.bpe_train_merges(spark, SF_SMALL).collect()
+        ]
+        assert got == want, f"head={head_words} diverged"
+        assert corpus.BPE_LAST_ROUNDS >= 1
