@@ -20,7 +20,7 @@ Protocol (commit-marker, decide-by-atomic-link):
 3. DECIDE   — publish ``<group_dir>/<gid>.json`` with status=committed by
               atomic hard-link: the single commit point for the whole
               group — it either exists or it doesn't, exactly like the
-              flush of the reference's commit record (instance.rs:212-219).
+              flush of the reference's commit record (system/instance.rs:212-219).
               On any claim failure (conflict in table k of n), the
               coordinator links status=aborted instead: tables that
               already claimed keep their manifests as hole-filling empty
@@ -123,7 +123,7 @@ class Database:
         Cross-table consistency: pass ``as_of=db.snapshot_pin()`` to query
         a validated consistent cut (the same pin clone() uses), which is
         the multi-table repeatable-read the reference gives one txn's
-        read_csn (/root/reference/src/instance.rs:88-122).
+        read_csn (/root/reference/src/system/instance.rs:88-122).
 
         Views are scoped to the Spark session and re-registered per call
         (cheap: snapshot() builds a lazy plan; nothing materializes until
@@ -233,7 +233,7 @@ class Database:
         manifests and retried on a torn cut. With bounded commit
         concurrency this converges immediately (the reference's analog is
         pinning read_committed_csn from a single atomic,
-        instance.rs:88-99; here the 'atomic' is validate-and-retry over
+        system/instance.rs:88-99; here the 'atomic' is validate-and-retry over
         immutable files)."""
         for _ in range(max_retries):
             pins = {n: self.table(n).latest_csn() for n in self.table_names()}
@@ -316,7 +316,7 @@ class GroupTransaction:
         (validated cross-table cut via Database.snapshot_pin) at the first
         touch — per-table lazy pinning could straddle a concurrent group
         commit and read half of it, the same torn cut snapshot_pin guards
-        against (instance.rs:88-99 pins from one atomic; the group analog
+        against (system/instance.rs:88-99 pins from one atomic; the group analog
         must pin one CUT)."""
         self._check_open()
         if name not in self._txns:

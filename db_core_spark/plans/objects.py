@@ -68,7 +68,7 @@ class ObjectStore:
 
     def put(self, txn: Transaction, obj_id: int, data: bytes) -> None:
         """Create/replace an object (open_create + write_next loop,
-        instance.rs:173-187, 429-444). Replacing also tombstones chunks past
+        system/instance.rs:173-187, 429-444). Replacing also tombstones chunks past
         the new end so a shorter rewrite truncates."""
         old = self._chunks(txn, obj_id)
         rows = self._chunk_rows(obj_id, data)
@@ -111,7 +111,7 @@ class ObjectStore:
 
     def delete(self, txn: Transaction, obj_id: int) -> None:
         """Tombstone every chunk (Instance::delete sets the deleted flag on
-        all entries, instance.rs:191-210)."""
+        all entries, system/instance.rs:191-210)."""
         chunks = self._chunks(txn, obj_id)
         if chunks:
             txn.delete_keys([{"obj_id": obj_id, "chunk_no": c} for c in chunks])
@@ -145,7 +145,7 @@ class ObjectStore:
 
     def read_snapshot(self, obj_id: int, as_of_csn: int) -> bytes | None:
         """Historical read at an explicit csn (update_read_csn inverse —
-        pin an OLD snapshot; instance.rs:378-387)."""
+        pin an OLD snapshot; system/instance.rs:378-387)."""
         df = self.table.snapshot(as_of_csn).filter(F.col("obj_id") == obj_id)
         rows = df.select("chunk_no", "payload").collect()
         if not rows:

@@ -4,7 +4,7 @@ Reference-parity map (citations into /root/reference):
 - begin/commit/rollback        <- src/system/instance.rs:88-122 (tsn/csn alloc,
   WAL commit record, flush-on-commit). Here: commit publishes a manifest by
   atomic hard-link into _commitlog/ — the link either exists or it doesn't,
-  which is the flush+publish of latest_commit_csn (instance.rs:212-219).
+  which is the flush+publish of latest_commit_csn (system/instance.rs:212-219).
 - snapshot visibility          <- src/storage/block_driver.rs:457-486
   (entry.csn <= reader.csn, else walk prev-version chain). Here: rows carry
   (_csn, _opseq); 'walk the chain' becomes keep newest version per key with
@@ -113,7 +113,7 @@ def publish_manifest(log_dir: str, name: str, manifest: dict) -> bool:
     """Atomically publish a manifest: write tmp, hard-link to final name.
     link(2) fails with EEXIST if another writer claimed it — the lock-free
     csn allocation (mirrors the CAS publish of latest_commit_csn,
-    instance.rs:212-219). On object stores this becomes a conditional put."""
+    system/instance.rs:212-219). On object stores this becomes a conditional put."""
     tmp = os.path.join(log_dir, f"_tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as f:
         json.dump(manifest, f)
@@ -225,7 +225,7 @@ class VersionedTable:
         config: EngineConfig | None = None,
     ) -> "VersionedTable":
         """One-time table creation (mirrors Instance::initialize_datastore,
-        instance.rs:78-80): writes _meta.json + empty commit log.
+        system/instance.rs:78-80): writes _meta.json + empty commit log.
 
         `num_buckets` fixes the physical key-hash layout: every op writes its
         rows under bucket=<crc32(bucket_cols)%B>/ subdirs so readers prune
@@ -266,7 +266,7 @@ class VersionedTable:
         cls, spark: SparkSession, path: str, config: EngineConfig | None = None
     ) -> "VersionedTable":
         """Open existing table. Recovery is implicit: only published
-        manifests define state (instance.rs:221-304 as a no-op property)."""
+        manifests define state (system/instance.rs:221-304 as a no-op property)."""
         return cls(spark, path, config=config)
 
     # ------------------------------------------------------------- manifests
@@ -314,7 +314,7 @@ class VersionedTable:
     # ---------------------------------------------------------------- writes
 
     def begin(self, at_csn: int | None = None) -> "Transaction":
-        """Allocate a txn and pin its read snapshot (instance.rs:88-99).
+        """Allocate a txn and pin its read snapshot (system/instance.rs:88-99).
         `at_csn` pins an explicit (earlier) snapshot instead of latest —
         used by group transactions to hand every member table a mutually
         consistent cut; an older pin only WIDENS the conflict window, so
@@ -857,7 +857,7 @@ class VersionedTable:
         {'applied', 'deleted', 'conflicts'}.
 
         Reference analog: recovery folds another log's tail onto the
-        current state (/root/reference/src/instance.rs:221-304) — here the
+        current state (/root/reference/src/system/instance.rs:221-304) — here the
         other log is a diverged fork and overlap is adjudicated instead
         of replayed blindly."""
         if on_conflict not in ("error", "ours", "theirs"):
@@ -1175,12 +1175,12 @@ class Transaction:
 
     def upsert(self, df: DataFrame) -> None:
         """INSERT/UPDATE: stage new row versions (open_create/open_write +
-        write_next, instance.rs:141-187, 429-444)."""
+        write_next, system/instance.rs:141-187, 429-444)."""
         self._check_open()
         self._ops.append(_Op("upsert", df, opseq=len(self._ops)))
 
     def delete_keys(self, keys) -> None:
-        """DELETE: stage tombstones for the given keys (instance.rs:191-210).
+        """DELETE: stage tombstones for the given keys (system/instance.rs:191-210).
         `keys` is a DataFrame of key columns or a list of dicts/tuples."""
         self._check_open()
         kc = self.table.key_cols
@@ -1194,7 +1194,7 @@ class Transaction:
         """Mark the current op position; a later :meth:`rollback_to` this
         mark discards every op staged after it while keeping the ones
         before — partial rollback inside one transaction (the reference's
-        per-op undo within an open txn, instance.rs rollback path,
+        per-op undo within an open txn, system/instance.rs rollback path,
         without giving up the whole txn's work)."""
         self._check_open()
         return len(self._ops)
@@ -1210,7 +1210,7 @@ class Transaction:
 
     def update_read_csn(self) -> int:
         """Refresh this transaction's read snapshot to the latest published
-        commit (Transaction::update_read_csn, instance.rs:378-387): a
+        commit (Transaction::update_read_csn, system/instance.rs:378-387): a
         long-running txn can observe commits that landed after it began.
         Subsequent read()/merge() calls fold the newer base; the commit-time
         conflict window shrinks to (new start_csn, commit csn) — refreshing
@@ -1466,7 +1466,7 @@ class Transaction:
 
     def rollback(self) -> None:
         """Discard staged files (WAL rollback + version-store restore,
-        instance.rs:114-122, collapses to deletion of never-published data)."""
+        system/instance.rs:114-122, collapses to deletion of never-published data)."""
         self._check_open()
         self._done = True
         import shutil

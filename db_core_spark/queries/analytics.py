@@ -658,7 +658,7 @@ def text_clean_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def versioned_datasource_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end connector roundtrip: a deterministic slice of orders is
     bulk-appended through the format('versioned') transactional writer
-    (staged parquet parts + one-manifest group commit, instance.rs:102-111),
+    (staged parquet parts + one-manifest group commit, system/instance.rs:102-111),
     read back through the MVCC snapshot reader, and aggregated. The oracle
     aggregates the same slice straight from the source table — equality
     proves the connector loses/duplicates nothing."""

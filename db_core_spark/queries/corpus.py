@@ -926,7 +926,7 @@ def dedup_segments_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-partitioned self-join; semantics identical.
 
     Reference analog: db-core dedups at object granularity via key
-    identity (/root/reference/src/instance.rs:191-210); this extends the
+    identity (/root/reference/src/system/instance.rs:191-210); this extends the
     idea to sub-document granularity, the C4/RefinedWeb curation step.
     """
     from pyspark.sql import Window as PW

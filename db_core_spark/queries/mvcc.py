@@ -67,7 +67,7 @@ def mvcc_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot read AS OF csn=7500 with tombstones: filter csn <= S, resolve
     newest version per key, drop keys whose newest visible version is a
     delete — the complete visibility rule of block_driver.rs:457-486 plus
-    tombstone semantics of Instance::delete (instance.rs:191-210)."""
+    tombstone semantics of Instance::delete (system/instance.rs:191-210)."""
     o = table(spark, sf_dir, "orders")
     versions = o.filter(F.col("o_orderkey") <= 7500).select(
         F.col("o_custkey").alias("key"),
@@ -111,7 +111,7 @@ def versioned_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     source is newer, unseen keys insert, and the snapshot read returns the
     merged state. The oracle replays the same decision table relationally.
     Reference parity: conditional upsert layered on read-your-own-writes +
-    optimistic commit (instance.rs:141-168 open_write + 102-111 commit);
+    optimistic commit (system/instance.rs:141-168 open_write + 102-111 commit);
     integer measures keep the condition bit-stable across engines."""
     import tempfile
 
@@ -231,7 +231,7 @@ def group_txn_two_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table group transaction end-to-end: ONE atomic commit spans two
     VersionedTables (plans/group.py — per-table manifests + a single
     group-marker publish, the Spark analog of the reference's one WAL
-    commit record covering every object a txn wrote, instance.rs:102-111).
+    commit record covering every object a txn wrote, system/instance.rs:102-111).
     After the good group commits, a second group CLAIMS manifests on both
     tables with poison rows but its coordinator 'crashes' before deciding;
     readers force-abort it after the grace window, so the poison must be
@@ -719,7 +719,7 @@ def versioned_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     read error, never a rewrite), the Delta-style latest-schema-governs
     contract (plans/versioned.py alter_add_column; the reference's
     schema-less analog is clients reinterpreting bytes at will,
-    /root/reference/src/instance.rs:141-187). The oracle pins the audit
+    /root/reference/src/system/instance.rs:141-187). The oracle pins the audit
     as VALUES: row counts and null/with-value splits per phase."""
     import tempfile
 

@@ -21,7 +21,7 @@ CHUNK = 64  # chars per chunk; mirrors block-size chunking (datastore.rs:92-96)
 
 def _chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explode documents into fixed-size (doc_id, chunk_no, payload) rows —
-    the write_next chunking path (instance.rs:429-444) as a set transform."""
+    the write_next chunking path (system/instance.rs:429-444) as a set transform."""
     d = table(spark, sf_dir, "documents")
     n_chunks = F.ceil(F.length("text") / CHUNK).cast("int")
     return d.select(

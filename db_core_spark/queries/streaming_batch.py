@@ -405,7 +405,7 @@ def stream_native_sink_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference parity: WAL-append by a continuous writer with recovery
     dedup by tsn replay check (/root/reference/src/log_mgr/buf.rs,
-    instance.rs:221-304)."""
+    system/instance.rs:221-304)."""
     import tempfile
 
     from db_core_spark.plans.versioned import VersionedTable

@@ -3,7 +3,7 @@ page checksums ≈ the reference's block CRC32, datastore.rs:194-203), ORC,
 CSV, JSON — always with explicit schemas (schema inference is an extra full
 scan at 100 TB and nondeterministic under dirty data), plus an atomic
 write-and-publish sink mirroring the reference's flush-on-commit contract
-(instance.rs:102-111): data is never readable until completely written.
+(system/instance.rs:102-111): data is never readable until completely written.
 """
 
 from __future__ import annotations

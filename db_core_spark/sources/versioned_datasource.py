@@ -600,7 +600,7 @@ class StagedPart(WriterCommitMessage):
 class VersionedAppendWriter(DataSourceWriter):
     """Transactional bulk append: executors stage independent parquet parts
     under one tsn (the WAL-buffer appends); the driver's commit() publishes
-    ONE manifest for all of them (group commit, instance.rs:102-111). A
+    ONE manifest for all of them (group commit, system/instance.rs:102-111). A
     failed job leaves only unpublished files — invisible by construction.
 
     Conflict protection is symmetric with Transaction (tran_mgr parity):
@@ -727,7 +727,7 @@ class VersionedStreamWriter(DataSourceStreamWriter):
     (/root/reference/src/log_mgr/buf.rs), publish-by-manifest is the
     commit-record flush (log_mgr/io.rs:99-103), and the (writer, epoch)
     marker plays the recovery-dedup role of the reference's tsn replay
-    check (instance.rs:221-304).
+    check (system/instance.rs:221-304).
 
     Concurrency: optimistic write-set check against manifests committed
     since this writer's last publish (own manifests skipped), mirroring
