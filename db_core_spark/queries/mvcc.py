@@ -282,7 +282,7 @@ def group_txn_two_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
         ops_meta, keys = txn._stage()
         txn._done = True
         txn._claim(
-            ops_meta, keys, extra={"group": {"dir": db.group_dir, "id": dead.gid}}
+            ops_meta, keys, group={"dir": db.group_dir, "id": dead.gid}
         )
     dead._done = True
     evens = db.table("evens").snapshot().withColumn("side", F.lit("evens"))

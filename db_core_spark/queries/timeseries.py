@@ -678,6 +678,122 @@ def psi_from_counts(counts: DataFrame, baseline: DataFrame) -> DataFrame:
     )
 
 
+def ks_from_binned_counts(counts: DataFrame, baseline: DataFrame) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic per window from binned VALUE
+    counts — (window_start, bin, n) vs a (bin, bn) reference — the shared
+    kernel of the batch `drift_ks_windowed` query and the streaming
+    monitor (the live path materializes watermarked tumbling bin counts to
+    a sink and runs THIS on them; pytest pins streamed KS == batch KS).
+    KS = max |CDF_w - CDF_ref| over the bin spine. The baseline's bins
+    cover every window bin (a window is a subset of the corpus the
+    baseline binned), so the spine join is complete; the cumulative runs
+    per-window over <= |bins| rows — bounded, partitioned, never a global
+    window."""
+    from pyspark.sql import Window as W2
+    from pyspark.sql import functions as F
+
+    bt = baseline.agg(F.sum("bn").alias("bt")).collect()[0].bt
+    windows = counts.select("window_start").distinct()
+    wt = counts.groupBy("window_start").agg(F.sum("n").alias("wt"))
+    spine = (
+        windows.crossJoin(F.broadcast(baseline))
+        .join(counts, ["window_start", "bin"], "left")
+        .join(F.broadcast(wt), "window_start")
+    )
+    wcum = (
+        W2.partitionBy("window_start")
+        .orderBy("bin")
+        .rowsBetween(W2.unboundedPreceding, W2.currentRow)
+    )
+    cum = spine.select(
+        "window_start",
+        "wt",
+        (F.sum(F.coalesce(F.col("n"), F.lit(0))).over(wcum) / F.col("wt")).alias(
+            "cdf_w"
+        ),
+        (F.sum("bn").over(wcum) / F.lit(bt)).alias("cdf_b"),
+    )
+    return cum.groupBy("window_start").agg(
+        F.max("wt").cast("long").alias("n_events"),
+        F.round(F.max(F.abs(F.col("cdf_w") - F.col("cdf_b"))), 6).alias("ks_stat"),
+    )
+
+
+@query(
+    "drift_ks_windowed",
+    oracle="""
+    WITH bounds AS (
+      SELECT MIN(value) AS vmin, MAX(value) AS vmax FROM events),
+    binned AS (
+      SELECT CAST(epoch(time_bucket(INTERVAL '6 hours', ts)) AS BIGINT)
+               AS window_start,
+             LEAST(63, CAST(FLOOR((value - b.vmin) / ((b.vmax - b.vmin) / 64.0))
+                            AS BIGINT)) AS bin
+      FROM events, bounds b),
+    counts AS (
+      SELECT window_start, bin, CAST(COUNT(*) AS BIGINT) AS n
+      FROM binned GROUP BY 1, 2),
+    base AS (
+      SELECT bin, CAST(SUM(n) AS BIGINT) AS bn
+      FROM counts GROUP BY 1),
+    bt AS (SELECT SUM(bn) AS bt FROM base),
+    wt AS (SELECT window_start, SUM(n) AS wt FROM counts GROUP BY 1),
+    spine AS (
+      SELECT w.window_start, wt.wt, b.bin,
+             COALESCE(c.n, 0) AS n, b.bn
+      FROM (SELECT DISTINCT window_start FROM counts) w
+      CROSS JOIN base b
+      LEFT JOIN counts c ON c.window_start = w.window_start AND c.bin = b.bin
+      JOIN wt ON wt.window_start = w.window_start),
+    cum AS (
+      SELECT window_start, wt,
+             SUM(n) OVER (PARTITION BY window_start ORDER BY bin
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               * 1.0 / wt AS cdf_w,
+             SUM(bn) OVER (PARTITION BY window_start ORDER BY bin
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               * 1.0 / (SELECT bt FROM bt) AS cdf_b
+      FROM spine)
+    SELECT window_start, CAST(MAX(wt) AS BIGINT) AS n_events,
+           ROUND(MAX(ABS(cdf_w - cdf_b)), 6) AS ks_stat
+    FROM cum GROUP BY window_start
+    """,
+    category="timeseries",
+)
+def drift_ks_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous VALUE-distribution drift: two-sample KS per 6-hour
+    tumbling window against the whole-corpus distribution — the
+    distributional sibling of `drift_psi_windowed` (PSI watches the
+    categorical mix; KS watches a numeric column's shape, catching
+    mean/variance/tail shifts a category monitor can't see). Values bin
+    into 64 fixed-width buckets (edges from the corpus min/max — in a live
+    deployment these come from the reference window's fit, exactly how the
+    streaming twin takes them as parameters), one windowed hash aggregate
+    over the scan, then the KS fold on the |windows| x 64 spine —
+    metadata-sized at any scale. The streaming twin
+    (`streaming/ops.py::tumbling_value_bins` + `ks_from_binned_counts`) is
+    pinned bit-equal by a live pytest."""
+    e = table(spark, sf_dir, "events")
+    b = e.agg(F.min("value").alias("vmin"), F.max("value").alias("vmax")).collect()[0]
+    width = (b.vmax - b.vmin) / 64.0
+    bin_col = F.least(
+        F.lit(63), F.floor((F.col("value") - F.lit(b.vmin)) / F.lit(width))
+    ).cast("long")
+    counts = (
+        e.groupBy(F.window("ts", "6 hours"), bin_col.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_timestamp(F.col("window.start").cast("timestamp"))
+            .cast("long")
+            .alias("window_start"),
+            "bin",
+            "n",
+        )
+    )
+    baseline = counts.groupBy("bin").agg(F.sum("n").alias("bn"))
+    return ks_from_binned_counts(counts, baseline)
+
+
 @query(
     "drift_psi_windowed",
     oracle="""

@@ -32,6 +32,35 @@ def tumbling_counts(
     )
 
 
+def tumbling_value_bins(
+    events: DataFrame,
+    vmin: float,
+    width: float,
+    window: str = "6 hours",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling VALUE-bin counts — the live arm of the KS
+    drift monitor (`queries/timeseries.py::drift_ks_windowed`). Bin edges
+    (vmin, width) are parameters: a live monitor compares against a FIXED
+    reference fit, so its edges are configuration, not stream state. The
+    KS fold itself (`ks_from_binned_counts`) runs downstream of the sink
+    on the |windows| x 64 count spine; pytest pins streamed KS bit-equal
+    to the batch query."""
+    bin_col = F.least(
+        F.lit(63), F.floor((F.col("value") - F.lit(vmin)) / F.lit(width))
+    ).cast("long")
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), bin_col.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "bin",
+            "n",
+        )
+    )
+
+
 def sliding_counts(
     events: DataFrame,
     window: str = "1 hour",

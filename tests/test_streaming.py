@@ -838,3 +838,43 @@ def test_native_stream_writer_identity_per_checkpoint(spark, tmp_path):
     wb2.commit([wb2.write(iter(rows[:2]))], batchId=0)
     assert len(vt._manifests()) == before
     assert vt.snapshot().count() == 4
+
+
+def test_streamed_window_ks_equals_batch_monitor(spark, stream_dir, tmp_path):
+    """The live value-distribution drift monitor is the watermarked
+    tumbling BIN-count stream (bin edges fixed, as a deployed monitor
+    takes them from the reference fit) with the KS fold downstream of the
+    sink; after the final micro-batch its per-window KS must equal the
+    batch drift_ks_windowed query bit-for-bit."""
+    from db_core_spark.queries.timeseries import (
+        drift_ks_windowed,
+        ks_from_binned_counts,
+    )
+    from db_core_spark.streaming.ops import tumbling_value_bins
+
+    b = batch_events(spark).agg(
+        F.min("value").alias("vmin"), F.max("value").alias("vmax")
+    ).collect()[0]
+    width = (b.vmax - b.vmin) / 64.0
+    got = run_to_memory(
+        tumbling_value_bins(events_stream(spark, stream_dir), b.vmin, width),
+        "update",
+        str(tmp_path / "ck"),
+    )
+    final = {}
+    for r in got.collect():
+        final[(r.window_start, r.bin)] = r.n
+    counts = spark.createDataFrame(
+        [(int(ws.timestamp()), int(bn), int(n)) for (ws, bn), n in final.items()],
+        "window_start long, bin long, n long",
+    )
+    base = counts.groupBy("bin").agg(F.sum("n").alias("bn"))
+    live = {
+        r.window_start: (r.n_events, r.ks_stat)
+        for r in ks_from_binned_counts(counts, base).collect()
+    }
+    expect = {
+        r.window_start: (r.n_events, r.ks_stat)
+        for r in drift_ks_windowed(spark, SF_SMALL).collect()
+    }
+    assert live == expect and live
