@@ -192,15 +192,18 @@ def geo_cell_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness argument: cells are 0.05° (>= ~4.2 km on the shortest axis
     at this latitude), so any pair within 2 km lies in the same or an
-    adjacent cell; enumerating each point into its home cell and the
-    candidate side into the 3x3 neighborhood covers every qualifying pair
-    exactly once (dedup by home-cell ownership of the pair's first
-    element plus id ordering).
+    adjacent cell. Each unordered pair is OWNED by the lexicographically
+    smaller of its two home cells: the probe side stays in its home cell
+    and the candidate side is replicated only into the 5 neighbor cells
+    that are lex-greater-or-equal — offsets (0,0),(0,1),(1,-1),(1,0),
+    (1,1) — so a cross-cell pair is enumerated exactly once (from its
+    owner cell) and a same-cell pair twice, deduped by id order. This
+    halves the classic 3x3 scheme's replication (5x vs 9x).
 
-    100 TB shape: this is the distributed spatial-join pattern — a 9x
+    100 TB shape: this is the distributed spatial-join pattern — bounded
     replication of one side into neighbor cells, then a hash EQUI-join on
     the cell key (never a cross join), distance verified row-locally
-    after the join. Candidate volume is sum over cells of n_i * m_3x3,i —
+    after the join. Candidate volume is sum over cells of n_i * m_5,i —
     linear for bounded density — vs the quadratic brute force the oracle
     runs. Same blocking composes for polygon containment and trajectory
     joins."""
@@ -214,10 +217,12 @@ def geo_cell_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("lat") / 0.05).alias("cx"),
         F.floor(F.col("lon") / 0.05).alias("cy"),
     )
-    # Candidate side replicated into its 3x3 cell neighborhood.
+    # Candidate side replicated only into the lex-greater-or-equal half
+    # of its 3x3 neighborhood: the pair is reported from the lex-smaller
+    # home cell, so 5 offsets cover every adjacent-cell pair exactly once.
     offsets = F.array(*[
         F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
-        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+        for dx, dy in ((0, 0), (0, 1), (1, -1), (1, 0), (1, 1))
     ])
     neigh = (
         home.select("c_custkey", "lat", "lon", "cx", "cy",
@@ -226,8 +231,9 @@ def geo_cell_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_custkey").alias("id_b"),
             F.col("lat").alias("blat"),
             F.col("lon").alias("blon"),
-            (F.col("cx") + F.col("o.dx")).alias("cx"),
-            (F.col("cy") + F.col("o.dy")).alias("cy"),
+            ((F.col("o.dx") == 0) & (F.col("o.dy") == 0)).alias("same_cell"),
+            (F.col("cx") - F.col("o.dx")).alias("cx"),
+            (F.col("cy") - F.col("o.dy")).alias("cy"),
         )
     )
     a = home.select(
@@ -242,10 +248,21 @@ def geo_cell_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist = F.lit(12742.0) * F.asin(F.sqrt(h))
     return (
         a.join(neigh, ["cx", "cy"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        # same-cell candidates appear as both (p,q) and (q,p): keep one by
+        # id order; cross-cell candidates are enumerated exactly once by
+        # the owner-cell construction, so only self-pairs need excluding.
+        .filter(
+            F.when(F.col("same_cell"), F.col("id_a") < F.col("id_b")).otherwise(
+                F.col("id_a") != F.col("id_b")
+            )
+        )
         .withColumn("dist", dist)
         .filter(F.col("dist") <= 2.0)
-        .select("id_a", "id_b", F.round("dist", 4).alias("dist_km"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            F.round("dist", 4).alias("dist_km"),
+        )
     )
 
 

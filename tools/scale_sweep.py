@@ -22,7 +22,9 @@ from db_core_spark.session import get_spark  # noqa: E402
 SFS = ["0.001", "0.01", "0.1"]
 
 # scan/agg, join, window, dedup, LSH pipeline, vector kernel, segment
-# window, synth-join TPC-H — one per execution-shape family
+# window, synth-join TPC-H — one per execution-shape family — plus the
+# round-5 two-pass prefix-rank rewrites (formerly global single-partition
+# windows; this sweep is the regression evidence that the rewrite scales)
 SUBSET = [
     "q1_pricing_summary",
     "join_inner_agg",
@@ -32,6 +34,12 @@ SUBSET = [
     "knn_bruteforce_topk",
     "dedup_segments_global",
     "q9_product_profit",
+    "agg_value_deciles",
+    "pack_training_sequences",
+    "stats_mann_whitney_u",
+    "abc_part_classification",
+    "q21_waiting_suppliers",
+    "geo_cell_join_pairs",
 ]
 
 
