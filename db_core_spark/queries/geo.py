@@ -208,14 +208,28 @@ def geo_cell_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs. Same blocking composes for polygon containment and trajectory
     joins."""
     c = table(spark, sf_dir, "customer").select(
-        "c_custkey",
+        F.col("c_custkey").alias("id"),
         _lat(F.col("c_custkey")).alias("lat"),
         _lon(F.col("c_custkey")).alias("lon"),
     )
-    home = c.select(
-        "c_custkey", "lat", "lon",
-        F.floor(F.col("lat") / 0.05).alias("cx"),
-        F.floor(F.col("lon") / 0.05).alias("cy"),
+    return blocked_radius_pairs(c, radius_km=2.0, cell_deg=0.05).select(
+        F.col("id_a"), F.col("id_b"), F.round("dist", 4).alias("dist_km")
+    )
+
+
+def blocked_radius_pairs(
+    points: DataFrame, radius_km: float, cell_deg: float
+) -> DataFrame:
+    """All unordered point pairs within ``radius_km`` (haversine), via
+    owner-cell blocking. ``points`` needs columns (id, lat, lon);
+    ``cell_deg`` must be large enough that every qualifying pair spans at
+    most one cell boundary per axis (cell height 111.19*cell_deg km and
+    width 111.19*cell_deg*cos(lat) km must both be >= radius_km).
+    Returns (id_a, id_b, dist) with id_a < id_b, each pair exactly once."""
+    home = points.select(
+        "id", "lat", "lon",
+        F.floor(F.col("lat") / cell_deg).alias("cx"),
+        F.floor(F.col("lon") / cell_deg).alias("cy"),
     )
     # Candidate side replicated only into the lex-greater-or-equal half
     # of its 3x3 neighborhood: the pair is reported from the lex-smaller
@@ -225,10 +239,10 @@ def geo_cell_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         for dx, dy in ((0, 0), (0, 1), (1, -1), (1, 0), (1, 1))
     ])
     neigh = (
-        home.select("c_custkey", "lat", "lon", "cx", "cy",
+        home.select("id", "lat", "lon", "cx", "cy",
                     F.explode(offsets).alias("o"))
         .select(
-            F.col("c_custkey").alias("id_b"),
+            F.col("id").alias("id_b"),
             F.col("lat").alias("blat"),
             F.col("lon").alias("blon"),
             ((F.col("o.dx") == 0) & (F.col("o.dy") == 0)).alias("same_cell"),
@@ -237,7 +251,7 @@ def geo_cell_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     a = home.select(
-        F.col("c_custkey").alias("id_a"),
+        F.col("id").alias("id_a"),
         F.col("lat").alias("alat"),
         F.col("lon").alias("alon"),
         "cx", "cy",
@@ -257,11 +271,11 @@ def geo_cell_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .withColumn("dist", dist)
-        .filter(F.col("dist") <= 2.0)
+        .filter(F.col("dist") <= F.lit(radius_km))
         .select(
             F.least("id_a", "id_b").alias("id_a"),
             F.greatest("id_a", "id_b").alias("id_b"),
-            F.round("dist", 4).alias("dist_km"),
+            "dist",
         )
     )
 

@@ -283,3 +283,53 @@ def test_zorder_buckets_are_spatially_local(spark):
     for r in rows:
         assert r.x_span <= 31, f"bucket {r.zbucket}: x_span {r.x_span}"
         assert r.y_span <= 31, f"bucket {r.zbucket}: y_span {r.y_span}"
+
+
+def test_blocked_radius_pairs_exact_vs_bruteforce_boundary_points(spark):
+    """The owner-cell 5-offset blocking must reproduce the brute-force
+    O(n^2) pair set EXACTLY on an adversarial cloud: points deliberately
+    straddling cell corners/edges (where a wrong offset set loses or
+    double-counts pairs), plus random fill. Every pair within the radius
+    crosses at most one cell boundary per axis by construction."""
+    import itertools
+    import math
+    import random
+
+    from db_core_spark.queries.geo import blocked_radius_pairs
+
+    rng = random.Random(42)
+    cell = 0.05          # degrees; >= ~4.2 km on the narrow axis at lat 40
+    radius = 2.0         # km
+    pts = []
+    # clusters hugging cell corners: 4 points per corner, one per quadrant
+    for corner in [(40.0, -74.5), (40.05, -74.45), (40.1, -74.4), (40.2, -74.35)]:
+        for dx, dy in itertools.product((-1e-4, 1e-4), repeat=2):
+            pts.append((corner[0] + dx, corner[1] + dy))
+    # points sitting exactly ON boundaries (floor() edge cases)
+    pts += [(40.05, -74.3), (40.1, -74.25), (40.15, -74.2)]
+    # random fill across a few cells
+    for _ in range(60):
+        pts.append((40.0 + rng.random() * 0.3, -74.5 + rng.random() * 0.3))
+    df = spark.createDataFrame(
+        [(i, lat, lon) for i, (lat, lon) in enumerate(pts)],
+        "id long, lat double, lon double",
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in blocked_radius_pairs(df, radius_km=radius, cell_deg=cell).collect()
+    }
+
+    def hav(p, q):
+        sa = math.sin(math.radians(q[0] - p[0]) / 2)
+        sb = math.sin(math.radians(q[1] - p[1]) / 2)
+        h = sa * sa + math.cos(math.radians(p[0])) * math.cos(math.radians(q[0])) * sb * sb
+        return 12742.0 * math.asin(math.sqrt(h))
+
+    want = {
+        (i, j)
+        for i in range(len(pts))
+        for j in range(i + 1, len(pts))
+        if hav(pts[i], pts[j]) <= radius
+    }
+    assert want, "fixture must actually produce qualifying pairs"
+    assert got == want
