@@ -100,27 +100,37 @@ def lsh_bands(signature: Column, num_bands: int, rows_per_band: int) -> Column:
     )
 
 
-def _simhash_vote(items: Column, b: int) -> Column:
-    # closure capture, not lambda default args (see _minhash_one)
-    return F.aggregate(
+def simhash_portable(items: Column, bits: int = 60) -> Column:
+    """Engine-portable SimHash over ``bits`` low bits of a 60-bit md5-derived
+    word hash (15 hex chars -> BIGINT fits signed 64-bit in both Spark and
+    DuckDB, so the whole fingerprint is oracle-checkable — unlike xxhash64).
+
+    Single pass over the item array: the accumulator is the per-bit vote
+    vector (+1 when the word's hash bit is set, -1 otherwise); the final
+    fold sets bit b iff its vote is positive — O(items) array traversals
+    instead of one re-aggregation per bit."""
+
+    def word_hash(w: Column) -> Column:
+        return F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long")
+
+    def vote_vec(w: Column) -> Column:
+        h = word_hash(w)
+        return F.array(*[
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            for b in range(bits)
+        ])
+
+    votes = F.aggregate(
         items,
-        F.lit(0),
-        lambda acc, it: acc
-        + F.when(F.shiftright(F.xxhash64(it), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, w: F.zip_with(acc, vote_vec(w), lambda a, v: a + v),
     )
-
-
-def simhash64(items: Column) -> Column:
-    """64-bit SimHash: per bit b, sum +/-1 votes of xxhash64(item) bit b over
-    all items; bit set iff the vote is positive. Near-duplicate docs differ in
-    few bits (compare with hamming distance via bit_count(xor))."""
-    out = F.lit(0).cast("long")
-    for b in range(64):
-        bit = F.when(_simhash_vote(items, b) > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        out = out + F.shiftleft(bit, b)
-    return out
+    weights = F.array(*[F.shiftleft(F.lit(1).cast("long"), b) for b in range(bits)])
+    weighted = F.zip_with(
+        votes, weights,
+        lambda v, wgt: F.when(v > 0, wgt).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(weighted, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
 def rolling_fingerprint(items: Column) -> Column:

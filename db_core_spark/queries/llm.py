@@ -16,7 +16,7 @@ from db_core_spark.functions.text import (
     distinct_words,
     rolling_fingerprint,
     shingle_posting,
-    simhash64,
+    simhash_portable,
     words,
 )
 from db_core_spark.registry import query
@@ -464,18 +464,58 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("simhash_buckets", oracle=None, category="llm")
+@query(
+    "simhash_buckets",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             UNNEST(list_distinct(string_split_regex(text, '\\s+'))) AS word
+      FROM documents),
+    h AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(word), 1, 15)) AS BIGINT) AS hw
+      FROM w),
+    votes AS (
+      SELECT doc_id, b.b,
+             SUM(CASE WHEN (hw >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM h, (SELECT UNNEST(range(60)) AS b) b
+      GROUP BY 1, 2),
+    sh AS (
+      SELECT doc_id,
+             SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)
+               AS simhash
+      FROM votes GROUP BY 1)
+    SELECT doc_id, simhash,
+           (simhash >> 0)  & 32767 AS band_0,
+           (simhash >> 15) & 32767 AS band_1,
+           (simhash >> 30) & 32767 AS band_2,
+           (simhash >> 45) & 32767 AS band_3
+    FROM sh
+    """,
+    category="llm",
+)
 def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document + 4x16-bit band keys. Near-dups collide on
-    at least one band when hamming distance <= 3 (pigeonhole); rows-only
-    check (xxhash64 is Spark-specific, not SQL-oracle-expressible)."""
+    """60-bit SimHash per document + 4x15-bit band keys. Near-dups collide on
+    at least one band when hamming distance <= 3 (pigeonhole over 4 bands).
+
+    The word hash is the md5-prefix BIGINT (functions/text.py
+    simhash_portable), identical in Spark and DuckDB, so the ENTIRE
+    fingerprint — every bit of every document — is value-hash-verified by
+    the oracle (this query was rows-only while it used Spark-specific
+    xxhash64). The Spark side folds the per-bit vote vector in ONE pass
+    over each document's word array; the oracle recomputes it relationally
+    via an unnest x range(60) tally. 100 TB shape: pure per-row projection,
+    no shuffle at all until a consumer groups on a band key."""
     d = table(spark, sf_dir, "documents")
-    sh = d.select("doc_id", simhash64(distinct_words(F.col("text"))).alias("simhash"))
+    sh = d.select(
+        "doc_id",
+        simhash_portable(distinct_words(F.col("text"))).alias("simhash"),
+    )
     return sh.select(
         "doc_id",
         "simhash",
         *[
-            F.shiftright(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias(f"band_{i}")
+            F.shiftright(F.col("simhash"), 15 * i).bitwiseAND(F.lit(0x7FFF)).alias(f"band_{i}")
             for i in range(4)
         ],
     )
