@@ -100,21 +100,49 @@ def lsh_bands(signature: Column, num_bands: int, rows_per_band: int) -> Column:
     )
 
 
+def portable_hash60(col: Column) -> Column:
+    """60-bit md5-prefix hash: the first 15 hex chars of md5 as a
+    non-negative BIGINT. Bit-identical in Spark
+    (``conv(substring(md5(x),1,15),16,10)``) and DuckDB
+    (``CAST('0x'||substr(md5(x),1,15) AS BIGINT)``), so every operator built
+    on it is fully value-hash oracle-checkable — unlike xxhash64, which only
+    Spark implements. Shared base hash for simhash_portable and the
+    portable minhash family."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne prime): (a*x+b) stays < 2^62
+
+
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs for the universal affine family
+    h_i(x) = (a_i * (x mod p) + b_i) mod p over p = 2^31-1 — the textbook
+    MinHash permutation construction. Constants come from a fixed-seed LCG
+    so the Spark plan and the SQL oracle embed IDENTICAL literals; a_i is
+    never 0. Products fit signed 64-bit in both engines (DuckDB raises on
+    BIGINT overflow, so staying < 2^62 is load-bearing, not cosmetic)."""
+    coeffs = []
+    s = 0x2545F4914F6CDD1D
+    for _ in range(num_hashes):
+        s = (6364136223846793005 * s + 1442695040888963407) % (1 << 63)
+        a = s % (MINHASH_P - 1) + 1
+        s = (6364136223846793005 * s + 1442695040888963407) % (1 << 63)
+        b = s % MINHASH_P
+        coeffs.append((a, b))
+    return coeffs
+
+
 def simhash_portable(items: Column, bits: int = 60) -> Column:
-    """Engine-portable SimHash over ``bits`` low bits of a 60-bit md5-derived
-    word hash (15 hex chars -> BIGINT fits signed 64-bit in both Spark and
-    DuckDB, so the whole fingerprint is oracle-checkable — unlike xxhash64).
+    """Engine-portable SimHash over ``bits`` low bits of the 60-bit
+    portable_hash60 word hash (oracle-checkable in DuckDB, unlike xxhash64).
 
     Single pass over the item array: the accumulator is the per-bit vote
     vector (+1 when the word's hash bit is set, -1 otherwise); the final
     fold sets bit b iff its vote is positive — O(items) array traversals
     instead of one re-aggregation per bit."""
 
-    def word_hash(w: Column) -> Column:
-        return F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long")
-
     def vote_vec(w: Column) -> Column:
-        h = word_hash(w)
+        h = portable_hash60(w)
         return F.array(*[
             F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             for b in range(bits)

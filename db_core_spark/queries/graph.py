@@ -360,16 +360,52 @@ def kcore_decompose(edges: DataFrame, k: int, max_rounds: int = 30) -> DataFrame
     return out
 
 
-@query("graph_kcore_suppliers", oracle=None, category="llm")
+def _kcore_oracle(k: int = 3, unroll: int = 4) -> str:
+    """Chained-CTE unroll of the k-core peel: `unroll` rounds of
+    drop-degree<k + edge restriction. Peeling is monotone and idempotent at
+    the fixpoint, so the unrolled result equals the true fixpoint whenever
+    convergence happens within `unroll` rounds — the fixtures converge in
+    ONE round at every SF (the synthetic co-supply graph is 4-regular-ish
+    and sits entirely inside its 3-core; measured sf0.001/0.01/0.1), and
+    the pytest fixpoint invariant (one more round changes nothing) guards
+    the margin."""
+    rounds = "".join(
+        f"""
+    k{r} AS (SELECT x FROM e{r} GROUP BY x HAVING COUNT(*) >= {k}),
+    e{r + 1} AS (
+      SELECT x, y FROM e{r}
+      WHERE x IN (SELECT x FROM k{r}) AND y IN (SELECT x FROM k{r})),"""
+        for r in range(unroll)
+    )
+    return f"""
+    WITH ps AS (
+      SELECT p_partkey AS pk,
+             CAST((p_partkey + 7 + 13 * i.i) % s.ns AS BIGINT) AS supp
+      FROM part
+      CROSS JOIN (SELECT unnest(range(0, 4)) AS i) i
+      CROSS JOIN (SELECT COUNT(*) AS ns FROM supplier) s),
+    e AS (
+      SELECT DISTINCT a.supp AS a, b.supp AS b
+      FROM ps a JOIN ps b ON a.pk = b.pk AND a.supp < b.supp),
+    e0 AS (SELECT a AS x, b AS y FROM e UNION ALL SELECT b, a FROM e),{rounds}
+    _last AS (SELECT * FROM e{unroll})
+    SELECT x AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM _last GROUP BY x
+    """
+
+
+@query("graph_kcore_suppliers", oracle=_kcore_oracle(), category="llm")
 def graph_kcore_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-core of the supplier co-supply graph (edges = supplier pairs
     stocking a shared part, the graph_link_prediction_jaccard edge list):
     the maximal subgraph where every supplier has >= 3 co-supply
     partners — the dense-community filter used for seed expansion and
-    spam-ring detection. Rows-only (iterative fixpoint is not SQL);
-    pytest pins the invariants: every member's in-core degree >= k, the
-    peel is a fixpoint (one more round changes nothing), and replay is
-    deterministic."""
+    spam-ring detection. The Spark side runs the true iterative fixpoint;
+    the oracle unrolls 4 peel rounds as chained CTEs (exact because the
+    peel is idempotent past convergence and the fixtures converge in 1
+    round — see _kcore_oracle); pytest pins the invariants: every
+    member's in-core degree >= k, the peel is a fixpoint (one more round
+    changes nothing), and replay is deterministic."""
     from db_core_spark.queries.tpch2 import synth_partsupp
 
     ps = synth_partsupp(spark, sf_dir).select("ps_partkey", "ps_suppkey")

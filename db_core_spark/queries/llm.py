@@ -13,7 +13,10 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from db_core_spark.functions.text import (
     EN_STOPWORDS,
+    MINHASH_P,
     distinct_words,
+    minhash_coeffs,
+    portable_hash60,
     rolling_fingerprint,
     shingle_posting,
     simhash_portable,
@@ -296,25 +299,94 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 NUM_HASHES, NUM_BANDS, ROWS_PER_BAND = 64, 16, 4
+_MH_COEFFS = minhash_coeffs(NUM_HASHES)
 
 
-@query("minhash_lsh_pairs", oracle=None, category="llm")
+def _minhash_oracle() -> str:
+    """DuckDB replica of the FULL MinHash+LSH pipeline — same portable_hash60
+    base hash, same 64 affine permutations (identical embedded constants),
+    same md5 band buckets — so candidate generation is deterministic and
+    bit-equal across engines, and the whole operator is value-hash-checked
+    (it was rows-only while the base hash was Spark-specific xxhash64)."""
+    mins_cols = ",\n             ".join(
+        f"MIN(({a} * x + {b}) % {MINHASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(_MH_COEFFS)
+    )
+    band_rows = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {bnd} AS band_id, "
+        + ", ".join(
+            f"h{bnd * ROWS_PER_BAND + r} AS k{r}" for r in range(ROWS_PER_BAND)
+        )
+        + " FROM mins"
+        for bnd in range(NUM_BANDS)
+    )
+    band_eq = " AND ".join(f"a.k{r} = b.k{r}" for r in range(ROWS_PER_BAND))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+    docs AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                    ELSE list_transform(range(1, len(t) - 1),
+                                        i -> array_to_string(t[i:i+2], ' '))
+               END) AS w
+      FROM toks),
+    posting AS (SELECT doc_id, UNNEST(w) AS sh FROM docs),
+    hashed AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) % {MINHASH_P} AS x
+      FROM posting),
+    mins AS (
+      SELECT doc_id,
+             {mins_cols}
+      FROM hashed GROUP BY doc_id),
+    bands AS (
+      {band_rows}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND {band_eq}
+       AND a.doc_id < b.doc_id),
+    sized AS (SELECT doc_id, len(w) AS nw FROM docs),
+    inter AS (
+      SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+      FROM cand c
+      JOIN posting p1 ON p1.doc_id = c.id_a
+      JOIN posting p2 ON p2.doc_id = c.id_b AND p2.sh = p1.sh
+      GROUP BY 1, 2)
+    SELECT i.id_a, i.id_b,
+           ROUND(n_inter * 1.0 / (sa.nw + sb.nw - n_inter), 6) AS jaccard
+    FROM inter i
+    JOIN sized sa ON sa.doc_id = i.id_a
+    JOIN sized sb ON sb.doc_id = i.id_b
+    WHERE n_inter * 1.0 / (sa.nw + sb.nw - n_inter) >= 0.6
+    """
+
+
+@query("minhash_lsh_pairs", oracle=_minhash_oracle(), category="llm")
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup detection, the 100 TB-scale path:
     shingle -> 64-hash minhash -> 16 bands -> candidate pairs via equi-join
     on (band, bucket) -> exact Jaccard verification >= 0.6.
 
-    Vectorized formulation: shingles are EXPLODED to posting rows and the 64
-    min-hashes computed as plain xxhash64 columns in a hash aggregate —
-    whole-stage-codegen'd end to end, unlike array higher-order functions
-    (which Spark interprets row-at-a-time; the HOF variant measured ~6x
-    slower at sf0.1). Exact-Jaccard verification recomputes shingle sets
+    Vectorized formulation: shingles are EXPLODED to posting rows; the base
+    hash is portable_hash60 (md5-prefix BIGINT, identical in DuckDB) reduced
+    mod p = 2^31-1, and the 64 min-hashes are affine permutations
+    (a_i*x+b_i) mod p computed as plain arithmetic columns in ONE hash
+    aggregate — whole-stage-codegen'd end to end, unlike array higher-order
+    functions (which Spark interprets row-at-a-time; the HOF variant
+    measured ~6x slower at sf0.1), and cheaper per posting row than 64
+    xxhash64 calls. Exact-Jaccard verification recomputes shingle sets
     only for candidate doc_ids (semi-join first), so the expensive per-doc
     arrays never ride through the wide shuffle.
 
-    Probabilistic candidate generation (P[miss] ~ (1-s^4)^16, <1e-4 at
-    s=0.8) so no SQL oracle; pytest checks equality with the exact
-    ngram_jaccard_pairs result on the fixtures.
+    Candidate generation is probabilistic IN DESIGN (P[miss] ~ (1-s^4)^16)
+    but deterministic GIVEN the hash family — and the family is now
+    engine-portable, so the DuckDB oracle replays the identical pipeline
+    (same constants, same md5 band buckets) and the driver value-hash
+    checks the full output; pytest additionally checks equality with the
+    exact ngram_jaccard_pairs result on the fixtures (recall evidence).
 
     Materialization strategy (r4 rework of the r2 "exchange reuse" design):
     profiling showed AQE does NOT reuse the posting exchange across the
@@ -331,22 +403,32 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings never do."""
     d = table(spark, sf_dir, "documents")
     pd_ = shingle_posting(d, n=3).distinct()
-    # Hash the variable-length shingle string ONCE, then derive the 64
-    # minhash functions by re-hashing the fixed-width 8-byte base — measured
-    # ~25% faster than 64x string hashing at sf0.1 (same family guarantees:
-    # xxhash64(base, i) are pairwise-independent enough for minhash).
+    # Hash the variable-length shingle string ONCE (portable_hash60, mod p),
+    # then derive the 64 minhash functions as affine permutations of the
+    # 31-bit base — pure multiply/add/mod, cheaper than 64x re-hashing.
     # Set sizes (|shingles| per doc) fold into the SAME aggregation —
     # posting rows are already distinct, so count(1) == countDistinct(sh)
     # and the sizes branch costs zero extra passes.
-    based = pd_.withColumn("base", F.xxhash64("sh"))
+    based = pd_.withColumn("x", portable_hash60(F.col("sh")) % F.lit(MINHASH_P))
     mins = based.groupBy("doc_id").agg(
-        *[F.min(F.xxhash64("base", F.lit(i))).alias(f"h{i}") for i in range(NUM_HASHES)],
+        *[
+            F.min((F.lit(a).cast("long") * F.col("x") + F.lit(b)) % F.lit(MINHASH_P)).alias(
+                f"h{i}"
+            )
+            for i, (a, b) in enumerate(_MH_COEFFS)
+        ],
         F.count(F.lit(1)).alias("nw"),
     ).persist()
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_id"),
+                # Bucket hash need NOT be portable: a collision only MERGES
+                # buckets, i.e. adds candidates, and the exact-Jaccard filter
+                # removes them — output equality with the oracle (which joins
+                # on the raw h-tuple) is preserved. Only the h values
+                # themselves (which determine MISSED candidates) must match
+                # across engines. So the fast xxhash64 stays.
                 F.xxhash64(
                     *[F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
                 ).alias("bucket"),
