@@ -790,59 +790,106 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", redacted.alias("redacted"))
 
 
-@query("agg_cms_heavy_hitters", oracle=None, category="llm")
+_CMS_D, _CMS_W = 4, 1024
+# Rows 64..67 of the shared LCG stream: minhash's first 64 pairs unchanged.
+_CMS_COEFFS = minhash_coeffs(64 + _CMS_D)[64:]
+
+
+def _cms_oracle() -> str:
+    def bucket_sql(r: int) -> str:
+        a, c = _CMS_COEFFS[r]
+        return f"(({a} * x + {c}) % {MINHASH_P}) % {_CMS_W}"
+
+    pair_rows = "\n      UNION ALL ".join(
+        f"SELECT tok, {r} AS r, {bucket_sql(r)} AS b FROM hashed"
+        for r in range(_CMS_D)
+    )
+    probe_rows = "\n      UNION ALL ".join(
+        f"SELECT tok, true_n, {r} AS r, {bucket_sql(r)} AS b FROM probe_hashed"
+        for r in range(_CMS_D)
+    )
+    return f"""
+    WITH tf AS (
+      SELECT UNNEST(string_split_regex(lower(text), '\\s+')) AS tok
+      FROM documents),
+    toks AS (SELECT tok FROM tf WHERE tok <> ''),
+    hashed AS (
+      SELECT tok,
+             CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % {MINHASH_P} AS x
+      FROM toks),
+    pairs AS (
+      {pair_rows}),
+    cells AS (SELECT r, b, CAST(COUNT(*) AS BIGINT) AS cell_n
+              FROM pairs GROUP BY r, b),
+    true_counts AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS true_n
+                    FROM toks GROUP BY tok),
+    probe AS (SELECT tok, true_n FROM true_counts
+              ORDER BY true_n DESC, tok LIMIT 30),
+    probe_hashed AS (
+      SELECT tok, true_n,
+             CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % {MINHASH_P} AS x
+      FROM probe),
+    probe_pairs AS (
+      {probe_rows})
+    SELECT p.tok, p.true_n, MIN(c.cell_n) AS est_n
+    FROM probe_pairs p JOIN cells c USING (r, b)
+    GROUP BY p.tok, p.true_n
+    """
+
+
+@query("agg_cms_heavy_hitters", oracle=_cms_oracle(), category="llm")
 def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min Sketch heavy-hitter estimation over corpus tokens — the
     mergeable-counter companion of agg_hll_mergeable_sketch: D=4 hash rows
-    x W=1024 buckets, built as codegen'd xxhash64 aggregates (the same
+    x W=1024 buckets, built as codegen'd hash aggregates (the same
     vectorized-sketch pattern as the minhash signatures; no UDF anywhere).
     The sketch table (D*W cells) merges cell-wise-additively across
     partitions/shards/days, so corpus-frequency tracking at 100 TB is one
     partial-aggregable shuffle of 4096 cells, not a full token groupBy.
-    est(token) = min_r cells[r][xxhash64(token, r) % W] — one-sided error
+    est(token) = min_r cells[r][h_r(token) % W] — one-sided error
     (est >= true; overshoot <= e/W * N w.h.p., pinned by pytest).
 
-    Probabilistic bucket collisions are engine-specific (xxhash64), so no
-    SQL oracle: rows-only check here; tests/test_llm_ops.py pins the
-    estimate bounds against exact counts."""
-    D, WIDTH = 4, 1024
+    h_r is the portable affine family over portable_hash60 (same
+    construction as minhash_lsh_pairs, coefficient rows 64..67 of the
+    shared LCG stream), so bucket collisions are IDENTICAL in DuckDB and
+    the full sketch + probe output is value-hash-checked (was rows-only
+    under xxhash64); tests/test_llm_ops.py additionally pins the estimate
+    bounds against exact counts."""
+    WIDTH = _CMS_W
     d = table(spark, sf_dir, "documents")
     toks = (
         d.select(F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"))
         .filter(F.col("tok") != "")
     )
-    pairs = toks.select(
-        "tok",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).alias("r"),
-                        F.pmod(F.xxhash64("tok", F.lit(r)), F.lit(WIDTH)).alias("b"),
-                    )
-                    for r in range(D)
-                ]
-            )
-        ).alias("cell"),
-    ).select("tok", "cell.r", "cell.b")
+
+    def cms_cells(frame):
+        hashed = frame.withColumn(
+            "x", portable_hash60(F.col("tok")) % F.lit(MINHASH_P)
+        )
+        return hashed.select(
+            *frame.columns,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("r"),
+                            (
+                                (F.lit(a).cast("long") * F.col("x") + F.lit(c))
+                                % F.lit(MINHASH_P)
+                                % F.lit(WIDTH)
+                            ).alias("b"),
+                        )
+                        for r, (a, c) in enumerate(_CMS_COEFFS)
+                    ]
+                )
+            ).alias("cell"),
+        ).select(*frame.columns, "cell.r", "cell.b")
+
+    pairs = cms_cells(toks)
     cells = pairs.groupBy("r", "b").agg(F.count(F.lit(1)).alias("cell_n"))
     true_counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("true_n"))
     probe = true_counts.orderBy(F.desc("true_n"), F.asc("tok")).limit(30)
-    probe_cells = probe.select(
-        "tok",
-        "true_n",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).alias("r"),
-                        F.pmod(F.xxhash64("tok", F.lit(r)), F.lit(WIDTH)).alias("b"),
-                    )
-                    for r in range(D)
-                ]
-            )
-        ).alias("cell"),
-    ).select("tok", "true_n", "cell.r", "cell.b")
+    probe_cells = cms_cells(probe)
     return (
         probe_cells.join(F.broadcast(cells), ["r", "b"])
         .groupBy("tok", "true_n")

@@ -94,28 +94,70 @@ def knn_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_lsh_topk", oracle=None, category="vector")
+_LSH_DIM, _LSH_PLANES_N = 64, 8
+
+
+def _lsh_planes() -> list[list[float]]:
+    """8 deterministic +/-1 hyperplanes over 64 dims from a fixed-seed LCG.
+    Literal values are embedded in BOTH the Spark plan and the SQL oracle,
+    so bucket signatures are engine-portable by construction (no hash
+    function portability needed at all)."""
+    s, planes = 0x9E3779B97F4A7C15, []
+    for _ in range(_LSH_PLANES_N):
+        row = []
+        for _ in range(_LSH_DIM):
+            s = (6364136223846793005 * s + 1442695040888963407) % (1 << 63)
+            row.append(1.0 if (s >> 32) & 1 else -1.0)
+        planes.append(row)
+    return planes
+
+
+_PLANES = _lsh_planes()
+
+
+def _ann_lsh_oracle() -> str:
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {_PLANES[p]}) > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(_LSH_PLANES_N)
+    )
+    return f"""
+    WITH vecs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    bucketed AS (SELECT vec_id, v, {bucket_terms} AS bucket FROM vecs),
+    q AS (SELECT vec_id AS q_id, v AS q_vec, bucket AS q_bucket
+          FROM bucketed WHERE vec_id < 10),
+    scored AS (
+      SELECT q.q_id, c.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(q.q_vec, c.v), 6) AS cos_sim
+      FROM q JOIN bucketed c
+        ON c.bucket = q.q_bucket AND c.vec_id <> q.q_id),
+    ranked AS (
+      SELECT q_id, neighbor_id, cos_sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rnk
+      FROM scored)
+    SELECT q_id, neighbor_id, cos_sim, rnk FROM ranked WHERE rnk <= 5
+    """
+
+
+@query("ann_lsh_topk", oracle=_ann_lsh_oracle(), category="vector")
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN via random-hyperplane LSH: 8 deterministic hyperplanes
-    (pseudo-random from xxhash64(dim, plane), JVM-side) -> 8-bit bucket sign
+    """Approximate NN via random-hyperplane LSH: 8 deterministic +/-1
+    hyperplanes (fixed literal matrix, _lsh_planes) -> 8-bit bucket sign
     signature; candidates = corpus vectors in the query's bucket; exact
     cosine re-rank within candidates. The scale path: bucket equi-join
     instead of all-pairs; recall tunable by multi-probe (hamming<=1 buckets).
-    Rows-only check (probabilistic recall; pytest asserts containment in the
-    brute-force result)."""
+    Approximation is probabilistic IN DESIGN but deterministic GIVEN the
+    planes — and the planes are literals shared with the DuckDB oracle, so
+    the full output (buckets, candidates, ranks) is value-hash-checked;
+    pytest additionally asserts containment in the brute-force result."""
     e = table(spark, sf_dir, "embeddings")
-    dim = 64  # fixture embedding dimensionality
 
     def bucket(vec_col):
-        # sign bit per hyperplane: sum_d vec[d] * h(d, p), h in {-1, +1}
+        # sign bit per hyperplane: sum_d vec[d] * planes[p][d]
         bits = []
-        for p in range(8):
-            coeff = F.transform(
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda d, p=p: F.when(
-                    F.xxhash64(d, F.lit(p)).bitwiseAND(F.lit(1)) == 1, F.lit(1.0)
-                ).otherwise(F.lit(-1.0)),
-            )
+        for p in range(_LSH_PLANES_N):
+            coeff = F.array(*[F.lit(c) for c in _PLANES[p]])
             proj = F.aggregate(
                 F.zip_with(vec_col, coeff, lambda x, c: x * c),
                 F.lit(0.0),
@@ -1295,7 +1337,60 @@ def embedding_pca_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("comp")
 
 
-@query("embedding_mmr_rerank", oracle=None, category="vector")
+def _mmr_oracle(n_rounds: int = 5) -> str:
+    """Chained-CTE replay of the greedy MMR loop: round r anti-joins the
+    already-picked set, computes each candidate's redundancy (max pairwise
+    sim to picks), and takes the arg-max of the quantized score with
+    shortlist-rank tiebreak. Every float is quantized with the portable
+    FLOOR(x*1e6+0.5)/1e6 (half-up, same in numpy and DuckDB, unlike
+    ROUND/Python banker's rounding), so the greedy decisions are bit-equal
+    across engines."""
+    q6 = "FLOOR(({}) * 1000000 + 0.5) / 1000000"
+    picks = []
+    for r in range(2, n_rounds + 1):
+        picks.append(f"""
+    sel{r - 1} AS (SELECT * FROM pick1{"".join(f" UNION ALL SELECT * FROM pick{i}" for i in range(2, r))}),
+    cand{r} AS (SELECT c.* FROM p0 c
+                ANTI JOIN sel{r - 1} s ON s.q_id = c.q_id AND s.vec_id = c.vec_id),
+    red{r} AS (SELECT c.q_id, c.vec_id, MAX(pr.psim) AS red
+               FROM cand{r} c
+               JOIN pair pr ON pr.q_id = c.q_id AND pr.id_a = c.vec_id
+               JOIN sel{r - 1} s ON s.q_id = pr.q_id AND s.vec_id = pr.id_b
+               GROUP BY 1, 2),
+    pick{r} AS (SELECT q_id, vec_id, sim, {r} AS mmr_rank FROM (
+      SELECT c.q_id, c.vec_id, c.sim,
+             ROW_NUMBER() OVER (PARTITION BY c.q_id
+               ORDER BY {q6.format("0.7 * c.sim - 0.3 * rd.red")} DESC, c.rk) AS rn
+      FROM cand{r} c JOIN red{r} rd ON rd.q_id = c.q_id AND rd.vec_id = c.vec_id)
+      WHERE rn = 1),""")
+    return f"""
+    WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS q_id, v AS q_vec FROM vecs WHERE vec_id < 5),
+    scored AS (
+      SELECT q.q_id, c.vec_id,
+             {q6.format("list_cosine_similarity(q.q_vec, c.v)")} AS sim, c.v
+      FROM q JOIN vecs c ON c.vec_id <> q.q_id),
+    short AS (SELECT * FROM (
+      SELECT q_id, vec_id, sim, v,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY sim DESC, vec_id) AS rk
+      FROM scored) WHERE rk <= 15),
+    pair AS (
+      SELECT a.q_id, a.vec_id AS id_a, b.vec_id AS id_b,
+             {q6.format("list_cosine_similarity(a.v, b.v)")} AS psim
+      FROM short a JOIN short b
+        ON a.q_id = b.q_id AND a.vec_id <> b.vec_id),
+    p0 AS (SELECT q_id, vec_id, sim, rk FROM short),
+    pick1 AS (SELECT q_id, vec_id, sim, 1 AS mmr_rank FROM (
+      SELECT p0.*, ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY sim DESC, rk) AS rn
+      FROM p0) WHERE rn = 1),{"".join(picks)}
+    result AS (SELECT * FROM pick1{"".join(f" UNION ALL SELECT * FROM pick{i}" for i in range(2, n_rounds + 1))})
+    SELECT q_id, vec_id, sim, CAST(mmr_rank AS INT) AS mmr_rank FROM result
+    """
+
+
+@query("embedding_mmr_rerank", oracle=_mmr_oracle(), category="vector")
 def embedding_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal Marginal Relevance re-ranking: for each of 5 query vectors,
     fetch the cosine top-15 shortlist DISTRIBUTED (the knn_bruteforce
@@ -1305,12 +1400,20 @@ def embedding_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     bolts onto raw ANN, which happily returns 5 near-duplicates. The
     greedy loop runs per-query inside ONE applyInPandas over the 15-row
     shortlist groups (bounded work; the corpus-scale part stays the
-    distributed shortlist). Rows-only (greedy selection is not SQL);
-    pytest pins: pick 1 = argmax cosine, picks are distinct shortlist
-    members, and the MMR set is more diverse (lower mean pairwise sim)
-    than plain top-5 whenever they differ."""
+    distributed shortlist).
+
+    Every similarity and score is quantized to 6 dp with the portable
+    half-up FLOOR(x*1e6+0.5)/1e6 (identical in numpy and DuckDB), which
+    makes the greedy selection deterministic ACROSS ENGINES — the oracle
+    replays all 5 rounds as chained CTEs and the driver value-hash checks
+    the picks (was rows-only). pytest pins: pick 1 = argmax cosine, picks
+    are distinct shortlist members, and the MMR set is more diverse
+    (lower mean pairwise sim) than plain top-5 whenever they differ."""
     import numpy as np  # noqa: PLC0415
     import pandas as pd  # noqa: PLC0415
+
+    def q6(x):
+        return np.floor(np.asarray(x, dtype=np.float64) * 1e6 + 0.5) / 1e6
 
     e = table(spark, sf_dir, "embeddings")
     vecs = e.select("vec_id", to_double(F.col("embedding")).alias("vec"))
@@ -1320,7 +1423,10 @@ def embedding_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         vecs.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("q_id"))
-        .withColumn("sim", cosine(F.col("vec"), F.col("q_vec")))
+        .withColumn(
+            "sim",
+            F.floor(cosine(F.col("vec"), F.col("q_vec")) * 1e6 + 0.5) / 1e6,
+        )
     )
     w = W.partitionBy("q_id").orderBy(F.col("sim").desc(), "vec_id")
     short = cand.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 15)
@@ -1329,16 +1435,18 @@ def embedding_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         pdf = pdf.sort_values("rk")
         X = np.array(pdf["vec"].tolist())
         X = X / np.linalg.norm(X, axis=1, keepdims=True)
-        sims = pdf["sim"].to_numpy()
+        sims = pdf["sim"].to_numpy()  # already quantized by the Spark plan
         picked: list[int] = []
         for _ in range(5):
             best, best_score = -1, -1e18
             for i in range(len(pdf)):
                 if i in picked:
                     continue
-                red = max((float(X[i] @ X[j]) for j in picked), default=0.0)
-                score = 0.7 * float(sims[i]) - 0.3 * red
-                if score > best_score + 1e-12:
+                red = max(
+                    (float(q6(float(X[i] @ X[j]))) for j in picked), default=0.0
+                )
+                score = float(q6(0.7 * float(sims[i]) - 0.3 * red))
+                if score > best_score:
                     best, best_score = i, score
             picked.append(best)
         out = pdf.iloc[picked]
@@ -1346,7 +1454,7 @@ def embedding_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             {
                 "q_id": out["q_id"].to_numpy(),
                 "vec_id": out["vec_id"].to_numpy(),
-                "sim": [round(float(s), 6) for s in out["sim"]],
+                "sim": [float(s) for s in out["sim"]],
                 "mmr_rank": list(range(1, 6)),
             }
         )
