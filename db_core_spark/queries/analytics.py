@@ -3558,13 +3558,15 @@ def gini_by_segment_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "abc_part_classification",
     oracle="""
     WITH rev AS (
-      SELECT l_partkey, SUM(l_extendedprice * (1 - l_discount)) AS r
+      SELECT l_partkey,
+             CAST(FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 1000000 + 0.5)
+                  AS BIGINT) AS r
       FROM lineitem GROUP BY 1),
     ranked AS (
       SELECT l_partkey, r,
              SUM(r) OVER (ORDER BY r DESC, l_partkey
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               / SUM(r) OVER () AS cum_share
+               * 1.0 / SUM(r) OVER () AS cum_share
       FROM rev),
     classed AS (
       SELECT l_partkey, r,
@@ -3574,7 +3576,7 @@ def gini_by_segment_window(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ranked)
     SELECT klass,
            CAST(COUNT(*) AS BIGINT) AS n_parts,
-           ROUND(SUM(r), 2) AS revenue,
+           ROUND(SUM(r) / 1000000.0, 2) AS revenue,
            ROUND(SUM(r) * 100.0 / (SELECT SUM(r) FROM rev), 4)
              AS revenue_pct
     FROM classed
@@ -3586,48 +3588,46 @@ def abc_part_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ABC inventory classification: parts ranked by revenue, classed A
     (first 80% of cumulative revenue), B (to 95%), C (tail) — the Pareto
     banding behind stocking policy and slotting (count A-parts daily,
-    count C-parts quarterly). Facts collapse per part first; the
-    cumulative share then comes from the distributed two-pass prefix sum
-    (`operators/prefixrank.py`) over the |parts| frame — |parts| scales
-    with SF, so no unpartitioned window even at the entity level; the
-    grand total falls out of pass 1 for free (it is the last offset +
-    last partition's total, recomputed here as a tiny agg)."""
+    count C-parts quarterly). Facts collapse per part first; per-part
+    revenue is quantized to exact micros (BIGINT) so the distributed
+    two-pass prefix sum (`operators/prefixrank.py`) adds EXACT integers —
+    the driver-side offset addition is then bit-identical to any
+    sequential fold, and the 0.8/0.95 class-boundary compares cannot flip
+    on float accumulation order (the hazard global_running_sum's own
+    docstring flags for float inputs). |parts| scales with SF, so no
+    unpartitioned window even at the entity level; the grand total is the
+    largest cumulative (revenue is positive, cum_r monotone), computed
+    ONCE from the checkpointed frame and broadcast to both consumers."""
     from db_core_spark.operators.prefixrank import global_running_sum
 
     li = table(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("r")
+        F.floor(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 1e6
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("r")
     )
     cum = global_running_sum(
         rev, [F.col("r").desc(), F.col("l_partkey")], "r", num_parts=16, out="cum_r"
     )
-    # grand total = the largest cumulative (revenue is positive, so cum_r is
-    # monotone); cum is checkpointed inside the helper, so this reuse is one
-    # tiny agg, not a second lineitem scan
-    ranked = cum.crossJoin(
-        F.broadcast(cum.agg(F.max("cum_r").alias("__t")))
-    ).select(
-        "l_partkey", "r", (F.col("cum_r") / F.col("__t")).alias("cum_share")
+    tot = F.broadcast(cum.agg(F.max("cum_r").alias("__t")))
+    ranked = cum.crossJoin(tot).select(
+        "l_partkey", "r", "__t", (F.col("cum_r") / F.col("__t")).alias("cum_share")
     )
     klass = (
         F.when(F.col("cum_share") <= 0.8, "A")
         .when(F.col("cum_share") <= 0.95, "B")
         .otherwise("C")
     )
-    tot = cum.agg(F.max("cum_r").alias("t"))
     return (
         ranked.withColumn("klass", klass)
         .groupBy("klass")
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
-            F.round(F.sum("r"), 2).alias("revenue"),
-        )
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "klass",
-            "n_parts",
-            "revenue",
-            F.round(F.col("revenue") * 100.0 / F.col("t"), 4).alias("revenue_pct"),
+            F.round(F.sum("r") / 1e6, 2).alias("revenue"),
+            F.round(F.sum("r") * 100.0 / F.max("__t"), 4).alias("revenue_pct"),
         )
     )
 

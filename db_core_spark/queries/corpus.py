@@ -396,10 +396,18 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             head,
             complete,
         )
+        if not picks:
+            # Exact one-at-a-time fallback: the simulation could not admit
+            # even one pick (bounds blocked the best exact candidate — e.g.
+            # a loose h+T upper for an uncollected-tail pair, or stacked
+            # anonymous creations). cands[0] is ALWAYS the exact sequential
+            # next merge: the collect is a GLOBAL sort on (cnt DESC, l, r),
+            # so any pair ordering before it would itself be in the top-64.
+            # Guarantees progress — batching degrades to the old 1-pick
+            # round, never to a silently truncated merge table.
+            picks = [(cands[0].l, cands[0].r, int(cands[0].cnt))]
         for l, r, cnt in picks:
             merges.append((len(merges), l, r, cnt))
-        if not picks:
-            break
         # apply the round's picks IN RANK ORDER: one chained fold per pick
         # (innermost = earliest rank), single Spark job, zero extra driver
         # round-trips
@@ -483,7 +491,12 @@ def _bpe_simulate_round(
       residual to an upper BOUND — counts and trigram counts only ever
       decrease, so stale values stay valid bounds; uncertain CREATIONS
       (whose landing identity can be ambiguous when a flanking symbol may
-      itself have merged) feed one scalar ``anon_bound``.
+      itself have merged) feed one scalar ``anon_bound`` — accumulated by
+      SUM, not max, because several anonymous masses can land on the SAME
+      pair identity and the safe bound on any one identity is their joint
+      mass. When the bounds block even the round's first pick, the caller
+      falls back to the always-exact one-at-a-time top-1 pick, so a loose
+      bound costs rounds, never correctness.
 
     A pick is admitted only while its exact total strictly beats the
     upper bound of every non-exact candidate (dirty tails; uncollected
@@ -579,11 +592,11 @@ def _bpe_simulate_round(
                     )
                     # its destroyed occurrences re-emerge as creations of
                     # ambiguous identity (the flank may itself merge)
-                    anon_bound = max(anon_bound, bound)
+                    anon_bound += bound
             # creations seeded from already-dirty pairs adjacent to the pick
             for (l2, r2), b in tail_dirty.items():
                 if r2 == l1 or l2 == r1:
-                    anon_bound = max(anon_bound, b)
+                    anon_bound += b
             if not chain_pick:
                 # created tail pairs around the new symbol: exact when the
                 # flank is fresh (it provably did not merge), else anonymous
@@ -592,23 +605,20 @@ def _bpe_simulate_round(
                         continue
                     if (b, c) == (l1, r1):
                         if stale_pick or a == r1 or a in consumed:
-                            anon_bound = max(anon_bound, s)
+                            anon_bound += s
                         else:
                             tail_exact[(a, mk)] = s
                     if (a, b) == (l1, r1):
                         if stale_pick or c == l1 or c in consumed:
-                            anon_bound = max(anon_bound, s)
+                            anon_bound += s
                         else:
                             tail_exact[(mk, c)] = s
                 # depth-2 creations (merged-next-to-merged) and same-pair
                 # chains descend from the trigrams flanking this pick
                 for lp, rp, _c in picks[:-1]:
-                    anon_bound = max(
-                        anon_bound,
-                        tail_tri.get((rp, l1, r1), 0),
-                        tail_tri.get((l1, r1, lp), 0),
-                    )
-                anon_bound = max(anon_bound, tail_tri.get((r1, l1, r1), 0))
+                    anon_bound += tail_tri.get((rp, l1, r1), 0)
+                    anon_bound += tail_tri.get((l1, r1, lp), 0)
+                anon_bound += tail_tri.get((r1, l1, r1), 0)
         consumed |= {l1, r1}
         created_syms.add(mk)
     return picks

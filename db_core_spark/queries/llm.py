@@ -968,50 +968,25 @@ def pack_training_sequences_scalable(
     distributed two-pass prefix sum instead of the single global window
     (which moves ALL rows to one partition).
 
-    Pass 1: range-partition by doc_id (order-preserving across partitions),
-    aggregate one token total per partition — `num_parts` rows to the
-    driver, O(partitions) not O(docs). Pass 2: broadcast the exclusive
-    per-partition offsets back; each partition computes its LOCAL running
-    sum in parallel (window partitioned by partition id) and adds its
-    offset. Identical arithmetic to the global window — pytest asserts
-    equality — with no single-partition stage anywhere."""
-    from pyspark.sql import Window as W
+    Delegates to the shared audited helper
+    :func:`db_core_spark.operators.prefixrank.global_running_sum`, whose
+    localCheckpoint staging pins ONE materialization for both passes —
+    without it the (sampled) range partitioner could assign a boundary row
+    to different partitions in the offsets job vs the final job, corrupting
+    every bin after the disagreement. Identical arithmetic to the global
+    window — pytest asserts equality — with no single-partition stage
+    anywhere."""
+    from db_core_spark.operators.prefixrank import global_running_sum
 
     d = table(spark, sf_dir, "documents")
     n_tok = F.size(F.split(F.col("text"), r"\s+")).cast("long")
-    toks = (
-        d.select("doc_id", n_tok.alias("n_tokens"))
-        .repartitionByRange(num_parts, "doc_id")
-        .sortWithinPartitions("doc_id")
-        .withColumn("pid", F.spark_partition_id())
+    toks = d.select("doc_id", n_tok.alias("n_tokens"))
+    summed = global_running_sum(
+        toks, [F.col("doc_id")], "n_tokens", num_parts=num_parts, out="cum_tokens"
     )
-    # pass 1: per-partition totals -> exclusive offsets (tiny driver list)
-    totals = {
-        r.pid: r.total
-        for r in toks.groupBy("pid").agg(F.sum("n_tokens").alias("total")).collect()
-    }
-    offsets, acc = {}, 0
-    for pid in sorted(totals):
-        offsets[pid] = acc
-        acc += totals[pid]
-    offset_df = F.broadcast(
-        spark.createDataFrame(
-            [(pid, off) for pid, off in offsets.items()], "pid int, offset long"
-        )
-    )
-    # pass 2: local running sums in parallel + broadcast offset
-    w_local = (
-        W.partitionBy("pid").orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    packed = (
-        toks.join(offset_df, "pid")
-        .withColumn(
-            "bin_id",
-            F.floor(
-                (F.col("offset") + F.sum("n_tokens").over(w_local) - F.col("n_tokens"))
-                / capacity
-            ).cast("long"),
-        )
+    packed = summed.withColumn(
+        "bin_id",
+        F.floor((F.col("cum_tokens") - F.col("n_tokens")) / capacity).cast("long"),
     )
     return packed.groupBy("bin_id").agg(
         F.count(F.lit(1)).alias("n_docs"),

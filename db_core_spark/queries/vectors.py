@@ -289,7 +289,45 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_ivf_topk", oracle=None, category="vector")
+def _ann_ivf_oracle() -> str:
+    q6 = "FLOOR(({}) * 1000000 + 0.5) / 1000000"
+    return f"""
+    WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents AS (SELECT vec_id AS cent_id, v AS cv FROM vecs WHERE vec_id % 31 = 0),
+    sims AS (
+      SELECT x.vec_id, c.cent_id,
+             {q6.format("list_cosine_similarity(x.v, c.cv)")} AS s
+      FROM vecs x CROSS JOIN cents c),
+    assigned AS (SELECT vec_id, cent_id AS cell FROM (
+      SELECT vec_id, cent_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY s DESC, cent_id DESC) AS rn
+      FROM sims) WHERE rn = 1),
+    qcells AS (SELECT vec_id AS q_id, cent_id AS q_cell FROM (
+      SELECT vec_id, cent_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY s DESC, cent_id DESC) AS rn
+      FROM sims WHERE vec_id < 10) WHERE rn <= 4),
+    cand AS (
+      SELECT q.q_id, a.vec_id
+      FROM qcells q JOIN assigned a
+        ON a.cell = q.q_cell AND a.vec_id <> q.q_id),
+    scored AS (
+      SELECT c.q_id, c.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(qv.v, cv.v), 6) AS cos_sim
+      FROM cand c
+      JOIN vecs qv ON qv.vec_id = c.q_id
+      JOIN vecs cv ON cv.vec_id = c.vec_id),
+    ranked AS (
+      SELECT q_id, neighbor_id, cos_sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rnk
+      FROM scored)
+    SELECT q_id, neighbor_id, cos_sim, rnk FROM ranked WHERE rnk <= 5
+    """
+
+
+@query("ann_ivf_topk", oracle=_ann_ivf_oracle(), category="vector")
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via IVF (inverted-file) partitioning: ~16 deterministic
     seed centroids (every 31st vec_id); each corpus vector is assigned to its
@@ -298,8 +336,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells and rescores exact cosine inside them. At 100 TB the corpus is
     written partitioned BY cell id, so a probe reads only nprobe/K of the
     data — the classic IVF pruning — and candidate generation is an
-    equi-join on cell. Rows-only check; pytest asserts scores are exact and
-    recall vs brute force."""
+    equi-join on cell. Cell-selection similarities are quantized to 6 dp
+    with the portable half-up floor in both engines, so cell assignment —
+    and therefore the full candidate set and output — is deterministic
+    across engines and value-hash-checked by the oracle (was rows-only);
+    pytest asserts scores are exact and recall vs brute force."""
     e = table(spark, sf_dir, "embeddings")
     vecs = e.select(F.col("vec_id"), to_double("embedding").alias("vec"))
     cents = F.broadcast(
@@ -310,7 +351,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def nearest_cells(df, id_col, vec_col, n_cells, out):
         scored = df.join(cents).withColumn(
-            "_sim", cosine(F.col(vec_col), F.col("cent_vec"))
+            "_sim",
+            F.floor(cosine(F.col(vec_col), F.col("cent_vec")) * 1e6 + 0.5) / 1e6,
         )
         ranked = scored.groupBy(id_col, vec_col).agg(
             F.slice(

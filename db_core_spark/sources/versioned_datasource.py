@@ -758,6 +758,13 @@ class VersionedStreamWriter(DataSourceStreamWriter):
         # checkpoint location (new checkpoint <=> new batchId counter <=>
         # new identity); with neither writerId nor checkpointLocation there
         # is nothing safe to derive from, so fail loudly.
+        # NOTE deliberately NOT derived from the session conf
+        # spark.sql.streaming.checkpointLocation: that conf names a PARENT
+        # directory — an unnamed query checkpoints under a fresh random
+        # subdir each start (batchId resets every restart), so a
+        # conf-derived identity would be shared across restarts and
+        # reintroduce the replay-discard data loss this check exists to
+        # prevent. Only the per-query values are safe to key on.
         ckpt = options.get("checkpointlocation")
         self.writer_id = options.get("writerid") or (
             f"streamwriter:{self.path}@{ckpt}" if ckpt else None
@@ -765,9 +772,14 @@ class VersionedStreamWriter(DataSourceStreamWriter):
         if self.writer_id is None:
             raise ValueError(
                 "versioned stream sink needs .option('writerId', ...) or a "
-                "checkpointLocation to derive one: a table-path-only default "
-                "would treat a restarted query's early epochs as replays of "
-                "an older checkpoint's and silently drop them"
+                "per-query .option('checkpointLocation', ...) to derive one: "
+                "a table-path-only default would treat a restarted query's "
+                "early epochs as replays of an older checkpoint's and "
+                "silently drop them. (The session conf "
+                "spark.sql.streaming.checkpointLocation is NOT a substitute: "
+                "it is a parent dir under which unnamed queries get a fresh "
+                "random checkpoint each start, so an identity derived from "
+                "it would be wrongly shared across restarts.)"
             )
         # DETERMINISTIC staging dir (a hash of the writer identity): Spark
         # instantiates this class separately for planning, executor write

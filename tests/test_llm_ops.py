@@ -607,3 +607,30 @@ def test_bpe_train_exact_with_partial_head(spark, monkeypatch):
         ]
         assert got == want, f"head={head_words} diverged"
         assert corpus.BPE_LAST_ROUNDS >= 1
+
+
+def test_bpe_train_fallback_when_simulation_blocked(spark, monkeypatch):
+    """If the batched round simulation admits ZERO picks (bounds blocked the
+    best exact candidate), the trainer must fall back to the always-exact
+    one-at-a-time top-1 pick — never silently truncate the merge table."""
+    import duckdb
+
+    import db_core_spark.queries.corpus as corpus
+
+    wf = dict(
+        duckdb.sql(
+            f"""SELECT word, COUNT(*) FROM (
+                  SELECT UNNEST(string_split_regex(text, '\\s+')) AS word
+                  FROM read_parquet('{SF_SMALL}/documents.parquet'))
+                GROUP BY word"""
+        ).fetchall()
+    )
+    want = corpus.bpe_train_reference(wf)
+    monkeypatch.setattr(corpus, "_bpe_simulate_round", lambda *a, **k: [])
+    got = [
+        (r.rank, r.left, r.right, r.pair_freq)
+        for r in corpus.bpe_train_merges(spark, SF_SMALL).collect()
+    ]
+    assert got == want
+    # degraded to exactly one pick per driver round — the pre-batching shape
+    assert corpus.BPE_LAST_ROUNDS == len(want)
