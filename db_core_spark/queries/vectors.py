@@ -1043,7 +1043,65 @@ def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_ivf_recall_sweep", oracle=None, category="vector")
+def _ann_sweep_oracle() -> str:
+    q6 = "FLOOR(({}) * 1000000 + 0.5) / 1000000"
+    return f"""
+    WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents AS (SELECT vec_id AS cent_id, v AS cv FROM vecs WHERE vec_id % 31 = 0),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM vecs WHERE vec_id < 10),
+    exact_scored AS (
+      SELECT q.q_id, e.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(q.qv, e.v), 6) AS cos_exact
+      FROM q JOIN vecs e ON e.vec_id <> q.q_id),
+    exact5 AS (SELECT q_id, neighbor_id FROM (
+      SELECT q_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY cos_exact DESC, neighbor_id) AS rn
+      FROM exact_scored) WHERE rn <= 5),
+    sims AS (
+      SELECT x.vec_id, c.cent_id,
+             {q6.format("list_cosine_similarity(x.v, c.cv)")} AS s
+      FROM vecs x CROSS JOIN cents c),
+    assigned AS (SELECT vec_id, cent_id AS cell FROM (
+      SELECT vec_id, cent_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY s DESC, cent_id DESC) AS rn
+      FROM sims) WHERE rn = 1),
+    qcells AS (SELECT vec_id AS q_id, cent_id AS q_cell, rn AS cell_rank FROM (
+      SELECT vec_id, cent_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY s DESC, cent_id DESC) AS rn
+      FROM sims WHERE vec_id < 10) WHERE rn <= 8),
+    cand AS (
+      SELECT qc.q_id, a.vec_id AS neighbor_id, qc.cell_rank,
+             ROUND(list_cosine_similarity(qq.qv, vv.v), 6) AS cos_sim
+      FROM qcells qc
+      JOIN assigned a ON a.cell = qc.q_cell AND a.vec_id <> qc.q_id
+      JOIN vecs vv ON vv.vec_id = a.vec_id
+      JOIN q qq ON qq.q_id = qc.q_id),
+    probes AS (SELECT UNNEST([1, 2, 4, 8]) AS nprobe),
+    expanded AS (
+      SELECT p.nprobe, c.q_id, c.neighbor_id, c.cos_sim
+      FROM cand c JOIN probes p ON c.cell_rank <= p.nprobe),
+    ivf5 AS (SELECT nprobe, q_id, neighbor_id FROM (
+      SELECT nprobe, q_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY nprobe, q_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rn
+      FROM expanded) WHERE rn <= 5),
+    hits AS (
+      SELECT nprobe, CAST(COUNT(*) AS BIGINT) AS n_hits
+      FROM ivf5 JOIN exact5 USING (q_id, neighbor_id) GROUP BY nprobe),
+    cand_counts AS (
+      SELECT nprobe, CAST(COUNT(*) AS BIGINT) AS n_candidates
+      FROM expanded GROUP BY nprobe)
+    SELECT h.nprobe,
+           ROUND(h.n_hits / (5.0 * (SELECT COUNT(*) FROM q)), 4) AS recall5,
+           c.n_candidates
+    FROM hits h JOIN cand_counts c ON c.nprobe = h.nprobe
+    """
+
+
+@query("ann_ivf_recall_sweep", oracle=_ann_sweep_oracle(), category="vector")
 def ann_ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF tuning curve: recall@5 and candidate volume per nprobe (1/2/4/8)
     against the exact cosine top-5 — the measurement that picks an ANN
@@ -1053,8 +1111,10 @@ def ann_ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     against exact top-5 reduces per nprobe. The corpus is scored once per
     covering cell, not once per nprobe value; at 100 TB candidates stay an
     equi-join on the cell id over the cell-partitioned corpus layout
-    (ann_ivf_topk). Rows-only (probabilistic structure); pytest pins
-    recall monotone in nprobe and candidate counts strictly growing."""
+    (ann_ivf_topk). Cell-selection sims quantized with the portable
+    half-up floor (as in ann_ivf_topk), so the whole tuning curve is
+    deterministic across engines and value-hash-checked (was rows-only);
+    pytest pins recall monotone in nprobe and candidate counts growing."""
     e = table(spark, sf_dir, "embeddings")
     vecs = e.select(F.col("vec_id"), to_double("embedding").alias("vec"))
     cents = F.broadcast(
@@ -1082,7 +1142,8 @@ def ann_ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus cell assignment (1 cell each) + query cells WITH probe rank
     def top_cells(df, id_col, vec_col, n_cells):
         scored = df.join(cents).withColumn(
-            "_sim", cosine(F.col(vec_col), F.col("cent_vec"))
+            "_sim",
+            F.floor(cosine(F.col(vec_col), F.col("cent_vec")) * 1e6 + 0.5) / 1e6,
         )
         ranked = scored.groupBy(id_col).agg(
             F.slice(
