@@ -997,10 +997,23 @@ def kmeans_lloyd(
         cdf = F.broadcast(
             spark.createDataFrame(cents, "cluster int, cent array<double>")
         )
-        d2 = F.aggregate(
-            F.zip_with(F.col("vec"), F.col("cent"), lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        # d2 and the updated centroids are quantized to 6 dp with the
+        # portable half-up floor: assignments and trajectories are then
+        # bit-reproducible ACROSS ENGINES (the DuckDB oracle replays every
+        # round), at a perturbation (~1e-6) far below fixture inertia scale.
+        d2 = (
+            F.floor(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("vec"), F.col("cent"), lambda a, b: (a - b) * (a - b)
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                * 1e6
+                + 0.5
+            )
+            / 1e6
         )
         assigned = (
             vecs.join(cdf)
@@ -1017,29 +1030,74 @@ def kmeans_lloyd(
             .agg(F.avg("x").alias("m"))
             .collect()
         )
+        import math  # noqa: PLC0415
+
         by_c: dict[int, list[float]] = {}
         for r in upd:
-            by_c.setdefault(r.cluster, [0.0] * dim)[r.dim] = r.m
+            by_c.setdefault(r.cluster, [0.0] * dim)[r.dim] = (
+                math.floor(r.m * 1e6 + 0.5) / 1e6
+            )
         cents = sorted(by_c.items())
     return assigned, history
 
 
-@query("embedding_kmeans_lloyd", oracle=None, category="vector")
+def _kmeans_oracle(k: int = 8, iters: int = 5, dim: int = 64) -> str:
+    """Chained-CTE replay of the quantized Lloyd loop: round r assigns every
+    vector to its nearest c{r} centroid (q6 distances, cluster-id tiebreak)
+    and c{r+1} is the q6-quantized per-dim mean. Quantization makes the
+    float trajectory engine-portable (see kmeans_lloyd)."""
+    q6 = "FLOOR(({}) * 1000000 + 0.5) / 1000000"
+    rounds = []
+    for r in range(iters):
+        rounds.append(f"""
+    a{r} AS (SELECT vec_id, cluster, d2 FROM (
+      SELECT s.vec_id, s.cluster, s.d2,
+             ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                                ORDER BY s.d2, s.cluster) AS rn
+      FROM (
+        SELECT x.vec_id, c.cluster,
+               {q6.format("SUM((x.v[c.dim + 1] - c.m) * (x.v[c.dim + 1] - c.m))")} AS d2
+        FROM vecs x JOIN c{r} c ON TRUE
+        GROUP BY x.vec_id, c.cluster) s) WHERE rn = 1),""")
+        if r < iters - 1:
+            rounds.append(f"""
+    c{r + 1} AS (
+      SELECT a.cluster, d.i - 1 AS dim, {q6.format("AVG(x.v[d.i])")} AS m
+      FROM a{r} a JOIN vecs x ON x.vec_id = a.vec_id CROSS JOIN dims d
+      GROUP BY a.cluster, d.i),""")
+    return f"""
+    WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    dims AS (SELECT UNNEST(range(1, {dim + 1})) AS i),
+    seeds AS (SELECT v, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+              FROM vecs WHERE vec_id % 31 = 0 ORDER BY vec_id LIMIT {k}),
+    c0 AS (SELECT rn - 1 AS cluster, i - 1 AS dim, v[i] AS m
+           FROM seeds CROSS JOIN dims),{"".join(rounds)}
+    _last AS (SELECT * FROM a{iters - 1})
+    SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           {q6.format("AVG(d2)")} AS mean_d2
+    FROM _last GROUP BY cluster
+    """
+
+
+@query("embedding_kmeans_lloyd", oracle=_kmeans_oracle(), category="vector")
 def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means clustering of the embedding corpus (k=8, 5 Lloyd rounds,
     deterministic seeds) — the workhorse behind IVF cell construction
     (ann_ivf_topk uses unrefined seeds; this is the refinement step),
-    corpus topic bucketing, and diversity sampling. Rows-only (iterative
-    float averaging is not SQL-expressible); pytest pins the Lloyd
-    guarantee (non-increasing inertia), determinism across runs, and
-    full coverage of the corpus. Emits per-cluster size and mean
-    within-cluster squared distance."""
+    corpus topic bucketing, and diversity sampling. Distances and updated
+    centroids are quantized to 6 dp with the portable half-up floor each
+    round, so the full Lloyd trajectory — every assignment of every round
+    — is replayed bit-equal by the chained-CTE oracle and value-hash
+    checked (was rows-only under raw float averaging); pytest pins the
+    Lloyd guarantee (non-increasing inertia, to quantization tolerance),
+    determinism across runs, and full coverage of the corpus. Emits
+    per-cluster size and mean within-cluster squared distance."""
     e = table(spark, sf_dir, "embeddings")
     vecs = e.select("vec_id", to_double(F.col("embedding")).alias("vec"))
     assigned, _hist = kmeans_lloyd(vecs, k=8, iters=5)
     return assigned.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n_vecs"),
-        F.round(F.avg("d2"), 6).alias("mean_d2"),
+        (F.floor(F.avg("d2") * 1e6 + 0.5) / 1e6).alias("mean_d2"),
     )
 
 

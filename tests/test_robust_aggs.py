@@ -90,7 +90,10 @@ def test_kmeans_lloyd_guarantee_and_determinism(spark):
         "vec_id", to_double(F.col("embedding")).alias("vec")
     )
     a1, h1 = kmeans_lloyd(vecs, k=8, iters=4)
-    assert all(h1[i + 1] <= h1[i] + 1e-9 for i in range(len(h1) - 1)), h1
+    # tolerance: centroids are q6-quantized each round (engine portability),
+    # which can raise inertia by up to ~n*dim*(5e-7)^2 over the exact-mean
+    # Lloyd bound — 1e-6 covers it with margin at any fixture SF
+    assert all(h1[i + 1] <= h1[i] + 1e-6 for i in range(len(h1) - 1)), h1
     assert h1[0] > h1[-1]  # it actually improved
     n = vecs.count()
     assert a1.count() == n
