@@ -1364,30 +1364,104 @@ def logreg_train(
         total_loss = next(r.lsum for r in agg if r.cls == 0 and r.dim == 0)
         total_hit = next(r.hsum for r in agg if r.cls == 0 and r.dim == 0)
         history.append((it, total_loss / n, total_hit / n))
+        # q6-quantized weight update: the gradient sum's float ordering is
+        # engine-specific at ~1e-13, so quantizing each updated weight to
+        # 6 dp (portable half-up floor) keeps the whole GD trajectory
+        # bit-equal between Spark and the DuckDB oracle replay
+        import math  # noqa: PLC0415
+
         for r in agg:
-            W[r.cls][r.dim] -= lr / n * r.gsum
+            W[r.cls][r.dim] = (
+                math.floor((W[r.cls][r.dim] - lr / n * r.gsum) * 1e6 + 0.5) / 1e6
+            )
     data.unpersist()
     return W, history
 
 
-@query("embedding_logreg_train", oracle=None, category="vector")
+def _logreg_oracle(n_classes: int = 10, iters: int = 12, lr: float = 10.0,
+                   dim: int = 64) -> str:
+    """Chained-CTE replay of the full-batch GD loop: round r scores every
+    vector against w{r}, softmaxes, folds loss/accuracy into hist{r}, and
+    w{r+1} is the q6-quantized update — the quantization (mirrored in
+    logreg_train) is what makes the float trajectory engine-portable."""
+    q6 = "FLOOR(({}) * 1000000 + 0.5) / 1000000"
+    rounds = []
+    for r in range(iters):
+        rounds.append(f"""
+    sp{r} AS MATERIALIZED (
+      SELECT vec_id, label, cls, s,
+             e / SUM(e) OVER (PARTITION BY vec_id) AS p,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY s DESC, cls) AS rn
+      FROM (
+        SELECT vec_id, label, cls, s,
+               EXP(s - MAX(s) OVER (PARTITION BY vec_id)) AS e
+        FROM (
+          SELECT x.vec_id, x.label, w.cls, SUM(w.w * x.xb[w.dim + 1]) AS s
+          FROM xb x JOIN w{r} w ON TRUE
+          GROUP BY 1, 2, 3))),
+    hist{r} AS MATERIALIZED (
+      SELECT {r} AS iter,
+             {q6.format("SUM(loss) / (SELECT COUNT(*) FROM xb)")} AS mean_loss,
+             {q6.format("SUM(hit) * 1.0 / (SELECT COUNT(*) FROM xb)")} AS train_acc
+      FROM (
+        SELECT vec_id,
+               -LN(MAX(CASE WHEN cls = label THEN p END)) AS loss,
+               CASE WHEN MAX(CASE WHEN rn = 1 THEN cls END) = MAX(label)
+                    THEN 1 ELSE 0 END AS hit
+        FROM sp{r} GROUP BY vec_id)),
+    g{r} AS MATERIALIZED (
+      SELECT p.cls, d.i - 1 AS dim,
+             SUM((p.p - CASE WHEN p.cls = p.label THEN 1.0 ELSE 0.0 END)
+                 * x.xb[d.i]) AS gsum
+      FROM sp{r} p JOIN xb x ON x.vec_id = p.vec_id CROSS JOIN dims d
+      GROUP BY 1, 2),
+    w{r + 1} AS MATERIALIZED (
+      SELECT w.cls, w.dim,
+             {q6.format(f"w.w - ({lr} / (SELECT COUNT(*) FROM xb)) * g.gsum")} AS w
+      FROM w{r} w JOIN g{r} g ON g.cls = w.cls AND g.dim = w.dim),""")
+    hist_union = " UNION ALL ".join(f"SELECT * FROM hist{r}" for r in range(iters))
+    return f"""
+    WITH xb AS MATERIALIZED (
+      SELECT vec_id, label,
+             list_append(CAST(embedding AS DOUBLE[]), 1.0) AS xb
+      FROM embeddings),
+    dims AS (SELECT UNNEST(range(1, {dim + 2})) AS i),
+    clss AS (SELECT UNNEST(range(0, {n_classes})) AS cls),
+    w0 AS (SELECT c.cls, d.i - 1 AS dim, 0.0 AS w
+           FROM clss c CROSS JOIN dims d),{"".join(rounds)}
+    hist AS ({hist_union})
+    SELECT CAST(iter AS INT) AS iter, mean_loss, train_acc FROM hist
+    """
+
+
+@query("embedding_logreg_train", oracle=_logreg_oracle(), category="vector")
 def embedding_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train the 10-class linear classifier on the embedding corpus by
     distributed full-batch gradient descent (12 rounds) and emit the
     loss/accuracy curve — the supervised-training counterpart of
     embedding_kmeans_lloyd, and the shape of every quality-classifier /
     langid-model training job a curation pipeline runs over labeled
-    documents. Rows-only (iterative float optimization is not
-    SQL-expressible); pytest pins: deterministic replay, strictly
-    decreasing loss, and final train accuracy beating the class prior by
-    >2x on the genuinely label-correlated fixture."""
+    documents. Weight updates are q6-quantized each round (portable
+    half-up floor), which pins the whole GD trajectory bit-equal across
+    engines; the oracle replays all 12 rounds as chained CTEs (score ->
+    softmax -> loss/acc -> gradient -> quantized update) and the driver
+    value-hash checks the full curve (was rows-only). pytest pins:
+    deterministic replay, strictly decreasing loss, and final train
+    accuracy beating the class prior by >2x on the genuinely
+    label-correlated fixture."""
+    import math  # noqa: PLC0415
+
     e = table(spark, sf_dir, "embeddings")
     vecs = e.select(
         "vec_id", to_double(F.col("embedding")).alias("vec"), "label"
     )
     _W, hist = logreg_train(vecs, n_classes=10, iters=12, lr=10.0)
     return spark.createDataFrame(
-        [(it, round(l, 6), round(a, 6)) for it, l, a in hist],
+        [
+            (it, math.floor(l * 1e6 + 0.5) / 1e6, math.floor(a * 1e6 + 0.5) / 1e6)
+            for it, l, a in hist
+        ],
         "iter int, mean_loss double, train_acc double",
     )
 
