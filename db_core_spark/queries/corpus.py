@@ -275,7 +275,91 @@ def bpe_train_reference(word_freqs: dict[str, int], n_merges: int = BPE_MERGES):
 BPE_LAST_ROUNDS = 0
 
 
-@query("bpe_train_merges", oracle=None, category="llm")
+def _bpe_chain_sql(n_merges: int) -> str:
+    """The shared 20-round BPE training chain as chained MATERIALIZED CTEs —
+    the SEQUENTIAL reference algorithm in pure SQL: each round counts
+    adjacent pairs (exact integer sums), picks the argmax with the
+    lexicographic tiebreak (a subquery — no data knowledge needed), and
+    rewrites every word with leftmost-nonoverlapping merge semantics via
+    islands-parity (candidate positions at consecutive indices pair off
+    even offsets — the run case l == r; isolated candidates always merge).
+    Everything is integer/string arithmetic, so the replay is EXACT, and
+    the Spark side's batched head+tail simulation is therefore value-hash
+    checked against the sequential algorithm it claims to equal (the same
+    property the parity pytest pins, now driver-checked too)."""
+    parts = ["""
+    WITH v0 AS MATERIALIZED (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+             string_split(word, '') AS syms
+      FROM (SELECT UNNEST(string_split_regex(text, '\\s+')) AS word
+            FROM documents)
+      GROUP BY word)"""]
+    for r in range(n_merges):
+        parts.append(f""",
+    w{r} AS MATERIALIZED (
+      SELECT word, freq, i, s,
+             LEAD(s) OVER (PARTITION BY word ORDER BY i) AS s2
+      FROM (SELECT word, freq,
+                   UNNEST(range(1, len(syms) + 1)) AS i,
+                   UNNEST(syms) AS s
+            FROM v{r})),
+    pick{r} AS MATERIALIZED (
+      SELECT s AS l, s2 AS r, s || s2 AS m, CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM w{r} WHERE s2 IS NOT NULL
+      GROUP BY s, s2 ORDER BY cnt DESC, l, r LIMIT 1),
+    merged{r} AS MATERIALIZED (
+      SELECT word, i FROM (
+        SELECT word, i,
+               ROW_NUMBER() OVER (PARTITION BY word, isl ORDER BY i) AS k
+        FROM (
+          SELECT word, i,
+                 i - ROW_NUMBER() OVER (PARTITION BY word ORDER BY i) AS isl
+          FROM w{r}
+          WHERE s = (SELECT l FROM pick{r})
+            AND s2 = (SELECT r FROM pick{r})))
+      WHERE k % 2 = 1),
+    v{r + 1} AS MATERIALIZED (
+      SELECT w.word, w.freq,
+             LIST(CASE WHEN mc.word IS NOT NULL
+                       THEN (SELECT m FROM pick{r}) ELSE w.s END
+                  ORDER BY w.i) AS syms
+      FROM w{r} w
+      LEFT JOIN merged{r} mc ON mc.word = w.word AND mc.i = w.i
+      LEFT JOIN merged{r} pv ON pv.word = w.word AND pv.i = w.i - 1
+      WHERE pv.word IS NULL
+      GROUP BY w.word, w.freq)""")
+    return "".join(parts)
+
+
+def _bpe_train_oracle(n_merges: int = 20) -> str:
+    ranks = "\n      UNION ALL ".join(
+        f'SELECT {r} AS rk, l, r AS rr, cnt FROM pick{r}' for r in range(n_merges)
+    )
+    return f"""{_bpe_chain_sql(n_merges)},
+    allpicks AS (
+      {ranks})
+    SELECT CAST(rk AS INT) AS rank, l AS "left", rr AS "right",
+           cnt AS pair_freq
+    FROM allpicks
+    """
+
+
+def _bpe_apply_oracle(n_merges: int = 20) -> str:
+    return f"""{_bpe_chain_sql(n_merges)},
+    doc_words AS (
+      SELECT doc_id, UNNEST(string_split_regex(text, '\\s+')) AS word
+      FROM documents)
+    SELECT d.doc_id,
+           CAST(SUM(len(v.syms)) AS BIGINT) AS n_bpe_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           ROUND(SUM(len(v.syms)) * 1.0 / COUNT(*), 6) AS tokens_per_word
+    FROM doc_words d JOIN v{n_merges} v ON v.word = d.word
+    GROUP BY d.doc_id
+    """
+
+
+
+@query("bpe_train_merges", oracle=_bpe_train_oracle(), category="llm")
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE (byte-pair-encoding) merge-table training — the
     tokenizer-fitting step of every LLM data pipeline. Greedy algorithm:
@@ -644,7 +728,7 @@ def bpe_apply_reference(text: str, merges) -> list[str]:
     return out
 
 
-@query("bpe_apply_tokenize", oracle=None, category="llm")
+@query("bpe_apply_tokenize", oracle=_bpe_apply_oracle(), category="llm")
 def bpe_apply_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply the trained BPE merge table to the corpus and report per-doc
     token counts — the tokenization pass that follows `bpe_train_merges` in
