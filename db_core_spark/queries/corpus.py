@@ -331,7 +331,8 @@ def _bpe_chain_sql(n_merges: int) -> str:
     return "".join(parts)
 
 
-def _bpe_train_oracle(n_merges: int = 20) -> str:
+def _bpe_train_oracle(n_merges: int | None = None) -> str:
+    n_merges = BPE_MERGES if n_merges is None else n_merges
     ranks = "\n      UNION ALL ".join(
         f'SELECT {r} AS rk, l, r AS rr, cnt FROM pick{r}' for r in range(n_merges)
     )
@@ -344,7 +345,8 @@ def _bpe_train_oracle(n_merges: int = 20) -> str:
     """
 
 
-def _bpe_apply_oracle(n_merges: int = 20) -> str:
+def _bpe_apply_oracle(n_merges: int | None = None) -> str:
+    n_merges = BPE_MERGES if n_merges is None else n_merges
     return f"""{_bpe_chain_sql(n_merges)},
     doc_words AS (
       SELECT doc_id, UNNEST(string_split_regex(text, '\\s+')) AS word
@@ -749,11 +751,16 @@ def bpe_apply_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("syms", F.split(F.col("word"), ""))
     expr = "syms"
     for _rank, left, right, _freq in merges:
-        lq, rq = left.replace("'", "\\'"), right.replace("'", "\\'")
+        # escape backslashes BEFORE quotes (same hardening as the train-side
+        # fold) — a merge symbol containing a backslash would otherwise
+        # produce a malformed SQL string literal
+        lq = left.replace("\\", "\\\\").replace("'", "\\'")
+        rq = right.replace("\\", "\\\\").replace("'", "\\'")
+        mq = (left + right).replace("\\", "\\\\").replace("'", "\\'")
         expr = (
             f"aggregate({expr}, CAST(array() AS array<string>), (acc, x) -> "
             f"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '{lq}' AND x = '{rq}' "
-            f"THEN concat(slice(acc, 1, size(acc) - 1), array('{lq}{rq}')) "
+            f"THEN concat(slice(acc, 1, size(acc) - 1), array('{mq}')) "
             "ELSE concat(acc, array(x)) END)"
         )
     tokenized = toks.withColumn("bpe", F.expr(expr))

@@ -5,6 +5,8 @@ brute-force cosine top-k (exact baseline) and an LSH-bucketed ANN variant
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from db_core_spark.functions.vectors import cosine, norm, to_double
@@ -1030,8 +1032,6 @@ def kmeans_lloyd(
             .agg(F.avg("x").alias("m"))
             .collect()
         )
-        import math  # noqa: PLC0415
-
         by_c: dict[int, list[float]] = {}
         for r in upd:
             by_c.setdefault(r.cluster, [0.0] * dim)[r.dim] = (
@@ -1368,8 +1368,6 @@ def logreg_train(
         # engine-specific at ~1e-13, so quantizing each updated weight to
         # 6 dp (portable half-up floor) keeps the whole GD trajectory
         # bit-equal between Spark and the DuckDB oracle replay
-        import math  # noqa: PLC0415
-
         for r in agg:
             W[r.cls][r.dim] = (
                 math.floor((W[r.cls][r.dim] - lr / n * r.gsum) * 1e6 + 0.5) / 1e6
@@ -1450,8 +1448,6 @@ def embedding_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic replay, strictly decreasing loss, and final train
     accuracy beating the class prior by >2x on the genuinely
     label-correlated fixture."""
-    import math  # noqa: PLC0415
-
     e = table(spark, sf_dir, "embeddings")
     vecs = e.select(
         "vec_id", to_double(F.col("embedding")).alias("vec"), "label"

@@ -12,6 +12,8 @@ import duckdb
 import pytest
 from hypothesis import given, settings, strategies as st
 
+_CON = duckdb.connect()  # one shared in-memory db for all examples
+
 
 def _py_hash60(s: str) -> int:
     return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
@@ -20,8 +22,7 @@ def _py_hash60(s: str) -> int:
 @settings(max_examples=150, deadline=None)
 @given(st.text(min_size=1, max_size=40).filter(lambda s: "\x00" not in s))
 def test_portable_hash60_duckdb_matches_python(s):
-    con = duckdb.connect()
-    got = con.execute(
+    got = _CON.execute(
         "SELECT CAST(('0x' || substr(md5(?), 1, 15)) AS BIGINT)", [s]
     ).fetchone()[0]
     assert got == _py_hash60(s)
@@ -52,8 +53,10 @@ def test_minhash_coeffs_stream_is_stable_and_prefix_consistent():
     assert minhash_coeffs(64) == c68[:64]
     for a, b in c68:
         assert 1 <= a <= MINHASH_P - 1 and 0 <= b <= MINHASH_P - 1
-    # pin the first pair: a silent LCG change would desync every oracle
-    assert c68[0] == minhash_coeffs(1)[0]
+    # pin the first pair to a HARD-CODED literal: a silent LCG change would
+    # desync every dependent oracle (recomputing both sides would not catch
+    # it — the literal is the actual guard)
+    assert c68[0] == (546257053, 1866110371)
     assert len({p for p in c68}) == 68  # no duplicate permutations
 
 
@@ -64,8 +67,7 @@ def test_half_up_quantization_matches_duckdb(val):
     relies on."""
     import math
 
-    con = duckdb.connect()
-    got = con.execute(
+    got = _CON.execute(
         "SELECT FLOOR(? * 1000000 + 0.5) / 1000000", [val]
     ).fetchone()[0]
     assert got == math.floor(val * 1e6 + 0.5) / 1e6
