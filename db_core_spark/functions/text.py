@@ -76,30 +76,6 @@ def minhash_signature(items: Column, num_hashes: int = 64) -> Column:
     return F.array(*[_minhash_one(items, i) for i in range(num_hashes)])
 
 
-def lsh_bands(signature: Column, num_bands: int, rows_per_band: int) -> Column:
-    """Split a minhash signature into bands and hash each band to a bucket:
-    array of (band_id, bucket) structs. Docs sharing any (band_id, bucket)
-    are near-dup candidates — the standard banding scheme; candidate
-    generation is then a cheap equi-join on the bucket, never a cross join."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.xxhash64(
-                    F.array_join(
-                        F.transform(
-                            F.slice(signature, b * rows_per_band + 1, rows_per_band),
-                            lambda x: x.cast("string"),
-                        ),
-                        ",",
-                    )
-                ).alias("bucket"),
-            )
-            for b in range(num_bands)
-        ]
-    )
-
-
 def portable_hash60(col: Column) -> Column:
     """60-bit md5-prefix hash: the first 15 hex chars of md5 as a
     non-negative BIGINT. Bit-identical in Spark
