@@ -546,9 +546,10 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "simhash_buckets",
-    oracle="""
+# 60-bit portable SimHash fingerprint CTE chain — shared by the
+# simhash_buckets and simhash_hamming_pairs oracles (mirrors
+# functions/text.py simhash_portable exactly).
+_SIMHASH_SQL = """
     WITH w AS (
       SELECT doc_id,
              UNNEST(list_distinct(string_split_regex(text, '\\s+'))) AS word
@@ -567,6 +568,12 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)
                AS simhash
       FROM votes GROUP BY 1)
+"""
+
+
+@query(
+    "simhash_buckets",
+    oracle=_SIMHASH_SQL + """
     SELECT doc_id, simhash,
            (simhash >> 0)  & 32767 AS band_0,
            (simhash >> 15) & 32767 AS band_1,
@@ -600,6 +607,78 @@ def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.shiftright(F.col("simhash"), 15 * i).bitwiseAND(F.lit(0x7FFF)).alias(f"band_{i}")
             for i in range(4)
         ],
+    )
+
+
+@query(
+    "simhash_hamming_pairs",
+    oracle=_SIMHASH_SQL + """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    category="llm",
+)
+def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate PAIRS: documents whose 60-bit fingerprints
+    differ in at most 3 bits — the cheap bit-level near-dup detector that
+    complements MinHash (word-set overlap) with weighted-feature cosine
+    behavior. The banded plan is EXACT, not approximate, for this
+    threshold: split the fingerprint into 4 bands of 15 bits — any pair
+    within hamming distance 3 leaves at least one band untouched
+    (pigeonhole), so the band equi-join's candidate set provably contains
+    every qualifying pair and the hamming filter removes the rest. The
+    oracle is the deliberate O(n^2) all-pairs join (the geo_cell_join
+    pattern: brute force as the exactness proof of the blocked plan).
+
+    100 TB shape: fingerprints are one shuffle-free projection; candidates
+    come from 4 equi-joins on 15-bit band keys (never a cross join); the
+    verification is a single integer xor per candidate. Band width tunes
+    the recall/cost point exactly like MinHash banding."""
+    d = table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        simhash_portable(distinct_words(F.col("text"))).alias("simhash"),
+    ).localCheckpoint()  # one fingerprint pass shared by bands + verification
+    banded = sh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_id"),
+                        F.shiftright(F.col("simhash"), 15 * i)
+                        .bitwiseAND(F.lit(0x7FFF))
+                        .alias("val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.val")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = sh.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sim_a"))
+    sb = sh.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sim_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
     )
 
 

@@ -634,3 +634,30 @@ def test_bpe_train_fallback_when_simulation_blocked(spark, monkeypatch):
     assert got == want
     # degraded to exactly one pick per driver round — the pre-batching shape
     assert corpus.BPE_LAST_ROUNDS == len(want)
+
+
+def test_simhash_hamming_pairs_banded_equals_bruteforce(spark):
+    """Pigeonhole exactness: the 4-band candidate join must find EVERY pair
+    with hamming <= 3 (any such pair shares at least one untouched band)."""
+    from db_core_spark.functions.text import simhash_portable, distinct_words
+    from db_core_spark.queries.llm import simhash_hamming_pairs
+    from db_core_spark.tables import table as tbl
+
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_hamming_pairs(spark, SF_SMALL).collect()
+    }
+    sh = {
+        r.doc_id: r.simhash
+        for r in tbl(spark, SF_SMALL, "documents")
+        .select("doc_id", simhash_portable(distinct_words(F.col("text"))).alias("simhash"))
+        .collect()
+    }
+    ids = sorted(sh)
+    brute = {
+        (a, b, bin(sh[a] ^ sh[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin(sh[a] ^ sh[b]).count("1") <= 3
+    }
+    assert got == brute and brute  # equal and non-empty (fixture has dups)
