@@ -635,7 +635,11 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: fingerprints are one shuffle-free projection; candidates
     come from 4 equi-joins on 15-bit band keys (never a cross join); the
     verification is a single integer xor per candidate. Band width tunes
-    the recall/cost point exactly like MinHash banding."""
+    the recall/cost point exactly like MinHash banding. Pair enumeration
+    is inherently quadratic INSIDE an identical-fingerprint cluster
+    (C(k,2) pairs is the answer's own size); the production composition
+    runs dedup_exact_groups first and fingerprints only canonical docs,
+    which caps k at the near-dup (not exact-dup) cluster size."""
     d = table(spark, sf_dir, "documents")
     sh = d.select(
         "doc_id",
