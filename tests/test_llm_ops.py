@@ -639,7 +639,7 @@ def test_bpe_train_fallback_when_simulation_blocked(spark, monkeypatch):
 def test_simhash_hamming_pairs_banded_equals_bruteforce(spark):
     """Pigeonhole exactness: the 4-band candidate join must find EVERY pair
     with hamming <= 3 (any such pair shares at least one untouched band)."""
-    from db_core_spark.functions.text import simhash_portable, distinct_words
+    from db_core_spark.functions.text import simhash_frame
     from db_core_spark.queries.llm import simhash_hamming_pairs
     from db_core_spark.tables import table as tbl
 
@@ -649,9 +649,7 @@ def test_simhash_hamming_pairs_banded_equals_bruteforce(spark):
     }
     sh = {
         r.doc_id: r.simhash
-        for r in tbl(spark, SF_SMALL, "documents")
-        .select("doc_id", simhash_portable(distinct_words(F.col("text"))).alias("simhash"))
-        .collect()
+        for r in simhash_frame(tbl(spark, SF_SMALL, "documents")).collect()
     }
     ids = sorted(sh)
     brute = {
