@@ -76,3 +76,66 @@ def test_snapshots_equal_model_at_every_commit(spark, tmp_path_factory, script):
     # every historical commit point replays exactly
     for csn, state in history:
         assert as_dict(vt.snapshot(as_of_csn=csn)) == state, f"as-of {csn} diverged"
+
+
+# Maintenance ops (checkpoint / retention-safe vacuum) interleave with the
+# same transaction scripts; every one must be OBSERVATIONALLY INVISIBLE —
+# same latest snapshot, same every-historical-csn as-of reads. This is the
+# transparency contract the reference's checkpointer provides
+# (/root/reference/src/system/checkpointer.rs): maintenance may rewrite
+# storage, never answers.
+txn_or_maint = st.one_of(
+    txn,
+    st.just("checkpoint"),
+    st.just("vacuum"),
+)
+maint_script = st.lists(txn_or_maint, min_size=2, max_size=5)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(script=maint_script)
+def test_maintenance_is_observationally_invisible(spark, tmp_path_factory, script):
+    path = tmp_path_factory.mktemp("vt_maint")
+    vt = VersionedTable.create(spark, str(path / "tbl"), key_cols=["k"], schema=SCHEMA)
+
+    model: dict[int, str] = {}
+    history: list[tuple[int, dict[int, str]]] = []
+
+    def as_dict(df):
+        return {r.k: r.v for r in df.collect()}
+
+    for step in script:
+        if step == "checkpoint":
+            vt.checkpoint()
+        elif step == "vacuum":
+            # huge retention: nothing eligible -> must reclaim nothing visible
+            vt.vacuum(retain_seconds=10**9)
+        else:
+            ops, do_commit = step
+            t = vt.begin()
+            staged = dict(model)
+            for o in ops:
+                if o[0] == "upsert":
+                    _, k, v = o
+                    t.upsert(spark.createDataFrame([(k, v)], SCHEMA))
+                    staged[k] = v
+                else:
+                    _, k = o
+                    t.delete_keys([(k,)])
+                    staged.pop(k, None)
+            if do_commit:
+                csn = t.commit()
+                model = staged
+                history.append((csn, dict(model)))
+            else:
+                t.rollback()
+        # invariant holds after EVERY step, maintenance included
+        assert as_dict(vt.snapshot()) == model, f"after {step!r}"
+        for csn, state in history:
+            assert as_dict(vt.snapshot(as_of_csn=csn)) == state, (
+                f"as-of {csn} diverged after {step!r}"
+            )
