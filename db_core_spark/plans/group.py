@@ -203,6 +203,17 @@ class Database:
             # so the in-place rewrite is single-writer by construction)
             staging_abs = os.path.abspath(staging)
             dst_abs = os.path.abspath(dst_path)
+
+            def retarget(p: str) -> str:
+                # manifests may carry the staging path in RELATIVE form
+                # (clone() writes whatever prefix it was given) — rewriting
+                # only the absolute form would leave relative-dst clones
+                # pointing at the renamed-away staging dir
+                for src_pfx, dst_pfx in ((staging_abs, dst_abs), (staging, dst_path)):
+                    if p.startswith(src_pfx):
+                        return dst_pfx + p[len(src_pfx):]
+                return p
+
             for name in self.table_names():
                 log_dir = os.path.join(staging, name, "_commitlog")
                 for fn in os.listdir(log_dir):
@@ -212,9 +223,9 @@ class Database:
                     with open(fp) as f:
                         m = json.load(f)
                     if "dir" in m:
-                        m["dir"] = m["dir"].replace(staging_abs, dst_abs, 1)
+                        m["dir"] = retarget(m["dir"])
                     for op in m.get("ops", []):
-                        op["dir"] = op["dir"].replace(staging_abs, dst_abs, 1)
+                        op["dir"] = retarget(op["dir"])
                     with open(fp, "w") as f:
                         json.dump(m, f)
             os.rename(staging, dst_path)
@@ -245,25 +256,52 @@ class Database:
         )
 
     def _pin_is_consistent(self, pins: dict[str, int]) -> bool:
-        """True iff no committed group straddles the pin: for every group id
-        seen in any member manifest, the members at csn <= pin and the
-        members at csn > pin must not BOTH be non-empty."""
-        members: dict[str, list[tuple[str, int]]] = {}
+        """True iff no group that is (or may yet become) committed straddles
+        the pin. For every group id seen in any member manifest:
+
+        - PENDING (marker absent or undecided, grace not yet expired) with
+          any member at csn <= pin -> INCONSISTENT: the group may commit
+          right after validation with further members landing ABOVE the
+          pin, producing the half-visible cut this check exists to prevent
+          (the member list is only complete once the marker publishes, so
+          a pending group's straddle is undecidable — retry the pin).
+        - ABORTED (decided, or force-aborted past the grace window by this
+          very resolution) -> invisible, ignore.
+        - COMMITTED -> every member manifest exists (claims all precede the
+          marker), so the straddle test is exact: members at csn <= pin and
+          members at csn > pin must not BOTH be non-empty."""
+        from db_core_spark.plans.versioned import resolve_group_status
+
+        members: dict[str, list[tuple[str, int, float]]] = {}
+        groups: dict[str, dict] = {}
         for n in pins:
             t = self.table(n)
             for m in t._manifests():
                 g = m.get("group")
                 if g is not None:
-                    members.setdefault(g["id"], []).append((n, m["csn"]))
+                    members.setdefault(g["id"], []).append(
+                        (n, m["csn"], m.get("ts", 0.0))
+                    )
+                    groups[g["id"]] = g
+        grace = self.config.group_pending_grace_seconds
         for gid, mem in members.items():
-            marker = os.path.join(self.group_dir, f"{gid}.json")
-            try:
-                with open(marker) as f:
-                    if json.load(f).get("status") != "committed":
-                        continue  # pending/aborted groups are invisible anyway
-            except OSError:
-                continue
-            inside = sum(1 for n, c in mem if c <= pins[n])
+            # non-blocking peek (wait=False): validation must not sit out a
+            # coordinator's grace window — indecision is itself the answer
+            # (retry the pin). Resolved once per group at the NEWEST member
+            # ts: claims land in sequence, so an older member's ts crossing
+            # the deadline must not force-abort a group whose latest claim
+            # is still fresh.
+            newest_ts = max(ts for _, _, ts in mem)
+            status = resolve_group_status(
+                groups[gid], newest_ts, grace, wait=False
+            )
+            if status == "pending":
+                if any(c <= pins[n] for n, c, _ in mem):
+                    return False  # undecidable straddle — retry the pin
+                continue  # entirely above the pin: invisible either way
+            if status != "committed":
+                continue  # aborted: invisible
+            inside = sum(1 for n, c, _ in mem if c <= pins[n])
             if 0 < inside < len(mem):
                 return False
         return True

@@ -70,10 +70,10 @@ class ObjectStore:
         """Create/replace an object (open_create + write_next loop,
         system/instance.rs:173-187, 429-444). Replacing also tombstones chunks past
         the new end so a shorter rewrite truncates."""
-        old = self._chunks(txn, obj_id)
+        old = self._chunk_nos(txn, obj_id)
         rows = self._chunk_rows(obj_id, data)
         new_last = rows[-1][1]
-        stale = [(obj_id, c) for c, _ in old.items() if c > new_last]
+        stale = [(obj_id, c) for c in old if c > new_last]
         if stale:
             txn.delete_keys([{"obj_id": o, "chunk_no": c} for o, c in stale])
         txn.upsert(self.spark.createDataFrame(rows, OBJECT_SCHEMA))
@@ -112,7 +112,7 @@ class ObjectStore:
     def delete(self, txn: Transaction, obj_id: int) -> None:
         """Tombstone every chunk (Instance::delete sets the deleted flag on
         all entries, system/instance.rs:191-210)."""
-        chunks = self._chunks(txn, obj_id)
+        chunks = self._chunk_nos(txn, obj_id)
         if chunks:
             txn.delete_keys([{"obj_id": obj_id, "chunk_no": c} for c in chunks])
 
@@ -164,3 +164,10 @@ class ObjectStore:
         if first is not None:
             df = df.filter((F.col("chunk_no") >= first) & (F.col("chunk_no") <= last))
         return {r.chunk_no: bytes(r.payload) for r in df.select("chunk_no", "payload").collect()}
+
+    def _chunk_nos(self, reader, obj_id: int) -> list[int]:
+        """Chunk ids only — no payload bytes cross the wire. put()/delete()
+        need just the id set; collecting payloads made a replace/delete
+        O(object size) in driver memory for no reason."""
+        df = self._chunk_df(reader).filter(F.col("obj_id") == obj_id)
+        return [r.chunk_no for r in df.select("chunk_no").collect()]

@@ -129,7 +129,9 @@ def publish_manifest(log_dir: str, name: str, manifest: dict) -> bool:
         os.remove(tmp)
 
 
-def resolve_group_status(group: dict, manifest_ts: float, grace: float) -> str:
+def resolve_group_status(
+    group: dict, manifest_ts: float, grace: float, wait: bool = True
+) -> str:
     """Resolve a group-commit marker to 'committed' or 'aborted' — the
     visibility decision point for multi-table transactions.
 
@@ -140,12 +142,19 @@ def resolve_group_status(group: dict, manifest_ts: float, grace: float) -> str:
     as-of read) sees the same answer forever.
 
     A still-undecided marker means the coordinator is between its per-table
-    claims and the marker publish — or died there. We poll until the
-    manifest is `grace` seconds old, then force-abort by publishing the
-    marker ourselves (the optimistic analog of the reference's lock wait
-    timeout, tran_mgr.rs:108-127: a reader never blocks forever on a dead
-    writer). If the coordinator wins the link race at the last moment, its
-    'committed' stands and we honor it."""
+    claims and the marker publish — or died there. With ``wait=True``
+    (reads, CDC, conflict checks) we poll until the manifest is `grace`
+    seconds old, then force-abort by publishing the marker ourselves (the
+    optimistic analog of the reference's lock wait timeout,
+    tran_mgr.rs:108-127: a reader never blocks forever on a dead writer).
+    If the coordinator wins the link race at the last moment, its
+    'committed' stands and we honor it.
+
+    ``wait=False`` is the non-blocking peek for callers that can act on
+    indecision itself (snapshot-pin validation retries the pin): within the
+    grace window an undecided marker returns ``'pending'`` immediately and
+    the healthy in-flight group is left untouched; past the window it
+    force-aborts exactly like the waiting form."""
     path = os.path.join(group["dir"], f"{group['id']}.json")
     deadline = manifest_ts + grace
     while True:
@@ -163,6 +172,8 @@ def resolve_group_status(group: dict, manifest_ts: float, grace: float) -> str:
             # coordinator's 'committed' — whichever linked first is truth
             with open(path) as f:
                 return json.load(f)["status"]
+        if not wait:
+            return "pending"
         time.sleep(0.05)
 
 
@@ -256,6 +267,12 @@ class VersionedTable:
                     "schema": schema.jsonValue(),
                     "num_buckets": num_buckets,
                     "bucket_cols": bucket_cols,
+                    # persisted so OTHER readers (the Python DataSource, which
+                    # has no EngineConfig object) resolve pending group
+                    # markers with the SAME grace as the owning table — a
+                    # shorter default there could force-abort a healthy
+                    # in-flight group commit
+                    "group_pending_grace_seconds": config.group_pending_grace_seconds,
                 },
                 f,
             )
@@ -600,6 +617,13 @@ class VersionedTable:
         csn = self.latest_csn()
         if csn == 0:
             return 0
+        if any(is_ck and c == csn for c, is_ck, _ in self._log_names()):
+            # Idempotent: this exact state is already checkpointed. MUST
+            # return before touching storage — re-resolving would
+            # mode("overwrite") the live checkpoint dir while the lazy scan
+            # is still reading it as the fold base (Spark clears the target
+            # before the read job runs), leaving an EMPTY checkpoint.
+            return csn
         out_dir = os.path.join(self._data_dir, f"checkpoint-{csn:010d}")
         if self.num_buckets > 0:
             # bucketed: resolve in-partition via the datasource reader (each
@@ -822,8 +846,12 @@ class VersionedTable:
                 if status == "committed":
                     m["group"] = None  # frozen: decided markers are immutable
                 else:
+                    # hole commit: wrote NOTHING, so its write-set is the
+                    # EMPTY list — None means "untracked, conflicts with
+                    # everything" to _check_conflicts and would wrongly
+                    # abort any clone-side txn whose window spans this csn
                     m = {"csn": csn, "tsn": m.get("tsn"), "ops": [],
-                         "write_keys": None, "ts": m.get("ts", time.time())}
+                         "write_keys": [], "ts": m.get("ts", time.time())}
             if m.get("ops"):
                 m["ops"] = [dict(op, dir=translate(op["dir"])) for op in m["ops"]]
             publish_manifest(dst_log, name, m)
@@ -873,6 +901,22 @@ class VersionedTable:
                 base_csn = int(json.load(f)["fork_csn"])
 
         def changed(t: "VersionedTable") -> set:
+            # completeness guard (the _committed_ops contract: complete fold
+            # or loud error, never a silent partial): every delta csn in
+            # (base_csn, hi] must still exist — a checkpoint+vacuum that
+            # reclaimed mid-window commits would otherwise silently DROP
+            # their keys from both the merge set and the conflict check
+            names = t._log_names()
+            delta_csns = {c for c, is_ck, _ in names if not is_ck}
+            hi = max((c for c, _, _ in names), default=0)
+            missing = set(range(base_csn + 1, hi + 1)) - delta_csns
+            if missing:
+                raise SnapshotUnavailableError(
+                    f"merge_from: commits {sorted(missing)[:10]}... on {t.path} "
+                    f"were vacuum-reclaimed inside the merge window "
+                    f"(base csn {base_csn}); their write-sets are gone, so a "
+                    "key-level merge cannot be computed"
+                )
             keys: set = set()
             for m in t._manifests():
                 if m.get("type") == "checkpoint" or m["csn"] <= base_csn:
@@ -1243,14 +1287,18 @@ class Transaction:
             )
         kc = self.table.key_cols
         data_cols = [f.name for f in self.table.schema.fields]
-        tgt = self.read().alias("tgt")
+        # match marker: a non-null literal tagged on the TARGET side before
+        # the join — testing tgt.<key>.isNotNull() would misroute a matched
+        # row whose key VALUE is NULL (the join is eqNullSafe, so NULL keys
+        # do match) into the not-matched branch
+        tgt = self.read().withColumn("__matched", F.lit(1)).alias("tgt")
         src = source.select(*data_cols).alias("src")
         on = None
         for k in kc:
             clause = F.col(f"src.{k}").eqNullSafe(F.col(f"tgt.{k}"))
             on = clause if on is None else (on & clause)
         joined = src.join(tgt, on=on, how="left")
-        is_matched = F.col(f"tgt.{kc[0]}").isNotNull()
+        is_matched = F.col("tgt.__matched").isNotNull()
         parts = []
         if when_matched == "update":
             m = joined.filter(is_matched)

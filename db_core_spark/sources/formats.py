@@ -118,6 +118,13 @@ def export_training_shards(
         .repartitionByRange(num_parts, "doc_id")
         .sortWithinPartitions("doc_id")
         .withColumn("pid", F.spark_partition_id())
+        # localCheckpoint pins ONE materialization for both actions below:
+        # the range partitioner SAMPLES its boundaries per job, so without
+        # the pin the totals collect and the shard write could assign a
+        # boundary row to different pids — a pid absent from `offsets` is
+        # silently dropped by the inner offset join (same hazard the
+        # prefixrank helper documents)
+        .localCheckpoint()
     )
     totals = {
         r.pid: r.total

@@ -129,7 +129,7 @@ def _committed_ops(path: str, as_of: int | None) -> list[dict]:
         if is_ck or csn <= lo:
             continue
         m = _read_manifest(path, name)
-        if not _group_visible(m):
+        if not _group_visible(m, path):
             continue
         for op in m["ops"]:
             ops.append(
@@ -140,21 +140,45 @@ def _committed_ops(path: str, as_of: int | None) -> list[dict]:
     return ops
 
 
-def _group_visible(manifest: dict) -> bool:
+import functools
+
+
+@functools.lru_cache(maxsize=256)
+def _table_grace(path: str) -> float:
+    """The grace window persisted in the table's _meta.json at create time;
+    falls back to the library default for tables created before the field
+    existed. Reading it here (instead of DEFAULT_CONFIG) keeps DataSource
+    reads from force-aborting a healthy in-flight group commit whose owner
+    configured a LONGER grace than this process's default. Cached: the
+    field is create-time-immutable and _group_visible runs once per
+    manifest in planning loops."""
+    from db_core_spark.config import DEFAULT_CONFIG
+
+    try:
+        meta = json.load(open(os.path.join(path, "_meta.json")))
+        return float(
+            meta.get(
+                "group_pending_grace_seconds",
+                DEFAULT_CONFIG.group_pending_grace_seconds,
+            )
+        )
+    except OSError:
+        return DEFAULT_CONFIG.group_pending_grace_seconds
+
+
+def _group_visible(manifest: dict, path: str) -> bool:
     """Multi-table commit visibility: a manifest carrying a `group` field
     counts only if its group marker resolved to committed (pending groups
-    are force-resolved after the grace window — plans/versioned.py
-    resolve_group_status). Runs at planning time on the driver, same place
-    VersionedTable's own read path resolves it."""
+    are force-resolved after the TABLE's configured grace window —
+    plans/versioned.py resolve_group_status). Runs at planning time on the
+    driver, same place VersionedTable's own read path resolves it."""
     if manifest.get("group") is None:
         return True
-    from db_core_spark.config import DEFAULT_CONFIG
     from db_core_spark.plans.versioned import resolve_group_status
 
     return (
         resolve_group_status(
-            manifest["group"], manifest.get("ts", 0.0),
-            DEFAULT_CONFIG.group_pending_grace_seconds,
+            manifest["group"], manifest.get("ts", 0.0), _table_grace(path)
         )
         == "committed"
     )
@@ -463,7 +487,7 @@ class VersionedChangeStreamReader(DataSourceStreamReader):
             if is_ck or not (lo < csn <= hi):
                 continue
             m = _read_manifest(self.path, name)
-            if not _group_visible(m):
+            if not _group_visible(m, self.path):
                 continue  # aborted/force-aborted group: no change rows
             for op in m["ops"]:
                 has_pre = bool(op.get("preimages"))
@@ -671,7 +695,7 @@ class VersionedAppendWriter(DataSourceWriter):
                 if is_ck or not (self.start_csn < csn < candidate):
                     continue
                 m = _read_manifest(self.path, name)
-                if not _group_visible(m):
+                if not _group_visible(m, self.path):
                     continue  # aborted multi-table commit: nothing to conflict with
                 theirs = m.get("write_keys")
                 if my_keys is None or theirs is None:
@@ -866,7 +890,7 @@ class VersionedStreamWriter(DataSourceStreamWriter):
                 if is_ck or not (self.last_seen_csn < csn < candidate):
                     continue
                 mf = _read_manifest(self.path, name)
-                if mf.get("writer") == self.writer_id or not _group_visible(mf):
+                if mf.get("writer") == self.writer_id or not _group_visible(mf, self.path):
                     continue
                 theirs = mf.get("write_keys")
                 if my_keys is None or theirs is None:
@@ -974,13 +998,24 @@ class VersionedChangesBatchReader(DataSourceReader):
         path = options["path"]
         from_csn = int(options.get("fromcsn", 0))
         to = options.get("tocsn")
+        deltas = {c for c, is_ck, _ in _log_names(path) if not is_ck}
         if to is not None:
             to_csn = int(to)
         else:
-            deltas = [c for c, is_ck, _ in _log_names(path) if not is_ck]
             to_csn = max(deltas, default=0)
         if from_csn > to_csn:
             raise ValueError(f"fromCsn {from_csn} > toCsn {to_csn}")
+        # completeness guard (the engine's complete-fold-or-loud-error
+        # contract): a vacuum-reclaimed commit inside the requested window
+        # would otherwise just be ABSENT from the feed — the consumer sees
+        # a silently incomplete ledger, the unsafe direction for CDC
+        missing = set(range(from_csn + 1, to_csn + 1)) - deltas
+        if missing:
+            raise RuntimeError(
+                f"changes({from_csn}, {to_csn}): commits "
+                f"{sorted(missing)[:10]} were vacuum-reclaimed inside the "
+                "window; the batch change feed cannot be complete"
+            )
         self._window = ({"csn": from_csn}, {"csn": to_csn})
 
     def partitions(self):

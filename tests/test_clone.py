@@ -298,3 +298,30 @@ def test_branch_merge_boolean_and_timestamp_keys(spark, tmp_path):
     assert res == {"applied": 2, "deleted": 1, "conflicts": 0}
     state = {(r.flag, r.at): r.v for r in src.snapshot().collect()}
     assert state == {(True, ts0): 100, (True, ts1): 300}
+
+
+def test_merge_from_refuses_vacuum_reclaimed_window(spark, tmp_path):
+    """merge_from computes change sets from manifest write_keys over
+    (base_csn, head]. If checkpoint+vacuum reclaimed commits INSIDE that
+    window, their write-sets are gone — a silent partial merge would drop
+    branch changes and blind the conflict check, so it must raise."""
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.LongType())]
+    )
+    src = VersionedTable.create(
+        spark, str(tmp_path / "msrc"), key_cols=["k"], schema=schema
+    )
+    t = src.begin()
+    t.upsert(spark.createDataFrame([(i, i) for i in range(4)], schema))
+    t.commit()
+
+    br = src.clone(str(tmp_path / "mbranch"))
+    t = br.begin(); t.upsert(spark.createDataFrame([(1, 100)], schema)); t.commit()
+    t = br.begin(); t.upsert(spark.createDataFrame([(2, 200)], schema)); t.commit()
+    # reclaim the branch's merge window: checkpoint covers both commits,
+    # vacuum(0) removes their delta manifests (and write-sets)
+    br.checkpoint()
+    br.vacuum(retain_seconds=0)
+
+    with pytest.raises(SnapshotUnavailableError, match="vacuum-reclaimed"):
+        src.merge_from(br)

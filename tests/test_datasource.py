@@ -505,3 +505,105 @@ def test_unfiltered_read_unaffected_by_sibling_point_lookup(spark, tmp_path):
     assert [(r.k, r.v) for r in eq.collect()] == [(7, 70)]
     assert base.count() == 64
     assert base.rdd.getNumPartitions() == 8
+
+
+def test_batch_changes_refuses_vacuum_reclaimed_window(spark, tmp_path):
+    """changes(A, B) is a LEDGER read: a commit vacuum-reclaimed inside the
+    requested window would silently vanish from the feed — the consumer
+    sees an incomplete change history with no signal. The reader must
+    refuse loudly; windows entirely above the reclaim line still work."""
+    from db_core_spark.plans import VersionedTable
+
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    vt = VersionedTable.create(
+        spark, str(tmp_path / "ledger"), key_cols=["k"], schema=schema
+    )
+    for i in range(3):
+        t = vt.begin()
+        t.upsert(spark.createDataFrame([(i, f"v{i}")], schema))
+        t.commit()
+    vt.checkpoint()
+    vt.vacuum(retain_seconds=0)  # reclaims delta manifests csn 1..3
+    t = vt.begin()
+    t.upsert(spark.createDataFrame([(9, "after")], schema))
+    c4 = t.commit()
+
+    # window above the reclaim line: complete, works
+    post = {(r.k, r._csn) for r in vt.changes(from_csn=3).collect()}
+    assert post == {(9, c4)}
+    # window spanning reclaimed commits: loud failure, not a partial feed
+    with pytest.raises(Exception, match="vacuum-reclaimed"):
+        vt.changes(from_csn=0).count()
+
+
+def test_datasource_group_visibility_uses_table_grace(spark, tmp_path):
+    """The DataSource resolves pending group markers with the grace window
+    persisted in the table's _meta.json — NOT this process's default. A
+    reader defaulting to a SHORTER grace would force-abort a healthy
+    in-flight group commit owned by a writer configured with a longer one."""
+    import json
+    import os
+
+    from db_core_spark.config import DEFAULT_CONFIG, EngineConfig
+    from db_core_spark.plans import Database
+    from db_core_spark.sources.versioned_datasource import (
+        _group_visible,
+        _table_grace,
+    )
+
+    patient = EngineConfig(group_pending_grace_seconds=3600.0, num_buckets=4)
+    db = Database.create(spark, str(tmp_path / "gdb"), config=patient)
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    db.create_table("a", key_cols=["k"], schema=schema)
+    db.create_table("b", key_cols=["k"], schema=schema)
+    apath = os.path.join(str(tmp_path / "gdb"), "a")
+
+    # grace persisted at create time and read back by the DataSource helper
+    meta = json.load(open(os.path.join(apath, "_meta.json")))
+    assert meta["group_pending_grace_seconds"] == 3600.0
+    _table_grace.cache_clear()
+    assert _table_grace(apath) == 3600.0
+
+    # pending group claimed on both tables; coordinator paused before DECIDE
+    g = db.begin()
+    g.upsert("a", spark.createDataFrame([(1, "ga")], schema))
+    g.upsert("b", spark.createDataFrame([(10, "gb")], schema))
+    staged = {n: t._stage() for n, t in g._txns.items()}
+    group_field = {"dir": db.group_dir, "id": g.gid}
+    for name, txn in g._txns.items():
+        ops_meta, keys = staged[name]
+        txn._done = True
+        txn._claim(ops_meta, keys, group=group_field)
+
+    pending = [m for m in db.table("a")._manifests() if m.get("group") is not None]
+    assert pending
+
+    # The decisive probe: a member manifest OLDER than the process default
+    # grace but well inside the table's 3600 s. A reader resolving with
+    # DEFAULT_CONFIG's grace (the pre-fix DataSource behavior) is past the
+    # deadline and would force-abort this healthy in-flight group; with the
+    # table's persisted grace it is still simply pending and untouched.
+    import time as _time
+
+    from db_core_spark.plans.versioned import resolve_group_status
+
+    old_ts = _time.time() - 2 * DEFAULT_CONFIG.group_pending_grace_seconds
+    assert DEFAULT_CONFIG.group_pending_grace_seconds < 3600.0
+    status = resolve_group_status(
+        pending[0]["group"], old_ts, _table_grace(apath), wait=False
+    )
+    assert status == "pending"
+    assert not os.path.exists(os.path.join(db.group_dir, f"{g.gid}.json"))
+
+    # once the coordinator decides, the DataSource sees it (non-blocking:
+    # the marker is immutable after publish)
+    from db_core_spark.plans.versioned import publish_manifest
+
+    publish_manifest(
+        db.group_dir, f"{g.gid}.json", {"status": "committed", "by": "test"}
+    )
+    assert _group_visible(pending[0], apath)

@@ -616,3 +616,113 @@ def test_extra_cannot_shadow_protocol_fields(db, spark):
     assert csns
     m = [m for m in db.table("a")._manifests() if m.get("writer") == "w"]
     assert m and m[0]["epoch"] == 7
+
+
+def test_snapshot_pin_pending_group_straddle_is_refused(spark, tmp_path):
+    """A PENDING group (claimed, undecided, grace not expired) whose member
+    csns intersect the pin must fail validation: its member list is only
+    complete once the marker publishes, so the group may commit right after
+    validation with further members ABOVE the pin — the torn cut the pin
+    exists to prevent. Once the marker decides, the straddle test is exact
+    again in both directions."""
+    from db_core_spark.plans.versioned import publish_manifest
+
+    slow = EngineConfig(group_pending_grace_seconds=3600.0, num_buckets=4)
+    db = Database.create(spark, str(tmp_path / "pend"), config=slow)
+    db.create_table("a", key_cols=["k"], schema=SCHEMA)
+    db.create_table("b", key_cols=["k"], schema=SCHEMA)
+
+    g = db.begin()
+    g.upsert("a", rows(spark, (1, "ga")))
+    g.upsert("b", rows(spark, (10, "gb")))
+    touched = dict(g._txns)
+    staged = {n: t._stage() for n, t in touched.items()}
+    group_field = {"dir": db.group_dir, "id": g.gid}
+    claimed = {}
+    for name, txn in touched.items():
+        ops_meta, keys = staged[name]
+        txn._done = True
+        claimed[name] = txn._claim(ops_meta, keys, group=group_field)
+    # coordinator paused between CLAIM and DECIDE: group is pending
+    includes_member = {"a": claimed["a"], "b": claimed["b"]}
+    assert not db._pin_is_consistent(includes_member)
+    # partial inclusion is just as undecidable
+    assert not db._pin_is_consistent({"a": claimed["a"], "b": claimed["b"] - 1})
+    # a pin entirely BELOW the pending members never sees them: consistent
+    below = {"a": claimed["a"] - 1, "b": claimed["b"] - 1}
+    assert db._pin_is_consistent(below)
+    # validation must NOT have force-aborted the healthy in-flight group
+    assert not os.path.exists(os.path.join(db.group_dir, f"{g.gid}.json"))
+    # decide: commit. Straddle test becomes exact.
+    publish_manifest(
+        db.group_dir, f"{g.gid}.json", {"status": "committed", "by": "test"}
+    )
+    assert db._pin_is_consistent(includes_member)
+    assert not db._pin_is_consistent({"a": claimed["a"], "b": claimed["b"] - 1})
+    assert db._pin_is_consistent(below)
+
+
+def test_database_clone_to_relative_path(db, spark):
+    """Database.clone() rewrites manifest dirs from the staging prefix to
+    the destination. With a RELATIVE dst_path the manifests carry the
+    staging path in relative form too — rewriting only the absolute form
+    leaves every op dir pointing at the renamed-away staging directory."""
+    import shutil
+    import uuid as _uuid
+
+    g = db.begin()
+    g.upsert("a", rows(spark, (1, "a1"), (2, "a2")))
+    g.upsert("b", rows(spark, (10, "b1")))
+    g.commit()
+
+    rel = f"._test_relclone_{_uuid.uuid4().hex}"  # relative to cwd
+    try:
+        c = db.clone(rel)
+        for name in ("a", "b"):
+            for m in c.table(name)._manifests():
+                for op in m.get("ops", []):
+                    assert "._staging-db-" not in op["dir"], op["dir"]
+                    assert os.path.isdir(op["dir"]), op["dir"]
+        assert {(r.k, r.v) for r in c.table("a").snapshot().collect()} == {
+            (1, "a1"), (2, "a2")
+        }
+        assert {(r.k, r.v) for r in c.table("b").snapshot().collect()} == {(10, "b1")}
+    finally:
+        shutil.rmtree(rel, ignore_errors=True)
+
+
+def test_cloned_aborted_group_hole_has_empty_write_set(db, spark, tmp_path):
+    """Clone rewrites an aborted-group member manifest as a hole commit.
+    Its write-set is the EMPTY list — None means 'untracked, conflicts
+    with everything' to _check_conflicts and would abort any clone-side
+    txn whose conflict window spans the hole csn."""
+    t0 = db.table("a").begin()
+    t0.upsert(rows(spark, (1, "base")))
+    base_csn = t0.commit()
+
+    # abort a group that already claimed on table a (rival wins on b)
+    t0 = db.table("b").begin()
+    t0.upsert(rows(spark, (10, "seed")))
+    t0.commit()
+    g = db.begin()
+    g.upsert("a", rows(spark, (2, "ga")))
+    g.upsert("b", rows(spark, (10, "gb")))
+    rival = db.table("b").begin()
+    rival.upsert(rows(spark, (10, "rival")))
+    rival.commit()
+    with pytest.raises(ConflictError):
+        g.commit()
+
+    src_a = db.table("a")
+    hole_csns = [m["csn"] for m in src_a._manifests() if m.get("group") is not None]
+    assert hole_csns, "expected an aborted-group manifest on table a"
+
+    c = src_a.clone(str(tmp_path / "aclone"))
+    holes = [m for m in c._manifests() if not m.get("ops") and m.get("type") != "checkpoint"]
+    assert holes and all(m.get("write_keys") == [] for m in holes)
+
+    # a clone-side txn whose window spans the hole must NOT spuriously abort
+    txn = c.begin(at_csn=base_csn)
+    txn.upsert(spark.createDataFrame([(99, "new")], SCHEMA))
+    txn.commit()
+    assert (99, "new") in {(r.k, r.v) for r in c.snapshot().collect()}

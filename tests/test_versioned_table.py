@@ -749,3 +749,65 @@ def test_txn_savepoint_partial_rollback(spark, tmp_path):
         t.rollback_to(99)
     t.commit()
     assert {(r.k, r.v) for r in vt.snapshot().collect()} == {(1, 10)}
+
+
+def test_merge_matches_null_key_rows(spark, tmp_path):
+    """merge() joins src to target with eqNullSafe, so a NULL key value DOES
+    match. The matched test must use an explicit non-null marker column —
+    probing tgt.<key>.isNotNull() would misroute the matched NULL-key row
+    into the insert branch, producing a duplicate NULL-key row."""
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), True),  # nullable key
+            T.StructField("v", T.StringType(), True),
+            T.StructField("amount", T.DoubleType(), True),
+        ]
+    )
+    vt = VersionedTable.create(
+        spark, str(tmp_path / "nulkey"), key_cols=["k"], schema=schema
+    )
+    t0 = vt.begin()
+    t0.upsert(spark.createDataFrame([(None, "old", 1.0), (1, "old", 10.0)], schema))
+    t0.commit()
+
+    t1 = vt.begin()
+    t1.merge(spark.createDataFrame([(None, "new", 2.0), (2, "ins", 20.0)], schema))
+    t1.commit()
+
+    got = [(r.k, r.v, r.amount) for r in vt.snapshot().collect()]
+    assert sorted(got, key=str) == sorted(
+        [(None, "new", 2.0), (1, "old", 10.0), (2, "ins", 20.0)], key=str
+    )
+    # exactly ONE NULL-key row (update, not a duplicate insert)
+    assert sum(1 for k, _, _ in got if k is None) == 1
+
+
+def test_checkpoint_twice_at_same_csn_is_idempotent(spark, tmp_path):
+    """Re-checkpointing with no new commits must be a no-op. The naive
+    re-resolve would mode('overwrite') the live checkpoint dir WHILE the
+    lazy scan reads it as the fold base (Spark clears the overwrite target
+    before the read job runs), leaving an empty checkpoint — found by the
+    maintenance-invisibility property test's shrunk example
+    [commit, checkpoint, checkpoint]."""
+    schema = T.StructType(
+        [T.StructField("k", T.LongType(), False), T.StructField("v", T.StringType())]
+    )
+    vt = VersionedTable.create(
+        spark, str(tmp_path / "ckck"), key_cols=["k"], schema=schema
+    )
+    t = vt.begin()
+    t.upsert(spark.createDataFrame([(0, "a"), (1, "b")], schema))
+    csn = t.commit()
+
+    assert vt.checkpoint() == csn
+    assert vt.checkpoint() == csn  # idempotent second call, same csn
+    assert {(r.k, r.v) for r in vt.snapshot().collect()} == {(0, "a"), (1, "b")}
+
+    # a NEW commit re-arms checkpointing at the advanced csn
+    t = vt.begin()
+    t.upsert(spark.createDataFrame([(2, "c")], schema))
+    csn2 = t.commit()
+    assert vt.checkpoint() == csn2
+    assert {(r.k, r.v) for r in vt.snapshot().collect()} == {
+        (0, "a"), (1, "b"), (2, "c")
+    }
