@@ -587,13 +587,22 @@ class VersionedTable:
             )
         )
 
-    def changes(self, from_csn: int = 0, to_csn: int | None = None) -> DataFrame:
+    def changes(
+        self,
+        from_csn: int = 0,
+        to_csn: int | None = None,
+        include_opseq: bool = False,
+    ) -> DataFrame:
         """BATCH change feed (Delta's table_changes(from, to) shape): every
         change row committed in (from_csn, to_csn], with (_csn, _change)
         and pre-image retraction rows where the table records them. The
         batch twin of the CDC stream — same partition planning (one input
         partition per op/bucket dir), no streaming checkpoint needed. Use
-        `diff()` for the endpoint comparison instead of the full ledger."""
+        `diff()` for the endpoint comparison instead of the full ledger.
+        ``include_opseq`` additionally exposes the op's position within its
+        transaction as ``_opseq`` — required whenever a consumer resolves
+        'latest change per key' (one txn may upsert AND delete the same
+        key: both rows share a csn, and only opseq orders them)."""
         from db_core_spark.sources import register_versioned_format  # noqa: PLC0415
 
         register_versioned_format(self.spark)
@@ -605,6 +614,8 @@ class VersionedTable:
         )
         if to_csn is not None:
             reader = reader.option("toCsn", str(to_csn))
+        if include_opseq:
+            reader = reader.option("includeOpseq", "true")
         return reader.load()
 
     # ----------------------------------------------------------- maintenance
@@ -946,19 +957,25 @@ class VersionedTable:
         kc = self.key_cols
         # feed kinds are op kinds: 'upsert' / 'delete' (+ retraction rows
         # tagged 'update_preimage' when preimages are enabled — not state)
-        feed = other.changes(from_csn=base_csn).filter(
+        feed = other.changes(from_csn=base_csn, include_opseq=True).filter(
             F.col("_change") != "update_preimage"
         )
         # Latest change per key, partitioned on the TYPED key columns (no
-        # string encoding involved).
+        # string encoding involved). The _opseq tiebreak is load-bearing:
+        # one txn may upsert AND delete the same key — both rows share a
+        # csn, and ordering on csn alone could resurrect the superseded
+        # upsert (tested: test_merge_from_upsert_then_delete_same_txn).
         latest_all = (
             feed.withColumn(
                 "_rn",
                 F.row_number().over(
-                    W.partitionBy(*kc).orderBy(F.col("_csn").desc())
+                    W.partitionBy(*kc).orderBy(
+                        F.col("_csn").desc(), F.col("_opseq").desc()
+                    )
                 ),
             )
             .filter(F.col("_rn") == 1)
+            .drop("_opseq")
         )
         # Membership against apply_keys must use the SAME encoding that
         # produced write_keys — Python str() over arrow-materialized values

@@ -448,11 +448,16 @@ class VersionedSnapshotReader(DataSourceReader):
 class CDCPartition(InputPartition):
     """One executor task of a CDC micro-batch: a single directory (an op
     dir, or one bucket=<b>/ subdir of it for bucketed layouts) plus the
-    commit identity to stamp on its rows."""
+    commit identity to stamp on its rows. ``opseq`` is the op's position
+    WITHIN its transaction — surfaced as an ``_opseq`` column only when
+    the reader was opened with includeOpseq (merge_from needs it: a txn
+    that upserts then deletes the same key emits both rows at one csn,
+    and 'latest change per key' is undecidable from _csn alone)."""
 
     dir: str
     csn: int
     kind: str
+    opseq: int = 0
 
 
 class VersionedChangeStreamReader(DataSourceStreamReader):
@@ -471,6 +476,9 @@ class VersionedChangeStreamReader(DataSourceStreamReader):
         self.key_cols, self.data_schema, _, _ = _load_meta(self.path)
         start = options.get("startingcsn")
         self.start_csn = int(start) if start is not None else 0
+        self.include_opseq = (
+            str(options.get("includeopseq", "false")).lower() == "true"
+        )
 
     def initialOffset(self) -> dict:
         return {"csn": self.start_csn}
@@ -499,7 +507,10 @@ class VersionedChangeStreamReader(DataSourceStreamReader):
                     # key that never existed emits nothing, which is the
                     # correct retraction semantics
                     parts.append(
-                        CDCPartition(dir=pre_dir, csn=m["csn"], kind="delete")
+                        CDCPartition(
+                            dir=pre_dir, csn=m["csn"], kind="delete",
+                            opseq=int(op.get("opseq", 0)),
+                        )
                     )
                     continue
                 bucket_dirs = (
@@ -512,13 +523,19 @@ class VersionedChangeStreamReader(DataSourceStreamReader):
                     else []
                 )
                 for d in bucket_dirs or [op["dir"]]:
-                    parts.append(CDCPartition(dir=d, csn=m["csn"], kind=op["kind"]))
+                    parts.append(
+                        CDCPartition(
+                            dir=d, csn=m["csn"], kind=op["kind"],
+                            opseq=int(op.get("opseq", 0)),
+                        )
+                    )
                 if has_pre:
                     # upsert with preimages: previous values of updated keys
                     # ride along as update_preimage retraction rows
                     parts.append(
                         CDCPartition(
-                            dir=pre_dir, csn=m["csn"], kind="update_preimage"
+                            dir=pre_dir, csn=m["csn"], kind="update_preimage",
+                            opseq=int(op.get("opseq", 0)),
                         )
                     )
         return parts
@@ -531,8 +548,13 @@ class VersionedChangeStreamReader(DataSourceStreamReader):
             data_cols,
             data_schema=self.data_schema,
         )
+        extra = (partition.opseq,) if self.include_opseq else ()
         for row in tbl.select(data_cols).to_pylist():
-            yield tuple(row[c] for c in data_cols) + (partition.csn, partition.kind)
+            yield (
+                tuple(row[c] for c in data_cols)
+                + (partition.csn, partition.kind)
+                + extra
+            )
 
     def commit(self, end: dict) -> None:
         pass  # manifests are immutable; nothing to release per epoch
@@ -944,7 +966,12 @@ class VersionedDataSource(DataSource):
     def schema(self):
         _, data_schema, _, _ = _load_meta(self.options["path"])
         if self._mode() == "true":
-            return T.StructType(list(data_schema.fields) + META_FIELDS)
+            fields = list(data_schema.fields) + META_FIELDS
+            if str(self.options.get("includeopseq", "false")).lower() == "true":
+                # opt-in ONLY (merge_from): the public feed shape stays
+                # (_csn, _change) for every existing consumer/oracle
+                fields = fields + [T.StructField("_opseq", T.LongType())]
+            return T.StructType(fields)
         if str(self.options.get("includemeta", "false")).lower() == "true":
             return T.StructType(list(data_schema.fields) + META_SCHEMA_FIELDS)
         return data_schema

@@ -325,3 +325,62 @@ def test_merge_from_refuses_vacuum_reclaimed_window(spark, tmp_path):
 
     with pytest.raises(SnapshotUnavailableError, match="vacuum-reclaimed"):
         src.merge_from(br)
+
+
+def test_merge_from_upsert_then_delete_same_txn(spark, tmp_path):
+    """One branch txn upserts then deletes the same key: both change rows
+    share one csn, so 'latest change per key' is undecidable from _csn
+    alone — resolving without the _opseq tiebreak could resurrect the
+    superseded upsert in the merge target. The branch's final word on the
+    key is DELETE and the merge must honor it (and the reverse order,
+    delete-then-upsert, must keep the upsert)."""
+    schema = T.StructType(
+        [T.StructField("k", T.LongType(), False), T.StructField("v", T.StringType())]
+    )
+    src = VersionedTable.create(
+        spark, str(tmp_path / "ud_src"), key_cols=["k"], schema=schema
+    )
+    t = src.begin()
+    t.upsert(spark.createDataFrame([(1, "base"), (2, "keep"), (3, "old3")], schema))
+    t.commit()
+
+    br = src.clone(str(tmp_path / "ud_br"))
+    t = br.begin()
+    t.upsert(spark.createDataFrame([(1, "stale")], schema))
+    t.delete_keys([(1,)])  # final word on k=1: gone
+    t.delete_keys([(3,)])
+    t.upsert(spark.createDataFrame([(3, "resurrected")], schema))  # final: upsert
+    t.commit()
+    assert {(r.k, r.v) for r in br.snapshot().collect()} == {
+        (2, "keep"), (3, "resurrected")
+    }
+
+    res = src.merge_from(br)
+    assert res == {"applied": 1, "deleted": 1, "conflicts": 0}
+    assert {(r.k, r.v) for r in src.snapshot().collect()} == {
+        (2, "keep"), (3, "resurrected")
+    }
+
+
+def test_changes_include_opseq_orders_within_txn(spark, tmp_path):
+    """The public feed shape stays (_csn, _change); include_opseq opts in
+    to the op's within-txn position so consumers can totally order changes
+    that share a csn."""
+    schema = T.StructType(
+        [T.StructField("k", T.LongType(), False), T.StructField("v", T.StringType())]
+    )
+    vt = VersionedTable.create(
+        spark, str(tmp_path / "ops"), key_cols=["k"], schema=schema
+    )
+    t = vt.begin()
+    t.upsert(spark.createDataFrame([(1, "a")], schema))
+    t.delete_keys([(1,)])
+    t.commit()
+
+    plain = vt.changes()
+    assert plain.columns == ["k", "v", "_csn", "_change"]
+
+    feed = vt.changes(include_opseq=True)
+    assert feed.columns == ["k", "v", "_csn", "_change", "_opseq"]
+    rows = {(r._change, r._opseq) for r in feed.collect()}
+    assert rows == {("upsert", 0), ("delete", 1)}

@@ -13,7 +13,7 @@ leaks, rollback bleed) actually hide."""
 from __future__ import annotations
 
 from hypothesis import HealthCheck, given, settings, strategies as st
-from pyspark.sql import types as T
+from pyspark.sql import functions as F, types as T
 
 from db_core_spark.plans import VersionedTable
 
@@ -139,3 +139,108 @@ def test_maintenance_is_observationally_invisible(spark, tmp_path_factory, scrip
             assert as_dict(vt.snapshot(as_of_csn=csn)) == state, (
                 f"as-of {csn} diverged after {step!r}"
             )
+
+
+# The change feed is a complete, totally-ordered ledger: folding
+# changes(0, csn) by latest-change-per-key (ordered by csn then within-txn
+# opseq, deletes dropping the key) must reproduce the model state at EVERY
+# commit point — the CDC analog of the snapshot invariant above, and the
+# property that makes merge_from's feed-based apply sound. Within-txn
+# same-key churn (upsert then delete, delete then upsert) is generated
+# deliberately: those rows share a csn and only _opseq orders them.
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(script=script)
+def test_change_feed_fold_replays_model_at_every_commit(
+    spark, tmp_path_factory, script
+):
+    path = tmp_path_factory.mktemp("vt_cdc")
+    vt = VersionedTable.create(spark, str(path / "tbl"), key_cols=["k"], schema=SCHEMA)
+
+    model: dict[int, str] = {}
+    history: list[tuple[int, dict[int, str]]] = []
+
+    for ops, do_commit in script:
+        t = vt.begin()
+        staged = dict(model)
+        for o in ops:
+            if o[0] == "upsert":
+                _, k, v = o
+                t.upsert(spark.createDataFrame([(k, v)], SCHEMA))
+                staged[k] = v
+            else:
+                _, k = o
+                t.delete_keys([(k,)])
+                staged.pop(k, None)
+        if do_commit:
+            csn = t.commit()
+            model = staged
+            history.append((csn, dict(model)))
+        else:
+            t.rollback()
+
+    feed = vt.changes(include_opseq=True).filter(
+        F.col("_change") != "update_preimage"
+    )
+    rows = [(r.k, r.v, r._csn, r._change, r._opseq) for r in feed.collect()]
+    for csn, state in history:
+        latest: dict[int, tuple] = {}
+        for k, v, c, ch, seq in rows:
+            if c <= csn and (k not in latest or (c, seq) > latest[k][:2]):
+                latest[k] = (c, seq, ch, v)
+        folded = {k: t[3] for k, t in latest.items() if t[2] != "delete"}
+        assert folded == state, f"feed fold diverged at csn {csn}"
+
+
+# merge() (conditional upsert) against the same dict model: matched keys
+# update or are ignored, unmatched insert or are ignored, across random
+# overlapping source batches — including a NULL key (the join is
+# eqNullSafe, so NULL keys MATCH; a wrong matched-test duplicates them).
+merge_key = st.one_of(st.integers(0, 3), st.none())
+merge_batch = st.lists(
+    st.tuples(merge_key, st.text("xyz", min_size=1, max_size=2)),
+    min_size=1,
+    max_size=3,
+    unique_by=lambda kv: kv[0],
+)
+merge_step = st.tuples(
+    merge_batch,
+    st.sampled_from(["update", "ignore"]),
+    st.sampled_from(["insert", "ignore"]),
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(steps=st.lists(merge_step, min_size=1, max_size=3))
+def test_merge_equals_model(spark, tmp_path_factory, steps):
+    path = tmp_path_factory.mktemp("vt_merge")
+    nullable = T.StructType(
+        [T.StructField("k", T.LongType(), True), T.StructField("v", T.StringType())]
+    )
+    vt = VersionedTable.create(
+        spark, str(path / "tbl"), key_cols=["k"], schema=nullable
+    )
+    model: dict = {}
+    for batch, on_match, on_miss in steps:
+        t = vt.begin()
+        t.merge(
+            spark.createDataFrame(batch, nullable),
+            when_matched=on_match,
+            when_not_matched=on_miss,
+        )
+        t.commit()
+        for k, v in batch:
+            if k in model:
+                if on_match == "update":
+                    model[k] = v
+            elif on_miss == "insert":
+                model[k] = v
+        got = {r.k: r.v for r in vt.snapshot().collect()}
+        assert got == model, f"after merge batch {batch} ({on_match}/{on_miss})"
