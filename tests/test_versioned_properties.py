@@ -244,3 +244,68 @@ def test_merge_equals_model(spark, tmp_path_factory, steps):
                 model[k] = v
         got = {r.k: r.v for r in vt.snapshot().collect()}
         assert got == model, f"after merge batch {batch} ({on_match}/{on_miss})"
+
+
+# ObjectStore byte-stream model check: random create/replace/overwrite/
+# append/delete scripts against plain Python bytes, with a TINY chunk size
+# (3) so every payload straddles chunk boundaries. The chunk-layout
+# invariant under test — every chunk except an object's last is exactly
+# chunk_size bytes — is what makes write_at/read_at's offset->chunk
+# arithmetic sound; any mutation that leaves a short middle chunk silently
+# corrupts all later offsets.
+obj_op = st.one_of(
+    st.tuples(st.just("put"), st.integers(0, 1), st.binary(max_size=10)),
+    st.tuples(st.just("append"), st.integers(0, 1), st.binary(max_size=7)),
+    st.tuples(
+        st.just("write_at"),
+        st.integers(0, 1),
+        st.binary(min_size=1, max_size=7),
+        st.integers(0, 100),  # offset as a percentage of current length
+    ),
+    st.tuples(st.just("delete"), st.integers(0, 1)),
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(script=st.lists(obj_op, min_size=1, max_size=4))
+def test_object_store_equals_bytes_model(spark, tmp_path_factory, script):
+    from db_core_spark.plans.objects import ObjectStore
+
+    path = tmp_path_factory.mktemp("obj_prop")
+    store = ObjectStore.create(spark, str(path / "store"), chunk_size=3)
+    model: dict[int, bytes] = {}
+
+    for step in script:
+        kind, oid = step[0], step[1]
+        t = store.begin()
+        if kind == "put":
+            store.put(t, oid, step[2])
+            model[oid] = step[2]
+        elif kind == "append":
+            store.append(t, oid, step[2])
+            model[oid] = model.get(oid, b"") + step[2]
+        elif kind == "write_at":
+            data, pct = step[2], step[3]
+            cur = model.get(oid, b"")
+            off = (len(cur) * pct) // 100
+            store.write_at(t, oid, off, data)
+            buf = bytearray(cur)
+            buf[off : off + len(data)] = data
+            model[oid] = bytes(buf)
+        else:
+            store.delete(t, oid)
+            model.pop(oid, None)
+        t.commit()
+
+        for o in (0, 1):
+            got = store.read(None, o)
+            want = model.get(o)
+            assert (got or b"") == (want or b""), f"obj {o} after {step!r}"
+            assert store.length(None, o) == len(want or b"")
+            if want:
+                mid, ln = len(want) // 2, max(1, len(want) // 3)
+                assert (store.read_at(None, o, mid, ln) or b"") == want[mid : mid + ln]
