@@ -309,3 +309,169 @@ def test_object_store_equals_bytes_model(spark, tmp_path_factory, script):
             if want:
                 mid, ln = len(want) // 2, max(1, len(want) // 3)
                 assert (store.read_at(None, o, mid, ln) or b"") == want[mid : mid + ln]
+
+
+# Three-way branch merge vs an exact model: fork a clone, drive random
+# committed scripts on BOTH sides, then merge_from under each on_conflict
+# mode. The model computes write-tracked change sets (same definition as
+# manifest write_keys: keys WRITTEN since the fork, whether or not the
+# value ended up different), adjudicates conflicts, and predicts both the
+# final table state and merge_from's {applied, deleted, conflicts} counts.
+side_script = st.lists(
+    st.lists(op, min_size=1, max_size=2), min_size=0, max_size=2
+)  # committed txns only; rollback interleavings are covered above
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    ours=side_script,
+    theirs=side_script,
+    mode=st.sampled_from(["error", "ours", "theirs"]),
+)
+def test_merge_from_equals_three_way_model(
+    spark, tmp_path_factory, ours, theirs, mode
+):
+    import pytest
+
+    from db_core_spark.plans.versioned import ConflictError
+
+    path = tmp_path_factory.mktemp("vt_3way")
+    src = VersionedTable.create(spark, str(path / "src"), key_cols=["k"], schema=SCHEMA)
+    t = src.begin()
+    t.upsert(spark.createDataFrame([(k, f"base{k}") for k in range(3)], SCHEMA))
+    t.commit()
+    base = {k: f"base{k}" for k in range(3)}
+
+    br = src.clone(str(path / "br"))
+
+    def run(table, script, state):
+        written: set[int] = set()
+        # branch txns may upsert+delete one key in a single txn — the
+        # within-csn ordering merge_from must respect (opseq regression)
+        for txn_ops in script:
+            t = table.begin()
+            for o in txn_ops:
+                if o[0] == "upsert":
+                    _, k, v = o
+                    t.upsert(spark.createDataFrame([(k, v)], SCHEMA))
+                    state[k] = v
+                else:
+                    _, k = o
+                    t.delete_keys([(k,)])
+                    state.pop(k, None)
+                written.add(o[1])
+            t.commit()
+        return written
+
+    ours_state, theirs_state = dict(base), dict(base)
+    ours_written = run(src, ours, ours_state)
+    theirs_written = run(br, theirs, theirs_state)
+    conflicts = ours_written & theirs_written
+
+    if mode == "error" and conflicts:
+        with pytest.raises(ConflictError):
+            src.merge_from(br, on_conflict=mode)
+        got = {r.k: r.v for r in src.snapshot().collect()}
+        assert got == ours_state  # failed merge left the target untouched
+        return
+
+    apply_keys = theirs_written if mode == "theirs" else theirs_written - ours_written
+    expected = dict(ours_state)
+    applied = deleted = 0
+    for k in apply_keys:
+        if k in theirs_state:
+            expected[k] = theirs_state[k]
+            applied += 1
+        else:
+            expected.pop(k, None)
+            deleted += 1
+
+    res = src.merge_from(br, on_conflict=mode)
+    assert res == {
+        "applied": applied, "deleted": deleted, "conflicts": len(conflicts)
+    }
+    got = {r.k: r.v for r in src.snapshot().collect()}
+    assert got == expected
+
+
+# Multi-table group transactions vs per-table dict models: random scripts
+# of group txns (each touching any subset of two tables, committed or
+# rolled back) must leave every table equal to its model, per-table as-of
+# reads equal to history, and every snapshot_pin a consistent cut (all
+# tables at their model state as of the SAME group boundary).
+group_step = st.tuples(
+    st.lists(  # per-table op lists; empty list = table untouched this txn
+        st.tuples(st.sampled_from(["a", "b"]), op), min_size=1, max_size=3
+    ),
+    st.booleans(),  # commit?
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(script=st.lists(group_step, min_size=1, max_size=3))
+def test_group_txns_equal_models_and_pins_are_consistent(
+    spark, tmp_path_factory, script
+):
+    from db_core_spark.plans import Database
+
+    path = tmp_path_factory.mktemp("db_prop")
+    db = Database.create(spark, str(path / "db"))
+    for n in ("a", "b"):
+        db.create_table(n, key_cols=["k"], schema=SCHEMA)
+
+    model = {"a": {}, "b": {}}
+    history = []  # (csns-after-commit, deep model state)
+
+    for table_ops, do_commit in script:
+        g = db.begin()
+        staged = {n: dict(model[n]) for n in model}
+        for name, o in table_ops:
+            if o[0] == "upsert":
+                _, k, v = o
+                g.upsert(name, spark.createDataFrame([(k, v)], SCHEMA))
+                staged[name][k] = v
+            else:
+                _, k = o
+                g.delete_keys(name, [(k,)])
+                staged[name].pop(k, None)
+        if do_commit:
+            csns = g.commit()
+            model = staged
+            history.append(
+                (dict(csns), {n: dict(model[n]) for n in model})
+            )
+        else:
+            g.rollback()
+
+        for n in ("a", "b"):
+            got = {r.k: r.v for r in db.table(n).snapshot().collect()}
+            assert got == model[n], f"table {n} diverged after {table_ops!r}"
+
+    # historical cut: each commit's returned csns replay that group's state
+    for csns, state in history:
+        for n in ("a", "b"):
+            at = csns.get(n)
+            got = {
+                r.k: r.v
+                for r in db.table(n).snapshot(as_of_csn=at).collect()
+            } if at is not None else {
+                r.k: r.v for r in db.table(n).snapshot().collect()
+            }
+            if at is not None:
+                assert got == state[n], f"as-of {n}@{at} diverged"
+
+    # a pin taken now must be the final state on every table
+    pins = db.snapshot_pin()
+    for n in ("a", "b"):
+        got = {
+            r.k: r.v for r in db.table(n).snapshot(as_of_csn=pins[n]).collect()
+        }
+        assert got == model[n], f"pin cut diverged on {n}"
