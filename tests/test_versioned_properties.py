@@ -475,3 +475,118 @@ def test_group_txns_equal_models_and_pins_are_consistent(
             r.k: r.v for r in db.table(n).snapshot(as_of_csn=pins[n]).collect()
         }
         assert got == model[n], f"pin cut diverged on {n}"
+
+
+# Read-your-own-writes under savepoints: ONE open transaction takes
+# random upsert/delete steps interleaved with savepoint marks and
+# partial rollbacks; after every step the txn's read() must equal a model
+# that replays the surviving buffered ops over the committed base, and
+# the final commit must publish exactly the surviving state.
+sp_step = st.one_of(
+    op,
+    st.just("save"),
+    st.tuples(st.just("rollback"), st.integers(0, 5)),  # index into saved marks
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(script=st.lists(sp_step, min_size=1, max_size=5))
+def test_savepoint_read_your_own_writes_equals_model(
+    spark, tmp_path_factory, script
+):
+    path = tmp_path_factory.mktemp("vt_sp")
+    vt = VersionedTable.create(spark, str(path / "tbl"), key_cols=["k"], schema=SCHEMA)
+    t0 = vt.begin()
+    t0.upsert(spark.createDataFrame([(0, "base0"), (1, "base1")], SCHEMA))
+    t0.commit()
+    base = {0: "base0", 1: "base1"}
+
+    t = vt.begin()
+    buffered: list = []  # surviving buffered ops, mirrors t._ops
+    marks: list[tuple[int, int]] = []  # (spark savepoint, model mark)
+
+    def replay():
+        state = dict(base)
+        for o in buffered:
+            if o[0] == "upsert":
+                state[o[1]] = o[2]
+            else:
+                state.pop(o[1], None)
+        return state
+
+    for step in script:
+        if step == "save":
+            marks.append((t.savepoint(), len(buffered)))
+        elif step[0] == "rollback":
+            if marks:
+                sp, mark = marks[step[1] % len(marks)]
+                t.rollback_to(sp)
+                del buffered[mark:]
+                # marks past the rollback point are now invalid; drop them
+                marks = [(s, m) for s, m in marks if s <= sp]
+        elif step[0] == "upsert":
+            _, k, v = step
+            t.upsert(spark.createDataFrame([(k, v)], SCHEMA))
+            buffered.append(step)
+        else:
+            _, k = step
+            t.delete_keys([(k,)])
+            buffered.append(step)
+        got = {r.k: r.v for r in t.read().collect()}
+        assert got == replay(), f"read-your-own-writes diverged after {step!r}"
+
+    t.commit()
+    assert {r.k: r.v for r in vt.snapshot().collect()} == replay()
+
+
+# CDC offset contract: for ANY split of the csn range into consecutive
+# micro-batch windows, the union of the stream reader's
+# partitions(start, end) -> read() rows must equal the batch feed over
+# the whole range — no gaps, no overlaps, regardless of where epoch
+# boundaries land. This is the property exactly-once replay rests on.
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    script=script,
+    cuts=st.lists(st.integers(0, 10), min_size=0, max_size=3),
+)
+def test_cdc_windows_tile_the_ledger(spark, tmp_path_factory, script, cuts):
+    from db_core_spark.sources.versioned_datasource import (
+        VersionedChangeStreamReader,
+    )
+
+    path = tmp_path_factory.mktemp("vt_tile")
+    vt = VersionedTable.create(spark, str(path / "tbl"), key_cols=["k"], schema=SCHEMA)
+
+    for ops, do_commit in script:
+        t = vt.begin()
+        for o in ops:
+            if o[0] == "upsert":
+                t.upsert(spark.createDataFrame([(o[1], o[2])], SCHEMA))
+            else:
+                t.delete_keys([(o[1],)])
+        (t.commit if do_commit else t.rollback)()
+
+    head = vt.latest_csn()
+    reader = VersionedChangeStreamReader(
+        T.StructType([]), {"path": vt.path, "includeopseq": "true"}
+    )
+
+    def rows(lo, hi):
+        out = []
+        for p in reader.partitions({"csn": lo}, {"csn": hi}):
+            out.extend(reader.read(p))
+        return sorted(out, key=str)
+
+    bounds = sorted({0, head, *[min(c, head) for c in cuts]})
+    tiled = []
+    for lo, hi in zip(bounds, bounds[1:]):
+        tiled.extend(rows(lo, hi))
+    assert sorted(tiled, key=str) == rows(0, head)
