@@ -590,3 +590,109 @@ def test_cdc_windows_tile_the_ledger(spark, tmp_path_factory, script, cuts):
     for lo, hi in zip(bounds, bounds[1:]):
         tiled.extend(rows(lo, hi))
     assert sorted(tiled, key=str) == rows(0, head)
+
+
+# restore(as_of) is itself a COMMIT: after restoring to any historical
+# commit point, the latest snapshot equals that point's model state, all
+# older as-of reads are untouched (history is preserved, not rewritten),
+# and the restore commit is itself time-travelable.
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    script=st.lists(st.lists(op, min_size=1, max_size=2), min_size=2, max_size=4),
+    pick=st.integers(0, 100),
+)
+def test_restore_replays_history_without_rewriting_it(
+    spark, tmp_path_factory, script, pick
+):
+    path = tmp_path_factory.mktemp("vt_restore")
+    vt = VersionedTable.create(spark, str(path / "tbl"), key_cols=["k"], schema=SCHEMA)
+
+    model: dict[int, str] = {}
+    history: list[tuple[int, dict[int, str]]] = []
+    for txn_ops in script:
+        t = vt.begin()
+        for o in txn_ops:
+            if o[0] == "upsert":
+                t.upsert(spark.createDataFrame([(o[1], o[2])], SCHEMA))
+                model[o[1]] = o[2]
+            else:
+                t.delete_keys([(o[1],)])
+                model.pop(o[1], None)
+        history.append((t.commit(), dict(model)))
+
+    target_csn, target_state = history[pick % len(history)]
+    restore_csn = vt.restore(target_csn)
+
+    assert {r.k: r.v for r in vt.snapshot().collect()} == target_state
+    # history preserved: every pre-restore commit still replays, and the
+    # restore commit itself is addressable
+    for csn, state in history:
+        got = {r.k: r.v for r in vt.snapshot(as_of_csn=csn).collect()}
+        assert got == state, f"pre-restore as-of {csn} rewritten"
+    got = {r.k: r.v for r in vt.snapshot(as_of_csn=restore_csn).collect()}
+    assert got == target_state
+
+
+# Schema evolution: alter_add_column mid-history. The LATEST schema
+# governs every read including time travel — rows committed under the
+# narrow schema come back null-padded in the new column, at head AND
+# under as-of reads before the alter.
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    before=st.lists(st.lists(op, min_size=1, max_size=2), min_size=1, max_size=2),
+    after=st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(0, 4),
+                st.text("abc", min_size=1, max_size=2),
+                st.integers(-5, 5),
+            ),
+            min_size=1,
+            max_size=2,
+        ),
+        min_size=1,
+        max_size=2,
+    ),
+)
+def test_alter_add_column_history_null_padded(
+    spark, tmp_path_factory, before, after
+):
+    path = tmp_path_factory.mktemp("vt_evolve")
+    vt = VersionedTable.create(spark, str(path / "tbl"), key_cols=["k"], schema=SCHEMA)
+
+    model: dict[int, tuple] = {}  # k -> (v, w)
+    history: list[tuple[int, dict]] = []
+    for txn_ops in before:
+        t = vt.begin()
+        for o in txn_ops:
+            if o[0] == "upsert":
+                t.upsert(spark.createDataFrame([(o[1], o[2])], SCHEMA))
+                model[o[1]] = (o[2], None)
+            else:
+                t.delete_keys([(o[1],)])
+                model.pop(o[1], None)
+        history.append((t.commit(), dict(model)))
+
+    vt.alter_add_column("w", T.LongType())
+    wide = T.StructType(list(SCHEMA.fields) + [T.StructField("w", T.LongType())])
+    for txn_rows in after:
+        t = vt.begin()
+        for k, v, w in txn_rows:
+            t.upsert(spark.createDataFrame([(k, v, w)], wide))
+            model[k] = (v, w)
+        history.append((t.commit(), dict(model)))
+
+    def as_dict(df):
+        return {r.k: (r.v, r.w) for r in df.collect()}
+
+    assert as_dict(vt.snapshot()) == model
+    for csn, state in history:
+        assert as_dict(vt.snapshot(as_of_csn=csn)) == state, f"as-of {csn}"
