@@ -154,9 +154,32 @@ def export_training_shards(
         .select("doc_id", "text", "n_tokens", "shard_id")
     )
 
+    if not totals:
+        # loud instead of a confusing schema-inference failure on the empty
+        # staging read below — an empty export has no consumers anyway
+        # (read_training_shards can't open a zero-shard directory either)
+        raise ValueError("export_training_shards: corpus is empty, nothing to export")
+
     parent = os.path.dirname(out_dir.rstrip("/")) or "."
     os.makedirs(parent, exist_ok=True)
     staging = os.path.join(parent, f"._staging-{uuid.uuid4().hex}")
+    try:
+        return _publish_shards(
+            spark, assigned, staging, out_dir, shard_tokens
+        )
+    except BaseException:
+        # ANY failure between staging write and publish must not leak the
+        # staging dir (the export is invisible until the rename)
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+
+
+def _publish_shards(spark, assigned, staging, out_dir, shard_tokens) -> dict:
+    import json
+    import shutil
+
+    from pyspark.sql import functions as F
+
     assigned.write.partitionBy("shard_id").parquet(staging)
 
     # manifest is computed from what actually landed on disk, not from the

@@ -144,3 +144,32 @@ def test_corpus_pipeline_to_shards_end_to_end(spark, tmp_path):
     assert {r.doc_id for r in back.select("doc_id").collect()} == {
         r.doc_id for r in train_ids.collect()
     }
+
+
+def test_empty_corpus_refused_loudly_and_leaks_no_staging(spark, tmp_path):
+    """Exporting an empty corpus must raise a clear ValueError (not a
+    schema-inference failure on an empty staging read) and must leave NO
+    ._staging-* directory behind — failures before publish are invisible."""
+    import pyspark.sql.types as T
+
+    empty = spark.createDataFrame(
+        [], T.StructType(
+            [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+        )
+    )
+    out = str(tmp_path / "empty_export")
+    with pytest.raises(ValueError, match="empty"):
+        export_training_shards(spark, empty, out, shard_tokens=128)
+    assert not os.path.exists(out)
+    assert not [d for d in os.listdir(tmp_path) if d.startswith("._staging-")]
+
+
+def test_failed_publish_cleans_staging(spark, tmp_path, exported):
+    """If the final rename fails (destination already exists), the staging
+    dir is removed — a crashed export never leaves half-written shard
+    trees for operators to puzzle over."""
+    out, _, docs = exported
+    with pytest.raises(OSError):
+        export_training_shards(spark, docs, out, shard_tokens=SHARD_TOKENS)
+    parent = os.path.dirname(out.rstrip("/"))
+    assert not [d for d in os.listdir(parent) if d.startswith("._staging-")]
