@@ -265,15 +265,56 @@ def stream_stream_join(
     )
 
 
-def commit_microbatch(vt, batch_df: DataFrame, epoch_id: int, writer_id: str) -> bool:
+def _advance_writer_epoch(table, writer_id: str, cache: dict, durable=None) -> int | None:
+    """Incrementally fold this writer's (writer, epoch) manifests published
+    since the last call into ``cache`` ({'csn': watermark, 'max_epoch':
+    highest durable epoch}). Only manifests ABOVE the watermark are opened,
+    so a long-running stream pays O(new commits) JSON reads per micro-batch
+    instead of re-scanning the whole log every epoch (O(commits²) over the
+    stream's life — the scale cost the full-scan replay check had).
+
+    Sound because csn manifests publish in order (each commit links the
+    lowest free csn, so a higher csn proves every lower one is on disk) and
+    a writer's epochs commit in order (foreachBatch serializes epochs), so
+    'epoch_id <= max durable epoch of this writer' ⇔ replayed. ``durable``
+    filters manifests that carry the identity but never became visible
+    (aborted group claims); decided markers are immutable, so a durable
+    verdict is cacheable forever."""
+    hi = cache.get("csn", 0)
+    for csn, is_ck, name in table._log_names():
+        if is_ck or csn <= cache.get("csn", 0):
+            continue
+        m = table._read_manifest(name)
+        if (
+            m.get("writer") == writer_id
+            and m.get("epoch") is not None
+            and (durable is None or durable(m))
+        ):
+            e = int(m["epoch"])
+            if cache.get("max_epoch") is None or e > cache["max_epoch"]:
+                cache["max_epoch"] = e
+        hi = max(hi, csn)
+    cache["csn"] = hi
+    return cache.get("max_epoch")
+
+
+def commit_microbatch(
+    vt, batch_df: DataFrame, epoch_id: int, writer_id: str, cache: dict | None = None
+) -> bool:
     """Commit one micro-batch into a VersionedTable exactly once.
 
     Idempotence: the manifest records (writer, epoch); a replayed batch whose
-    (writer, epoch) already has a published manifest is skipped entirely, so
-    CDC readers (readChanges=true) never observe duplicate change rows — a
+    epoch is <= this writer's highest committed epoch is skipped entirely
+    (epochs commit in order under foreachBatch), so CDC readers
+    (readChanges=true) never observe duplicate change rows — a
     dedup-at-read-time strategy would fix snapshots but not the change feed.
     A ConflictError from a concurrent writer is retried with a fresh txn
     (the staged data is re-written; the stream does not die).
+
+    ``cache`` (pass a dict held across calls, as stream_into_versioned_table
+    does) makes the replay check incremental: only manifests published since
+    the previous batch are opened. Without it each call scans the full log —
+    same answer, O(commits) reads per epoch.
 
     Returns True if this call published, False if the epoch was already
     committed."""
@@ -281,10 +322,8 @@ def commit_microbatch(vt, batch_df: DataFrame, epoch_id: int, writer_id: str) ->
 
     if batch_df.isEmpty():
         return False
-    if any(
-        m.get("writer") == writer_id and m.get("epoch") == epoch_id
-        for m in vt._manifests()
-    ):
+    max_epoch = _advance_writer_epoch(vt, writer_id, cache if cache is not None else {})
+    if max_epoch is not None and epoch_id <= max_epoch:
         return False  # replayed epoch: already durable, skip (exactly-once)
     for attempt in range(5):
         txn = vt.begin()
@@ -316,8 +355,12 @@ def stream_into_versioned_table(
 
     Returns the started StreamingQuery; caller awaits/stops it."""
 
+    epoch_cache: dict = {}  # closure-held: incremental replay check
+
     def commit_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        published = commit_microbatch(vt, batch_df, epoch_id, writer_id=checkpoint_dir)
+        published = commit_microbatch(
+            vt, batch_df, epoch_id, writer_id=checkpoint_dir, cache=epoch_cache
+        )
         if published and auto_maintain:
             vt.maybe_checkpoint()
 
@@ -599,18 +642,21 @@ def stream_into_database(events: DataFrame, db, checkpoint_dir: str, split_fn):
             resolve_group_status(m["group"], m.get("ts", 0.0), grace) == "committed"
         )
 
+    epoch_caches: dict[str, dict] = {}  # per-table incremental replay state
+
     def commit_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
         for name in db.table_names():
             t = db.table(name)
             grace = t.config.group_pending_grace_seconds
-            if any(
-                m.get("writer") == checkpoint_dir
-                and m.get("epoch") == epoch_id
-                and _durable(m, grace)
-                for m in t._manifests()
-            ):
+            max_epoch = _advance_writer_epoch(
+                t,
+                checkpoint_dir,
+                epoch_caches.setdefault(name, {}),
+                durable=lambda m, g=grace: _durable(m, g),
+            )
+            if max_epoch is not None and epoch_id <= max_epoch:
                 return  # replayed epoch: already durable atomically
         parts = {n: df for n, df in split_fn(batch_df).items()}
         for attempt in range(5):

@@ -878,3 +878,46 @@ def test_streamed_window_ks_equals_batch_monitor(spark, stream_dir, tmp_path):
         for r in drift_ks_windowed(spark, SF_SMALL).collect()
     }
     assert live == expect and live
+
+
+def test_epoch_replay_check_is_incremental(spark, tmp_path):
+    """With a closure-held cache (what the sinks pass), the replay check
+    opens only manifests published since the previous batch — not the whole
+    log every epoch. A 100k-epoch stream must not pay O(commits^2) JSON
+    reads over its life."""
+    from pyspark.sql import types as T
+
+    from db_core_spark.plans import VersionedTable
+    from db_core_spark.streaming.ops import commit_microbatch
+
+    schema = T.StructType(
+        [T.StructField("k", T.LongType(), False), T.StructField("v", T.LongType())]
+    )
+    vt = VersionedTable.create(
+        spark, str(tmp_path / "inc"), key_cols=["k"], schema=schema
+    )
+    cache: dict = {}
+    for e in range(4):
+        df = spark.createDataFrame([(e, e * 10)], schema)
+        assert commit_microbatch(vt, df, e, "w", cache=cache) is True
+
+    reads = {"n": 0}
+    orig = vt._read_manifest
+
+    def counting(name):
+        reads["n"] += 1
+        return orig(name)
+
+    vt._read_manifest = counting
+    try:
+        # warm cache: only the previous epoch's own manifest is above the
+        # watermark; a replay decision costs O(1) reads, not O(commits)
+        df = spark.createDataFrame([(99, 0)], schema)
+        assert commit_microbatch(vt, df, 3, "w", cache=cache) is False  # replay
+        assert reads["n"] <= 1, f"re-scanned the log: {reads['n']} manifest reads"
+        # a cold cache (fresh restart) still answers correctly via full scan
+        assert commit_microbatch(vt, df, 3, "w") is False
+        assert commit_microbatch(vt, df, 2, "w", cache={}) is False
+    finally:
+        vt._read_manifest = orig
+    assert commit_microbatch(vt, spark.createDataFrame([(4, 40)], schema), 4, "w", cache=cache) is True
