@@ -325,14 +325,15 @@ def commit_microbatch(
     max_epoch = _advance_writer_epoch(vt, writer_id, cache if cache is not None else {})
     if max_epoch is not None and epoch_id <= max_epoch:
         return False  # replayed epoch: already durable, skip (exactly-once)
-    for attempt in range(5):
+    retries = vt.config.conflict_retry_attempts
+    for attempt in range(retries):
         txn = vt.begin()
         txn.upsert(batch_df)
         try:
             txn.commit(extra={"writer": writer_id, "epoch": epoch_id})
             return True
         except ConflictError:
-            if attempt == 4:
+            if attempt == retries - 1:
                 raise
     return False
 
@@ -659,7 +660,8 @@ def stream_into_database(events: DataFrame, db, checkpoint_dir: str, split_fn):
             if max_epoch is not None and epoch_id <= max_epoch:
                 return  # replayed epoch: already durable atomically
         parts = {n: df for n, df in split_fn(batch_df).items()}
-        for attempt in range(5):
+        retries = db.config.conflict_retry_attempts
+        for attempt in range(retries):
             g = db.begin()
             for name, df in parts.items():
                 g.upsert(name, df)
@@ -667,7 +669,7 @@ def stream_into_database(events: DataFrame, db, checkpoint_dir: str, split_fn):
                 g.commit(extra={"writer": checkpoint_dir, "epoch": epoch_id})
                 return
             except ConflictError:
-                if attempt == 4:
+                if attempt == retries - 1:
                     raise
 
     return (
