@@ -696,3 +696,82 @@ def test_alter_add_column_history_null_padded(
     assert as_dict(vt.snapshot()) == model
     for csn, state in history:
         assert as_dict(vt.snapshot(as_of_csn=csn)) == state, f"as-of {csn}"
+
+
+# Live layout migration: random txn scripts interleaved with rebucket()
+# (bucket-count changes) and checkpoints. Readers must stay correct
+# THROUGHOUT the mixed-layout window — ops written under an old bucket
+# count resolve via their manifests' own recorded layout. After every
+# step: snapshot == model, the Python DataSource's full read == model,
+# a keyEquals point lookup (single-bucket partition pruning under the
+# CURRENT layout) == the model's row, and every historical as-of read
+# still replays.
+rb_step = st.one_of(
+    st.lists(op, min_size=1, max_size=2),  # one committed txn
+    st.tuples(st.just("rebucket"), st.sampled_from([1, 2, 4])),
+    st.just("checkpoint"),
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(script=st.lists(rb_step, min_size=2, max_size=5), probe=st.integers(0, 4))
+def test_rebucket_mixed_layouts_stay_readable(
+    spark, tmp_path_factory, script, probe
+):
+    import json as _json
+
+    from db_core_spark.config import EngineConfig
+    from db_core_spark.sources import register_versioned_format
+
+    register_versioned_format(spark)
+    path = tmp_path_factory.mktemp("vt_rb")
+    vt = VersionedTable.create(
+        spark,
+        str(path / "tbl"),
+        key_cols=["k"],
+        schema=SCHEMA,
+        config=EngineConfig(num_buckets=2),
+    )
+
+    model: dict[int, str] = {}
+    history: list[tuple[int, dict[int, str]]] = []
+    for step in script:
+        if step == "checkpoint":
+            vt.checkpoint()
+        elif isinstance(step, tuple) and step[0] == "rebucket":
+            vt.rebucket(step[1])
+        else:
+            t = vt.begin()
+            for o in step:
+                if o[0] == "upsert":
+                    t.upsert(spark.createDataFrame([(o[1], o[2])], SCHEMA))
+                    model[o[1]] = o[2]
+                else:
+                    t.delete_keys([(o[1],)])
+                    model.pop(o[1], None)
+            history.append((t.commit(), dict(model)))
+
+        assert {r.k: r.v for r in vt.snapshot().collect()} == model, f"after {step!r}"
+        ds = (
+            spark.read.format("versioned")
+            .option("path", vt.path)
+            .load()
+        )
+        assert {r.k: r.v for r in ds.collect()} == model, f"ds after {step!r}"
+        lookup = (
+            spark.read.format("versioned")
+            .option("path", vt.path)
+            .option("keyEquals", _json.dumps({"k": probe}))
+            .load()
+        )
+        got = [(r.k, r.v) for r in lookup.collect()]
+        want = [(probe, model[probe])] if probe in model else []
+        assert got == want, f"point lookup after {step!r}"
+    for csn, state in history:
+        assert {
+            r.k: r.v for r in vt.snapshot(as_of_csn=csn).collect()
+        } == state, f"as-of {csn}"
