@@ -775,3 +775,65 @@ def test_rebucket_mixed_layouts_stay_readable(
         assert {
             r.k: r.v for r in vt.snapshot(as_of_csn=csn).collect()
         } == state, f"as-of {csn}"
+
+
+# CDC retraction algebra (the incremental-MV backbone): with before-image
+# capture on, folding the change feed with signs — post-image rows add,
+# update_preimage/delete rows subtract — must reproduce ANY additive
+# aggregate of the snapshot at every commit boundary, without key state.
+# Exercises the subtle part: preimages fold through EARLIER ops of the
+# SAME txn (upsert-then-upsert retracts the intermediate, upsert-then-
+# delete nets to zero), which the generated scripts hit by construction.
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(script=script)
+def test_preimage_retraction_fold_equals_snapshot_aggregates(
+    spark, tmp_path_factory, script
+):
+    from db_core_spark.config import EngineConfig
+
+    path = tmp_path_factory.mktemp("vt_pre")
+    vt = VersionedTable.create(
+        spark,
+        str(path / "tbl"),
+        key_cols=["k"],
+        schema=SCHEMA,
+        config=EngineConfig(cdc_preimages=True, num_buckets=2),
+    )
+
+    model: dict[int, str] = {}
+    commits: list[tuple[int, int, int]] = []  # (csn, n_keys, total_len)
+    for ops, do_commit in script:
+        t = vt.begin()
+        staged = dict(model)
+        for o in ops:
+            if o[0] == "upsert":
+                t.upsert(spark.createDataFrame([(o[1], o[2])], SCHEMA))
+                staged[o[1]] = o[2]
+            else:
+                t.delete_keys([(o[1],)])
+                staged.pop(o[1], None)
+        if do_commit:
+            csn = t.commit()
+            model = staged
+            commits.append(
+                (csn, len(model), sum(len(v) for v in model.values()))
+            )
+        else:
+            t.rollback()
+
+    rows = [
+        (r.k, r.v, r._csn, r._change) for r in vt.changes(from_csn=0).collect()
+    ]
+    for csn, n_keys, total_len in commits:
+        n = tl = 0
+        for k, v, c, ch in rows:
+            if c > csn:
+                continue
+            sign = 1 if ch == "upsert" else -1  # update_preimage/delete subtract
+            n += sign
+            tl += sign * len(v or "")
+        assert (n, tl) == (n_keys, total_len), f"retraction fold at csn {csn}"
