@@ -837,3 +837,63 @@ def test_preimage_retraction_fold_equals_snapshot_aggregates(
             n += sign
             tl += sign * len(v or "")
         assert (n, tl) == (n_keys, total_len), f"retraction fold at csn {csn}"
+
+
+# REAL reclaim (vacuum retain_seconds=0, unlike the no-op-retention
+# variant above): after any interleaving of txns, checkpoints, and
+# zero-retention vacuums, the LATEST snapshot always equals the model,
+# and every historical as-of read either replays exactly or raises the
+# typed SnapshotUnavailableError — never a silently wrong answer. Loud
+# unavailability is only permitted for history below the latest
+# checkpoint (that is all vacuum may reclaim).
+reclaim_step = st.one_of(
+    st.lists(op, min_size=1, max_size=2),
+    st.just("checkpoint"),
+    st.just("vacuum0"),
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(script=st.lists(reclaim_step, min_size=2, max_size=5))
+def test_real_vacuum_is_correct_or_loud_never_wrong(
+    spark, tmp_path_factory, script
+):
+    from db_core_spark.plans import SnapshotUnavailableError
+
+    path = tmp_path_factory.mktemp("vt_reclaim")
+    vt = VersionedTable.create(spark, str(path / "tbl"), key_cols=["k"], schema=SCHEMA)
+
+    model: dict[int, str] = {}
+    history: list[tuple[int, dict[int, str]]] = []
+    ck_csn = 0
+    for step in script:
+        if step == "checkpoint":
+            ck_csn = max(ck_csn, vt.checkpoint())
+        elif step == "vacuum0":
+            vt.vacuum(retain_seconds=0)
+        else:
+            t = vt.begin()
+            for o in step:
+                if o[0] == "upsert":
+                    t.upsert(spark.createDataFrame([(o[1], o[2])], SCHEMA))
+                    model[o[1]] = o[2]
+                else:
+                    t.delete_keys([(o[1],)])
+                    model.pop(o[1], None)
+            history.append((t.commit(), dict(model)))
+
+        assert {r.k: r.v for r in vt.snapshot().collect()} == model, f"after {step!r}"
+        for csn, state in history:
+            try:
+                got = {r.k: r.v for r in vt.snapshot(as_of_csn=csn).collect()}
+            except SnapshotUnavailableError:
+                assert csn < ck_csn, (
+                    f"as-of {csn} unavailable but never checkpoint-covered "
+                    f"(ck at {ck_csn}) after {step!r}"
+                )
+                continue
+            assert got == state, f"as-of {csn} WRONG after {step!r}"
