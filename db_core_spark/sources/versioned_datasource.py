@@ -143,19 +143,31 @@ def _committed_ops(path: str, as_of: int | None) -> list[dict]:
 import functools
 
 
-@functools.lru_cache(maxsize=256)
 def _table_grace(path: str) -> float:
     """The grace window persisted in the table's _meta.json at create time;
     falls back to the library default for tables created before the field
     existed. Reading it here (instead of DEFAULT_CONFIG) keeps DataSource
     reads from force-aborting a healthy in-flight group commit whose owner
-    configured a LONGER grace than this process's default. Cached: the
-    field is create-time-immutable and _group_visible runs once per
-    manifest in planning loops."""
+    configured a LONGER grace than this process's default. Cached per
+    (path, meta mtime) — one stat per call instead of one JSON parse, and
+    a table dropped and recreated at the same path (or a rebucket's meta
+    rewrite) refreshes instead of serving the dead table's value."""
+    from db_core_spark.config import DEFAULT_CONFIG
+
+    meta_path = os.path.join(path, "_meta.json")
+    try:
+        mtime = os.stat(meta_path).st_mtime_ns
+    except OSError:
+        return DEFAULT_CONFIG.group_pending_grace_seconds
+    return _table_grace_at(meta_path, mtime)
+
+
+@functools.lru_cache(maxsize=256)
+def _table_grace_at(meta_path: str, mtime: int) -> float:
     from db_core_spark.config import DEFAULT_CONFIG
 
     try:
-        meta = json.load(open(os.path.join(path, "_meta.json")))
+        meta = json.load(open(meta_path))
         return float(
             meta.get(
                 "group_pending_grace_seconds",

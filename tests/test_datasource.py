@@ -565,7 +565,8 @@ def test_datasource_group_visibility_uses_table_grace(spark, tmp_path):
     # grace persisted at create time and read back by the DataSource helper
     meta = json.load(open(os.path.join(apath, "_meta.json")))
     assert meta["group_pending_grace_seconds"] == 3600.0
-    _table_grace.cache_clear()
+    # no cache_clear needed: the cache keys on the meta file's mtime, so a
+    # recreated table at the same path can never serve a stale grace
     assert _table_grace(apath) == 3600.0
 
     # pending group claimed on both tables; coordinator paused before DECIDE
