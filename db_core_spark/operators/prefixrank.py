@@ -25,6 +25,22 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 
+def _py_offset(dtype, v):
+    """Coerce a driver-side offset value to the Python type Spark's row
+    verifier accepts for ``dtype`` (the SUM result type): float for
+    double/float, Decimal for decimal, int otherwise. The accumulator
+    starts at int 0, so the first offset always needs this."""
+    import decimal
+
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, (T.DoubleType, T.FloatType)):
+        return float(v)
+    if isinstance(dtype, T.DecimalType):
+        return v if isinstance(v, decimal.Decimal) else decimal.Decimal(v)
+    return int(v)
+
+
 def _staged(df: DataFrame, sort_cols: list[Column], num_parts: int) -> DataFrame:
     """Range-partition + locally sort ``df`` on ``sort_cols``; tag partition id.
 
@@ -88,31 +104,41 @@ def global_running_sums(
     staging shuffle, one O(num_parts) driver collect, one broadcast join —
     the n-column generalization of :func:`global_running_sum`.
     """
+    from pyspark.sql import types as T
+
     spark = df.sparkSession
     staged = _staged(df, sort_cols, num_parts)
-    part_rows = (
-        staged.groupBy("__pid")
-        .agg(*[F.sum(c).alias(c) for c in value_cols])
-        .collect()
+    part_agg = staged.groupBy("__pid").agg(
+        *[F.sum(c).alias(c) for c in value_cols]
     )
+    part_rows = part_agg.collect()
+    # offset columns take the SUM's own result type (long stays long,
+    # double stays double, DECIMAL keeps Spark's widened decimal — the
+    # exact-arithmetic case the docstring recommends; a float/long sniff
+    # of the Python values would silently misdeclare decimals)
+    sum_types = {c: part_agg.schema[c].dataType for c in value_cols}
     acc = {c: 0 for c in value_cols}
     offsets = []
     for r in sorted(part_rows, key=lambda r: r["__pid"]):
         offsets.append((r["__pid"], *[acc[c] for c in value_cols]))
         for c in value_cols:
             acc[c] += r[c] or 0
-    floaty = [isinstance(acc[c], float) for c in value_cols]
-    fields = ", ".join(
-        f"__off_{i} {'double' if fl else 'long'}" for i, fl in enumerate(floaty)
+    off_schema = T.StructType(
+        [T.StructField("__pid", T.IntegerType(), False)]
+        + [
+            T.StructField(f"__off_{i}", sum_types[c], True)
+            for i, c in enumerate(value_cols)
+        ]
     )
     offsets = [
-        (row[0], *[float(v) if fl else v for v, fl in zip(row[1:], floaty)])
+        (row[0], *[_py_offset(sum_types[c], v) for v, c in zip(row[1:], value_cols)])
         for row in offsets
     ]
     offset_df = F.broadcast(
         spark.createDataFrame(
-            offsets or [(0, *[0.0 if fl else 0 for fl in floaty])],
-            f"__pid int, {fields}",
+            offsets
+            or [(0, *[_py_offset(sum_types[c], 0) for c in value_cols])],
+            off_schema,
         )
     )
     w_local = W.partitionBy("__pid").orderBy(*sort_cols).rowsBetween(
@@ -188,23 +214,29 @@ def global_running_sum(
     offset addition is not bit-identical to a sequential left fold — sum
     exact types (long / decimal) when downstream comparisons are exact.
     """
+    from pyspark.sql import types as T
+
     spark = df.sparkSession
     staged = _staged(df, sort_cols, num_parts)
-    totals = {
-        r["__pid"]: r.total
-        for r in staged.groupBy("__pid")
-        .agg(F.sum(value_col).alias("total"))
-        .collect()
-    }
+    part_agg = staged.groupBy("__pid").agg(F.sum(value_col).alias("total"))
+    totals = {r["__pid"]: r.total for r in part_agg.collect()}
     offsets, acc = [], 0
     for pid in sorted(totals):
         offsets.append((pid, acc))
         acc += totals[pid] or 0
-    off_type = "double" if isinstance(acc, float) else "long"
-    if off_type == "double":
-        offsets = [(pid, float(off)) for pid, off in offsets]
+    # offset takes the SUM's result type (see global_running_sums): a
+    # float/long sniff would misdeclare DECIMAL — the exact-arithmetic
+    # case recommended below
+    off_schema = T.StructType(
+        [
+            T.StructField("__pid", T.IntegerType(), False),
+            T.StructField("__offset", part_agg.schema["total"].dataType, True),
+        ]
+    )
+    sum_type = part_agg.schema["total"].dataType
+    offsets = [(pid, _py_offset(sum_type, off)) for pid, off in offsets]
     offset_df = F.broadcast(
-        spark.createDataFrame(offsets or [(0, 0)], f"__pid int, __offset {off_type}")
+        spark.createDataFrame(offsets or [(0, _py_offset(sum_type, 0))], off_schema)
     )
     w_local = W.partitionBy("__pid").orderBy(*sort_cols).rowsBetween(
         W.unboundedPreceding, W.currentRow

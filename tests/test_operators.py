@@ -333,3 +333,89 @@ def test_blocked_radius_pairs_exact_vs_bruteforce_boundary_points(spark):
     }
     assert want, "fixture must actually produce qualifying pairs"
     assert got == want
+
+
+class TestPrefixRankHelpers:
+    """Direct parity tests for operators/prefixrank.py against the plain
+    global-window oracle, across partition counts and value types —
+    including DECIMAL, whose offsets must keep Spark's widened decimal
+    type (a float/long sniff of the driver-side accumulator misdeclares
+    them), and double columns whose partitions sum to NULL."""
+
+    def _frame(self, spark, dtype: str):
+        rows = [(i, ((i * 7) % 13) - 6) for i in range(40)]
+        df = spark.createDataFrame(rows, "id long, v long")
+        return df.withColumn("v", F.col("v").cast(dtype))
+
+    @pytest.mark.parametrize("parts", [1, 3, 8])
+    @pytest.mark.parametrize("dtype", ["long", "double", "decimal(12,2)"])
+    def test_running_sum_matches_global_window(self, spark, parts, dtype):
+        from pyspark.sql import Window as W
+
+        from db_core_spark.operators.prefixrank import global_running_sum
+
+        df = self._frame(spark, dtype)
+        got = {
+            r.id: r.cs
+            for r in global_running_sum(
+                df, [F.col("id")], "v", num_parts=parts, out="cs"
+            ).collect()
+        }
+        w = W.orderBy("id").rowsBetween(W.unboundedPreceding, W.currentRow)
+        want = {
+            r.id: r.cs for r in df.select("id", F.sum("v").over(w).alias("cs")).collect()
+        }
+        assert got == want
+
+    @pytest.mark.parametrize("parts", [1, 3, 8])
+    def test_row_number_and_multi_sums(self, spark, parts):
+        from pyspark.sql import Window as W
+
+        from db_core_spark.operators.prefixrank import (
+            global_row_number,
+            global_running_sums,
+        )
+
+        df = self._frame(spark, "long").withColumn(
+            "w", (F.col("v") * 2 + 1).cast("double")
+        )
+        ranked, n = global_row_number(df, [F.col("id")], num_parts=parts)
+        assert n == 40
+        assert {r.id: r.rk for r in ranked.collect()} == {
+            i: i + 1 for i in range(40)
+        }
+        res = global_running_sums(
+            df, [F.col("id")], {"v": "cv", "w": "cw"}, num_parts=parts
+        )
+        win = W.orderBy("id").rowsBetween(W.unboundedPreceding, W.currentRow)
+        want = {
+            r.id: (r.cv, r.cw)
+            for r in df.select(
+                "id",
+                F.sum("v").over(win).alias("cv"),
+                F.sum("w").over(win).alias("cw"),
+            ).collect()
+        }
+        assert {r.id: (r.cv, r.cw) for r in res.collect()} == want
+
+    def test_all_null_double_partitions(self, spark):
+        from db_core_spark.operators.prefixrank import global_running_sum
+
+        df = spark.createDataFrame(
+            [(i, None) for i in range(10)], "id long, v double"
+        )
+        out = global_running_sum(df, [F.col("id")], "v", num_parts=3, out="cs")
+        assert all(r.cs is None for r in out.collect())
+
+    def test_empty_input(self, spark):
+        from db_core_spark.operators.prefixrank import (
+            global_prefix_max,
+            global_row_number,
+            global_running_sum,
+        )
+
+        empty = spark.createDataFrame([], "id long, v decimal(10,2)")
+        ranked, n = global_row_number(empty, [F.col("id")])
+        assert n == 0 and ranked.count() == 0
+        assert global_running_sum(empty, [F.col("id")], "v").count() == 0
+        assert global_prefix_max(empty, [F.col("id")], "v").count() == 0
