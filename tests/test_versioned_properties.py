@@ -278,6 +278,7 @@ def test_object_store_equals_bytes_model(spark, tmp_path_factory, script):
     path = tmp_path_factory.mktemp("obj_prop")
     store = ObjectStore.create(spark, str(path / "store"), chunk_size=3)
     model: dict[int, bytes] = {}
+    history: list[tuple[int, dict[int, bytes]]] = []  # (csn, byte state)
 
     for step in script:
         kind, oid = step[0], step[1]
@@ -299,7 +300,7 @@ def test_object_store_equals_bytes_model(spark, tmp_path_factory, script):
         else:
             store.delete(t, oid)
             model.pop(oid, None)
-        t.commit()
+        history.append((t.commit(), dict(model)))
 
         for o in (0, 1):
             got = store.read(None, o)
@@ -309,6 +310,12 @@ def test_object_store_equals_bytes_model(spark, tmp_path_factory, script):
             if want:
                 mid, ln = len(want) // 2, max(1, len(want) // 3)
                 assert (store.read_at(None, o, mid, ln) or b"") == want[mid : mid + ln]
+
+    # byte-stream time travel: every commit's object bytes replay as-of
+    for csn, state in history:
+        for o in (0, 1):
+            got = store.read_snapshot(o, csn)
+            assert (got or b"") == (state.get(o) or b""), f"as-of {csn} obj {o}"
 
 
 # Three-way branch merge vs an exact model: fork a clone, drive random
