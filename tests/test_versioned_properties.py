@@ -904,3 +904,59 @@ def test_real_vacuum_is_correct_or_loud_never_wrong(
                 )
                 continue
             assert got == state, f"as-of {csn} WRONG after {step!r}"
+
+
+# Endpoint diff algebra: for ANY two commit points a <= b, applying
+# diff(a, b) to the model state at a (inserts/updates set new values,
+# deletes drop keys) must reproduce the model state at b exactly, and
+# every emitted old_/new_ pair must match the models — the diff shows
+# each key once regardless of how many times it churned in between.
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    script=st.lists(st.lists(op, min_size=1, max_size=3), min_size=2, max_size=4),
+    ia=st.integers(0, 100),
+    ib=st.integers(0, 100),
+)
+def test_diff_applied_to_a_reproduces_b(spark, tmp_path_factory, script, ia, ib):
+    path = tmp_path_factory.mktemp("vt_diff")
+    vt = VersionedTable.create(spark, str(path / "tbl"), key_cols=["k"], schema=SCHEMA)
+
+    model: dict[int, str] = {}
+    history: list[tuple[int, dict[int, str]]] = [(0, {})]
+    for txn_ops in script:
+        t = vt.begin()
+        for o in txn_ops:
+            if o[0] == "upsert":
+                t.upsert(spark.createDataFrame([(o[1], o[2])], SCHEMA))
+                model[o[1]] = o[2]
+            else:
+                t.delete_keys([(o[1],)])
+                model.pop(o[1], None)
+        history.append((t.commit(), dict(model)))
+
+    i, j = sorted((ia % len(history), ib % len(history)))
+    (csn_a, state_a), (csn_b, state_b) = history[i], history[j]
+
+    rows = [
+        (r.k, r._change, r.old_v, r.new_v)
+        for r in vt.diff(csn_a, csn_b).collect()
+    ]
+    applied = dict(state_a)
+    for k, change, old_v, new_v in rows:
+        if change == "insert":
+            assert k not in state_a and old_v is None
+            applied[k] = new_v
+        elif change == "update":
+            assert state_a[k] == old_v
+            applied[k] = new_v
+        else:
+            assert change == "delete" and state_a[k] == old_v and new_v is None
+            applied.pop(k)
+    assert applied == state_b, f"diff({csn_a},{csn_b}) does not transport a->b"
+    # minimality: no no-op rows
+    for k, change, old_v, new_v in rows:
+        assert old_v != new_v or change != "update"
