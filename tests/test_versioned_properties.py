@@ -960,3 +960,52 @@ def test_diff_applied_to_a_reproduces_b(spark, tmp_path_factory, script, ia, ib)
     # minimality: no no-op rows
     for k, change, old_v, new_v in rows:
         assert old_v != new_v or change != "update"
+
+
+# Row-level TTL: expire_rows(condition) must tombstone exactly the model
+# rows the predicate selects — count, final state, and time travel (the
+# expiry is one commit; as-of BEFORE it still sees every expired row).
+EXPIRE_CONDS = [
+    ("k >= 3", lambda k, v: k >= 3),
+    ("v LIKE 'a%'", lambda k, v: v.startswith("a")),
+    ("k % 2 = 0", lambda k, v: k % 2 == 0),
+]
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    script=st.lists(st.lists(op, min_size=1, max_size=3), min_size=1, max_size=3),
+    cond_i=st.integers(0, len(EXPIRE_CONDS) - 1),
+)
+def test_expire_rows_equals_model_filter(spark, tmp_path_factory, script, cond_i):
+    path = tmp_path_factory.mktemp("vt_ttl")
+    vt = VersionedTable.create(spark, str(path / "tbl"), key_cols=["k"], schema=SCHEMA)
+
+    model: dict[int, str] = {}
+    last_csn = 0
+    for txn_ops in script:
+        t = vt.begin()
+        for o in txn_ops:
+            if o[0] == "upsert":
+                t.upsert(spark.createDataFrame([(o[1], o[2])], SCHEMA))
+                model[o[1]] = o[2]
+            else:
+                t.delete_keys([(o[1],)])
+                model.pop(o[1], None)
+        last_csn = t.commit()
+
+    sql, pred = EXPIRE_CONDS[cond_i]
+    doomed = {k for k, v in model.items() if pred(k, v)}
+    assert vt.expire_rows(sql) == len(doomed)
+    survivors = {k: v for k, v in model.items() if k not in doomed}
+    assert {r.k: r.v for r in vt.snapshot().collect()} == survivors
+    # the expiry is itself versioned: pre-expiry time travel sees everything
+    assert {
+        r.k: r.v for r in vt.snapshot(as_of_csn=last_csn).collect()
+    } == model
+    # idempotent: nothing left matching
+    assert vt.expire_rows(sql) == 0
