@@ -419,3 +419,120 @@ class TestPrefixRankHelpers:
         assert n == 0 and ranked.count() == 0
         assert global_running_sum(empty, [F.col("id")], "v").count() == 0
         assert global_prefix_max(empty, [F.col("id")], "v").count() == 0
+
+
+class TestAsofJoinProperty:
+    """asof_join / asof_join_nearest vs an O(n*m) brute-force model on
+    random keyed event times — duplicate (key, time) pairs generated
+    deliberately to pin the documented tie-break rules (backward: largest
+    tie_break; forward: smallest; nearest: equal distances resolve
+    backward)."""
+
+    def _frames(self, spark, lspec, rspec):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        lrows = [
+            (i, k, base + dt.timedelta(seconds=s)) for i, (k, s) in enumerate(lspec)
+        ]
+        rrows = [
+            (i, k, base + dt.timedelta(seconds=s), f"v{i}")
+            for i, (k, s) in enumerate(rspec)
+        ]
+        left = spark.createDataFrame(lrows, "lid long, key long, lt timestamp")
+        right = spark.createDataFrame(
+            rrows, "rid long, key long, rt timestamp, val string"
+        )
+        return left, right, lrows, rrows
+
+    @pytest.mark.parametrize("direction", ["backward", "forward"])
+    def test_directional_matches_bruteforce(self, spark, direction):
+        from hypothesis import HealthCheck, given, settings, strategies as st
+
+        from db_core_spark.operators.asof import asof_join
+
+        ev = st.tuples(st.integers(0, 1), st.integers(0, 5))
+
+        @settings(
+            max_examples=6,
+            deadline=None,
+            suppress_health_check=[
+                HealthCheck.function_scoped_fixture,
+                HealthCheck.too_slow,
+            ],
+        )
+        @given(
+            lspec=st.lists(ev, min_size=1, max_size=5),
+            rspec=st.lists(ev, min_size=1, max_size=5),
+        )
+        def check(lspec, rspec):
+            left, right, lrows, rrows = self._frames(spark, lspec, rspec)
+            out = asof_join(
+                left, right, on="key", left_time="lt", right_time="rt",
+                payload_cols=["val"], tie_break="rid", direction=direction,
+            )
+            got = {r.lid: r.val for r in out.collect()}
+            want = {}
+            for lid, k, lt in lrows:
+                cands = [
+                    (rt, rid, val) for rid, rk, rt, val in rrows
+                    if rk == k and (rt <= lt if direction == "backward" else rt >= lt)
+                ]
+                if not cands:
+                    want[lid] = None
+                elif direction == "backward":
+                    want[lid] = max(cands, key=lambda c: (c[0], c[1]))[2]
+                else:
+                    want[lid] = min(cands, key=lambda c: (c[0], c[1]))[2]
+            assert got == want
+
+        check()
+
+    def test_nearest_matches_bruteforce(self, spark):
+        from hypothesis import HealthCheck, given, settings, strategies as st
+
+        from db_core_spark.operators.asof import asof_join_nearest
+
+        ev = st.tuples(st.integers(0, 1), st.integers(0, 5))
+
+        @settings(
+            max_examples=6,
+            deadline=None,
+            suppress_health_check=[
+                HealthCheck.function_scoped_fixture,
+                HealthCheck.too_slow,
+            ],
+        )
+        @given(
+            lspec=st.lists(ev, min_size=1, max_size=5),
+            rspec=st.lists(ev, min_size=1, max_size=5),
+            tol_s=st.sampled_from([None, 2]),
+        )
+        def check(lspec, rspec, tol_s):
+            left, right, lrows, rrows = self._frames(spark, lspec, rspec)
+            out = asof_join_nearest(
+                left, right, on="key", left_time="lt", right_time="rt",
+                payload_cols=["val"], tie_break="rid",
+                tolerance_us=None if tol_s is None else tol_s * 1_000_000,
+            )
+            got = {r.lid: r.val for r in out.collect()}
+            want = {}
+            for lid, k, lt in lrows:
+                best = None
+                for rid, rk, rt, val in rrows:
+                    if rk != k:
+                        continue
+                    d = abs((rt - lt).total_seconds())
+                    if tol_s is not None and d > tol_s:
+                        continue
+                    backward = rt <= lt
+                    # order: distance, then backward-before-forward, then
+                    # that direction's tie rule (backward: LARGEST rid wins
+                    # -> sort key -rid; forward: smallest rid)
+                    sk = (d, 0 if backward else 1, -rid if backward else rid)
+                    if best is None or sk < best[0]:
+                        best = (sk, val)
+                want[lid] = best[1] if best else None
+            assert got == want
+
+        check()
