@@ -290,3 +290,45 @@ def test_cbo_table_stats_flow_into_plan_estimates(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.cbo.enabled", saved_cbo)
         spark.sql("DROP DATABASE IF EXISTS cbo_t CASCADE")
+
+
+def test_salted_join_random_parity_row_exact(spark):
+    """Row-exact parity vs the plain join on random data with duplicate
+    keys on BOTH sides (fan-out joins) and unmatched keys, inner and
+    left — the salt must replicate the small side exactly once per salt
+    bucket, never duplicating or dropping a fan-out row."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    kv = st.tuples(st.integers(0, 3), st.integers(0, 9))
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[
+            HealthCheck.function_scoped_fixture, HealthCheck.too_slow
+        ],
+    )
+    @given(
+        lrows=st.lists(kv, min_size=1, max_size=6),
+        rrows=st.lists(kv, min_size=0, max_size=6),
+        how=st.sampled_from(["inner", "left"]),
+    )
+    def check(lrows, rrows, how):
+        big = spark.createDataFrame(lrows, "k long, a long")
+        small = spark.createDataFrame(rrows, "k long, b long") if rrows else (
+            spark.createDataFrame([], "k long, b long")
+        )
+        plain = sorted(
+            map(tuple, big.join(small, "k", how).select("k", "a", "b").collect())
+        )
+        salted = sorted(
+            map(
+                tuple,
+                salted_join(big, small, "k", salt_buckets=3, how=how)
+                .select("k", "a", "b")
+                .collect(),
+            )
+        )
+        assert salted == plain
+
+    check()
