@@ -12,6 +12,7 @@ leaks, rollback bleed) actually hide."""
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings, strategies as st
 from pyspark.sql import functions as F, types as T
 
@@ -1009,3 +1010,128 @@ def test_expire_rows_equals_model_filter(spark, tmp_path_factory, script, cond_i
     } == model
     # idempotent: nothing left matching
     assert vt.expire_rows(sql) == 0
+
+
+# ---------------------------------------------------------------------------
+# Crash-injection property: a writer that dies at ANY protocol fault point —
+# after staging files but before claiming a csn, or when the manifest publish
+# itself fails — must be observationally invisible forever: the snapshot still
+# equals the model, every historical as-of read replays, the next commit
+# claims the next contiguous csn, and a later vacuum sweeps the dead files
+# without touching live state. This generalizes the reference's WAL
+# restart/torn-tail recovery tests (/root/reference/src/system/instance.rs:221-304,
+# src/log_mgr/io.rs:354-387) from hand-picked crash points to generated
+# interleavings of crashes, commits, reopens, checkpoints, and sweeps.
+crash_action = st.one_of(
+    st.tuples(st.just("txn"), st.lists(op, min_size=1, max_size=3), st.booleans()),
+    st.tuples(st.just("crash_staged"), st.lists(op, min_size=1, max_size=2)),
+    st.tuples(st.just("crash_publish"), st.lists(op, min_size=1, max_size=2)),
+    st.just("torn"),
+    st.just("reopen"),
+    st.just("checkpoint"),
+    st.just("sweep"),
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(script=st.lists(crash_action, min_size=3, max_size=6))
+def test_crash_points_never_corrupt_or_leak(spark, tmp_path_factory, script):
+    import os as _os
+
+    path = tmp_path_factory.mktemp("vt_crash")
+    tbl_path = str(path / "tbl")
+    vt = VersionedTable.create(spark, tbl_path, key_cols=["k"], schema=SCHEMA)
+
+    model: dict[int, str] = {}
+    history: list[tuple[int, dict[int, str]]] = []
+
+    def as_dict(df):
+        return {r.k: r.v for r in df.collect()}
+
+    def apply_ops(t, staged, ops):
+        for o in ops:
+            if o[0] == "upsert":
+                t.upsert(spark.createDataFrame([(o[1], o[2])], SCHEMA))
+                staged[o[1]] = o[2]
+            else:
+                t.delete_keys([(o[1],)])
+                staged.pop(o[1], None)
+
+    for step in script:
+        if step == "torn":
+            # crashed mid-write manifest tmp + junk file: readers must skip both
+            log_dir = vt._log_dir
+            with open(_os.path.join(log_dir, "_tmp-injected.json"), "w") as f:
+                f.write('{"csn": 99, "ops": [{"di')  # torn JSON
+            with open(_os.path.join(log_dir, "notacsn.json"), "w") as f:
+                f.write("junk")
+        elif step == "reopen":
+            # process restart: only published manifests define state
+            vt = VersionedTable.open(spark, tbl_path)
+        elif step == "checkpoint":
+            vt.checkpoint()
+        elif step == "sweep":
+            # age out everything, then vacuum with the default retention:
+            # orphaned (never-claimed) op dirs are reclaimed by mtime age,
+            # referenced dirs survive regardless of age
+            for base, _dirs, files in _os.walk(vt._data_dir):
+                for f in files:
+                    try:
+                        _os.utime(_os.path.join(base, f), (0, 0))
+                    except OSError:
+                        pass
+                try:
+                    _os.utime(base, (0, 0))
+                except OSError:
+                    pass
+            vt.vacuum()
+        elif step[0] == "txn":
+            _, ops, do_commit = step
+            t = vt.begin()
+            staged = dict(model)
+            apply_ops(t, staged, ops)
+            if do_commit:
+                csn = t.commit()
+                model = staged
+                history.append((csn, dict(model)))
+            else:
+                t.rollback()
+        elif step[0] == "crash_staged":
+            # phase-1 complete, writer dies before claiming a csn: files on
+            # disk under tsn=<tsn>/, no manifest -> invisible forever
+            t = vt.begin()
+            apply_ops(t, dict(model), step[1])
+            t._stage()
+            t._done = True  # abandon without rollback (simulated process death)
+        elif step[0] == "crash_publish":
+            # phase-2 publish I/O fails (manifest link never created)
+            t = vt.begin()
+            apply_ops(t, dict(model), step[1])
+            original = vt._publish
+
+            def _boom(name, manifest):
+                raise OSError("injected crash during manifest publish")
+
+            vt._publish = _boom
+            try:
+                with pytest.raises(OSError, match="injected crash"):
+                    t.commit()
+            finally:
+                vt._publish = original
+        # invariant after EVERY step: table == model
+        assert as_dict(vt.snapshot()) == model, f"diverged after {step!r}"
+
+    # every surviving historical commit point still replays exactly
+    for csn, state in history:
+        assert as_dict(vt.snapshot(as_of_csn=csn)) == state, f"as-of {csn} diverged"
+    # the log is still contiguous: one more normal commit claims the next csn
+    t = vt.begin()
+    t.upsert(spark.createDataFrame([(0, "zz")], SCHEMA))
+    final_csn = t.commit()
+    model[0] = "zz"
+    assert final_csn == vt.latest_csn()
+    assert as_dict(vt.snapshot()) == model
