@@ -1212,3 +1212,91 @@ def test_concurrent_writers_conflict_exactly_on_overlap(
                     model.pop(o[1], None)
         committed_keys |= my_keys
         assert {r.k: r.v for r in vt.snapshot().collect()} == model
+
+
+# ---------------------------------------------------------------------------
+# Exactly-once sink property: random micro-batch delivery sequences — new
+# epochs, replays of already-committed epochs (crash between sink commit and
+# checkpoint advance), restarts (epoch cache lost + table handle reopened),
+# and interleaved foreign writers — must leave the table equal to applying
+# each distinct epoch EXACTLY once in epoch order, and must publish exactly
+# one manifest per distinct epoch. Epoch payloads deliberately overwrite a
+# shared key so a wrongly re-committed replay REGRESSES a visible value
+# instead of hiding as an idempotent overwrite. This generalizes the
+# deterministic replay tests in test_streaming.py to generated schedules
+# (the advisor's r4 exactly-once data-loss finding lived exactly here).
+sink_step = st.tuples(
+    st.sampled_from(["next", "replay", "restart", "foreign"]),
+    st.integers(0, 10),
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(steps=st.lists(sink_step, min_size=3, max_size=8))
+def test_stream_sink_is_exactly_once_under_replay_and_restart(
+    spark, tmp_path_factory, steps
+):
+    from db_core_spark.streaming.ops import commit_microbatch
+
+    path = tmp_path_factory.mktemp("vt_eo")
+    tbl_path = str(path / "tbl")
+    vt = VersionedTable.create(spark, tbl_path, key_cols=["k"], schema=SCHEMA)
+
+    W = "writer-A"
+    cache: dict = {}
+    committed: list[int] = []  # distinct epochs published, in order
+    model: dict[int, str] = {}
+    foreign_i = 0
+
+    def payload(epoch: int):
+        # key 0 is contested across epochs; key 100+epoch is unique
+        return [(0, f"e{epoch}"), (100 + epoch, f"x{epoch}")]
+
+    def apply_to_model(epoch: int):
+        for k, v in payload(epoch):
+            model[k] = v
+
+    for kind, pick in steps:
+        if kind == "restart":
+            # process death: cache gone, fresh handle; durable state intact
+            cache = {}
+            vt = VersionedTable.open(spark, tbl_path)
+            continue
+        if kind == "foreign":
+            # unrelated writer commits between epochs (disjoint keys)
+            t = vt.begin()
+            t.upsert(spark.createDataFrame([(50 + foreign_i, "f")], SCHEMA))
+            t.commit()
+            model[50 + foreign_i] = "f"
+            foreign_i += 1
+            continue
+        if kind == "replay":
+            if not committed:
+                continue
+            epoch = committed[pick % len(committed)]
+            df = spark.createDataFrame(payload(epoch), SCHEMA)
+            assert commit_microbatch(vt, df, epoch_id=epoch, writer_id=W, cache=cache) is False, (
+                f"replayed epoch {epoch} was re-published"
+            )
+        else:  # next
+            epoch = (committed[-1] + 1) if committed else 0
+            df = spark.createDataFrame(payload(epoch), SCHEMA)
+            assert commit_microbatch(vt, df, epoch_id=epoch, writer_id=W, cache=cache) is True, (
+                f"new epoch {epoch} was wrongly skipped"
+            )
+            committed.append(epoch)
+            apply_to_model(epoch)
+        # the table equals exactly-once application after every delivery
+        assert {r.k: r.v for r in vt.snapshot().collect()} == model
+
+    # exactly one manifest per distinct epoch for this writer
+    published = [
+        m["epoch"] for m in vt._manifests() if m.get("writer") == W
+    ]
+    assert sorted(published) == committed, (
+        f"manifest multiplicity wrong: {sorted(published)} vs {committed}"
+    )
