@@ -1300,3 +1300,140 @@ def test_stream_sink_is_exactly_once_under_replay_and_restart(
     assert sorted(published) == committed, (
         f"manifest multiplicity wrong: {sorted(published)} vs {committed}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Group-transaction crash property: a coordinator dying at ANY point of the
+# multi-table protocol — after all per-table claims but before the marker
+# (undecided group), or mid-claim with the abort-marker write ALSO failing
+# (no decision at all) — must never tear atomicity: after the grace window a
+# reader force-aborts the group and BOTH tables read as if it never ran; a
+# subsequent healthy group commit succeeds and is visible on both tables
+# atomically. Generalizes test_group_txn.py's hand-picked crash cases to
+# generated schedules (reference: one WAL commit record spans all objects,
+# /root/reference/src/system/instance.rs:102-111; reader timeout analog of
+# tran_mgr.rs:108-127).
+group_step = st.one_of(
+    st.tuples(st.just("group"), st.lists(op, min_size=1, max_size=2),
+              st.lists(op, min_size=1, max_size=2)),
+    st.tuples(st.just("single"), st.sampled_from(["a", "b"]),
+              st.lists(op, min_size=1, max_size=2)),
+    st.tuples(st.just("crash_marker"), st.lists(op, min_size=1, max_size=2),
+              st.lists(op, min_size=1, max_size=2)),
+    st.tuples(st.just("crash_mid_claim"), st.lists(op, min_size=1, max_size=2),
+              st.lists(op, min_size=1, max_size=2)),
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(steps=st.lists(group_step, min_size=2, max_size=5))
+def test_group_crash_points_never_tear_atomicity(spark, tmp_path_factory, steps):
+    import db_core_spark.plans.group as group_mod
+    from db_core_spark.config import EngineConfig
+    from db_core_spark.plans import Database
+
+    fast = EngineConfig(group_pending_grace_seconds=0.2)
+    path = tmp_path_factory.mktemp("db_crash")
+    db = Database.create(spark, str(path / "db"), config=fast)
+    db.create_table("a", key_cols=["k"], schema=SCHEMA)
+    db.create_table("b", key_cols=["k"], schema=SCHEMA)
+
+    models = {"a": {}, "b": {}}
+
+    def apply_ops(stage_fn, model, ops):
+        for o in ops:
+            if o[0] == "upsert":
+                stage_fn("upsert", o[1], o[2])
+                model[o[1]] = o[2]
+            else:
+                stage_fn("delete", o[1], None)
+                model.pop(o[1], None)
+
+    def as_dict(name):
+        return {r.k: r.v for r in db.table(name).snapshot().collect()}
+
+    real_publish = group_mod.publish_manifest
+
+    for step in steps:
+        kind = step[0]
+        if kind == "single":
+            _, name, ops = step
+            t = db.table(name).begin()
+            apply_ops(
+                lambda k, key, v, _t=t: _t.upsert(
+                    spark.createDataFrame([(key, v)], SCHEMA)
+                ) if k == "upsert" else _t.delete_keys([(key,)]),
+                models[name], ops,
+            )
+            t.commit()
+        elif kind == "group":
+            _, ops_a, ops_b = step
+            g = db.begin()
+            apply_ops(
+                lambda k, key, v: g.upsert("a", spark.createDataFrame([(key, v)], SCHEMA))
+                if k == "upsert" else g.delete_keys("a", [(key,)]),
+                models["a"], ops_a,
+            )
+            apply_ops(
+                lambda k, key, v: g.upsert("b", spark.createDataFrame([(key, v)], SCHEMA))
+                if k == "upsert" else g.delete_keys("b", [(key,)]),
+                models["b"], ops_b,
+            )
+            g.commit()
+        else:
+            _, ops_a, ops_b = step
+            g = db.begin()
+            snap_a, snap_b = dict(models["a"]), dict(models["b"])
+            apply_ops(
+                lambda k, key, v: g.upsert("a", spark.createDataFrame([(key, v)], SCHEMA))
+                if k == "upsert" else g.delete_keys("a", [(key,)]),
+                models["a"], ops_a,
+            )
+            apply_ops(
+                lambda k, key, v: g.upsert("b", spark.createDataFrame([(key, v)], SCHEMA))
+                if k == "upsert" else g.delete_keys("b", [(key,)]),
+                models["b"], ops_b,
+            )
+            models["a"], models["b"] = snap_a, snap_b  # crash: nothing applies
+
+            def _boom(*a, **kw):
+                raise OSError("injected coordinator death")
+
+            if kind == "crash_marker":
+                # all claims land; coordinator dies publishing the marker
+                group_mod.publish_manifest = _boom
+                try:
+                    with pytest.raises(OSError, match="injected"):
+                        g.commit()
+                finally:
+                    group_mod.publish_manifest = real_publish
+            else:  # crash_mid_claim: table b's claim dies AND no marker lands
+                tb = g.txn("b")
+                orig_pub = tb.table._publish
+                tb.table._publish = lambda n, m: _boom()
+                group_mod.publish_manifest = _boom
+                try:
+                    with pytest.raises(OSError, match="injected"):
+                        g.commit()
+                finally:
+                    tb.table._publish = orig_pub
+                    group_mod.publish_manifest = real_publish
+        # atomicity invariant after EVERY step: reads (which force-abort
+        # undecided groups past the 0.2 s grace) equal the model on BOTH
+        # tables — never a torn mix
+        assert as_dict("a") == models["a"], f"table a diverged after {step!r}"
+        assert as_dict("b") == models["b"], f"table b diverged after {step!r}"
+
+    # a final healthy group commit lands atomically on both tables
+    g = db.begin()
+    g.upsert("a", spark.createDataFrame([(7, "fin")], SCHEMA))
+    g.upsert("b", spark.createDataFrame([(7, "fin")], SCHEMA))
+    g.commit()
+    models["a"][7] = "fin"
+    models["b"][7] = "fin"
+    assert as_dict("a") == models["a"]
+    assert as_dict("b") == models["b"]
