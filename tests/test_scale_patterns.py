@@ -332,3 +332,41 @@ def test_salted_join_random_parity_row_exact(spark):
         assert salted == plain
 
     check()
+
+
+def test_headline_queries_are_partition_invariant(spark):
+    """Every headline bench query must give the IDENTICAL answer under a
+    hostile partitioning regime (3 shuffle partitions, 256 KB input splits)
+    as under the tuned defaults — the in-suite guard for the full-registry
+    sweep in tools/partition_invariance.py. Any operator whose result
+    depends on partition count/ordering (a mapPartitions accumulator, a
+    prefix sum assuming one partition, a split-boundary-tied sample) flips
+    between regimes and fails here before it ships."""
+    from bench import HEADLINE
+    from db_core_spark.registry import all_queries
+
+    sf_dir = "/root/testdata/sf0.001"
+    qs = all_queries()
+    knobs = {
+        "spark.sql.shuffle.partitions": "3",
+        "spark.sql.files.maxPartitionBytes": str(256 * 1024),
+    }
+    defaults = {k: spark.conf.get(k) for k in knobs}
+
+    def canon(df):
+        cols = sorted(df.columns)
+        return sorted(tuple(str(r[c]) for c in cols) for r in df.collect())
+
+    bad = []
+    for name in HEADLINE:
+        try:
+            a = canon(qs[name].fn(spark, sf_dir))
+            for k, v in knobs.items():
+                spark.conf.set(k, v)
+            b = canon(qs[name].fn(spark, sf_dir))
+        finally:
+            for k, v in defaults.items():
+                spark.conf.set(k, v)
+        if a != b:
+            bad.append(name)
+    assert not bad, f"partition-sensitive results: {bad}"
