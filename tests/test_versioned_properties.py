@@ -1322,6 +1322,7 @@ group_step = st.one_of(
               st.lists(op, min_size=1, max_size=2)),
     st.tuples(st.just("crash_mid_claim"), st.lists(op, min_size=1, max_size=2),
               st.lists(op, min_size=1, max_size=2)),
+    st.just("gvac"),  # aggressive marker reclamation between steps
 )
 
 
@@ -1359,8 +1360,14 @@ def test_group_crash_points_never_tear_atomicity(spark, tmp_path_factory, steps)
     real_publish = group_mod.publish_manifest
 
     for step in steps:
-        kind = step[0]
-        if kind == "single":
+        kind = step if isinstance(step, str) else step[0]
+        if kind == "gvac":
+            # retain 0: only the live-manifest reference guard protects
+            # markers — a committed group's marker must survive (deleting it
+            # would flip the group back to pending and force-abort committed
+            # data), and reclamation must never change what either table reads
+            db.vacuum_groups(retain_seconds=0.0)
+        elif kind == "single":
             _, name, ops = step
             t = db.table(name).begin()
             apply_ops(
