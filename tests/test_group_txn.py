@@ -726,3 +726,78 @@ def test_cloned_aborted_group_hole_has_empty_write_set(db, spark, tmp_path):
     txn.upsert(spark.createDataFrame([(99, "new")], SCHEMA))
     txn.commit()
     assert (99, "new") in {(r.k, r.v) for r in c.snapshot().collect()}
+
+
+def test_replay_after_group_abort_recommits_not_skips(spark, tmp_path):
+    """THE exactly-once data-loss case (advisor r4, high): a group batch
+    that died after its per-table claims but before the marker leaves
+    manifests on disk carrying the stream's (writer, epoch) identity; a
+    reader force-aborts the group. When Structured Streaming replays that
+    epoch, the replay check must treat those aborted-group manifests as
+    NOT durable and RE-COMMIT the batch — a bare (writer, epoch) match
+    would silently drop it forever."""
+    import db_core_spark.plans.group as group_mod
+    from db_core_spark.plans.versioned import resolve_group_status
+    from db_core_spark.streaming.ops import _advance_writer_epoch
+
+    db = Database.create(spark, str(tmp_path / "db_replay"), config=FAST)
+    db.create_table("raw", key_cols=["k"], schema=SCHEMA)
+    db.create_table("agg", key_cols=["k"], schema=SCHEMA)
+    writer_id = "ck-replay"
+
+    # epoch 0's first attempt: coordinator dies between claims and marker
+    g = db.begin()
+    g.upsert("raw", rows(spark, (1, "r1")))
+    g.upsert("agg", rows(spark, (1, "a1")))
+    real = group_mod.publish_manifest
+
+    def _boom(*a, **kw):
+        raise OSError("coordinator death before marker")
+
+    group_mod.publish_manifest = _boom
+    try:
+        with pytest.raises(OSError):
+            g.commit(extra={"writer": writer_id, "epoch": 0})
+    finally:
+        group_mod.publish_manifest = real
+
+    # both tables now hold (writer, epoch=0) manifests of an UNDECIDED group;
+    # reads past the grace window force-abort it
+    assert state(db, "raw") == set() and state(db, "agg") == set()
+
+    # the replay check MUST NOT count those manifests as durable
+    for name in db.table_names():
+        t = db.table(name)
+        grace = t.config.group_pending_grace_seconds
+
+        def durable(m, g=grace):
+            return m.get("group") is None or (
+                resolve_group_status(m["group"], m.get("ts", 0.0), g) == "committed"
+            )
+
+        assert _advance_writer_epoch(t, writer_id, {}, durable=durable) is None, (
+            f"{name}: aborted-group manifest wrongly counted as durable — "
+            "the replayed epoch would be dropped"
+        )
+        # ...while a naive identity-only scan DOES see them (the trap)
+        assert _advance_writer_epoch(t, writer_id, {}) == 0
+
+    # the replayed epoch re-commits and the data lands atomically
+    g2 = db.begin()
+    g2.upsert("raw", rows(spark, (1, "r1")))
+    g2.upsert("agg", rows(spark, (1, "a1")))
+    csns = g2.commit(extra={"writer": writer_id, "epoch": 0})
+    assert set(csns) == {"raw", "agg"}
+    assert state(db, "raw") == {(1, "r1")} and state(db, "agg") == {(1, "a1")}
+
+    # and NOW the epoch is durable: a second replay is correctly skipped
+    for name in db.table_names():
+        t = db.table(name)
+        grace = t.config.group_pending_grace_seconds
+
+        def durable(m, g=grace):
+            return m.get("group") is None or (
+                resolve_group_status(m["group"], m.get("ts", 0.0), g) == "committed"
+            )
+
+        assert _advance_writer_epoch(t, writer_id, {}, durable=durable) == 0
