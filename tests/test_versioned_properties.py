@@ -1444,3 +1444,66 @@ def test_group_crash_points_never_tear_atomicity(spark, tmp_path_factory, steps)
     models["b"][7] = "fin"
     assert as_dict("a") == models["a"]
     assert as_dict("b") == models["b"]
+
+
+# ---------------------------------------------------------------------------
+# Connector-equivalence property: the Python DataSource (format('versioned'))
+# and the plans-layer table API are two independent read paths over the same
+# commit log (different fold code, different file listing, different
+# checkpoint handling). For random transaction scripts with checkpoints
+# dropped at random positions, both paths must agree at the LATEST state and
+# at EVERY historical csn (asOfCsn option vs snapshot(as_of_csn)). Catches
+# one-sided visibility bugs — a manifest the DataSource folds differently
+# than the engine — that no single-path test can see.
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(script=st.lists(st.one_of(txn, st.just("checkpoint")), min_size=2, max_size=4))
+def test_datasource_and_engine_reads_agree_at_every_csn(
+    spark, tmp_path_factory, script
+):
+    from db_core_spark.sources import register_versioned_format
+
+    register_versioned_format(spark)
+    path = tmp_path_factory.mktemp("vt_ds")
+    tbl_path = str(path / "tbl")
+    vt = VersionedTable.create(spark, tbl_path, key_cols=["k"], schema=SCHEMA)
+
+    model: dict[int, str] = {}
+    history: list[tuple[int, dict[int, str]]] = []
+
+    for step in script:
+        if step == "checkpoint":
+            vt.checkpoint()
+            continue
+        ops, do_commit = step
+        t = vt.begin()
+        staged = dict(model)
+        for o in ops:
+            if o[0] == "upsert":
+                t.upsert(spark.createDataFrame([(o[1], o[2])], SCHEMA))
+                staged[o[1]] = o[2]
+            else:
+                t.delete_keys([(o[1],)])
+                staged.pop(o[1], None)
+        if do_commit:
+            csn = t.commit()
+            model = staged
+            history.append((csn, dict(model)))
+        else:
+            t.rollback()
+
+    def engine(as_of=None):
+        return {r.k: r.v for r in vt.snapshot(as_of_csn=as_of).collect()}
+
+    def connector(as_of=None):
+        reader = spark.read.format("versioned").option("path", tbl_path)
+        if as_of is not None:
+            reader = reader.option("asOfCsn", str(as_of))
+        return {r.k: r.v for r in reader.load().select("k", "v").collect()}
+
+    assert connector() == engine() == model
+    for csn, state in history:
+        assert connector(csn) == engine(csn) == state, f"paths disagree at csn {csn}"
