@@ -1507,3 +1507,105 @@ def test_datasource_and_engine_reads_agree_at_every_csn(
     assert connector() == engine() == model
     for csn, state in history:
         assert connector(csn) == engine(csn) == state, f"paths disagree at csn {csn}"
+
+
+# ---------------------------------------------------------------------------
+# Live-migration crash property: rebucket() is a two-step protocol (atomic
+# _meta.json replace, then checkpoint under the new layout). A process dying
+# between the steps, or mid-checkpoint-write (partial checkpoint dir, no
+# manifest), must never change what any reader sees: mixed-layout tolerance
+# means ops carry their own `buckets` field and the unreferenced partial
+# checkpoint dir is invisible. Random scripts interleave commits, completed
+# and crashed rebuckets, crashed checkpoint writes, reopens, and healthy
+# checkpoints; snapshot == model after every step and all history replays.
+rb_crash_step = st.one_of(
+    txn,
+    st.tuples(st.just("rebucket"), st.integers(1, 4)),
+    st.tuples(st.just("rebucket_crash"), st.integers(1, 4)),
+    st.just("ckpt_write_crash"),
+    st.just("reopen"),
+    st.just("checkpoint"),
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(script=st.lists(rb_crash_step, min_size=3, max_size=6))
+def test_rebucket_crash_points_are_invisible(spark, tmp_path_factory, script):
+    import os as _os
+
+    path = tmp_path_factory.mktemp("vt_rbcrash")
+    tbl_path = str(path / "tbl")
+    vt = VersionedTable.create(
+        spark, tbl_path, key_cols=["k"], schema=SCHEMA, num_buckets=2
+    )
+
+    model: dict[int, str] = {}
+    history: list[tuple[int, dict[int, str]]] = []
+
+    def as_dict(df):
+        return {r.k: r.v for r in df.collect()}
+
+    for step in script:
+        if step == "reopen":
+            vt = VersionedTable.open(spark, tbl_path)
+        elif step == "checkpoint":
+            vt.checkpoint()
+        elif step == "ckpt_write_crash":
+            # checkpoint died mid-write: partial files in the would-be
+            # checkpoint dir, no manifest -> unreferenced, invisible; a
+            # later real checkpoint at this csn must overwrite it cleanly
+            csn = vt.latest_csn()
+            if csn > 0 and not any(
+                is_ck and c == csn for c, is_ck, _ in vt._log_names()
+            ):
+                d = _os.path.join(vt._data_dir, f"checkpoint-{csn:010d}")
+                _os.makedirs(d, exist_ok=True)
+                with open(_os.path.join(d, "part-torn.parquet"), "wb") as f:
+                    f.write(b"\x00not parquet")
+        elif step[0] == "rebucket":
+            vt.rebucket(step[1])
+        elif step[0] == "rebucket_crash":
+            # died between the meta replace and the checkpoint: new layout
+            # is active for FUTURE writes, nothing else happened
+            original = vt.checkpoint
+
+            def _boom():
+                raise OSError("injected crash before rebucket checkpoint")
+
+            vt.checkpoint = _boom
+            try:
+                with pytest.raises(OSError, match="injected"):
+                    vt.rebucket(step[1])
+            finally:
+                vt.checkpoint = original
+        else:
+            ops, do_commit = step
+            t = vt.begin()
+            staged = dict(model)
+            for o in ops:
+                if o[0] == "upsert":
+                    t.upsert(spark.createDataFrame([(o[1], o[2])], SCHEMA))
+                    staged[o[1]] = o[2]
+                else:
+                    t.delete_keys([(o[1],)])
+                    staged.pop(o[1], None)
+            if do_commit:
+                csn = t.commit()
+                model = staged
+                history.append((csn, dict(model)))
+            else:
+                t.rollback()
+        assert as_dict(vt.snapshot()) == model, f"diverged after {step!r}"
+
+    for csn, state in history:
+        assert as_dict(vt.snapshot(as_of_csn=csn)) == state, f"as-of {csn} diverged"
+    # the table still takes writes under whatever layout survived
+    t = vt.begin()
+    t.upsert(spark.createDataFrame([(0, "zz")], SCHEMA))
+    t.commit()
+    model[0] = "zz"
+    assert as_dict(vt.snapshot()) == model
