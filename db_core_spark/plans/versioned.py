@@ -797,9 +797,6 @@ class VersionedTable:
         os.makedirs(os.path.join(dst_path, "_commitlog"), exist_ok=False)
         dst_data = os.path.join(dst_path, "data")
         os.makedirs(dst_data, exist_ok=True)
-        shutil.copyfile(
-            os.path.join(self.path, "_meta.json"), os.path.join(dst_path, "_meta.json")
-        )
         dst_log = os.path.join(dst_path, "_commitlog")
 
         linked: dict[str, str] = {}
@@ -869,6 +866,15 @@ class VersionedTable:
         # fork provenance: merge_from() defaults its base to this cut
         with open(os.path.join(dst_path, "_fork.json"), "w") as f:
             json.dump({"src_path": self.path, "fork_csn": src_csn}, f)
+        # _meta.json is the clone's PUBLISH point and is written LAST, via
+        # tmp + atomic replace: open() requires it, so a clone torn by a
+        # crash mid-link/mid-manifest refuses to open loudly instead of
+        # silently presenting the valid-looking prefix of the commit log as
+        # an earlier snapshot (same manifest-last discipline as commit:
+        # staged state is invisible until the one atomic publish).
+        meta_tmp = os.path.join(dst_path, f"_meta.json.tmp-{uuid.uuid4().hex}")
+        shutil.copyfile(os.path.join(self.path, "_meta.json"), meta_tmp)
+        os.replace(meta_tmp, os.path.join(dst_path, "_meta.json"))
         return VersionedTable(self.spark, dst_path, config=self.config)
 
     def merge_from(
@@ -1170,6 +1176,22 @@ class VersionedTable:
                             removed += 1
                             if not dry_run:
                                 shutil.rmtree(sp, ignore_errors=True)
+                    continue
+                if (
+                    d.startswith("checkpoint-")
+                    and os.path.isdir(p)
+                    and os.path.abspath(p) not in referenced
+                    and _newest_mtime(p) < orphan_cutoff
+                ):
+                    # checkpoint dir with no published manifest: a
+                    # checkpoint() that died mid-write. Invisible (readers
+                    # fold only manifest-referenced checkpoints) but leaks
+                    # disk forever without this; the same age floor that
+                    # protects in-flight txn staging protects an in-progress
+                    # checkpoint write.
+                    removed += 1
+                    if not dry_run:
+                        shutil.rmtree(p, ignore_errors=True)
                     continue
                 if not (d.startswith("tsn=") and os.path.isdir(p)):
                     continue

@@ -384,3 +384,45 @@ def test_changes_include_opseq_orders_within_txn(spark, tmp_path):
     assert feed.columns == ["k", "v", "_csn", "_change", "_opseq"]
     rows = {(r._change, r._opseq) for r in feed.collect()}
     assert rows == {("upsert", 0), ("delete", 1)}
+
+
+def test_torn_clone_refuses_to_open(vt, spark, tmp_path, monkeypatch):
+    """A clone interrupted mid-manifest-publish must NOT open as a
+    valid-looking earlier snapshot: _meta.json is the clone's atomic
+    publish point, written LAST, so the torn directory fails open() loudly
+    (same manifest-last discipline as commit — staged state is invisible
+    until the one atomic publish). A retry at the same path also fails
+    loudly (dst exists), never silently merges into the wreckage."""
+    import db_core_spark.plans.versioned as vmod
+
+    put(spark, vt, [(1, "a", 1.0)])
+    put(spark, vt, [(2, "b", 2.0)])
+    put(spark, vt, [(3, "c", 3.0)])
+
+    dst = str(tmp_path / "torn_clone")
+    real = vmod.publish_manifest
+    calls = {"n": 0}
+
+    def flaky(log_dir, name, manifest):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise OSError("injected crash mid-clone")
+        return real(log_dir, name, manifest)
+
+    monkeypatch.setattr(vmod, "publish_manifest", flaky)
+    with pytest.raises(OSError, match="injected"):
+        vt.clone(dst)
+    monkeypatch.setattr(vmod, "publish_manifest", real)
+
+    # the torn directory exists with a manifest prefix but NO _meta.json
+    assert os.path.isdir(os.path.join(dst, "_commitlog"))
+    assert not os.path.exists(os.path.join(dst, "_meta.json"))
+    with pytest.raises(FileNotFoundError):
+        VersionedTable.open(spark, dst)
+
+    # retry at the same path is loud (never merges into the wreckage) ...
+    with pytest.raises(FileExistsError):
+        vt.clone(dst)
+    # ... and a clean-path retry produces a full, correct clone
+    good = vt.clone(str(tmp_path / "clone_ok"))
+    assert rows_of(good.snapshot()) == rows_of(vt.snapshot())

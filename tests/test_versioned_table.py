@@ -811,3 +811,45 @@ def test_checkpoint_twice_at_same_csn_is_idempotent(spark, tmp_path):
     assert {(r.k, r.v) for r in vt.snapshot().collect()} == {
         (0, "a"), (1, "b"), (2, "c")
     }
+
+
+def test_vacuum_sweeps_torn_checkpoint_dirs(vt, spark):
+    """A checkpoint() that died mid-write leaves a checkpoint-* dir with no
+    manifest: invisible to readers, but a permanent disk leak unless the
+    orphan sweep reclaims it. The sweep must take exactly the torn dir —
+    never a manifest-referenced (live) checkpoint, regardless of age."""
+    import os
+    import time as _time
+
+    t = vt.begin()
+    t.upsert(spark.createDataFrame([(1, "a", 1.0)], vt.schema))
+    t.commit()
+    live_csn = vt.checkpoint()
+    live_dir = os.path.join(vt._data_dir, f"checkpoint-{live_csn:010d}")
+    assert os.path.isdir(live_dir)
+
+    # torn: a mid-write crash at a LATER would-be csn (no manifest)
+    torn = os.path.join(vt._data_dir, f"checkpoint-{live_csn + 7:010d}")
+    os.makedirs(torn)
+    with open(os.path.join(torn, "part-torn.parquet"), "wb") as f:
+        f.write(b"\x00partial")
+    # age everything out so only the reference guard protects the live dir
+    for base, _dirs, files in os.walk(vt._data_dir):
+        for fn in files:
+            os.utime(os.path.join(base, fn), (0, 0))
+        os.utime(base, (0, 0))
+
+    before = {r.k for r in vt.snapshot().collect()}
+    n = vt.vacuum()
+    assert not os.path.exists(torn), "torn checkpoint dir not reclaimed"
+    assert os.path.isdir(live_dir), "live checkpoint dir wrongly reclaimed"
+    assert n >= 1
+    assert {r.k for r in vt.snapshot().collect()} == before
+    # dry_run counts without deleting
+    torn2 = os.path.join(vt._data_dir, f"checkpoint-{live_csn + 9:010d}")
+    os.makedirs(torn2)
+    os.utime(torn2, (0, 0))
+    assert vt.vacuum(dry_run=True) >= 1
+    assert os.path.isdir(torn2)
+    vt.vacuum()
+    assert not os.path.exists(torn2)
