@@ -215,7 +215,8 @@ class VersionedTable:
         self.config = config or DEFAULT_CONFIG
         self._log_dir = os.path.join(path, "_commitlog")
         self._data_dir = os.path.join(path, "data")
-        meta = json.load(open(os.path.join(path, "_meta.json")))
+        with open(os.path.join(path, "_meta.json")) as fh:
+            meta = json.load(fh)
         self.key_cols: list[str] = meta["key_cols"]
         self.schema: T.StructType = T.StructType.fromJson(meta["schema"])
         # 0 = legacy unbucketed layout (round-1 tables); bucketed is default
@@ -702,7 +703,8 @@ class VersionedTable:
             list(self.schema.fields) + [T.StructField(name, data_type, True)]
         )
         meta_path = os.path.join(self.path, "_meta.json")
-        meta = json.load(open(meta_path))
+        with open(meta_path) as fh:
+            meta = json.load(fh)
         meta["schema"] = new_schema.jsonValue()
         tmp = meta_path + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
@@ -748,7 +750,8 @@ class VersionedTable:
         if not set(bucket_cols) <= set(self.key_cols):
             raise ValueError(f"bucket_cols {bucket_cols} must be a subset of key_cols")
         meta_path = os.path.join(self.path, "_meta.json")
-        meta = json.load(open(meta_path))
+        with open(meta_path) as fh:
+            meta = json.load(fh)
         meta["num_buckets"] = new_num_buckets
         meta["bucket_cols"] = bucket_cols
         tmp = meta_path + f".tmp-{uuid.uuid4().hex}"

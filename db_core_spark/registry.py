@@ -76,12 +76,17 @@ def query(name: str, oracle: str | None = None, category: str = "relational"):
     return deco
 
 
-def _driver_history() -> tuple[frozenset[str], frozenset[str]]:
-    """Return ``(checked, errored)`` driver CORRECTNESS history across rounds.
+def _driver_history() -> tuple[frozenset[str], frozenset[str], frozenset[str]]:
+    """Return ``(green, rows_only, errored)`` driver CORRECTNESS history.
 
-    ``checked``: names with a usable driver row in any committed round — the
-    row passed its oracle comparison or was the intentional rows-only path
-    (``err == "no_oracle"``).
+    ``green``: names with a fully-passing driver row (rows + schema + hash) in
+    some committed round — hard evidence regardless of later oracle changes.
+    ``rows_only``: names whose ONLY usable driver rows were the intentional
+    rows-only path (``err == "no_oracle"``) and that were never hash-green.
+    Whether such a row still counts as "checked" depends on the CURRENT
+    registration: once the query gains an oracle, the historical rows-only row
+    is stale and the query must re-enter the window for hash verification
+    (resolved in :func:`all_queries`, which can see the live registry).
     ``errored``: names whose row errored or mismatched in some round and that
     have NEVER been seen green/rows-only by the driver — these re-enter the
     FRONT of the rotation (ahead even of never-checked registrations) until
@@ -93,7 +98,8 @@ def _driver_history() -> tuple[frozenset[str], frozenset[str]]:
     from pathlib import Path
 
     repo = Path(__file__).resolve().parent.parent
-    checked: set[str] = set()
+    green: set[str] = set()
+    rows_only: set[str] = set()
     bad: set[str] = set()
     for path in sorted(repo.glob("CORRECTNESS_r*.json")):
         try:
@@ -103,30 +109,48 @@ def _driver_history() -> tuple[frozenset[str], frozenset[str]]:
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
-            if row.get("err") == "no_oracle" or (
+            if row.get("err") == "no_oracle":
+                rows_only.add(name)
+            elif (
                 row.get("rows_match")
                 and row.get("schema_match")
                 and row.get("hash_match")
             ):
-                checked.add(name)
+                green.add(name)
             else:
                 bad.add(name)
-    return frozenset(checked), frozenset(bad - checked)
+    return (
+        frozenset(green),
+        frozenset(rows_only - green),
+        frozenset(bad - green - rows_only),
+    )
 
 
 def all_queries() -> dict[str, RegisteredQuery]:
     # Import for side effect: each module registers its operators.
     from db_core_spark import queries as _q  # noqa: F401
 
-    checked, errored = _driver_history()
+    green, rows_only, errored = _driver_history()
     rank = {c: i for i, c in enumerate(CATEGORY_PRIORITY)}
     order = {name: i for i, name in enumerate(_REGISTRY)}
+
+    def is_stale_conversion(name: str, rq: RegisteredQuery) -> bool:
+        # Historical rows-only row, but the registration has since gained an
+        # oracle: the driver never hash-verified this query. Re-front it.
+        return name in rows_only and rq.oracle is not None
+
+    def is_checked(name: str, rq: RegisteredQuery) -> bool:
+        if name in green:
+            return True
+        return name in rows_only and rq.oracle is None
+
     return dict(
         sorted(
             _REGISTRY.items(),
             key=lambda kv: (
                 kv[0] not in errored,  # driver-errored rows front the window
-                kv[0] in checked,  # then never-driver-checked
+                not is_stale_conversion(*kv),  # then rows-only -> oracle conversions
+                is_checked(*kv),  # then never-driver-checked
                 kv[1].oracle is None,  # oracle-eligible before rows-only
                 rank.get(kv[1].category, len(rank)),
                 order[kv[0]],

@@ -59,7 +59,8 @@ META_FIELDS = [
 
 
 def _load_meta(path: str) -> tuple[list[str], T.StructType, int, list[str]]:
-    meta = json.load(open(os.path.join(path, "_meta.json")))
+    with open(os.path.join(path, "_meta.json")) as fh:
+        meta = json.load(fh)
     key_cols = meta["key_cols"]
     return (
         key_cols,
@@ -167,14 +168,18 @@ def _table_grace_at(meta_path: str, mtime: int) -> float:
     from db_core_spark.config import DEFAULT_CONFIG
 
     try:
-        meta = json.load(open(meta_path))
+        with open(meta_path) as fh:
+            meta = json.load(fh)
         return float(
             meta.get(
                 "group_pending_grace_seconds",
                 DEFAULT_CONFIG.group_pending_grace_seconds,
             )
         )
-    except OSError:
+    except (OSError, ValueError, TypeError):
+        # Malformed/torn meta must degrade to the default grace, not crash
+        # planning (the publish path writes meta tmp+replace, but a reader
+        # can still race a torn NFS view or a hand-edited file).
         return DEFAULT_CONFIG.group_pending_grace_seconds
 
 

@@ -45,9 +45,14 @@ def tumbling_value_bins(
     reference fit, so its edges are configuration, not stream state. The
     KS fold itself (`ks_from_binned_counts`) runs downstream of the sink
     on the |windows| x 64 count spine; pytest pins streamed KS bit-equal
-    to the batch query."""
-    bin_col = F.least(
-        F.lit(63), F.floor((F.col("value") - F.lit(vmin)) / F.lit(width))
+    to the batch query. Values outside the fixed reference range clamp to
+    the edge bins on BOTH sides (below-vmin mass lands in bin 0, mirroring
+    the top clamp) — otherwise negative bin ids fall off the baseline spine
+    in ks_from_binned_counts while still inflating the window total,
+    corrupting the statistic."""
+    bin_col = F.greatest(
+        F.lit(0),
+        F.least(F.lit(63), F.floor((F.col("value") - F.lit(vmin)) / F.lit(width))),
     ).cast("long")
     return (
         events.withWatermark("ts", watermark)

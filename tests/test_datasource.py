@@ -608,3 +608,24 @@ def test_datasource_group_visibility_uses_table_grace(spark, tmp_path):
         db.group_dir, f"{g.gid}.json", {"status": "committed", "by": "test"}
     )
     assert _group_visible(pending[0], apath)
+
+
+def test_table_grace_survives_malformed_meta(tmp_path):
+    """A torn/hand-edited _meta.json must degrade _table_grace to the
+    process default instead of crashing DataSource planning (ADVICE r5:
+    json.load raised ValueError through the OSError-only catch)."""
+    import os
+
+    from db_core_spark.config import DEFAULT_CONFIG
+    from db_core_spark.sources.versioned_datasource import _table_grace
+
+    tdir = str(tmp_path / "torn")
+    os.makedirs(tdir)
+    with open(os.path.join(tdir, "_meta.json"), "w") as fh:
+        fh.write('{"key_cols": ["k"], "group_pending_grace_se')  # torn write
+    assert _table_grace(tdir) == DEFAULT_CONFIG.group_pending_grace_seconds
+
+    # non-numeric grace value degrades the same way
+    with open(os.path.join(tdir, "_meta.json"), "w") as fh:
+        fh.write('{"group_pending_grace_seconds": "soon"}')
+    assert _table_grace(tdir) == DEFAULT_CONFIG.group_pending_grace_seconds

@@ -880,6 +880,29 @@ def test_streamed_window_ks_equals_batch_monitor(spark, stream_dir, tmp_path):
     assert live == expect and live
 
 
+def test_value_bins_clamp_out_of_range_both_sides(spark):
+    """With FIXED reference edges (the deployed-monitor case) live values can
+    fall outside [vmin, vmin+64*width). Both tails must clamp to the edge
+    bins: a below-vmin value that binned negative would vanish from the
+    baseline spine join in ks_from_binned_counts while still inflating the
+    window total, corrupting the KS statistic. (withWatermark is a no-op on
+    a batch frame, so the binning expression is exercised directly.)"""
+    import datetime
+
+    from db_core_spark.streaming.ops import tumbling_value_bins
+
+    t0 = datetime.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(t0, -1e9), (t0, -0.001), (t0, 0.5), (t0, 63.5), (t0, 64.0), (t0, 1e9)],
+        "ts timestamp, value double",
+    )
+    got = {
+        (r.bin): r.n for r in tumbling_value_bins(df, vmin=0.0, width=1.0).collect()
+    }
+    assert got == {0: 3, 63: 3}  # below-range -> bin 0, above-range -> bin 63
+    assert sum(got.values()) == df.count()  # no mass dropped
+
+
 def test_epoch_replay_check_is_incremental(spark, tmp_path):
     """With a closure-held cache (what the sinks pass), the replay check
     opens only manifests published since the previous batch — not the whole
