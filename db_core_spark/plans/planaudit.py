@@ -10,9 +10,18 @@ oracle-green queries shipped with exactly this shape before round 5's
 two-pass prefix-rank sweep, `operators/prefixrank.py`).
 
 A single-partition window is NOT a smell when its input is provably
-bounded — a preceding limit / top-k (TakeOrderedAndProject) or an
-aggregation to a spine (calendar days, ventiles, top-50 lists) below the
-exchange. Those windows see O(spine) rows regardless of data scale.
+bounded — a preceding limit / top-k (TakeOrderedAndProject) below the
+exchange, or an aggregation whose GROUPING KEYS are themselves bounded:
+no keys at all (global aggregate, one row) or a calendar/tile spine
+(months, ventiles, bins — cardinality fixed by construction, not by data
+volume). Those windows see O(spine) rows regardless of data scale.
+
+An aggregate over a data-proportional key (per-user, per-order, per-doc)
+does NOT exempt: its output grows with the data and the window still
+funnels it through one task (r5-verdict tightening — the old any-aggregate
+exemption would have passed a per-customer running total). Spine keys
+whose column name doesn't reveal boundedness are whitelisted explicitly in
+``SPINE_WHITELIST`` with a justification, so every exemption is auditable.
 """
 
 from __future__ import annotations
@@ -23,20 +32,31 @@ _TREE_NODE = re.compile(r"^([ :+|-]*)\*?\s*([A-Za-z][\w .]*?)\s+\((\d+)\)\s*$")
 _SINGLE_PART = re.compile(
     r"^\((\d+)\) Exchange\s*\nInput[^\n]*\nArguments: SinglePartition", re.M
 )
+_DETAIL_BLOCK = re.compile(r"^\((\d+)\) ([A-Za-z][\w .]*?)(?: \[codegen[^\]]*\])?\s*$")
+_KEYS_LINE = re.compile(r"^Keys(?: \[\d+\])?: \[(.*)\]\s*$")
+_ATTR_REF = re.compile(r"([A-Za-z_][A-Za-z0-9_]*)#\d+")
 
-# nodes below the exchange that bound its input size
-_BOUNDING = (
-    "HashAggregate",
-    "SortAggregate",
-    "ObjectHashAggregate",
+# hard bounds below the exchange: output size fixed regardless of input
+_LIMIT_BOUNDING = (
     "TakeOrderedAndProject",
     "GlobalLimit",
     "LocalLimit",
     "CollectLimit",
     "WindowGroupLimit",
 )
+_AGGREGATE_NODES = ("HashAggregate", "SortAggregate", "ObjectHashAggregate")
 # nodes a Window's requirement passes through untouched
 _PASSTHRU = {"Sort", "Project", "Filter", "WindowGroupLimit"}
+
+# A grouping key counts as a bounded spine when its base column name names a
+# calendar unit or a fixed-width tile/bin: those domains have cardinality
+# set by the query (12 months, 20 ventiles, 64 bins), not by the data.
+_BOUNDED_KEY = re.compile(
+    r"(year|quarter|month|week|day|date|dow|hour|minute|period|"
+    r"ventile|decile|quintile|ntile|tile|bin|grade|stage|class|flag|status|"
+    r"segment_label|variant|level)",
+    re.I,
+)
 
 
 def _parse_tree(plan: str):
@@ -63,9 +83,108 @@ def _parse_tree(plan: str):
     return nodes
 
 
+# Queries whose single-partition window runs over a spine that IS bounded by
+# construction but whose key names don't reveal it to the _BOUNDED_KEY
+# heuristic. Every entry carries its justification — the auditable escape
+# hatch the r5 verdict asked for instead of the blanket aggregate exemption.
+# Consumed by tools/plan_report.py and tests/test_plan_audits.py.
+SPINE_WHITELIST: dict[str, str] = {
+    "stats_chi2_type_by_segment": (
+        "margin windows run over the contingency-cell frame keyed "
+        "(event_type x c_mktsegment) — both enum domains (5x5 cells), so the "
+        "cell count is fixed by the schema, not the event volume; the name "
+        "'segment' stays out of _BOUNDED_KEY because C4-style text segments "
+        "are data-proportional"
+    ),
+}
+
+
+_ATTR_REF_FULL = re.compile(r"([A-Za-z_][A-Za-z0-9_]*#\d+)")
+_ALIAS_AS = re.compile(r" AS ([A-Za-z_][A-Za-z0-9_]*#\d+)")
+
+
+def _aggregate_keys(plan: str) -> dict[int, list[str] | None]:
+    """node id -> full ``name#id`` tokens of the aggregate's grouping keys.
+
+    Parsed from the node-detail section (``(id) HashAggregate`` followed by
+    ``Keys [n]: [...]``). ``[]`` means a keyless global aggregate (one output
+    row); ``None`` means the Keys line was absent/unparsable (treated as
+    unbounded — fail closed).
+    """
+    keys: dict[int, list[str] | None] = {}
+    cur_id: int | None = None
+    for line in plan.splitlines():
+        m = _DETAIL_BLOCK.match(line)
+        if m:
+            name = m.group(2).strip()
+            cur_id = int(m.group(1)) if any(a in name for a in _AGGREGATE_NODES) else None
+            if cur_id is not None:
+                keys.setdefault(cur_id, None)
+            continue
+        if cur_id is None:
+            continue
+        km = _KEYS_LINE.match(line)
+        if km:
+            keys[cur_id] = _ATTR_REF_FULL.findall(km.group(1))
+            cur_id = None
+    return keys
+
+
+def _alias_defs(plan: str) -> dict[str, str]:
+    """``name#id`` -> defining expression text, from every ``<expr> AS
+    name#id`` in the plan details. Resolves Catalyst's opaque grouping-key
+    aliases (``_groupingexpression#N`` for ``date_trunc('month', ts)`` etc.)
+    so the bounded-spine test sees the real expression. The expression is
+    recovered by scanning backward with paren balancing (it may contain
+    commas, e.g. ``date_trunc(month, cast(...), Some(UTC))``), stopping at
+    a list-element comma or bracket at depth 0."""
+    defs: dict[str, str] = {}
+    for m in _ALIAS_AS.finditer(plan):
+        end = m.start()
+        depth = 0
+        i = end - 1
+        start = max(0, end - 400)
+        while i >= start:
+            ch = plan[i]
+            if ch == ")":
+                depth += 1
+            elif ch == "(":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif ch in ",[\n" and depth == 0:
+                break
+            i -= 1
+        defs.setdefault(m.group(1), plan[i + 1 : end].strip())
+    return defs
+
+
+def _bounded_key(token: str, defs: dict[str, str]) -> bool:
+    base = token.split("#", 1)[0]
+    if _BOUNDED_KEY.search(base):
+        return True
+    # opaque alias: test its defining expression (one level is enough —
+    # Catalyst materializes computed grouping keys in a single Project)
+    defn = defs.get(token)
+    return bool(defn and _BOUNDED_KEY.search(defn))
+
+
+def _bounded_aggregate(
+    nid: int, agg_keys: dict[int, list[str] | None], defs: dict[str, str]
+) -> bool:
+    ks = agg_keys.get(nid)
+    if ks is None:
+        return False  # no Keys detail — fail closed
+    # keyless global aggregate -> exactly one row; otherwise EVERY key must
+    # name a bounded spine (calendar unit / tile / enum-like domain)
+    return all(_bounded_key(k, defs) for k in ks)
+
+
 def global_window_smells(plan: str) -> list[str]:
     """Return a description per unbounded single-partition Window found."""
     nodes = _parse_tree(plan)
+    agg_keys = _aggregate_keys(plan)
+    defs = _alias_defs(plan)
     children: dict[int, list[int]] = {}
     for nid, (_name, parent) in nodes.items():
         if parent is not None:
@@ -88,14 +207,33 @@ def global_window_smells(plan: str) -> list[str]:
             cur = nodes[cur][1]
         if not feeds_window:
             continue
-        # walk DOWN: is the exchange's input provably bounded?
+        # walk DOWN: is the exchange's input provably bounded? A limit/top-k
+        # bounds unconditionally; an aggregate bounds only when its grouping
+        # keys are a bounded spine (r5-verdict tightening — a per-entity
+        # aggregate is data-proportional and must flag).
         frontier = list(children.get(ex_id, []))
         bounded = False
+        unbounded_aggs: list[str] = []
         while frontier and not bounded:
             nid = frontier.pop()
-            if any(b in nodes[nid][0] for b in _BOUNDING):
+            node_name = nodes[nid][0]
+            if any(b in node_name for b in _LIMIT_BOUNDING):
                 bounded = True
+                break
+            if any(a in node_name for a in _AGGREGATE_NODES):
+                if _bounded_aggregate(nid, agg_keys, defs):
+                    bounded = True
+                    break
+                ks = agg_keys.get(nid)
+                unbounded_aggs.append(
+                    f"{node_name}({','.join(k.split('#')[0] for k in ks) if ks else '?'})"
+                )
             frontier.extend(children.get(nid, []))
         if not bounded:
-            smells.append(f"GlobalWindow(unbounded, exchange {ex_id})")
+            detail = (
+                f"; data-proportional aggregate below: {unbounded_aggs[0]}"
+                if unbounded_aggs
+                else ""
+            )
+            smells.append(f"GlobalWindow(unbounded, exchange {ex_id}{detail})")
     return smells

@@ -872,16 +872,19 @@ def zipf_token_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf-law fit of the token rank-frequency curve: the log-log
     regression slope (natural corpora sit near -1; synthetic or templated
     text deviates hard — this fixture's tiny uniform vocabulary reads
-    shallow, which is exactly the signal) plus R². A one-aggregate corpus
-    health check: token count -> vocab ranks -> regr_slope, all codegen.
-    The rank window runs over the VOCAB (bounded), not the token stream."""
+    shallow, which is exactly the signal) plus R². Token count -> vocab
+    ranks -> regr_slope. The global frequency rank uses the two-pass
+    distributed prefix rank (operators/prefixrank.py) — at corpus scale
+    the VOCAB itself is data-proportional (billions of distinct n-grams),
+    so an unpartitioned rank window would funnel it through one task
+    (r6 rewrite; flagged by the tightened plan-smell detector)."""
+    from db_core_spark.operators.prefixrank import global_row_number
+
     d = table(spark, sf_dir, "documents")
     toks = d.select(F.explode(F.split(F.col("text"), r"\s+")).alias("tok"))
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("freq"))
-    from pyspark.sql import Window as PW
-
-    ranked = vocab.withColumn(
-        "rnk", F.row_number().over(PW.orderBy(F.col("freq").desc(), F.col("tok")))
+    ranked, _n = global_row_number(
+        vocab, [F.col("freq").desc(), F.col("tok")], out="rnk"
     )
     lf, lr = F.log("freq"), F.log("rnk")
     return ranked.agg(

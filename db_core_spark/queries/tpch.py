@@ -238,10 +238,13 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="tpch",
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q15: supplier(s) with max quarterly revenue. The max is taken
-    with an unpartitioned window over the ALREADY-AGGREGATED per-supplier
-    frame (|suppliers| rows, not |lineitem|) — the single-partition window
-    is safe because the agg reduced cardinality first."""
+    """TPC-H Q15: supplier(s) with max quarterly revenue. The scalar max is
+    a one-row aggregate broadcast back onto the per-supplier revenue frame —
+    fully distributed, no single-partition window anywhere: the revenue agg
+    shuffles on l_suppkey, the max reduces map-side to one row per task,
+    and the equality filter is a broadcast join (mirrors the oracle's
+    uncorrelated MAX subquery; r6 rewrite of the r1 global-window max,
+    which funneled the |suppliers| frame through one task)."""
     li = table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= _ts("1997-01-01 00:00:00"))
         & (F.col("l_shipdate") < _ts("1997-04-01 00:00:00"))
@@ -251,10 +254,10 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_revenue"
         )
     )
-    w = Window.partitionBy()
-    top = rev.withColumn("_mx", F.max("total_revenue").over(w)).filter(
-        F.col("total_revenue") == F.col("_mx")
-    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    top = rev.join(
+        F.broadcast(mx), rev.total_revenue == F.col("_mx"), "inner"
+    ).drop("_mx")
     s = F.broadcast(table(spark, sf_dir, "supplier"))
     return (
         top.join(s, top.supplier_no == s.s_suppkey)

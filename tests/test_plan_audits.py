@@ -514,6 +514,12 @@ GLOBAL_WINDOW_FIXED = [
     # scale, but rewritten so the shape survives the filter being lifted)
     "skyline_pareto_frontier",
     "window_range_frame",
+    # round 6: flagged by the tightened bounded-key rule (an aggregate
+    # below the exchange no longer exempts unless its grouping keys are a
+    # bounded spine) — q15's global-window max became a broadcast scalar-max
+    # join; zipf's vocab rank became the two-pass prefix rank
+    "q15_top_supplier",
+    "zipf_token_slope",
 ]
 
 
@@ -538,6 +544,35 @@ def test_global_window_detector_flags_regression(spark):
         .select("o_orderkey", F.sum("o_totalprice").over(w).alias("c"))
     )
     assert not global_window_smells(plan_of(ok)), "detector flagged a bounded window"
+
+
+def test_global_window_detector_flags_per_entity_aggregate(spark):
+    """r5-verdict tightening: an aggregate below the exchange exempts ONLY
+    when its grouping keys are a bounded spine. A per-entity (per-customer)
+    aggregate is data-proportional — a global window over it must flag,
+    where the old any-aggregate exemption silently passed it."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from db_core_spark.plans.planaudit import global_window_smells
+    from db_core_spark.tables import table
+
+    o = table(spark, SF_SMALL, "orders")
+    per_cust = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("spend"))
+    w = W.orderBy("spend").rowsBetween(W.unboundedPreceding, W.currentRow)
+    bad = per_cust.select("o_custkey", F.sum("spend").over(w).alias("running"))
+    smells = global_window_smells(plan_of(bad))
+    assert smells, "per-entity aggregate window escaped the tightened detector"
+    assert "o_custkey" in smells[0]
+
+    # calendar-spine aggregate (bounded domain) must still be exempt, even
+    # through Catalyst's opaque _groupingexpression alias
+    monthly = o.groupBy(F.date_trunc("month", "o_orderdate").alias("m")).agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    wm = W.orderBy("m").rowsBetween(W.unboundedPreceding, W.currentRow)
+    ok = monthly.select("m", F.sum("rev").over(wm).alias("cum"))
+    assert not global_window_smells(plan_of(ok)), "calendar spine wrongly flagged"
 
 
 @pytest.mark.parametrize("name", GLOBAL_WINDOW_FIXED)
