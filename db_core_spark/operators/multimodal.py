@@ -245,7 +245,12 @@ def synth_ppm_for_text(text: str, size: int = 24) -> bytes:
     """Deterministic synthetic RGB image for a document: pixels are the
     md5 keystream of the text (same text -> byte-identical image). Valid
     PPM bytes, so the REAL codec path decodes it — the fixture generator
-    for image-dedup operators in a container without image libraries."""
+    for image-dedup operators in a container without image libraries.
+
+    Keystream block i is md5(text + "|" + str(i)) — an ASCII counter
+    suffix rather than packed binary, so the IDENTICAL keystream is
+    expressible in engine-portable SQL (md5(text || '|' || i)) and the
+    dHash operators built on it are value-hash oracle-checkable."""
     import hashlib
 
     from db_core_spark.operators.imagecodec import DecodedImage, encode_ppm
@@ -255,7 +260,7 @@ def synth_ppm_for_text(text: str, size: int = 24) -> bytes:
     seed = text.encode("utf-8")
     counter = 0
     while len(buf) < need:
-        buf.extend(hashlib.md5(seed + counter.to_bytes(4, "big")).digest())
+        buf.extend(hashlib.md5(seed + b"|" + str(counter).encode()).digest())
         counter += 1
     return encode_ppm(DecodedImage(size, size, 3, bytes(buf[:need]), "ppm"))
 

@@ -261,7 +261,67 @@ def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_audio(binary_df, window_bytes=512, hop_bytes=256)
 
 
-@query("multimodal_phash_dedup", oracle=None, category="multimodal")
+# DuckDB replica of dhash64(synth_ppm_for_text(text)) — the ENTIRE codec
+# chain (md5 keystream pixels -> PPM encode/decode round-trip, which cancels
+# -> nearest-neighbor 24x24 -> 9x8 resize -> luminance-gradient bits) is
+# deterministic arithmetic, so the oracle derives it independently instead of
+# pinning values: keystream block i is md5(text || '|' || i) (ASCII counter
+# chosen for exactly this portability), resize index map is
+# sy = min(y*24//8, 23), sx = min(x*24//9, 23), luminance = 299R+587G+114B,
+# bit (y,x) weighs 2^(63-(y*8+x)) with the top bit contributing -2^63 (signed
+# int64, matching Python's two's-complement fold). Callers prepend a CTE
+# `alldocs(doc_id, text, edit0)`; edit0 applies the one-pixel
+# (byte 0 += 128 mod 256) edit the near-dup fixtures plant.
+_DHASH_CTES = """
+    grid AS (
+      SELECT y.g AS y, x.g AS x,
+             (LEAST(y.g*24//8, 23)*24 + LEAST(x.g*24//9, 23))*3 AS p0
+      FROM generate_series(0,7) y(g), generate_series(0,8) x(g)),
+    needed AS (SELECT DISTINCT p0 + c.g AS idx FROM grid, generate_series(0,2) c(g)),
+    blocks AS (
+      SELECT d.doc_id, d.edit0, b.g AS blk,
+             md5(d.text || '|' || CAST(b.g AS VARCHAR)) AS hx
+      FROM alldocs d, generate_series(0,107) b(g)),
+    bytes AS (
+      SELECT bl.doc_id, n.idx,
+             CASE WHEN bl.edit0 AND n.idx = 0
+                  THEN (('0x' || substr(bl.hx, 2*(n.idx % 16) + 1, 2))::INT + 128) % 256
+                  ELSE ('0x' || substr(bl.hx, 2*(n.idx % 16) + 1, 2))::INT END AS val
+      FROM needed n JOIN blocks bl ON bl.blk = n.idx // 16),
+    lum AS (
+      SELECT b0.doc_id, g.y, g.x, 299*b0.val + 587*b1.val + 114*b2.val AS l
+      FROM grid g
+      JOIN bytes b0 ON b0.idx = g.p0
+      JOIN bytes b1 ON b1.doc_id = b0.doc_id AND b1.idx = g.p0+1
+      JOIN bytes b2 ON b2.doc_id = b0.doc_id AND b2.idx = g.p0+2),
+    lpairs AS (
+      SELECT a.doc_id, a.y, a.x, a.l AS l1, b.l AS l2
+      FROM lum a JOIN lum b ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x+1
+      WHERE a.x < 8),
+    dh AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN l1 > l2 THEN
+                  CASE WHEN y = 0 AND x = 0 THEN -9223372036854775808
+                       ELSE (1::BIGINT << (63 - (y*8+x))) END
+                  ELSE 0 END) AS BIGINT) AS dhash
+      FROM lpairs GROUP BY doc_id)
+"""
+
+
+_PHASH_DEDUP_ORACLE = f"""
+    WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id <= 300),
+    alldocs AS (
+      SELECT doc_id, text, FALSE AS edit0 FROM base
+      UNION ALL
+      SELECT doc_id + 10000, text, FALSE FROM base WHERE doc_id % 50 = 0),
+    {_DHASH_CTES}
+    SELECT dhash, CAST(COUNT(*) AS BIGINT) AS n_images,
+           MIN(doc_id) AS canonical_doc_id
+    FROM dh GROUP BY dhash HAVING COUNT(*) >= 2
+"""
+
+
+@query("multimodal_phash_dedup", oracle=_PHASH_DEDUP_ORACLE, category="multimodal")
 def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-dedup by perceptual difference-hash (dHash) with a REAL
     decode path end to end: each document renders to a valid PPM payload
@@ -277,8 +337,9 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     image size. The fixture corpus has no exact duplicates, so duplicate
     images are SEEDED deterministically (every doc_id % 50 == 0 re-posts
     under doc_id + 10000 — same text, byte-identical image), exactly like
-    the PII twin seeds emails. Rows-only (codec not SQL-expressible);
-    pytest pins dHash groups == exact-text dup groups."""
+    the PII twin seeds emails. Fully oracle-checked: the DuckDB twin
+    re-derives the whole codec chain in SQL (_DHASH_CTES); pytest
+    additionally pins dHash groups == exact-text dup groups."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -315,7 +376,33 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_phash_neardup_pairs", oracle=None, category="multimodal")
+_PHASH_NEARDUP_ORACLE = f"""
+    WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id <= 300),
+    alldocs AS (
+      SELECT doc_id, text, FALSE AS edit0 FROM base
+      UNION ALL
+      SELECT doc_id + 10000, text, FALSE FROM base WHERE doc_id % 50 = 0
+      UNION ALL
+      SELECT doc_id + 20000, text, TRUE FROM base WHERE doc_id % 50 = 0),
+    {_DHASH_CTES},
+    bands AS (
+      SELECT doc_id, dhash, b.g AS band_id,
+             (dhash >> (16 * b.g)) & 65535 AS band_val
+      FROM dh, generate_series(0,3) b(g))
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_val = b.band_val
+     AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.dhash, b.dhash)) <= 8
+"""
+
+
+@query(
+    "multimodal_phash_neardup_pairs",
+    oracle=_PHASH_NEARDUP_ORACLE,
+    category="multimodal",
+)
 def multimodal_phash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NEAR-duplicate image pairs by banded dHash: split each 64-bit
     perceptual hash into 4x16-bit bands, candidate pairs collide on at
@@ -329,8 +416,9 @@ def multimodal_phash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFram
     +20000 with a one-pixel edit (hamming-close but not equal). Scale
     shape: band equi-join on (band_id, band_value) — never an all-pairs
     hamming scan; the verification popcount runs only on band-collided
-    candidates. Rows-only (codec); pytest pins soundness (subset of
-    brute-force pairs) and the pigeonhole recall guarantee."""
+    candidates. Fully oracle-checked (the SQL twin replays the codec,
+    the one-pixel edit, and the band join); pytest pins soundness
+    (subset of brute-force pairs) and the pigeonhole recall guarantee."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -405,7 +493,35 @@ def multimodal_phash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFram
 SHARD_CAPACITY_BYTES = 64 * 1024
 
 
-@query("pipeline_multimodal_prepare", oracle=None, category="multimodal")
+# every synthetic image is 24x24 RGB -> PPM header "P6\n24 24\n255\n" (13 B)
+# + 1728 pixel bytes = 1741 bytes, the constant the SQL packer mirrors
+_PPM_BYTES = 1741
+
+_PIPELINE_MM_ORACLE = f"""
+    WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id <= 300),
+    alldocs AS (
+      SELECT doc_id, text, FALSE AS edit0 FROM base
+      UNION ALL
+      SELECT doc_id + 10000, text, FALSE FROM base WHERE doc_id % 50 = 0),
+    {_DHASH_CTES},
+    kept AS (
+      SELECT doc_id, dhash FROM (
+        SELECT doc_id, dhash,
+               ROW_NUMBER() OVER (PARTITION BY dhash ORDER BY doc_id) AS rn
+        FROM dh) WHERE rn = 1),
+    packed AS (
+      SELECT doc_id, dhash,
+             SUM(CAST({_PPM_BYTES} AS BIGINT))
+               OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      FROM kept)
+    SELECT doc_id, dhash, CAST({_PPM_BYTES} AS BIGINT) AS n_bytes,
+           CAST((cum - {_PPM_BYTES}) // {SHARD_CAPACITY_BYTES} AS BIGINT) AS shard_id,
+           CAST((cum - {_PPM_BYTES}) % {SHARD_CAPACITY_BYTES} AS BIGINT) AS offset_bytes
+    FROM packed
+"""
+
+
+@query("pipeline_multimodal_prepare", oracle=_PIPELINE_MM_ORACLE, category="multimodal")
 def pipeline_multimodal_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end multimodal ingest pipeline — the image twin of the
     `pipeline_corpus_prepare` headline: render/decode (REAL codec) ->
@@ -416,7 +532,8 @@ def pipeline_multimodal_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
     run on survivors. Output: one row per KEPT image with its shard
     assignment and intra-shard byte offset.
 
-    Deterministic rows-only (codec-bound); pytest checks exact equality
+    Fully oracle-checked (SQL dhash + window dedup + running-sum packer
+    twin); pytest additionally checks exact equality
     with a pure-Python pipeline over the same seeded inputs. The packing
     stage IS the distributed two-pass prefix sum
     (`operators/prefixrank.py::global_running_sum`) — integer byte counts
@@ -473,7 +590,66 @@ def pipeline_multimodal_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed
 
 
-@query("multimodal_scene_cuts", oracle=None, category="multimodal")
+# Scene-cut oracle: per (doc, frame) the keystream text is
+# text || ':scene' || (frame // scene_len) with scene_len = 3 + doc_id % 3,
+# and the in-scene jitter brightens the red channel of pixel row
+# (frame % scene_len): +64 mod 256 at pixel byte indexes
+# [row*72, row*72+72) step 3. Same dhash fold as _DHASH_CTES but keyed
+# (doc_id, frame_no); cuts compare consecutive frames' hashes.
+_SCENE_CUTS_ORACLE = """
+    WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id <= 60),
+    frames AS (
+      SELECT d.doc_id, f.g AS frame_no,
+             d.text || ':scene' || CAST(f.g // (3 + d.doc_id % 3) AS VARCHAR)
+               AS textf,
+             (f.g % (3 + d.doc_id % 3)) * 72 AS row0
+      FROM base d, generate_series(0,7) f(g)),
+    grid AS (
+      SELECT y.g AS y, x.g AS x,
+             (LEAST(y.g*24//8, 23)*24 + LEAST(x.g*24//9, 23))*3 AS p0
+      FROM generate_series(0,7) y(g), generate_series(0,8) x(g)),
+    needed AS (SELECT DISTINCT p0 + c.g AS idx FROM grid, generate_series(0,2) c(g)),
+    blocks AS (
+      SELECT fr.doc_id, fr.frame_no, fr.row0, b.g AS blk,
+             md5(fr.textf || '|' || CAST(b.g AS VARCHAR)) AS hx
+      FROM frames fr, generate_series(0,107) b(g)),
+    bytes AS (
+      SELECT bl.doc_id, bl.frame_no, n.idx,
+             CASE WHEN n.idx >= bl.row0 AND n.idx < bl.row0 + 72
+                       AND (n.idx - bl.row0) % 3 = 0
+                  THEN (('0x' || substr(bl.hx, 2*(n.idx % 16) + 1, 2))::INT + 64) % 256
+                  ELSE ('0x' || substr(bl.hx, 2*(n.idx % 16) + 1, 2))::INT END AS val
+      FROM needed n JOIN blocks bl ON bl.blk = n.idx // 16),
+    lum AS (
+      SELECT b0.doc_id, b0.frame_no, g.y, g.x,
+             299*b0.val + 587*b1.val + 114*b2.val AS l
+      FROM grid g
+      JOIN bytes b0 ON b0.idx = g.p0
+      JOIN bytes b1 ON b1.doc_id = b0.doc_id AND b1.frame_no = b0.frame_no
+                   AND b1.idx = g.p0+1
+      JOIN bytes b2 ON b2.doc_id = b0.doc_id AND b2.frame_no = b0.frame_no
+                   AND b2.idx = g.p0+2),
+    lpairs AS (
+      SELECT a.doc_id, a.frame_no, a.y, a.x, a.l AS l1, b.l AS l2
+      FROM lum a JOIN lum b ON b.doc_id = a.doc_id AND b.frame_no = a.frame_no
+                           AND b.y = a.y AND b.x = a.x+1
+      WHERE a.x < 8),
+    dh AS (
+      SELECT doc_id, frame_no,
+             CAST(SUM(CASE WHEN l1 > l2 THEN
+                  CASE WHEN y = 0 AND x = 0 THEN -9223372036854775808
+                       ELSE (1::BIGINT << (63 - (y*8+x))) END
+                  ELSE 0 END) AS BIGINT) AS dhash
+      FROM lpairs GROUP BY doc_id, frame_no)
+    SELECT cur.doc_id, CAST(cur.frame_no AS INT) AS frame_no,
+           CAST(bit_count(xor(prv.dhash, cur.dhash)) AS INT) AS hamming,
+           bit_count(xor(prv.dhash, cur.dhash)) > 16 AS is_cut
+    FROM dh cur JOIN dh prv
+      ON prv.doc_id = cur.doc_id AND prv.frame_no = cur.frame_no - 1
+"""
+
+
+@query("multimodal_scene_cuts", oracle=_SCENE_CUTS_ORACLE, category="multimodal")
 def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video scene-cut detection through the REAL image codec: each document
     becomes a synthetic 8-frame video (frames within a scene are the same
@@ -488,8 +664,10 @@ def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     on ingest (the universal video-storage layout) never leave their
     partition; only (video, transition, hamming) rows emerge. For frame
     rows scattered across files, the same comparison is a lag window
-    partitioned by video. Rows-only (codec not SQL-expressible); pytest
-    pins detected cuts == planted scene boundaries for every video."""
+    partitioned by video. Fully oracle-checked: the SQL twin re-derives
+    every frame's dhash (scene keystream + per-frame row jitter) and the
+    consecutive-frame hamming; pytest additionally pins detected cuts ==
+    planted scene boundaries for every video."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -539,7 +717,33 @@ def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(cuts, "doc_id long, frame_no int, hamming int, is_cut boolean")
 
 
-@query("multimodal_text_image_pairs", oracle=None, category="multimodal")
+_TEXT_IMAGE_PAIRS_ORACLE = f"""
+    WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+    alldocs AS (SELECT doc_id, text, FALSE AS edit0 FROM base),
+    {_DHASH_CTES},
+    negs AS (
+      SELECT d.doc_id,
+             ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '#' ||
+                                 CAST(i.g AS VARCHAR)), 1, 8))::BIGINT % 100 AS raw
+      FROM base d, generate_series(0,1) i(g)),
+    prs AS (
+      SELECT doc_id,
+             CASE WHEN raw = doc_id THEN (raw + 1) % 100 ELSE raw END
+               AS image_doc_id,
+             0 AS label
+      FROM negs
+      UNION ALL
+      SELECT doc_id, doc_id, 1 FROM base)
+    SELECT p.doc_id, p.image_doc_id, p.label, dh.dhash AS image_dhash
+    FROM prs p JOIN dh ON dh.doc_id = p.image_doc_id
+"""
+
+
+@query(
+    "multimodal_text_image_pairs",
+    oracle=_TEXT_IMAGE_PAIRS_ORACLE,
+    category="multimodal",
+)
 def multimodal_text_image_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive text-image pair construction (the CLIP-style training
     table): every document pairs with ITS image (label 1) and with k=2
@@ -550,8 +754,9 @@ def multimodal_text_image_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     never shuffle); the pair table then equi-joins that hash table on
     image_doc_id — at 100 TB this is the standard fan-out join against a
     precomputed image-feature store, never a re-decode per pair.
-    Rows-only (codec); pytest pins positives carrying their own image's
-    hash, negatives never doing so, and bit-identical reruns."""
+    Fully oracle-checked (SQL dhash + the same md5 negative-sampling
+    arithmetic); pytest pins positives carrying their own image's hash,
+    negatives never doing so, and bit-identical reruns."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -604,7 +809,43 @@ def multimodal_text_image_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_audio_vad", oracle=None, category="multimodal")
+# VAD oracle: the PCM stream is 4 x 1024-byte segments; segment s of doc d
+# is speech iff (d + s) % 2 = 0, its bytes the md5 keystream of
+# text || ':aud' || s || '|' || block (64 blocks); silence bytes are 0x80
+# (zero energy, so only speech bytes are generated). A byte at stream index
+# i belongs to STFT frames i//256 and i//256 - 1 (512-byte window, 256-byte
+# hop), so per-frame energy is one equi-join aggregate over a 16-frame
+# spine; the final frame truncates to 256 bytes. `active` compares the
+# UNROUNDED energy against the threshold, as the pandas path does.
+_AUDIO_VAD_ORACLE = """
+    WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id <= 60),
+    sbytes AS (
+      SELECT d.doc_id, g.g AS idx,
+             ('0x' || substr(
+                md5(d.text || ':aud' || CAST(g.g // 1024 AS VARCHAR) || '|'
+                    || CAST((g.g % 1024) // 16 AS VARCHAR)),
+                2*((g.g % 1024) % 16) + 1, 2))::INT - 128 AS dev
+      FROM base d, generate_series(0,4095) g(g)
+      WHERE (d.doc_id + g.g // 1024) % 2 = 0),
+    contrib AS (
+      SELECT doc_id, idx // 256 AS f, dev*dev AS sq FROM sbytes
+      UNION ALL
+      SELECT doc_id, idx // 256 - 1, dev*dev FROM sbytes WHERE idx // 256 >= 1),
+    frame_spine AS (
+      SELECT d.doc_id, f.g AS frame_no, CAST(f.g * 256 AS BIGINT) AS start_byte,
+             CASE WHEN f.g = 15 THEN 256 ELSE 512 END AS flen
+      FROM base d, generate_series(0,15) f(g)),
+    ssqs AS (
+      SELECT doc_id, f, SUM(sq) AS ssq FROM contrib WHERE f <= 15 GROUP BY 1, 2)
+    SELECT fs.doc_id, CAST(fs.frame_no AS INT) AS frame_no, fs.start_byte,
+           FLOOR(COALESCE(s.ssq, 0) * 10000.0 / fs.flen + 0.5) / 10000.0 AS energy,
+           COALESCE(s.ssq, 0) * 1.0 / fs.flen > 100.0 AS active
+    FROM frame_spine fs
+    LEFT JOIN ssqs s ON s.doc_id = fs.doc_id AND s.f = fs.frame_no
+"""
+
+
+@query("multimodal_audio_vad", oracle=_AUDIO_VAD_ORACLE, category="multimodal")
 def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Voice-activity detection over synthetic audio: each document renders
     to a 4-segment PCM-like byte stream (speech segments = md5-keystream
@@ -615,7 +856,8 @@ def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
     the segmentation pass an ASR pipeline runs before transcribing
     anything. Framing and scoring happen inside one mapInPandas over the
     partition holding the payload: zero shuffle, only (doc, frame, energy,
-    flag) rows emerge. Rows-only (codec synthesis); pytest pins frames
+    flag) rows emerge. Fully oracle-checked (the SQL twin re-derives the
+    PCM keystream and folds per-frame energy); pytest pins frames
     inside planted silence to energy 0 / inactive and frames inside
     planted speech to active."""
     from collections.abc import Iterator
@@ -626,16 +868,19 @@ def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_segs, threshold = 4, 100.0
 
     def synth_pcm(text: str, doc_id: int) -> bytes:
+        # keystream block i of segment s is md5(text + ":aud{s}|" + str(i))
+        # — ASCII counter so the identical stream is derivable in the SQL
+        # oracle (same construction as synth_ppm_for_text)
         import hashlib
 
         buf = bytearray()
         for s in range(n_segs):
             if (doc_id + s) % 2 == 0:  # planted speech segment
-                seed = f"{text}:aud{s}".encode()
+                seed = f"{text}:aud{s}|".encode()
                 chunk = bytearray()
                 ctr = 0
                 while len(chunk) < seg_bytes:
-                    chunk.extend(hashlib.md5(seed + ctr.to_bytes(4, "big")).digest())
+                    chunk.extend(hashlib.md5(seed + str(ctr).encode()).digest())
                     ctr += 1
                 buf.extend(chunk[:seg_bytes])
             else:  # planted silence
@@ -643,6 +888,8 @@ def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
         return bytes(buf)
 
     def vad(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
         out = {"doc_id": [], "frame_no": [], "start_byte": [], "energy": [], "active": []}
         for pdf in batches:
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
@@ -656,7 +903,10 @@ def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
                     out["doc_id"].append(doc_id)
                     out["frame_no"].append(i)
                     out["start_byte"].append(s)
-                    out["energy"].append(round(energy, 4))
+                    # portable half-up quantization (k/flen energies land
+                    # exactly on .xxxx5, where round()'s half-even and SQL
+                    # ROUND's half-away diverge)
+                    out["energy"].append(math.floor(energy * 10000 + 0.5) / 10000)
                     out["active"].append(energy > threshold)
                     i += 1
         yield pd.DataFrame(
@@ -677,7 +927,42 @@ def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_dominant_colors", oracle=None, category="multimodal")
+# Palette oracle: the keystream pixels are re-derived directly (all 108
+# md5 blocks = 1728 bytes/doc), quantized to the 4x4x4 cube, counted, and
+# top-3 ranked by (count DESC, cell ASC) — exactly numpy's stable argsort of
+# -counts over ascending cell ids. Shares divide by the fixed 576 pixels.
+_DOMINANT_COLORS_ORACLE = """
+    WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id <= 200),
+    blocks AS (
+      SELECT doc_id, b.g AS blk, md5(text || '|' || CAST(b.g AS VARCHAR)) AS hx
+      FROM base, generate_series(0,107) b(g)),
+    bytes AS (
+      SELECT bl.doc_id, bl.blk*16 + j.g AS idx,
+             ('0x' || substr(bl.hx, 2*j.g + 1, 2))::INT AS val
+      FROM blocks bl, generate_series(0,15) j(g)),
+    cells AS (
+      SELECT b0.doc_id,
+             (b0.val >> 6) * 16 + (b1.val >> 6) * 4 + (b2.val >> 6) AS cell
+      FROM bytes b0
+      JOIN bytes b1 ON b1.doc_id = b0.doc_id AND b1.idx = b0.idx + 1
+      JOIN bytes b2 ON b2.doc_id = b0.doc_id AND b2.idx = b0.idx + 2
+      WHERE b0.idx % 3 = 0),
+    counts AS (SELECT doc_id, cell, COUNT(*) AS cnt FROM cells GROUP BY 1, 2),
+    ranked AS (
+      SELECT doc_id, cell, cnt,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, cell) AS rk
+      FROM counts)
+    SELECT doc_id, CAST(cell AS INT) AS color_cell,
+           ROUND(cnt / 576.0, 6) AS share, CAST(rk AS INT) AS rank
+    FROM ranked WHERE rk <= 3
+"""
+
+
+@query(
+    "multimodal_dominant_colors",
+    oracle=_DOMINANT_COLORS_ORACLE,
+    category="multimodal",
+)
 def multimodal_dominant_colors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dominant-color extraction through the REAL codec: each document's
     synthetic PPM renders, DECODES (stdlib codec), quantizes every pixel
@@ -686,7 +971,8 @@ def multimodal_dominant_colors(spark: SparkSession, sf_dir: str) -> DataFrame:
     image-curation pipeline (and the blocking key for palette-based
     near-dup candidates). Pixels never leave the executor: mapInPandas
     emits 3 rows of (doc_id, color_cell, share) per image regardless of
-    resolution. Rows-only (codec not SQL); pytest pins determinism,
+    resolution. Fully oracle-checked (SQL keystream + quantize + rank
+    twin); pytest pins determinism,
     share normalization, and byte-identical images yielding identical
     palettes."""
     from collections.abc import Iterator  # noqa: PLC0415
