@@ -6,6 +6,7 @@ Spark's immutable-storage execution model."""
 
 from db_core_spark.plans.versioned import (  # noqa: F401
     ConflictError,
+    ConflictTimeoutError,
     SnapshotUnavailableError,
     Transaction,
     VersionedTable,

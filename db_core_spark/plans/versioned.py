@@ -60,6 +60,14 @@ class ConflictError(Exception):
     overlapping write-set after this transaction began. Retry the txn."""
 
 
+class ConflictTimeoutError(ConflictError):
+    """run_transaction's deadline passed without a conflict-free commit —
+    the typed analog of the reference's bounded lock wait reporting failure
+    (`wait_for` returning false, /root/reference/src/tran_mgr/
+    tran_mgr.rs:108-127). Subclasses ConflictError so existing retry-aware
+    callers keep working."""
+
+
 class SnapshotUnavailableError(Exception):
     """The requested as-of snapshot needs commit history that vacuum has
     reclaimed (reference: a reader older than the version-store retention
@@ -343,6 +351,50 @@ class VersionedTable:
         return Transaction(
             self, tsn=tsn, start_csn=self.latest_csn() if at_csn is None else at_csn
         )
+
+    def run_transaction(
+        self,
+        build,
+        *,
+        wait_timeout_ms: int = -1,
+        backoff_ms: int = 50,
+    ) -> int:
+        """Run ``build(txn)`` and commit, retrying from a FRESH snapshot on
+        ConflictError until the commit lands or the deadline passes.
+
+        The bounded-wait convenience that closes the last semantic distance
+        to the reference's pessimistic object locks (/root/reference/src/
+        tran_mgr/tran_mgr.rs:85-127): there, a writer blocks on the holder's
+        condvar and `wait_for(tsn, timeout)` reports failure when the
+        bounded wait expires. Here the wait is optimistic — each attempt
+        re-reads a fresh snapshot (so read-modify-write logic in ``build``
+        observes the winner's writes, exactly the reason commit() alone
+        cannot retry for you), sleeps ``backoff_ms`` between attempts, and
+        a deadline miss raises :class:`ConflictTimeoutError` (the typed
+        analog of ``wait_for`` returning false). ``wait_timeout_ms < 0``
+        waits indefinitely, mirroring the reference's untimed condvar loop.
+        Returns the committed csn. The lost-update test
+        (instance.rs:713-759) passes with this helper as the whole retry
+        story."""
+        import time as _time
+
+        deadline = (
+            None if wait_timeout_ms < 0 else _time.monotonic() + wait_timeout_ms / 1000.0
+        )
+        while True:
+            txn = self.begin()
+            try:
+                build(txn)
+                return txn.commit()
+            except ConflictError as exc:
+                if isinstance(exc, ConflictTimeoutError):
+                    raise
+                if deadline is not None and _time.monotonic() >= deadline:
+                    raise ConflictTimeoutError(
+                        f"no conflict-free commit within {wait_timeout_ms} ms"
+                    ) from exc
+                if backoff_ms > 0:
+                    _time.sleep(backoff_ms / 1000.0)
 
     # ---------------------------------------------------------------- reads
 

@@ -155,6 +155,72 @@ def test_concurrent_increments_no_lost_updates(vt, spark):
     assert rows_of(vt.snapshot())[1] == ("ctr", float(N * THREADS))
 
 
+def test_run_transaction_retries_lost_update(vt, spark):
+    """The bounded-wait helper IS the whole retry story for the reference's
+    lost-update test (instance.rs:713-759): concurrent read-modify-write
+    increments through run_transaction, no hand-written retry loop, final
+    amount exact. Mirrors tran_mgr.rs:85-127 lock-wait semantics over
+    optimistic retries."""
+    t0 = vt.begin()
+    t0.upsert(spark.createDataFrame([(1, "ctr", 0.0)], SCHEMA))
+    t0.commit()
+    N, THREADS = 3, 4
+    errors = []
+
+    def worker():
+        try:
+            for _ in range(N):
+
+                def build(txn):
+                    cur = rows_of(txn.read())[1][1]
+                    txn.upsert(spark.createDataFrame([(1, "ctr", cur + 1.0)], SCHEMA))
+
+                vt.run_transaction(build, backoff_ms=10)
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [threading.Thread(target=worker) for _ in range(THREADS)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors
+    assert rows_of(vt.snapshot())[1] == ("ctr", float(N * THREADS))
+
+
+def test_run_transaction_timeout_raises_typed_error(vt, spark):
+    """Deadline semantics mirror wait_for(tsn, timeout) -> false
+    (tran_mgr.rs:108-127): a build that keeps losing the race past the
+    deadline raises ConflictTimeoutError (a ConflictError subclass, so
+    legacy handlers still catch it); a later untimed attempt succeeds."""
+    from db_core_spark.plans import ConflictError, ConflictTimeoutError
+
+    t0 = vt.begin()
+    t0.upsert(spark.createDataFrame([(1, "seed", 0.0)], SCHEMA))
+    t0.commit()
+
+    def contended_build(txn):
+        # every attempt loses: a rival commits the same key between this
+        # txn's snapshot pin and its commit
+        rival = vt.begin()
+        rival.upsert(spark.createDataFrame([(1, "rival", -1.0)], SCHEMA))
+        rival.commit()
+        txn.upsert(spark.createDataFrame([(1, "mine", 1.0)], SCHEMA))
+
+    with pytest.raises(ConflictTimeoutError):
+        vt.run_transaction(contended_build, wait_timeout_ms=0, backoff_ms=0)
+    # the typed error is still a ConflictError for legacy except-clauses
+    assert issubclass(ConflictTimeoutError, ConflictError)
+
+    # an uncontended run through the same helper lands and returns the csn
+    csn = vt.run_transaction(
+        lambda txn: txn.upsert(spark.createDataFrame([(2, "ok", 2.0)], SCHEMA)),
+        wait_timeout_ms=5000,
+    )
+    assert csn == vt.latest_csn()
+    assert rows_of(vt.snapshot())[2] == ("ok", 2.0)
+
+
 def test_recovery_fold_ignores_staged_uncommitted(vt, spark, tmp_path):
     """Crash semantics: staged-but-unpublished files are invisible after
     'restart' (re-open); committed data is durable (instance.rs:221-304)."""
