@@ -1085,13 +1085,21 @@ def pipeline_corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_replace(F.lower("text"), r"[^a-z0-9\s]", ""), r"\s+", " "
         )
     )
+    # hash + token count are derived MAP-SIDE and the text column dropped
+    # before the dedup exchange: the shuffle carries only fixed-width rows
+    # (doc_id, lang, source, 32-byte hash, n_tokens), never document text —
+    # the same exchange-never-carries-text shape as dedup_segments_global
+    # (r6: the text-carrying window measured ~2x slower at sf1)
     cleaned = d.select("doc_id", "lang", "source", clean.alias("clean_text"))
-    w = W.partitionBy(F.md5("clean_text")).orderBy("doc_id")
-    deduped = (
-        cleaned.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .withColumn("n_tokens", F.size(F.split("clean_text", " ")))
+    hashed = cleaned.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.md5("clean_text").alias("content_hash"),
+        F.size(F.split("clean_text", " ")).alias("n_tokens"),
     )
+    w = W.partitionBy("content_hash").orderBy("doc_id")
+    deduped = hashed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     h16 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
     quality = deduped.filter(F.col("n_tokens") >= 20).withColumn(
         "pct_bucket", (h16.cast("int") * 100) / F.lit(65536)

@@ -1,0 +1,146 @@
+"""Synthesize an sf1-scale fixture set (~6M lineitem rows) from sf0.1.
+
+The driver only ships sf0.001/0.01/0.1 (TESTDATA.md, read-only), but the
+SCALING sweep needs one decade beyond the bench SF to see where shuffle
+sizes actually bite (VERDICT r5 item 6). This replicates sf0.1 ten times
+with KEY-SHIFTED surrogate keys, preserving referential integrity
+(lineitem -> orders/part/supplier, orders -> customer, events.user_id ->
+customer) and the per-replica value distributions:
+
+- fact/dim keys shift by replica * (max_key + 1); region/nation stay fixed
+  (TPC-H semantics: 5/25 rows at every SF);
+- document text is token-salted per replica (every token gets a replica
+  suffix), so intra-replica duplicate/near-dup structure matches sf0.1
+  while replicas never collide — a naive byte-copy would make every doc a
+  10-way exact duplicate and quadratically distort the dedup workloads;
+- embeddings perturb dimension 0 by replica * 1e-3, keeping ANN workloads
+  from degenerating into 10-way ties.
+
+Usage: python tools/make_sf1.py [out_dir]   (default /tmp/testdata_sf1)
+Deterministic; ~1-2 min on local[32]. Output is parquet-per-table, same
+layout as the driver's sf dirs, loadable via db_core_spark.tables.table.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from db_core_spark.session import get_spark  # noqa: E402
+from db_core_spark.tables import table  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+REPS = 10
+
+
+def main() -> None:
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/testdata_sf1"
+    os.makedirs(out_dir, exist_ok=True)
+    spark = get_spark("make-sf1")
+
+    def load(name):
+        return table(spark, SRC, name)
+
+    maxes = {
+        "cust": load("customer").agg(F.max("c_custkey")).collect()[0][0] + 1,
+        "ord": load("orders").agg(F.max("o_orderkey")).collect()[0][0] + 1,
+        "part": load("part").agg(F.max("p_partkey")).collect()[0][0] + 1,
+        "supp": load("supplier").agg(F.max("s_suppkey")).collect()[0][0] + 1,
+        "ev": load("events").agg(F.max("event_id")).collect()[0][0] + 1,
+        "doc": load("documents").agg(F.max("doc_id")).collect()[0][0] + 1,
+        "vec": load("embeddings").agg(F.max("vec_id")).collect()[0][0] + 1,
+    }
+
+    def replicate(df, shifts: dict[str, int], transform=None):
+        """Union REPS copies; `shifts` maps key column -> per-replica stride."""
+        out = None
+        for rep in range(REPS):
+            d = df
+            for col, stride in shifts.items():
+                d = d.withColumn(col, F.col(col) + F.lit(rep * stride))
+            if transform is not None:
+                d = transform(d, rep)
+            out = d if out is None else out.unionByName(d)
+        return out
+
+    def salt_text(d, rep):
+        if rep == 0:
+            return d
+        # suffix every token with the replica id: intra-replica shingle
+        # structure is preserved, cross-replica shingles never collide
+        return d.withColumn(
+            "text",
+            F.array_join(
+                F.transform(
+                    F.split(F.col("text"), r"\s+"),
+                    lambda t: F.concat(t, F.lit(f"r{rep}")),
+                ),
+                " ",
+            ),
+        )
+
+    def perturb_vec(d, rep):
+        if rep == 0:
+            return d
+        return d.withColumn(
+            "embedding",
+            F.transform(
+                F.col("embedding"),
+                lambda x, i: F.when(i == 0, x + F.lit(rep * 1e-3).cast("float"))
+                .otherwise(x)
+                .cast("float"),
+            ),
+        )
+
+    plans = {
+        "region": load("region"),
+        "nation": load("nation"),
+        "customer": replicate(load("customer"), {"c_custkey": maxes["cust"]}),
+        "supplier": replicate(load("supplier"), {"s_suppkey": maxes["supp"]}),
+        "part": replicate(load("part"), {"p_partkey": maxes["part"]}),
+        "orders": replicate(
+            load("orders"),
+            {"o_orderkey": maxes["ord"], "o_custkey": maxes["cust"]},
+        ),
+        "lineitem": replicate(
+            load("lineitem"),
+            {
+                "l_orderkey": maxes["ord"],
+                "l_partkey": maxes["part"],
+                "l_suppkey": maxes["supp"],
+            },
+        ),
+        "events": replicate(
+            load("events"),
+            {"event_id": maxes["ev"], "user_id": maxes["cust"]},
+        ),
+        "documents": replicate(
+            load("documents"), {"doc_id": maxes["doc"]}, transform=salt_text
+        ),
+        "embeddings": replicate(
+            load("embeddings"), {"vec_id": maxes["vec"]}, transform=perturb_vec
+        ),
+    }
+    for name, df in plans.items():
+        dest = os.path.join(out_dir, f"{name}.parquet")
+        # single file per table, matching the driver's fixture layout
+        df.coalesce(max(1, REPS // 2)).write.mode("overwrite").parquet(dest + ".dir")
+        # the fixture loader expects <table>.parquet as a path; a directory
+        # works for spark.read.parquet, so rename the dir to that name
+        import shutil
+
+        if os.path.exists(dest):
+            shutil.rmtree(dest)
+        os.replace(dest + ".dir", dest)
+        print(f"wrote {dest}")
+    for name in plans:
+        n = spark.read.parquet(os.path.join(out_dir, f"{name}.parquet")).count()
+        print(f"{name}: {n} rows")
+
+
+if __name__ == "__main__":
+    main()
