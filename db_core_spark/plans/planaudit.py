@@ -48,15 +48,30 @@ _AGGREGATE_NODES = ("HashAggregate", "SortAggregate", "ObjectHashAggregate")
 # nodes a Window's requirement passes through untouched
 _PASSTHRU = {"Sort", "Project", "Filter", "WindowGroupLimit"}
 
-# A grouping key counts as a bounded spine when its base column name names a
-# calendar unit or a fixed-width tile/bin: those domains have cardinality
-# set by the query (12 months, 20 ventiles, 64 bins), not by the data.
-_BOUNDED_KEY = re.compile(
-    r"(year|quarter|month|week|day|date|dow|hour|minute|period|"
-    r"ventile|decile|quintile|ntile|tile|bin|grade|stage|class|flag|status|"
-    r"segment_label|variant|level)",
+# A grouping key counts as a bounded spine when its base column name (or the
+# defining expression behind a Catalyst alias) names a calendar unit or a
+# fixed-width tile/bin: those domains have cardinality set by the query
+# (12 months, 20 ventiles, 64 bins), not by the data. Matching is by WHOLE
+# WORD over underscore/digit-split tokens — a substring match would wrongly
+# exempt 'candidate' (date), 'binary' (bin), 'combine' (bin) — plus a short
+# list of compound function names that appear un-split in plan expressions.
+_BOUNDED_WORDS = frozenset(
+    "year quarter month week day date dow hour minute period "
+    "ventile decile quintile ntile tile bin grade stage class flag status "
+    "variant level".split()
+)
+_BOUNDED_COMPOUND = re.compile(
+    r"(date_trunc|dayofweek|dayofmonth|dayofyear|weekofyear|to_date|"
+    r"trunc\(|extract\()",
     re.I,
 )
+_WORD_SPLIT = re.compile(r"[^A-Za-z]+")
+
+
+def _names_bounded_domain(text: str) -> bool:
+    if _BOUNDED_COMPOUND.search(text):
+        return True
+    return any(w in _BOUNDED_WORDS for w in _WORD_SPLIT.split(text.lower()))
 
 
 def _parse_tree(plan: str):
@@ -161,12 +176,12 @@ def _alias_defs(plan: str) -> dict[str, str]:
 
 def _bounded_key(token: str, defs: dict[str, str]) -> bool:
     base = token.split("#", 1)[0]
-    if _BOUNDED_KEY.search(base):
+    if _names_bounded_domain(base):
         return True
     # opaque alias: test its defining expression (one level is enough —
     # Catalyst materializes computed grouping keys in a single Project)
     defn = defs.get(token)
-    return bool(defn and _BOUNDED_KEY.search(defn))
+    return bool(defn and _names_bounded_domain(defn))
 
 
 def _bounded_aggregate(
