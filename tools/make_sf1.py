@@ -127,8 +127,11 @@ def main() -> None:
     }
     for name, df in plans.items():
         dest = os.path.join(out_dir, f"{name}.parquet")
-        # single file per table, matching the driver's fixture layout
-        df.coalesce(max(1, REPS // 2)).write.mode("overwrite").parquet(dest + ".dir")
+        # 32 files per fact table so local[32] scans parallelize like a real
+        # cluster would (a handful of small files caps scan parallelism at
+        # the file count — 128 MB splits never divide a 4 MB file)
+        nfiles = 1 if name in ("region", "nation") else 32
+        df.repartition(nfiles).write.mode("overwrite").parquet(dest + ".dir")
         # the fixture loader expects <table>.parquet as a path; a directory
         # works for spark.read.parquet, so rename the dir to that name
         import shutil
