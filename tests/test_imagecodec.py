@@ -275,3 +275,120 @@ def test_dhash_stable_under_small_perturbation():
     p2 = encode_ppm(DecodedImage(img.width, img.height, img.channels, bytes(px), "ppm"))
     d = dhash64(p1) ^ dhash64(p2)
     assert bin(d & ((1 << 64) - 1)).count("1") <= 4
+
+
+def test_dhash_sql_oracle_matches_python_on_random_texts():
+    """The DuckDB _DHASH_CTES replica must equal dhash64(synth_ppm_for_text)
+    for ARBITRARY ASCII text, not just the fixture corpus — hypothesis
+    drives random keystream seeds through both engines. This is the
+    equivalence the round-6 multimodal oracle conversions rest on; a drift
+    in either side (resize index map, luminance weights, bit order, signed
+    fold, keystream encoding) fails here before any fixture changes."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from db_core_spark.operators.multimodal import dhash64, synth_ppm_for_text
+    from db_core_spark.queries.objects import _DHASH_CTES
+
+    con = duckdb.connect()
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126,
+                                   exclude_characters="'"),
+            min_size=0,
+            max_size=200,
+        )
+    )
+    def check(text):
+        expected = dhash64(synth_ppm_for_text(text))
+        sql = f"""
+        WITH alldocs(doc_id, text, edit0) AS (VALUES (0, '{text}', FALSE)),
+        {_DHASH_CTES}
+        SELECT dhash FROM dh
+        """
+        got = con.execute(sql).fetchone()[0]
+        assert got == expected, f"text={text!r}: sql={got} python={expected}"
+
+    check()
+
+
+def test_vad_energy_sql_matches_python_on_random_texts():
+    """Same equivalence for the audio VAD oracle: per-frame energies of the
+    PCM keystream computed by the SQL fold must equal the pandas path for
+    arbitrary ASCII text and doc_id parity (which flips speech/silence
+    segment placement)."""
+    import math
+
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    con = duckdb.connect()
+
+    def py_frames(text: str, doc_id: int):
+        seg_bytes, window, hop, n_segs = 1024, 512, 256, 4
+        buf = bytearray()
+        for s in range(n_segs):
+            if (doc_id + s) % 2 == 0:
+                seed = f"{text}:aud{s}|".encode()
+                chunk = bytearray()
+                ctr = 0
+                while len(chunk) < seg_bytes:
+                    chunk.extend(hashlib.md5(seed + str(ctr).encode()).digest())
+                    ctr += 1
+                buf.extend(chunk[:seg_bytes])
+            else:
+                buf.extend(b"\x80" * seg_bytes)
+        out = {}
+        i = 0
+        while i * hop < len(buf):
+            frame = buf[i * hop : i * hop + window]
+            energy = sum((b - 128) ** 2 for b in frame) / len(frame)
+            out[i] = math.floor(energy * 10000 + 0.5) / 10000
+            i += 1
+        return out
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126,
+                                   exclude_characters="'"),
+            min_size=0,
+            max_size=80,
+        ),
+        st.integers(0, 3),
+    )
+    def check(text, doc_id):
+        sql = f"""
+        WITH base(doc_id, text) AS (VALUES ({doc_id}, '{text}')),
+        sbytes AS (
+          SELECT d.doc_id, g.g AS idx,
+                 ('0x' || substr(
+                    md5(d.text || ':aud' || CAST(g.g // 1024 AS VARCHAR) || '|'
+                        || CAST((g.g % 1024) // 16 AS VARCHAR)),
+                    2*((g.g % 1024) % 16) + 1, 2))::INT - 128 AS dev
+          FROM base d, generate_series(0,4095) g(g)
+          WHERE (d.doc_id + g.g // 1024) % 2 = 0),
+        contrib AS (
+          SELECT doc_id, idx // 256 AS f, dev*dev AS sq FROM sbytes
+          UNION ALL
+          SELECT doc_id, idx // 256 - 1, dev*dev FROM sbytes WHERE idx // 256 >= 1),
+        frame_spine AS (
+          SELECT d.doc_id, f.g AS frame_no,
+                 CASE WHEN f.g = 15 THEN 256 ELSE 512 END AS flen
+          FROM base d, generate_series(0,15) f(g)),
+        ssqs AS (
+          SELECT doc_id, f, SUM(sq) AS ssq FROM contrib WHERE f <= 15 GROUP BY 1, 2)
+        SELECT fs.frame_no,
+               FLOOR(COALESCE(s.ssq, 0) * 10000.0 / fs.flen + 0.5) / 10000.0
+        FROM frame_spine fs
+        LEFT JOIN ssqs s ON s.doc_id = fs.doc_id AND s.f = fs.frame_no
+        ORDER BY fs.frame_no
+        """
+        got = dict(con.execute(sql).fetchall())
+        assert got == py_frames(text, doc_id)
+
+    check()
