@@ -526,14 +526,15 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     facts scan twice (once per role) but join on the order key only.
 
     100 TB shape: the fact table is scanned (and its synthesized date
-    columns computed) exactly ONCE — one (order, supplier) hash aggregate
-    carrying (any_late, n_late_rows), no count-distinct Expand; the
-    per-order stats (n_supp, n_late_supp) come from a window PARTITIONED
-    BY the order key over that pair frame instead of a second aggregation
-    branch, so nothing in the plan re-derives the pair aggregate or
-    rescans lineitem. Orders prune to F-status keys for a semi-shaped
-    join; supplier and nation broadcast; TakeOrderedAndProject bounds the
-    output."""
+    columns computed) exactly ONCE, and the whole pair-aggregate + window
+    chain rides ONE exchange: the projected rows repartition by the ORDER
+    KEY alone, which satisfies the (order, supplier) aggregate's clustered
+    distribution AND the per-order window's, so neither inserts its own
+    shuffle (r6: the groupBy-then-window form shuffled twice — once on
+    the pair, once on the order — and measured consistently slower in an
+    interleaved A/B at sf0.1). No count-distinct Expand anywhere; orders
+    prune to F-status keys for a semi-shaped join; supplier and nation
+    broadcast; TakeOrderedAndProject bounds the output."""
     from pyspark.sql import Window as W
 
     li = synth_lineitem(table(spark, sf_dir, "lineitem"))
@@ -543,6 +544,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     late = (F.col("l_receiptdate") > F.col("l_commitdate")).cast("int")
     per_pair = (
         li.select("l_orderkey", "l_suppkey", late.alias("late"))
+        .repartition(F.col("l_orderkey"))
         .groupBy("l_orderkey", "l_suppkey")
         .agg(
             F.max("late").alias("any_late"),
