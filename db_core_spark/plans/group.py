@@ -115,6 +115,44 @@ class Database:
     def begin(self) -> "GroupTransaction":
         return GroupTransaction(self)
 
+    def run_transaction(
+        self,
+        build,
+        *,
+        wait_timeout_ms: int = -1,
+        backoff_ms: int = 50,
+    ) -> dict[str, int]:
+        """Group twin of :meth:`VersionedTable.run_transaction`: run
+        ``build(group_txn)`` and commit atomically across every touched
+        table, retrying the WHOLE group from a fresh validated cut on
+        ConflictError until it lands or the deadline passes (then the
+        typed :class:`ConflictTimeoutError`, mirroring the reference's
+        bounded lock wait, tran_mgr.rs:108-127). Each retry re-pins via
+        ``snapshot_pin()``, so cross-table read-modify-write in ``build``
+        observes the winner's writes on a consistent cut. Returns
+        {table: csn}."""
+        import time as _time
+
+        from db_core_spark.plans.versioned import ConflictTimeoutError
+
+        deadline = (
+            None if wait_timeout_ms < 0 else _time.monotonic() + wait_timeout_ms / 1000.0
+        )
+        while True:
+            g = self.begin()
+            try:
+                build(g)
+                return g.commit()
+            except ConflictError as exc:
+                if isinstance(exc, ConflictTimeoutError):
+                    raise
+                if deadline is not None and _time.monotonic() >= deadline:
+                    raise ConflictTimeoutError(
+                        f"no conflict-free group commit within {wait_timeout_ms} ms"
+                    ) from exc
+                if backoff_ms > 0:
+                    _time.sleep(backoff_ms / 1000.0)
+
     def sql(self, query: str, as_of: dict[str, int] | None = None):
         """SQL-text interface over the database's versioned tables: every
         table registers as a temp view of its CURRENT snapshot — or, with

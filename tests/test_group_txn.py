@@ -801,3 +801,50 @@ def test_replay_after_group_abort_recommits_not_skips(spark, tmp_path):
             )
 
         assert _advance_writer_epoch(t, writer_id, {}, durable=durable) == 0
+
+
+def test_database_run_transaction_retries_and_times_out(db, spark):
+    """Group twin of VersionedTable.run_transaction: a cross-table
+    read-modify-write that loses its first race retries from a fresh
+    validated cut and lands atomically; a permanently-contended build past
+    a zero deadline raises the typed ConflictTimeoutError (bounded-wait
+    semantics of tran_mgr.rs:108-127 over the group protocol)."""
+    from db_core_spark.plans import ConflictTimeoutError
+
+    g0 = db.begin()
+    g0.upsert("a", rows(spark, (1, "seed")))
+    g0.upsert("b", rows(spark, (1, "seed")))
+    g0.commit()
+
+    attempts = []
+
+    def build(g):
+        # move k=1's value from table a into table b, appending a marker —
+        # a cross-table read-modify-write that must see the rival's write
+        # on retry
+        cur = {r.k: r.v for r in g.read("a").collect()}[1]
+        if not attempts:
+            rival = db.begin()
+            rival.upsert("a", rows(spark, (1, "rival")))
+            rival.commit()
+        attempts.append(cur)
+        g.upsert("b", rows(spark, (1, cur + "+moved")))
+        g.upsert("a", rows(spark, (1, cur + "+kept")))
+
+    csns = db.run_transaction(build, backoff_ms=0)
+    assert set(csns) == {"a", "b"}
+    # first attempt read 'seed' and lost; the retry read the rival's value
+    assert attempts == ["seed", "rival"]
+    assert state(db, "a") == {(1, "rival+kept")}
+    assert state(db, "b") == {(1, "rival+moved")}
+
+    def contended(g):
+        g.read("a")  # pin the cut BEFORE the rival lands -> guaranteed conflict
+        rival = db.begin()
+        rival.upsert("a", rows(spark, (1, "r2")))
+        rival.commit()
+        g.upsert("a", rows(spark, (1, "mine")))
+
+    with pytest.raises(ConflictTimeoutError):
+        db.run_transaction(contended, wait_timeout_ms=0, backoff_ms=0)
+    assert state(db, "a") == {(1, "r2")}  # nothing from the timed-out group
