@@ -919,3 +919,30 @@ def test_vacuum_sweeps_torn_checkpoint_dirs(vt, spark):
     assert os.path.isdir(torn2)
     vt.vacuum()
     assert not os.path.exists(torn2)
+
+
+def test_run_transaction_nested_timeout_is_not_retried(vt, spark):
+    """A ConflictTimeoutError raised INSIDE build (e.g. a nested bounded
+    helper giving up) must propagate immediately — the outer untimed loop
+    retrying it would convert a bounded wait into an unbounded one."""
+    from db_core_spark.plans import ConflictTimeoutError
+
+    t0 = vt.begin()
+    t0.upsert(spark.createDataFrame([(1, "seed", 0.0)], SCHEMA))
+    t0.commit()
+    calls = []
+
+    def outer_build(txn):
+        calls.append(1)
+
+        def inner_contended(t):
+            rival = vt.begin()
+            rival.upsert(spark.createDataFrame([(1, "rival", -1.0)], SCHEMA))
+            rival.commit()
+            t.upsert(spark.createDataFrame([(1, "inner", 1.0)], SCHEMA))
+
+        vt.run_transaction(inner_contended, wait_timeout_ms=0, backoff_ms=0)
+
+    with pytest.raises(ConflictTimeoutError):
+        vt.run_transaction(outer_build)  # untimed outer MUST NOT retry
+    assert calls == [1]
