@@ -570,8 +570,12 @@ _SIMHASH_SQL = """
       GROUP BY 1, 2),
     sh AS (
       SELECT doc_id,
-             SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)
-               AS simhash
+             -- CAST: DuckDB's SUM(BIGINT) returns HUGEINT (int128); pandas/
+             -- arrow fetch paths coerce HUGEINT -> float64, which rounds
+             -- values above 2^53 (289 of 500 fixture simhashes are). BIGINT
+             -- survives the fetch exactly, matching Spark's int64 side.
+             CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)
+               AS BIGINT) AS simhash
       FROM votes GROUP BY 1)
 """
 

@@ -26,6 +26,42 @@ def test_query_matches_oracle(spark, duck, name):
     assert ok, f"{name}: {msg}"
 
 
+def test_no_hostile_oracle_output_types(duck):
+    """Registry-wide audit: no oracle may emit HUGEINT or DECIMAL(p>15) —
+    those survive fetchall() (exact Python ints) but round to float64 in the
+    driver's pandas/arrow fetch, producing a hash mismatch the local gate
+    can't see (the r6 simhash_buckets failure). DESCRIBE only plans, so this
+    sweeps all oracles in seconds."""
+    from tools.check_oracle import hostile_output_types
+
+    offenders = {}
+    for name, rq in QUERIES.items():
+        if rq.oracle is None:
+            continue
+        bad = hostile_output_types(duck, rq.oracle)
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"precision-lossy oracle output types: {offenders}"
+
+
+def test_hostile_type_detector_catches_prefix_simhash(duck):
+    """Regression: the pre-r7 simhash oracle shape (un-cast SUM of shifted
+    BIGINTs -> HUGEINT) must be flagged; the CAST'd form must pass."""
+    from tools.check_oracle import hostile_output_types
+
+    pre_fix = "SELECT SUM(CAST(1 AS BIGINT) << 40) AS simhash FROM range(5)"
+    bad = hostile_output_types(duck, pre_fix)
+    assert bad and "HUGEINT" in bad[0][1].upper()
+
+    fixed = "SELECT CAST(SUM(CAST(1 AS BIGINT) << 40) AS BIGINT) AS simhash FROM range(5)"
+    assert hostile_output_types(duck, fixed) == []
+
+    wide_dec = "SELECT CAST(1 AS DECIMAL(20,2)) AS x"
+    assert hostile_output_types(duck, wide_dec)
+    narrow_dec = "SELECT CAST(1 AS DECIMAL(12,2)) AS x"
+    assert hostile_output_types(duck, narrow_dec) == []
+
+
 def test_entry_contract(spark):
     import __spark_entry__ as entrymod
 

@@ -31,6 +31,32 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+import re
+
+# Output types that survive DuckDB's fetchall() (exact Python ints) but NOT
+# the driver's pandas/arrow fetch path: HUGEINT/UHUGEINT coerce to float64
+# (rounds above 2^53), and DECIMAL with precision > 15 exceeds float64's
+# exact-integer mantissa the same way. An oracle emitting one of these can
+# pass this local gate yet hash-mismatch at the driver (the r6
+# simhash_buckets failure). DESCRIBE only plans — cheap to sweep all oracles.
+_DECIMAL_RE = re.compile(r"DECIMAL\((\d+),")
+
+
+def hostile_output_types(con, sql: str) -> list[tuple[str, str]]:
+    """Return [(column, type)] oracle output columns whose DuckDB type loses
+    precision through the driver's pandas/arrow fetch path."""
+    bad = []
+    for col, typ, *_ in con.execute(f"DESCRIBE ({sql})").fetchall():
+        t = typ.upper()
+        if "HUGEINT" in t:
+            bad.append((col, typ))
+            continue
+        m = _DECIMAL_RE.search(t)
+        if m and int(m.group(1)) > 15:
+            bad.append((col, typ))
+    return bad
+
+
 def normalize(rows: list[tuple], cols: list[str]):
     """Sort columns by name, then rows; stringify values the way a hash
     would see them (dates/timestamps via isoformat, floats via repr)."""
@@ -55,6 +81,12 @@ def normalize(rows: list[tuple], cols: list[str]):
 
 
 def compare_one(spark, con, name, rq, sf_dir) -> tuple[bool, str]:
+    hostile = hostile_output_types(con, rq.oracle)
+    if hostile:
+        return False, (
+            f"HOSTILE ORACLE TYPE {hostile} — would round to float64 in the "
+            "driver's arrow fetch; CAST the column to BIGINT/DOUBLE in the oracle"
+        )
     t0 = time.time()
     sdf = rq.fn(spark, sf_dir)
     srows = sdf.collect()
