@@ -437,11 +437,22 @@ class GroupTransaction:
             # degenerate group: a single-table commit IS already atomic;
             # skip the marker round-trip entirely
             (name, txn), = touched.items()
-            ops_meta, keys = txn._stage()
-            return {name: txn._claim(ops_meta, keys, extra=extra)}
+            try:
+                ops_meta, keys = txn._stage()
+                return {name: txn._claim(ops_meta, keys, extra=extra)}
+            except BaseException:
+                txn._discard_staged()  # failed commit leaves no orphans
+                raise
         # 1. STAGE everything before claiming anything: a conflict found
         # while staging table k must not leave tables 1..k-1 published
-        staged = {n: t._stage() for n, t in touched.items()}
+        try:
+            staged = {n: t._stage() for n, t in touched.items()}
+        except BaseException:
+            # staging table k failed: discard tables 1..k-1's (and k's
+            # partial) staged files — nothing was claimed yet
+            for t in touched.values():
+                t._discard_staged()
+            raise
         group_field = {"dir": self.db.group_dir, "id": self.gid}
         claimed: dict[str, int] = {}
         try:

@@ -55,10 +55,16 @@ _PASSTHRU = {"Sort", "Project", "Filter", "WindowGroupLimit"}
 # WORD over underscore/digit-split tokens — a substring match would wrongly
 # exempt 'candidate' (date), 'binary' (bin), 'combine' (bin) — plus a short
 # list of compound function names that appear un-split in plan expressions.
+# Calendar units and fixed-arity tiles ONLY — domains whose cardinality is
+# bounded by CONSTRUCTION, independent of data volume. Generic enum-ish
+# tokens (status, flag, level, class, variant, grade, stage) were removed
+# (ADVICE r6): a free-form 'status' or per-entity 'risk_level' column is
+# data-proportional, and name-matching them re-opened the any-aggregate
+# hole. Enum-like grouping keys go through the auditable SPINE_WHITELIST
+# with a written justification instead.
 _BOUNDED_WORDS = frozenset(
     "year quarter month week day date dow hour minute period "
-    "ventile decile quintile ntile tile bin grade stage class flag status "
-    "variant level".split()
+    "ventile decile quintile ntile tile bin".split()
 )
 _BOUNDED_COMPOUND = re.compile(
     r"(date_trunc|dayofweek|dayofmonth|dayofyear|weekofyear|to_date|"

@@ -1457,8 +1457,16 @@ class Transaction:
             return self.start_csn
         if capture_preimages is not None:
             self._capture_preimages = capture_preimages
-        ops_meta, my_keys = self._stage()
-        csn = self._claim(ops_meta, my_keys, max_csn_attempts, extra)
+        try:
+            ops_meta, my_keys = self._stage()
+            csn = self._claim(ops_meta, my_keys, max_csn_attempts, extra)
+        except BaseException:
+            # failed commit = nothing published; its staged tsn= files would
+            # otherwise sit orphaned until vacuum (rollback() is blocked by
+            # _done) — and run_transaction's retry loop would leak one full
+            # staged copy of the write set PER lost attempt (ADVICE r6)
+            self._discard_staged()
+            raise
         if self.table.config.auto_maintain:
             # in-line background-maintenance analog (checkpointer.rs:44-176,
             # see EngineConfig.auto_maintain): threshold check costs a
@@ -1611,6 +1619,12 @@ class Transaction:
         system/instance.rs:114-122, collapses to deletion of never-published data)."""
         self._check_open()
         self._done = True
+        self._discard_staged()
+
+    def _discard_staged(self) -> None:
+        """Delete this txn's staged-but-unpublished tsn= directory. Safe at
+        any point before a successful _claim: staged files are invisible to
+        every reader until a manifest references them."""
         import shutil
 
         shutil.rmtree(os.path.join(self.table._data_dir, f"tsn={self.tsn}"), ignore_errors=True)

@@ -254,6 +254,12 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_revenue"
         )
     )
+    # materialize the per-supplier aggregate ONCE: both the scalar max and
+    # the probe side read it, so lineitem is scanned a single time AND the
+    # equality filter compares rounded sums from one execution (two
+    # independent executions could differ by an ulp at a .005 boundary
+    # under a different shuffle-merge order — ADVICE r6)
+    rev = rev.localCheckpoint()
     mx = rev.agg(F.max("total_revenue").alias("_mx"))
     top = rev.join(
         F.broadcast(mx), rev.total_revenue == F.col("_mx"), "inner"

@@ -848,3 +848,18 @@ def test_database_run_transaction_retries_and_times_out(db, spark):
     with pytest.raises(ConflictTimeoutError):
         db.run_transaction(contended, wait_timeout_ms=0, backoff_ms=0)
     assert state(db, "a") == {(1, "r2")}  # nothing from the timed-out group
+
+    # regression (ADVICE r6): every failed attempt above — the lost
+    # multi-table claim AND the timed-out single-table group — must have
+    # discarded its staged tsn= files; whatever remains on disk is
+    # referenced by a published manifest
+    import os
+
+    for name in db.table_names():
+        t = db.table(name)
+        on_disk = {
+            d for d in os.listdir(t._data_dir)
+            if d.startswith("tsn=") and os.path.isdir(os.path.join(t._data_dir, d))
+        }
+        referenced = {"tsn=" + m["tsn"] for m in t._manifests() if m.get("tsn")}
+        assert on_disk == referenced, f"orphaned staging in {name}: {on_disk - referenced}"

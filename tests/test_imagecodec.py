@@ -288,6 +288,7 @@ def test_dhash_sql_oracle_matches_python_on_random_texts():
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
+    from db_core_spark.operators.imagecodec import DecodedImage, encode_ppm, sniff_decode
     from db_core_spark.operators.multimodal import dhash64, synth_ppm_for_text
     from db_core_spark.queries.objects import _DHASH_CTES
 
@@ -303,14 +304,29 @@ def test_dhash_sql_oracle_matches_python_on_random_texts():
         )
     )
     def check(text):
-        expected = dhash64(synth_ppm_for_text(text))
+        payload = synth_ppm_for_text(text)
+        expected = dhash64(payload)
+        # edit0=TRUE branch (ADVICE r6: previously only fixture-exercised):
+        # SQL adds 128 to keystream byte 0; Python edits the DECODED pixel
+        # and re-encodes — equivalent because the synth image's pixel 0 IS
+        # keystream byte 0. Both engines must agree for arbitrary text.
+        img = sniff_decode(payload)
+        px = bytearray(img.pixels)
+        px[0] = (px[0] + 128) % 256
+        expected_edit = dhash64(
+            encode_ppm(DecodedImage(img.width, img.height, img.channels, bytes(px), "ppm"))
+        )
         sql = f"""
-        WITH alldocs(doc_id, text, edit0) AS (VALUES (0, '{text}', FALSE)),
+        WITH alldocs(doc_id, text, edit0) AS
+          (VALUES (0, '{text}', FALSE), (1, '{text}', TRUE)),
         {_DHASH_CTES}
-        SELECT dhash FROM dh
+        SELECT doc_id, dhash FROM dh ORDER BY doc_id
         """
-        got = con.execute(sql).fetchone()[0]
-        assert got == expected, f"text={text!r}: sql={got} python={expected}"
+        rows = con.execute(sql).fetchall()
+        assert rows[0][1] == expected, f"text={text!r}: sql={rows[0][1]} python={expected}"
+        assert rows[1][1] == expected_edit, (
+            f"text={text!r} edit0: sql={rows[1][1]} python={expected_edit}"
+        )
 
     check()
 

@@ -221,6 +221,54 @@ def test_run_transaction_timeout_raises_typed_error(vt, spark):
     assert rows_of(vt.snapshot())[2] == ("ok", 2.0)
 
 
+def _tsn_dirs(vt) -> set[str]:
+    import os
+
+    return {
+        d for d in os.listdir(vt._data_dir)
+        if d.startswith("tsn=") and os.path.isdir(os.path.join(vt._data_dir, d))
+    }
+
+
+def _referenced_tsns(vt) -> set[str]:
+    return {"tsn=" + m["tsn"] for m in vt._manifests() if m.get("tsn")}
+
+
+def test_failed_commit_attempts_leave_no_orphaned_staging(vt, spark):
+    """Regression (ADVICE r6): commit() used to set _done=True before
+    staging, so a ConflictError orphaned the attempt's staged tsn= parquet
+    dirs (rollback blocked by _check_open) — and run_transaction leaked one
+    full staged copy of the write set per lost attempt until vacuum. Every
+    tsn= dir on disk must be referenced by a published manifest after both
+    a direct conflicted commit and a timed-out retry loop."""
+    from db_core_spark.plans import ConflictError, ConflictTimeoutError
+
+    t0 = vt.begin()
+    t0.upsert(spark.createDataFrame([(1, "seed", 0.0)], SCHEMA))
+    t0.commit()
+
+    # direct conflicted commit: loser's staging must vanish
+    ta, tb = vt.begin(), vt.begin()
+    ta.upsert(spark.createDataFrame([(1, "winner", 1.0)], SCHEMA))
+    tb.upsert(spark.createDataFrame([(1, "loser", 2.0)], SCHEMA))
+    ta.commit()
+    with pytest.raises(ConflictError):
+        tb.commit()
+    assert _tsn_dirs(vt) == _referenced_tsns(vt)
+
+    # retry loop that times out after several lost attempts: no per-attempt
+    # staged copies left behind
+    def contended_build(txn):
+        rival = vt.begin()
+        rival.upsert(spark.createDataFrame([(1, "rival", -1.0)], SCHEMA))
+        rival.commit()
+        txn.upsert(spark.createDataFrame([(1, "mine", 1.0)], SCHEMA))
+
+    with pytest.raises(ConflictTimeoutError):
+        vt.run_transaction(contended_build, wait_timeout_ms=400, backoff_ms=0)
+    assert _tsn_dirs(vt) == _referenced_tsns(vt)
+
+
 def test_recovery_fold_ignores_staged_uncommitted(vt, spark, tmp_path):
     """Crash semantics: staged-but-unpublished files are invisible after
     'restart' (re-open); committed data is durable (instance.rs:221-304)."""
