@@ -61,15 +61,22 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="llm",
 )
 def dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The surviving set after exact dedup (first doc_id per distinct text)."""
-    d = table(spark, sf_dir, "documents")
-    from pyspark.sql import Window as W
+    """The surviving set after exact dedup (first doc_id per distinct text).
 
-    w = W.partitionBy("text").orderBy("doc_id")
+    Keyed by sha256(text), not text: the r6 window formulation partitioned
+    BY the text column itself, shuffling full document bodies — the exact
+    scale-killer dedup_exact_groups avoids (caught by the r7 sf1 sweep:
+    2.9x per 10x data, vs a flat scan+sha2 baseline). min_by gives a hash
+    aggregate with map-side partial combine, so the exchange carries one
+    (32-byte hash, winner-struct) row per distinct doc per map task —
+    strictly less than the window's one-row-per-doc sort shuffle."""
+    d = table(spark, sf_dir, "documents")
     return (
-        d.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "lang", "source")
+        d.groupBy(F.sha2("text", 256).alias("_h"))
+        .agg(
+            F.min_by(F.struct("doc_id", "lang", "source"), F.col("doc_id")).alias("_w")
+        )
+        .select("_w.doc_id", "_w.lang", "_w.source")
     )
 
 
