@@ -59,6 +59,18 @@ CATEGORY_PRIORITY = [
 ]
 
 
+# Names whose IMPLEMENTATION (or oracle) materially changed after their last
+# driver-green round: rotation otherwise never re-fronts a green query, so a
+# changed plan would carry stale evidence forever (ADVICE r6 on the q15
+# rewrite). Hand-maintained per round — add on change, remove once the
+# driver re-greens the new plan in a committed CORRECTNESS_r*.json. Sorts
+# immediately after errored-never-green names, ahead of stale conversions.
+#
+# r7: q15_top_supplier (localCheckpoint single-scan rewrite),
+#     dedup_exact_keep (text-partitioned window -> sha256 min_by aggregate).
+REVERIFY: frozenset[str] = frozenset({"q15_top_supplier", "dedup_exact_keep"})
+
+
 def query(name: str, oracle: str | None = None, category: str = "relational"):
     """Register ``fn(spark, sf_dir) -> DataFrame`` under ``name``.
 
@@ -149,6 +161,7 @@ def all_queries() -> dict[str, RegisteredQuery]:
             _REGISTRY.items(),
             key=lambda kv: (
                 kv[0] not in errored,  # driver-errored rows front the window
+                kv[0] not in REVERIFY,  # then changed-implementation re-verifies
                 not is_stale_conversion(*kv),  # then rows-only -> oracle conversions
                 is_checked(*kv),  # then never-driver-checked
                 kv[1].oracle is None,  # oracle-eligible before rows-only

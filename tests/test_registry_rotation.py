@@ -53,6 +53,24 @@ def test_errored_still_outranks_stale_conversion(monkeypatch):
     assert order[1] == converted
 
 
+def test_reverify_band_outranks_breadth_but_not_errored(monkeypatch):
+    """A green query whose implementation changed (REVERIFY) re-enters the
+    window immediately after errored-never-green names and ahead of stale
+    conversions and never-checked breadth — changed plans must not carry
+    stale driver evidence (ADVICE r6)."""
+    qs = all_queries()
+    oracled = [n for n, rq in qs.items() if rq.oracle is not None]
+    reverify_name = next(iter(registry.REVERIFY & set(oracled)))
+    errored_name = next(n for n in oracled if n != reverify_name)
+    converted = next(n for n in oracled if n not in (reverify_name, errored_name))
+    green = set(qs) - {errored_name, converted}
+
+    order = _order_with_history(monkeypatch, green, {converted}, {errored_name})
+    assert order[0] == errored_name
+    assert order[1] == reverify_name
+    assert order[2] == converted
+
+
 def test_live_history_fronts_r5_conversions():
     """On the real committed CORRECTNESS history, the five queries converted
     rows-only -> full-oracle in round 5 must lead the window until the driver
@@ -70,6 +88,10 @@ def test_live_history_fronts_r5_conversions():
         )
         if n in rows_only and qs[n].oracle is not None
     ]
+    # errored-never-green and changed-implementation (REVERIFY) names sort
+    # ahead of the stale-conversion band; skip past them before asserting
+    _, _, errored = registry._driver_history()
     order = list(qs)
+    off = sum(1 for n in order if n in errored or n in registry.REVERIFY)
     for i, name in enumerate(expected_front):
-        assert order[i] == name, f"expected {name} at window position {i}"
+        assert order[off + i] == name, f"expected {name} at window position {off + i}"
