@@ -62,13 +62,14 @@ CATEGORY_PRIORITY = [
 # Names whose IMPLEMENTATION (or oracle) materially changed after their last
 # driver-green round: rotation otherwise never re-fronts a green query, so a
 # changed plan would carry stale evidence forever (ADVICE r6 on the q15
-# rewrite). Hand-maintained per round — add on change, remove once the
-# driver re-greens the new plan in a committed CORRECTNESS_r*.json. Sorts
+# rewrite). Maps name -> round number the change landed in; an entry
+# self-neutralizes once a CORRECTNESS_r{M}.json with M >= that round shows
+# the query green (so a forgotten entry cannot waste window slots). Sorts
 # immediately after errored-never-green names, ahead of stale conversions.
 #
 # r7: q15_top_supplier (localCheckpoint single-scan rewrite),
 #     dedup_exact_keep (text-partitioned window -> sha256 min_by aggregate).
-REVERIFY: frozenset[str] = frozenset({"q15_top_supplier", "dedup_exact_keep"})
+REVERIFY: dict[str, int] = {"q15_top_supplier": 7, "dedup_exact_keep": 7}
 
 
 def query(name: str, oracle: str | None = None, category: str = "relational"):
@@ -138,11 +139,47 @@ def _driver_history() -> tuple[frozenset[str], frozenset[str], frozenset[str]]:
     )
 
 
+def _green_rounds() -> dict[str, int]:
+    """name -> highest round number with a fully-green driver row. Used to
+    self-neutralize REVERIFY entries: green evidence from a round >= the
+    change round supersedes the re-verify request."""
+    import json
+    import re as _re
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    out: dict[str, int] = {}
+    for path in sorted(repo.glob("CORRECTNESS_r*.json")):
+        m = _re.search(r"_r(\d+)\.json$", path.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            rows = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ):
+                out[name] = max(out.get(name, 0), rnd)
+    return out
+
+
 def all_queries() -> dict[str, RegisteredQuery]:
     # Import for side effect: each module registers its operators.
     from db_core_spark import queries as _q  # noqa: F401
 
     green, rows_only, errored = _driver_history()
+    green_rounds = _green_rounds()
+    reverify = frozenset(
+        name
+        for name, since_round in REVERIFY.items()
+        if green_rounds.get(name, -1) < since_round
+    )
     rank = {c: i for i, c in enumerate(CATEGORY_PRIORITY)}
     order = {name: i for i, name in enumerate(_REGISTRY)}
 
@@ -161,7 +198,7 @@ def all_queries() -> dict[str, RegisteredQuery]:
             _REGISTRY.items(),
             key=lambda kv: (
                 kv[0] not in errored,  # driver-errored rows front the window
-                kv[0] not in REVERIFY,  # then changed-implementation re-verifies
+                kv[0] not in reverify,  # then changed-implementation re-verifies
                 not is_stale_conversion(*kv),  # then rows-only -> oracle conversions
                 is_checked(*kv),  # then never-driver-checked
                 kv[1].oracle is None,  # oracle-eligible before rows-only

@@ -60,15 +60,42 @@ def test_reverify_band_outranks_breadth_but_not_errored(monkeypatch):
     stale driver evidence (ADVICE r6)."""
     qs = all_queries()
     oracled = [n for n, rq in qs.items() if rq.oracle is not None]
-    reverify_name = next(iter(registry.REVERIFY & set(oracled)))
+    reverify_name = next(n for n in registry.REVERIFY if n in oracled)
     errored_name = next(n for n in oracled if n != reverify_name)
     converted = next(n for n in oracled if n not in (reverify_name, errored_name))
     green = set(qs) - {errored_name, converted}
 
+    # no green row since the change round -> the re-verify is live
+    monkeypatch.setattr(registry, "_green_rounds", dict)
     order = _order_with_history(monkeypatch, green, {converted}, {errored_name})
     assert order[0] == errored_name
     assert order[1] == reverify_name
     assert order[2] == converted
+
+
+def test_reverify_self_neutralizes_on_later_green(monkeypatch):
+    """A REVERIFY entry stops fronting once the driver re-greens the query
+    in a round >= the change round — a forgotten entry cannot waste window
+    slots forever."""
+    qs = all_queries()
+    reverify_name, since_round = next(iter(registry.REVERIFY.items()))
+    green = set(qs)
+
+    # every re-verify satisfied (green at exactly its change round) ->
+    # pure category-priority order; no REVERIFY name at the window front
+    monkeypatch.setattr(
+        registry, "_green_rounds", lambda: dict(registry.REVERIFY)
+    )
+    order = _order_with_history(monkeypatch, green, set(), set())
+    first_cat = qs[order[0]].category
+    assert registry.CATEGORY_PRIORITY.index(first_cat) == 0
+    assert order[0] not in registry.REVERIFY
+    # but a green round OLDER than the change round keeps this one live
+    stale = dict(registry.REVERIFY)
+    stale[reverify_name] = since_round - 1
+    monkeypatch.setattr(registry, "_green_rounds", lambda: stale)
+    order = _order_with_history(monkeypatch, green, set(), set())
+    assert order[0] == reverify_name
 
 
 def test_live_history_fronts_r5_conversions():
