@@ -1260,6 +1260,20 @@ class VersionedTable:
                         removed += 1
                         if not dry_run:
                             shutil.rmtree(full, ignore_errors=True)
+                # emptied tsn= shell: remove here, not only in the
+                # end-of-vacuum pass — that pass is unreachable when no
+                # checkpoint exists yet (early return below), which leaked
+                # one empty dir per crashed staged writer forever (caught by
+                # the r7 crash-property leak invariant). No age gate: the
+                # rmtree above just bumped p's mtime, and removing an EMPTY
+                # dir is always safe — a concurrent writer re-mkdirs the
+                # full path on its first file write, and rmdir itself fails
+                # (caught below) if an entry appears in the race window.
+                if not dry_run and os.path.isdir(p) and not os.listdir(p):
+                    try:
+                        os.rmdir(p)
+                    except OSError:
+                        pass
 
         ckpts = [m for m in manifests if m.get("type") == "checkpoint"]
         if not ckpts:

@@ -1026,6 +1026,13 @@ crash_action = st.one_of(
     st.tuples(st.just("txn"), st.lists(op, min_size=1, max_size=3), st.booleans()),
     st.tuples(st.just("crash_staged"), st.lists(op, min_size=1, max_size=2)),
     st.tuples(st.just("crash_publish"), st.lists(op, min_size=1, max_size=2)),
+    # two same-snapshot writers racing on a shared key: the loser must
+    # raise ConflictError, leak nothing, and land via run_transaction
+    st.tuples(
+        st.just("conflict_retry"),
+        st.integers(0, 4),
+        st.lists(op, min_size=0, max_size=2),
+    ),
     st.just("torn"),
     st.just("reopen"),
     st.just("checkpoint"),
@@ -1048,6 +1055,9 @@ def test_crash_points_never_corrupt_or_leak(spark, tmp_path_factory, script):
 
     model: dict[int, str] = {}
     history: list[tuple[int, dict[int, str]]] = []
+    # tsn= dirs legitimately on disk without a manifest: writers that DIED
+    # after staging (crash_staged). Everything else unreferenced is a leak.
+    expected_orphans: set[str] = set()
 
     def as_dict(df):
         return {r.k: r.v for r in df.collect()}
@@ -1089,6 +1099,7 @@ def test_crash_points_never_corrupt_or_leak(spark, tmp_path_factory, script):
                 except OSError:
                     pass
             vt.vacuum()
+            expected_orphans.clear()  # aged-out abandoned staging reclaimed
         elif step[0] == "txn":
             _, ops, do_commit = step
             t = vt.begin()
@@ -1107,8 +1118,11 @@ def test_crash_points_never_corrupt_or_leak(spark, tmp_path_factory, script):
             apply_ops(t, dict(model), step[1])
             t._stage()
             t._done = True  # abandon without rollback (simulated process death)
+            expected_orphans.add(f"tsn={t.tsn}")
         elif step[0] == "crash_publish":
-            # phase-2 publish I/O fails (manifest link never created)
+            # phase-2 publish I/O fails (manifest link never created); a
+            # failed IN-PROCESS commit also discards its staging (r7), so
+            # this step must not add to expected_orphans
             t = vt.begin()
             apply_ops(t, dict(model), step[1])
             original = vt._publish
@@ -1122,8 +1136,45 @@ def test_crash_points_never_corrupt_or_leak(spark, tmp_path_factory, script):
                     t.commit()
             finally:
                 vt._publish = original
-        # invariant after EVERY step: table == model
+        elif step[0] == "conflict_retry":
+            # two writers pinned at the SAME snapshot race on shared key k:
+            # the loser's commit raises ConflictError, leaks no staging, and
+            # its ops land via run_transaction's fresh-snapshot retry
+            from db_core_spark.plans import ConflictError
+
+            _, k, extra_ops = step
+            tw, tl = vt.begin(), vt.begin()
+            staged_w = dict(model)
+            apply_ops(tw, staged_w, [("upsert", k, "win")])
+            apply_ops(tl, dict(model), [("upsert", k, "lose"), *extra_ops])
+            csn = tw.commit()
+            model = staged_w
+            history.append((csn, dict(model)))
+            with pytest.raises(ConflictError):
+                tl.commit()
+
+            holder: dict[int, str] = {}
+
+            def build(txn, _ops=[("upsert", k, "lose"), *extra_ops], _h=holder):
+                fresh = dict(model)
+                apply_ops(txn, fresh, _ops)
+                _h.clear()
+                _h.update(fresh)
+
+            csn2 = vt.run_transaction(build, backoff_ms=0)
+            model = dict(holder)
+            history.append((csn2, dict(model)))
+        # invariants after EVERY step: table == model, and no unreferenced
+        # staging on disk beyond the deliberately-abandoned crash_staged
+        # writers (which vacuum reclaims at the next sweep)
         assert as_dict(vt.snapshot()) == model, f"diverged after {step!r}"
+        on_disk = {
+            d for d in _os.listdir(vt._data_dir)
+            if d.startswith("tsn=") and _os.path.isdir(_os.path.join(vt._data_dir, d))
+        }
+        referenced = {"tsn=" + m["tsn"] for m in vt._manifests() if m.get("tsn")}
+        leaked = on_disk - referenced - expected_orphans
+        assert not leaked, f"leaked staging {leaked} after {step!r}"
 
     # every surviving historical commit point still replays exactly
     for csn, state in history:
