@@ -466,10 +466,18 @@ class GroupTransaction:
         except Exception:
             # 3a. DECIDE: abort. Already-claimed manifests stay as empty
             # commits; never-claimed tables just delete their staged files.
-            publish_manifest(
-                self.db.group_dir, f"{self.gid}.json",
-                {"status": "aborted", "ts": time.time(), "by": "coordinator"},
-            )
+            # The marker write may ITSELF fail (same dying storage that
+            # killed the claim) — swallow that: readers force-abort the
+            # undecided group after the grace window anyway, and the staged
+            # cleanup below must still run (never-claimed staging is
+            # referenced by nothing; only vacuum would ever reclaim it).
+            try:
+                publish_manifest(
+                    self.db.group_dir, f"{self.gid}.json",
+                    {"status": "aborted", "ts": time.time(), "by": "coordinator"},
+                )
+            except Exception:  # noqa: BLE001
+                pass
             for name, txn in touched.items():
                 if name not in claimed:
                     shutil.rmtree(

@@ -1485,6 +1485,22 @@ def test_group_crash_points_never_tear_atomicity(spark, tmp_path_factory, steps)
         # tables — never a torn mix
         assert as_dict("a") == models["a"], f"table a diverged after {step!r}"
         assert as_dict("b") == models["b"], f"table b diverged after {step!r}"
+        # leak invariant: every in-process failure path (dead marker write,
+        # dead mid-claim) cleans its never-claimed staging, so no table ever
+        # carries a tsn= dir no manifest references (r7: the abort handler
+        # survives the abort-marker publish itself failing)
+        import os as _os
+
+        for name in ("a", "b"):
+            t = db.table(name)
+            on_disk = {
+                d for d in _os.listdir(t._data_dir)
+                if d.startswith("tsn=") and _os.path.isdir(_os.path.join(t._data_dir, d))
+            }
+            referenced = {"tsn=" + m["tsn"] for m in t._manifests() if m.get("tsn")}
+            assert on_disk <= referenced, (
+                f"table {name} leaked staging {on_disk - referenced} after {step!r}"
+            )
 
     # a final healthy group commit lands atomically on both tables
     g = db.begin()
