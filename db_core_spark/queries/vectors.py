@@ -295,7 +295,8 @@ def _ann_ivf_oracle() -> str:
     q6 = "FLOOR(({}) * 1000000 + 0.5) / 1000000"
     return f"""
     WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    cents AS (SELECT vec_id AS cent_id, v AS cv FROM vecs WHERE vec_id % 31 = 0),
+    cents AS (SELECT vec_id AS cent_id, v AS cv FROM vecs
+           WHERE vec_id % 31 = 0 AND vec_id <= 465),
     sims AS (
       SELECT x.vec_id, c.cent_id,
              {q6.format("list_cosine_similarity(x.v, c.cv)")} AS s
@@ -331,22 +332,28 @@ def _ann_ivf_oracle() -> str:
 
 @query("ann_ivf_topk", oracle=_ann_ivf_oracle(), category="vector")
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN via IVF (inverted-file) partitioning: ~16 deterministic
-    seed centroids (every 31st vec_id); each corpus vector is assigned to its
-    nearest centroid (broadcast nested-loop over 16 rows + max_by partial
-    agg — no shuffle of the corpus); each query probes its nprobe=4 nearest
-    cells and rescores exact cosine inside them. At 100 TB the corpus is
+    """Approximate NN via IVF (inverted-file) partitioning: K=16 FIXED
+    deterministic seed centroids (multiples of 31 capped at vec_id 465);
+    each corpus vector is assigned to its nearest centroid (broadcast
+    nested-loop over 16 rows + max_by partial agg — no shuffle of the
+    corpus); each query probes its nprobe=4 nearest cells and rescores
+    exact cosine inside them. K must be corpus-independent: the r7 sf1
+    sweep caught the uncapped `% 31` rule growing K with N, making
+    assignment N*K ~ N^2/31 (13x per 10x data, 40 s at 20k vectors —
+    quadratic, a scale-killer at any real corpus). With fixed K the
+    assignment is linear; production retrains centroids via the kmeans
+    operator and keeps K ~ sqrt(N) at most. At 100 TB the corpus is
     written partitioned BY cell id, so a probe reads only nprobe/K of the
     data — the classic IVF pruning — and candidate generation is an
     equi-join on cell. Cell-selection similarities are quantized to 6 dp
     with the portable half-up floor in both engines, so cell assignment —
     and therefore the full candidate set and output — is deterministic
-    across engines and value-hash-checked by the oracle (was rows-only);
+    across engines and value-hash-checked by the oracle;
     pytest asserts scores are exact and recall vs brute force."""
     e = table(spark, sf_dir, "embeddings")
     vecs = e.select(F.col("vec_id"), to_double("embedding").alias("vec"))
     cents = F.broadcast(
-        vecs.filter(F.col("vec_id") % 31 == 0).select(
+        vecs.filter((F.col("vec_id") % 31 == 0) & (F.col("vec_id") <= 465)).select(
             F.col("vec_id").alias("cent_id"), F.col("vec").alias("cent_vec")
         )
     )
@@ -1105,7 +1112,8 @@ def _ann_sweep_oracle() -> str:
     q6 = "FLOOR(({}) * 1000000 + 0.5) / 1000000"
     return f"""
     WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    cents AS (SELECT vec_id AS cent_id, v AS cv FROM vecs WHERE vec_id % 31 = 0),
+    cents AS (SELECT vec_id AS cent_id, v AS cv FROM vecs
+           WHERE vec_id % 31 = 0 AND vec_id <= 465),
     q AS (SELECT vec_id AS q_id, v AS qv FROM vecs WHERE vec_id < 10),
     exact_scored AS (
       SELECT q.q_id, e.vec_id AS neighbor_id,
@@ -1169,14 +1177,16 @@ def ann_ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     against exact top-5 reduces per nprobe. The corpus is scored once per
     covering cell, not once per nprobe value; at 100 TB candidates stay an
     equi-join on the cell id over the cell-partitioned corpus layout
-    (ann_ivf_topk). Cell-selection sims quantized with the portable
+    (ann_ivf_topk). K=16 fixed centroids (capped at vec_id 465, see
+    ann_ivf_topk — the uncapped rule made assignment quadratic in the
+    corpus). Cell-selection sims quantized with the portable
     half-up floor (as in ann_ivf_topk), so the whole tuning curve is
     deterministic across engines and value-hash-checked (was rows-only);
     pytest pins recall monotone in nprobe and candidate counts growing."""
     e = table(spark, sf_dir, "embeddings")
     vecs = e.select(F.col("vec_id"), to_double("embedding").alias("vec"))
     cents = F.broadcast(
-        vecs.filter(F.col("vec_id") % 31 == 0).select(
+        vecs.filter((F.col("vec_id") % 31 == 0) & (F.col("vec_id") <= 465)).select(
             F.col("vec_id").alias("cent_id"), F.col("vec").alias("cent_vec")
         )
     )

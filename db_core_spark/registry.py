@@ -68,8 +68,15 @@ CATEGORY_PRIORITY = [
 # immediately after errored-never-green names, ahead of stale conversions.
 #
 # r7: q15_top_supplier (localCheckpoint single-scan rewrite),
-#     dedup_exact_keep (text-partitioned window -> sha256 min_by aggregate).
-REVERIFY: dict[str, int] = {"q15_top_supplier": 7, "dedup_exact_keep": 7}
+#     dedup_exact_keep (text-partitioned window -> sha256 min_by aggregate),
+#     ann_ivf_topk / ann_ivf_recall_sweep (fixed K=16 centroid cap — the
+#     uncapped % 31 rule grew K with the corpus, quadratic assignment).
+REVERIFY: dict[str, int] = {
+    "q15_top_supplier": 7,
+    "dedup_exact_keep": 7,
+    "ann_ivf_topk": 7,
+    "ann_ivf_recall_sweep": 7,
+}
 
 
 def query(name: str, oracle: str | None = None, category: str = "relational"):
