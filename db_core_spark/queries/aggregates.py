@@ -888,29 +888,33 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted (lower) median: the smallest price whose cumulative quantity
     weight reaches half the group's total — the price at which half the
     shipped VOLUME is cheaper, which is the question unit-median price
-    cannot answer. One shuffle on the group key feeds both the running and
-    total weight windows and the final aggregate. Equal-price tie order
-    cannot change the answer (any ordering of a tied run crosses the
-    half-weight threshold inside the same run, and MIN collapses the run
-    to one value), so the statistic is deterministic without a tiebreak
-    column on both engines."""
-    from pyspark.sql import Window as W
+    cannot answer.
 
-    li = table(spark, sf_dir, "lineitem")
-    w_run = (
-        W.partitionBy("l_returnflag")
-        .orderBy("l_extendedprice")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    l_returnflag has THREE values, so the r6 per-group window capped the
+    whole fact scan at 3-way parallelism (the r7 sf1 sweep measured 6x per
+    10x data). Now the running weight comes from the grouped two-pass
+    prefix sum (operators/prefixrank.py): range-partition on (flag, price)
+    so each group spans many partitions, per-(partition, group) offsets
+    broadcast back — every stage parallel. Total weight is a 3-row hash
+    aggregate broadcast onto the cumulative frame. Quantities are
+    integer-valued, so the re-ordered additions stay exact; equal-price tie
+    order cannot change the answer (any ordering of a tied run crosses the
+    half-weight threshold inside the same run, and MIN collapses the run
+    to one value), so the statistic is deterministic on both engines."""
+    from db_core_spark.operators.prefixrank import grouped_running_sum
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
     )
-    w_all = W.partitionBy("l_returnflag")
-    cum = li.select(
-        "l_returnflag",
-        "l_extendedprice",
-        F.sum("l_quantity").over(w_run).alias("cw"),
-        F.sum("l_quantity").over(w_all).alias("tw"),
+    cum = grouped_running_sum(
+        li, ["l_returnflag"], [F.col("l_extendedprice")], "l_quantity", out="cw"
+    )
+    tot = F.broadcast(
+        li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("tw"))
     )
     return (
-        cum.filter(F.col("cw") >= F.col("tw") / 2)
+        cum.join(tot, "l_returnflag")
+        .filter(F.col("cw") >= F.col("tw") / 2)
         .groupBy("l_returnflag")
         .agg(
             F.round(F.min("l_extendedprice"), 2).alias("weighted_median"),
