@@ -271,26 +271,35 @@ def bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: bucket users by first-seen week, count distinct
-    active users per (cohort_week, week_offset). The cohort table is
-    one-row-per-user (small relative to events), so Catalyst broadcasts it
-    into the activity side — no second shuffle of the event stream; the
-    final aggregate is tiny (weeks x offsets)."""
+    active users per (cohort_week, week_offset).
+
+    ONE event-scale shuffle: the per-user aggregate computes the cohort
+    week (MIN) and the distinct active weeks (collect_set — bounded by the
+    calendar, not the event volume) together; exploding the set yields one
+    row per (user, week), distinct by construction, so the final rollup is
+    a plain COUNT over a weeks x offsets spine — no join, no second
+    event-scale distinct, no countDistinct expansion (the r6 shape ran
+    cohort-agg + distinct + join + expand = 3 event-scale exchanges; the
+    r7 sf1 sweep flagged the family at ~4.6x per 10x data)."""
     e = table(spark, sf_dir, "events").select(
         "user_id", F.date_trunc("week", "ts").cast("date").alias("event_week")
     )
-    cohorts = e.groupBy("user_id").agg(F.min("event_week").alias("cohort_week"))
-    activity = e.distinct()
+    per_user = e.groupBy("user_id").agg(
+        F.min("event_week").alias("cohort_week"),
+        F.collect_set("event_week").alias("weeks"),
+    )
     return (
-        activity.join(cohorts, "user_id")
+        per_user.select(
+            "cohort_week", F.explode("weeks").alias("event_week")
+        )
         .select(
-            "user_id",
             "cohort_week",
             (F.datediff("event_week", "cohort_week") / 7)
             .cast("int")
             .alias("week_offset"),
         )
         .groupBy("cohort_week", "week_offset")
-        .agg(F.countDistinct("user_id").alias("active_users"))
+        .agg(F.count(F.lit(1)).alias("active_users"))
     )
 
 

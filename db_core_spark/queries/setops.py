@@ -96,29 +96,32 @@ def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 def setop_symmetric_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric difference with side attribution: customers active in
     exactly one of two years, tagged with which — the churned/acquired
-    split a single EXCEPT cannot answer (it loses direction). Two
-    anti-joins over the distinct key sets; both sets are post-distinct
-    small and the anti-joins broadcast."""
+    split a single EXCEPT cannot answer (it loses direction).
+
+    One scan, one shuffle: tag each order with membership flags and reduce
+    per customer with MAX (partial-aggregable, so the exchange carries one
+    flag pair per customer per map task), then keep the XOR rows. The r6
+    two-anti-join form scanned orders twice and shuffled three times
+    (2 distincts + join); the r7 sf1 sweep flagged it at 6x per 10x data."""
     o = table(spark, sf_dir, "orders")
 
-    def year(lo: str, hi: str):
+    def in_year(lo: str, hi: str):
         return (
-            o.filter(
-                (F.col("o_orderdate") >= F.lit(lo).cast("timestamp_ntz"))
-                & (F.col("o_orderdate") < F.lit(hi).cast("timestamp_ntz"))
-            )
-            .select("o_custkey")
-            .distinct()
-        )
+            (F.col("o_orderdate") >= F.lit(lo).cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit(hi).cast("timestamp_ntz"))
+        ).cast("int")
 
-    y96 = year("1996-01-01 00:00:00", "1997-01-01 00:00:00")
-    y97 = year("1997-01-01 00:00:00", "1998-01-01 00:00:00")
-    return (
-        y96.join(y97, "o_custkey", "left_anti")
-        .select("o_custkey", F.lit("1996_only").alias("side"))
-        .unionAll(
-            y97.join(y96, "o_custkey", "left_anti").select(
-                "o_custkey", F.lit("1997_only").alias("side")
-            )
-        )
+    in96 = in_year("1996-01-01 00:00:00", "1997-01-01 00:00:00")
+    in97 = in_year("1997-01-01 00:00:00", "1998-01-01 00:00:00")
+    flags = (
+        o.select("o_custkey", in96.alias("_a"), in97.alias("_b"))
+        .filter((F.col("_a") + F.col("_b")) > 0)
+        .groupBy("o_custkey")
+        .agg(F.max("_a").alias("_a"), F.max("_b").alias("_b"))
+    )
+    return flags.filter(F.col("_a") != F.col("_b")).select(
+        "o_custkey",
+        F.when(F.col("_a") == 1, F.lit("1996_only"))
+        .otherwise(F.lit("1997_only"))
+        .alias("side"),
     )

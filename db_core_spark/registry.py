@@ -76,6 +76,7 @@ REVERIFY: dict[str, int] = {
     "dedup_exact_keep": 7,
     "ann_ivf_topk": 7,
     "ann_ivf_recall_sweep": 7,
+    "cohort_retention": 7,  # one-shuffle collect_set rewrite
 }
 
 
