@@ -60,17 +60,20 @@ def test_reverify_band_outranks_breadth_but_not_errored(monkeypatch):
     stale driver evidence (ADVICE r6)."""
     qs = all_queries()
     oracled = [n for n, rq in qs.items() if rq.oracle is not None]
-    reverify_name = next(n for n in registry.REVERIFY if n in oracled)
-    errored_name = next(n for n in oracled if n != reverify_name)
-    converted = next(n for n in oracled if n not in (reverify_name, errored_name))
+    errored_name = next(n for n in oracled if n not in registry.REVERIFY)
+    converted = next(
+        n for n in oracled if n not in registry.REVERIFY and n != errored_name
+    )
     green = set(qs) - {errored_name, converted}
 
-    # no green row since the change round -> the re-verify is live
+    # no green row since the change round -> every re-verify is live
     monkeypatch.setattr(registry, "_green_rounds", dict)
     order = _order_with_history(monkeypatch, green, {converted}, {errored_name})
     assert order[0] == errored_name
-    assert order[1] == reverify_name
-    assert order[2] == converted
+    band = set(registry.REVERIFY)
+    k = len(band)
+    assert set(order[1 : 1 + k]) == band  # the whole re-verify band next
+    assert order[1 + k] == converted  # stale conversions follow
 
 
 def test_reverify_self_neutralizes_on_later_green(monkeypatch):
