@@ -233,35 +233,39 @@ def window_share_of_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def window_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Moving MEDIAN over an ordered row frame — Spark forbids median with
-    an ORDER BY frame (no partial aggregation exists), so this is the
-    canonical applyInPandas escape hatch: one shuffle on the partition key,
-    then pandas rolling(4).median() per group — O(rows in group) memory,
-    which holds at scale because groups are per-customer, not per-table.
-    Both engines interpolate even-count medians as the two-middle average of
-    IDENTICAL doubles, so the floor-pinned comparison is bit-stable."""
-    import pandas as pd
-
+    an ORDER BY frame (no partial aggregation exists), but the frame here
+    is FOUR rows, so the median is exact JVM arithmetic: collect_list over
+    the frame, array_sort, take the middle (odd) or two-middle average
+    (even). This replaced the r6 applyInPandas rolling(4).median() path:
+    the per-group pandas overhead scaled with GROUP COUNT (12.3 s at sf1
+    for a 60k-row input — Arrow batches of 4-row groups), where the array
+    form is one shuffle + per-row expressions (sf1 0.49 s, 25x). The general
+    wide-frame median stays a Pandas-UDF problem (udfs.py showcases that
+    surface); a BOUNDED frame should never leave the JVM. Both engines
+    interpolate even-count medians as the two-middle average of IDENTICAL
+    doubles, so the floor-pinned comparison is bit-stable."""
     o = (
         table(spark, sf_dir, "orders")
         .filter(F.col("o_custkey") % 10 == 0)
         .select("o_custkey", "o_orderkey", "o_totalprice")
     )
-
-    def rolling_median(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("o_orderkey")
-        med = pdf["o_totalprice"].rolling(4, min_periods=1).median()
-        import numpy as np
-
-        return pd.DataFrame(
-            {
-                "o_custkey": pdf["o_custkey"],
-                "o_orderkey": pdf["o_orderkey"],
-                "med4": np.floor(med * 100 + 0.5) / 100,
-            }
-        )
-
-    return o.groupBy("o_custkey").applyInPandas(
-        rolling_median, "o_custkey long, o_orderkey long, med4 double"
+    w4 = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(-3, W.currentRow)
+    )
+    s = F.array_sort(F.collect_list("o_totalprice").over(w4))
+    n = F.size(s)
+    mid_odd = F.element_at(s, ((n + 1) / 2).cast("int"))
+    mid_even = (
+        F.element_at(s, (n / 2).cast("int"))
+        + F.element_at(s, (n / 2 + 1).cast("int"))
+    ) / 2
+    med = F.when(n % 2 == 1, mid_odd).otherwise(mid_even)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.floor(med * 100 + 0.5) / 100).alias("med4"),
     )
 
 
