@@ -146,11 +146,14 @@ def test_gapfill_spine_join_is_broadcast(spark, queries):
     assert "CartesianProduct" not in plan
 
 
-def test_cohort_retention_broadcasts_cohorts(spark, queries):
-    """the one-row-per-user cohort table must broadcast into the activity
-    side — a sort-merge join here would re-shuffle the event stream."""
+def test_cohort_retention_is_joinless_single_event_shuffle(spark, queries):
+    """r7 rewrite: the per-user aggregate carries BOTH the cohort week and
+    the distinct active weeks, so the plan has NO join at all and exactly
+    two exchanges (user agg + the tiny weeks x offsets rollup) — a join or
+    a third exchange means the old cohort-join shape regressed."""
     plan = plan_of(queries["cohort_retention"].fn(spark, SF_SMALL))
-    assert "BroadcastHashJoin" in plan
+    assert "Join" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
     assert "CartesianProduct" not in plan
 
 
