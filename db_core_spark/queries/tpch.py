@@ -321,25 +321,27 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="tpch",
 )
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18: customers with very large orders. The HAVING-subquery is a
-    semi-join against a pre-aggregated key set; at 100 TB that agg output is
-    small (rare keys), so AQE converts the semi-join to broadcast at
-    runtime. Remaining shuffle: orderkey for the final group-by."""
+    """TPC-H Q18: customers with very large orders. The HAVING subquery and
+    the outer SUM aggregate the SAME per-order quantity, so one lineitem
+    pass computes both: aggregate once, filter > 300, and the surviving
+    rare-key frame (orderkey, total_qty) joins orders + broadcast customer
+    directly — no lineitem re-join, no second orderkey shuffle of the fact
+    table (the r6 plan scanned lineitem twice and re-aggregated the joined
+    rows; the r7 tpch sf1 screen flagged it at 4.8x per 10x). Grouping by
+    the order key makes the two formulations provably equal: every joined
+    row of one order carries the same (custkey, name, totalprice)."""
     li = table(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("_sq"))
-        .filter(F.col("_sq") > 300)
-        .select("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
     )
     o = table(spark, sf_dir, "orders")
-    c = table(spark, sf_dir, "customer")
+    c = F.broadcast(table(spark, sf_dir, "customer"))
     return (
-        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        o.join(big, o.o_orderkey == big.l_orderkey)
         .join(c, F.col("o_custkey") == c.c_custkey)
-        .join(li, F.col("o_orderkey") == li.l_orderkey)
-        .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "total_qty")
     )
 
 

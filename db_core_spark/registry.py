@@ -78,6 +78,7 @@ REVERIFY: dict[str, int] = {
     "ann_ivf_recall_sweep": 7,
     "cohort_retention": 7,  # one-shuffle collect_set rewrite
     "window_moving_median": 7,  # bounded-frame array median replaces pandas
+    "q18_large_orders": 7,  # reuse the HAVING aggregate; one lineitem pass
 }
 
 
