@@ -407,11 +407,45 @@ class TestPrefixRankHelpers:
         out = global_running_sum(df, [F.col("id")], "v", num_parts=3, out="cs")
         assert all(r.cs is None for r in out.collect())
 
+    @pytest.mark.parametrize("parts", [1, 3, 8])
+    def test_grouped_running_sum_matches_per_group_window(self, spark, parts):
+        """grouped_running_sum (r7, the agg_weighted_median rewrite) vs the
+        plain per-group ordered window, with GROUPS FAR FEWER than
+        partitions so every group is forced to span multiple range
+        partitions — the exact regime the per-group window cannot
+        parallelize. Values are integer-valued doubles (the exactness
+        contract in the operator's docstring)."""
+        from pyspark.sql import Window as W
+
+        from db_core_spark.operators.prefixrank import grouped_running_sum
+
+        rows = [
+            (i, ["a", "b", "c"][i % 3], float((i * 7) % 13)) for i in range(60)
+        ]
+        df = spark.createDataFrame(rows, "id long, g string, v double")
+        got = {
+            (r.g, r.id): r.cw
+            for r in grouped_running_sum(
+                df, ["g"], [F.col("id")], "v", num_parts=parts, out="cw"
+            ).collect()
+        }
+        w = (
+            W.partitionBy("g")
+            .orderBy("id")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        want = {
+            (r.g, r.id): r.cw
+            for r in df.withColumn("cw", F.sum("v").over(w)).collect()
+        }
+        assert got == want
+
     def test_empty_input(self, spark):
         from db_core_spark.operators.prefixrank import (
             global_prefix_max,
             global_row_number,
             global_running_sum,
+            grouped_running_sum,
         )
 
         empty = spark.createDataFrame([], "id long, v decimal(10,2)")
@@ -419,6 +453,10 @@ class TestPrefixRankHelpers:
         assert n == 0 and ranked.count() == 0
         assert global_running_sum(empty, [F.col("id")], "v").count() == 0
         assert global_prefix_max(empty, [F.col("id")], "v").count() == 0
+        empty_g = spark.createDataFrame([], "id long, g string, v double")
+        assert (
+            grouped_running_sum(empty_g, ["g"], [F.col("id")], "v").count() == 0
+        )
 
 
 class TestAsofJoinProperty:
