@@ -1803,20 +1803,18 @@ def dau_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     a leaky bucket). First-seen days come from one per-user aggregate
     joined back on the user key; the daily split is a per-(day, user)
     dedup then a day rollup."""
-    e = table(spark, sf_dir, "events")
-    firsts = e.groupBy("user_id").agg(
-        F.min(F.col("ts").cast("date")).alias("first_d")
+    e = table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("d")
     )
-    daily = (
-        e.join(firsts, "user_id")
-        .groupBy(F.col("ts").cast("date").alias("d"), "user_id")
-        .agg(
-            F.min(
-                F.when(
-                    F.col("ts").cast("date") == F.col("first_d"), 1
-                ).otherwise(0)
-            ).alias("is_new")
-        )
+    # ONE event-scale exchange (r7, the cohort_retention pattern): the
+    # per-user aggregate carries the calendar-bounded set of active days;
+    # a day is "new" iff it IS the set's minimum, so the first-day join
+    # and the (day, user) dedup exchange both disappear
+    per_user = e.groupBy("user_id").agg(F.collect_set("d").alias("days"))
+    daily = per_user.select(
+        "days", F.explode("days").alias("d")
+    ).select(
+        "d", (F.col("d") == F.array_min("days")).cast("int").alias("is_new")
     )
     return daily.groupBy("d").agg(
         F.sum("is_new").cast("long").alias("new_users"),

@@ -79,6 +79,7 @@ REVERIFY: dict[str, int] = {
     "cohort_retention": 7,  # one-shuffle collect_set rewrite
     "window_moving_median": 7,  # bounded-frame array median replaces pandas
     "q18_large_orders": 7,  # reuse the HAVING aggregate; one lineitem pass
+    "dau_new_vs_returning": 7,  # one-shuffle collect_set rewrite
 }
 
 
