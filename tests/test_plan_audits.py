@@ -86,12 +86,18 @@ def test_no_cartesian_products_anywhere(spark, queries):
 
 
 def test_semi_anti_joins_stay_semi(spark, queries):
-    """q18's HAVING subquery and q22's NOT EXISTS must plan as semi/anti
-    joins (not inner joins against materialized subqueries)."""
-    p18 = plan_of(queries["q18_large_orders"].fn(spark, SF_SMALL))
-    assert "LeftSemi" in p18
+    """q22's NOT EXISTS must plan as an anti join (not an inner join
+    against a materialized subquery); q18 (r7 rewrite) no longer has a
+    semi join at all — its HAVING aggregate IS the output aggregate, so
+    the audit pins ONE lineitem scan and no re-aggregation after the
+    orders join instead."""
     p22 = plan_of(queries["q22_idle_customers"].fn(spark, SF_SMALL))
     assert "LeftAnti" in p22
+    p18 = plan_of(queries["q18_large_orders"].fn(spark, SF_SMALL))
+    assert len(re.findall(r"Scan parquet[^\n]*lineitem", p18)) == 1
+    # exactly one aggregate pair (partial+final) — the per-order quantity
+    # sum; a second HashAggregate group means the re-join shape regressed
+    assert len(re.findall(r"\(\d+\) HashAggregate", p18)) <= 2
 
 
 def test_exact_dedup_shuffles_hashes_not_bodies(spark, queries):
