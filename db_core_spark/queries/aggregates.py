@@ -890,31 +890,75 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     shipped VOLUME is cheaper, which is the question unit-median price
     cannot answer.
 
-    l_returnflag has THREE values, so the r6 per-group window capped the
-    whole fact scan at 3-way parallelism (the r7 sf1 sweep measured 6x per
-    10x data). Now the running weight comes from the grouped two-pass
-    prefix sum (operators/prefixrank.py): range-partition on (flag, price)
-    so each group spans many partitions, per-(partition, group) offsets
-    broadcast back — every stage parallel. Total weight is a 3-row hash
-    aggregate broadcast onto the cumulative frame. Quantities are
-    integer-valued, so the re-ordered additions stay exact; equal-price tie
-    order cannot change the answer (any ordering of a tied run crosses the
-    half-weight threshold inside the same run, and MIN collapses the run
-    to one value), so the statistic is deterministic on both engines."""
+    Bucketed two-pass distributed median — NO sort or prefix sum ever
+    touches the full fact table. Pass 1 hash-aggregates quantity weight per
+    (group, price-bucket) with map-side partial combine; the shuffle
+    carries O(groups x buckets) rows regardless of N (the r7 rewrite this
+    replaces range-partition-sorted ALL fact rows for a full prefix sum —
+    correct parallelism, but still an O(N log N) sort whose shuffle grows
+    with the corpus). The crossing bucket (first whose cumulative bucket
+    weight reaches half the total — a tiny per-group window over the bucket
+    frame) plus its exclusive below-weight offset come back as a <=G-row
+    fence collect, the same centroid/fence pattern the k-means and rank
+    queries use. Pass 2 re-scans ONLY that bucket: the fence is a literal
+    price-range predicate, so parquet min/max row-group pruning applies at
+    the scan (buckets are 64-wide, a power of two, so floor(price/64) and
+    the literal bounds agree exactly in binary fp), and the within-bucket
+    running sum — N/buckets rows per group — goes through the grouped
+    two-pass prefix sum (operators/prefixrank.grouped_running_sum) so even
+    the residual slice is parallel, not funneled through one task per
+    group. Quantities are integer-valued, so re-ordered additions stay
+    exact; equal-price tie order cannot change the answer (any ordering of
+    a tied run crosses the half-weight threshold inside the same run, and
+    MIN collapses the run to one value). The answer's bucket IS the
+    crossing bucket: every price below it has cumulative weight < tw/2
+    (else an earlier bucket's end-cumulative would have crossed first)."""
     from db_core_spark.operators.prefixrank import grouped_running_sum
 
+    width = 64.0  # power of two: floor(price/width) exact at bucket edges
     li = table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice", "l_quantity"
     )
-    cum = grouped_running_sum(
-        li, ["l_returnflag"], [F.col("l_extendedprice")], "l_quantity", out="cw"
+    per_bucket = li.groupBy(
+        "l_returnflag", F.floor(F.col("l_extendedprice") / width).alias("bkt")
+    ).agg(F.sum("l_quantity").alias("w"))
+    wb = W.partitionBy("l_returnflag").orderBy("bkt")
+    cum_b = per_bucket.withColumn(
+        "cwb", F.sum("w").over(wb.rowsBetween(W.unboundedPreceding, 0))
+    ).withColumn("tw", F.sum("w").over(W.partitionBy("l_returnflag")))
+    crossing = (
+        cum_b.filter(F.col("cwb") >= F.col("tw") / 2)
+        .groupBy("l_returnflag")
+        .agg(
+            F.min_by(
+                F.struct(
+                    F.col("bkt"),
+                    (F.col("cwb") - F.col("w")).alias("below"),
+                    F.col("tw"),
+                ),
+                F.col("bkt"),
+            ).alias("s")
+        )
+        .select("l_returnflag", "s.bkt", "s.below", "s.tw")
     )
-    tot = F.broadcast(
-        li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("tw"))
+    fences = crossing.collect()  # <= one row per group
+    in_bucket = F.lit(False)  # empty input -> empty result, schema intact
+    for r in fences:
+        cond = (
+            (F.col("l_returnflag") == r["l_returnflag"])
+            & (F.col("l_extendedprice") >= r["bkt"] * width)
+            & (F.col("l_extendedprice") < (r["bkt"] + 1) * width)
+        )
+        in_bucket = cond if in_bucket is None else (in_bucket | cond)
+    sel = li.filter(in_bucket).join(
+        F.broadcast(spark.createDataFrame(fences, crossing.schema)),
+        "l_returnflag",
+    )
+    cum = grouped_running_sum(
+        sel, ["l_returnflag"], [F.col("l_extendedprice")], "l_quantity", out="cw_in"
     )
     return (
-        cum.join(tot, "l_returnflag")
-        .filter(F.col("cw") >= F.col("tw") / 2)
+        cum.filter(F.col("below") + F.col("cw_in") >= F.col("tw") / 2)
         .groupBy("l_returnflag")
         .agg(
             F.round(F.min("l_extendedprice"), 2).alias("weighted_median"),
