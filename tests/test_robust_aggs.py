@@ -245,3 +245,51 @@ def test_mahalanobis_outliers_match_numpy(spark):
     assert [r.vec_id for r in sorted(rows, key=lambda r: r.rk)] == top
     med = float(np.median(list(d2.values())))
     assert X.shape[1] * 0.5 < med < X.shape[1] * 1.5
+
+
+def test_weighted_median_bucketed_equals_naive_window(spark):
+    """The bucketed two-pass weighted median (r7 continuation: per-bucket
+    weight aggregate + <=G-row fence collect + pushed-down re-scan of ONLY
+    the crossing bucket) must EQUAL the naive one-window formulation —
+    cumulative quantity over price per flag, first row reaching half the
+    total — value for value at sf0.001."""
+    from db_core_spark.queries.aggregates import agg_weighted_median
+
+    got = {
+        r.l_returnflag: (r.weighted_median, r.total_weight)
+        for r in agg_weighted_median(spark, SF_SMALL).collect()
+    }
+    li = table(spark, SF_SMALL, "lineitem")
+    w = W.partitionBy("l_returnflag").orderBy("l_extendedprice").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    naive = (
+        li.select("l_returnflag", "l_extendedprice", "l_quantity")
+        .withColumn("cw", F.sum("l_quantity").over(w))
+        .withColumn("tw", F.sum("l_quantity").over(W.partitionBy("l_returnflag")))
+        .filter(F.col("cw") >= F.col("tw") / 2)
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.min("l_extendedprice"), 2).alias("weighted_median"),
+            F.round(F.max("tw"), 2).alias("total_weight"),
+        )
+    )
+    want = {
+        r.l_returnflag: (r.weighted_median, r.total_weight)
+        for r in naive.collect()
+    }
+    assert got == want and len(got) == 3
+
+
+def test_weighted_median_empty_input_keeps_schema(spark, tmp_path):
+    """Zero-row input: the fence collect returns no groups, the literal
+    filter degenerates to lit(False), and the result is an EMPTY frame with
+    the full output schema (no error from an empty fence set)."""
+    from db_core_spark.queries.aggregates import agg_weighted_median
+
+    li = table(spark, SF_SMALL, "lineitem")
+    empty_dir = tmp_path / "empty"
+    li.limit(0).write.parquet(str(empty_dir / "lineitem.parquet"))
+    out = agg_weighted_median(spark, str(empty_dir))
+    assert out.columns == ["l_returnflag", "weighted_median", "total_weight"]
+    assert out.count() == 0
