@@ -1,0 +1,180 @@
+"""Exact interpolated quantiles at scale: bucketed two-pass rank finding.
+
+``F.percentile`` (and DuckDB's ``quantile_cont``) materialize a per-group
+value buffer inside the aggregate — O(group rows) executor memory, the one
+shape that cannot survive a 100 TB group. This operator computes the SAME
+statistic (linear interpolation at rank ``k = (n-1)*q``, Spark/DuckDB
+semantics) with bounded state everywhere:
+
+1. Pass 1 hash-aggregates row COUNTS per ``(group, floor(value/width))``
+   bucket — map-side combine, the shuffle carries O(groups x buckets) rows
+   no matter how large the input.
+2. A tiny per-group cumulative over the bucket frame locates, for every
+   requested quantile, the bucket holding the lower and upper neighbor
+   ranks plus each bucket's exclusive below-count. These come back as a
+   <= groups x quantiles x 2 row fence collect (the same centroid/fence
+   pattern the k-means and weighted-median queries use).
+3. Pass 2 re-scans ONLY the fenced buckets: the fence is a literal
+   value-range predicate, so it pushes to the parquet scan (min/max
+   row-group pruning); per-VALUE counts aggregate on the slice (map-side
+   combined — duplicates collapse before the shuffle), a per-(group,
+   bucket) ordered window ranks the residual distinct values, and the
+   neighbor values at each rank are min-filters against the broadcast
+   fences. The window partition is bounded BY CONSTRUCTION for
+   fixed-precision data: distinct values per bucket <= width / value
+   quantum (e.g. 6,400 for two-decimal prices in 64-wide buckets)
+   regardless of row count — duplicates fold into the count column. For
+   genuinely continuous values, shrink ``width`` so per-bucket distinct
+   counts fit a task; the histogram pass is O(groups x buckets) either
+   way.
+
+Same fence discipline as ``agg_weighted_median``: bucket width is a power
+of two so ``floor(v/width)`` and the literal bounds agree exactly in
+binary floating point. Reference parity target:
+/root/reference/src — no quantile surface exists in the reference
+(storage engine only); this derives from the goal-level aggregate family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+
+def bucketed_exact_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    qs: list[float],
+    *,
+    width: float = 64.0,
+) -> DataFrame:
+    """Exact ``quantile_cont``-semantics quantiles of ``value_col`` per
+    ``group_col``, one output row per (group, q): columns
+    ``(group_col, q, value)``. Values must be non-null numerics.
+
+    Equals ``F.percentile(value_col, q)`` exactly: both compute
+    ``v_lo + (k - floor(k)) * (v_hi - v_lo)`` at ``k = (n-1)*q`` over the
+    sorted group, and the neighbor values found here are the identical
+    order statistics.
+    """
+    spark = df.sparkSession
+    g = group_col
+    src = df.select(g, F.col(value_col).cast("double").alias("__v"))
+
+    per_bucket = src.groupBy(
+        g, F.floor(F.col("__v") / width).alias("__bkt")
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    wb = W.partitionBy(g).orderBy("__bkt")
+    # Persisted: the fence computation reads this tiny frame on two
+    # branches (per-group n for the rank targets, the cumulative itself
+    # for the crossing search) — without the persist each branch would
+    # recompute the full input scan + histogram.
+    cum_b = (
+        per_bucket.withColumn(
+            "__cb", F.sum("__c").over(wb.rowsBetween(W.unboundedPreceding, 0))
+        )
+        .withColumn("__n", F.sum("__c").over(W.partitionBy(g)))
+        .persist()
+    )
+
+    # One row per (group, q, neighbor): the 1-indexed rank it needs.
+    q_frame = spark.createDataFrame([(float(q),) for q in qs], f"q double")
+    ranks = (
+        cum_b.select(g, "__n")
+        .distinct()
+        .crossJoin(F.broadcast(q_frame))
+        .withColumn("__k", (F.col("__n") - 1) * F.col("q"))
+        .select(
+            g,
+            "q",
+            "__n",
+            "__k",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("lo").alias("kind"),
+                        (F.floor("__k") + 1).alias("__rank"),
+                    ),
+                    F.struct(
+                        F.lit("hi").alias("kind"),
+                        (F.ceil("__k") + 1).alias("__rank"),
+                    ),
+                )
+            ).alias("nb"),
+        )
+        .select(g, "q", "__n", "__k", "nb.kind", "nb.__rank")
+    )
+    # Crossing bucket for each needed rank: first bucket whose cumulative
+    # count reaches it, with that bucket's exclusive below-count.
+    fences_df = (
+        ranks.join(F.broadcast(cum_b.select(g, "__bkt", "__c", "__cb")), g)
+        .filter(F.col("__cb") >= F.col("__rank"))
+        .groupBy(g, "q", "kind", "__rank", "__k")
+        .agg(
+            F.min_by(
+                F.struct(
+                    F.col("__bkt"), (F.col("__cb") - F.col("__c")).alias("__below")
+                ),
+                F.col("__bkt"),
+            ).alias("s")
+        )
+        .select(g, "q", "kind", "__rank", "__k", "s.__bkt", "s.__below")
+    )
+    fences = fences_df.collect()  # <= groups x |qs| x 2 rows
+    cum_b.unpersist()
+    if not fences:
+        return spark.createDataFrame(
+            [], df.select(g).schema.add("q", "double").add("value", "double")
+        )
+    # The collected fences ARE the frame the rank-matching join needs —
+    # rebuild it as literals so the final plan never re-runs the fence
+    # subtree (which would cost a second full input scan).
+    fence_lit = spark.createDataFrame(fences, fences_df.schema)
+
+    buckets = {(r[g], r["__bkt"], r["__below"]) for r in fences}
+    in_bucket = F.lit(False)
+    for grp, bkt, _below in sorted(buckets, key=lambda t: (str(t[0]), t[1])):
+        in_bucket = in_bucket | (
+            (F.col(g) == grp)
+            & (F.col("__v") >= bkt * width)
+            & (F.col("__v") < (bkt + 1) * width)
+        )
+    bucket_rows = [(grp, bkt, below) for grp, bkt, below in buckets]
+    bucket_schema = (
+        df.select(g).schema.add("__bkt", "long").add("__below", "long")
+    )
+    below_df = F.broadcast(spark.createDataFrame(bucket_rows, bucket_schema))
+
+    per_value = (
+        src.filter(in_bucket)
+        .withColumn("__bkt", F.floor(F.col("__v") / width))
+        .groupBy(g, "__bkt", "__v")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    wv = W.partitionBy(g, "__bkt").orderBy("__v").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    ranked = (
+        per_value.withColumn("__within", F.sum("__c").over(wv))
+        .join(below_df, [g, "__bkt"])
+        .withColumn("__cum", F.col("__below") + F.col("__within"))
+    )
+
+    neighbor_vals = (
+        ranked.join(
+            F.broadcast(fence_lit.select(g, "q", "kind", "__rank", "__k", "__bkt")),
+            [g, "__bkt"],
+        )
+        .filter(F.col("__cum") >= F.col("__rank"))
+        .groupBy(g, "q", "__k")
+        .pivot("kind", ["lo", "hi"])
+        .agg(F.min("__v"))
+    )
+    return neighbor_vals.select(
+        g,
+        "q",
+        (
+            F.col("lo")
+            + (F.col("__k") - F.floor("__k")) * (F.col("hi") - F.col("lo"))
+        ).alias("value"),
+    )

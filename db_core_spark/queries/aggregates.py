@@ -188,13 +188,36 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="aggregate",
 )
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles (Spark `percentile` == DuckDB
-    quantile_cont). For 100 TB use approx_percentile instead — the exact
-    version materializes per-group value buffers."""
+    """Exact interpolated percentiles with BOUNDED state — quantile_cont
+    semantics without quantile_cont's memory shape. `F.percentile` (like
+    DuckDB's quantile_cont) buffers every group value inside the aggregate:
+    O(group rows) executor memory, the one aggregate state that cannot
+    survive a 100 TB group (the old formulation here documented "use
+    approx_percentile at scale" as the escape hatch). The bucketed
+    rank-finder (operators/quantile.bucketed_exact_quantiles) removes the
+    concession: per-(group, bucket) COUNT histogram (shuffle is
+    O(groups x buckets), map-side combined), a <=G x q x 2-row fence
+    collect locating each quantile's neighbor ranks, then a pushed-down
+    re-scan of only the fenced buckets where the grouped two-pass prefix
+    sum ranks the residual values. Same statistic to the bit: both engines
+    interpolate v_lo + (k - floor(k))*(v_hi - v_lo) at k = (n-1)*q, and
+    the neighbor order statistics found by rank are identical; pytest pins
+    parity against F.percentile across q values and partition counts."""
+    from db_core_spark.operators.quantile import bucketed_exact_quantiles
+
     li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50_price"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("p95_price"),
+    qv = bucketed_exact_quantiles(
+        li, "l_returnflag", "l_extendedprice", [0.5, 0.95]
+    )
+    return (
+        qv.groupBy("l_returnflag")
+        .pivot("q", [0.5, 0.95])
+        .agg(F.first("value"))
+        .select(
+            "l_returnflag",
+            F.round(F.col("`0.5`"), 4).alias("p50_price"),
+            F.round(F.col("`0.95`"), 4).alias("p95_price"),
+        )
     )
 
 

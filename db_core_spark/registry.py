@@ -80,6 +80,7 @@ REVERIFY: dict[str, int] = {
     "window_moving_median": 7,  # bounded-frame array median replaces pandas
     "q18_large_orders": 7,  # reuse the HAVING aggregate; one lineitem pass
     "dau_new_vs_returning": 7,  # one-shuffle collect_set rewrite
+    "agg_percentiles": 7,  # bucketed exact quantiles replace value buffers
 }
 
 

@@ -574,3 +574,72 @@ class TestAsofJoinProperty:
             assert got == want
 
         check()
+
+
+class TestBucketedExactQuantiles:
+    """operators/quantile.bucketed_exact_quantiles (r7 continuation: the
+    agg_percentiles rewrite) must EQUAL F.percentile — same interpolation
+    at k=(n-1)*q — while never buffering group values: parity across q
+    values, hostile bucket widths (many values per bucket / one value per
+    bucket), duplicate-heavy data, and empty input."""
+
+    @pytest.mark.parametrize("width", [1.0, 4.0, 64.0, 4096.0])
+    def test_matches_percentile_on_lineitem(self, spark, width):
+        from db_core_spark.operators.quantile import bucketed_exact_quantiles
+        from db_core_spark.tables import table
+        from tests.conftest import SF_SMALL
+
+        qs = [0.0, 0.01, 0.25, 0.5, 0.77, 0.95, 1.0]
+        li = table(spark, SF_SMALL, "lineitem")
+        got = {
+            (r.l_returnflag, r.q): round(r.value, 6)
+            for r in bucketed_exact_quantiles(
+                li, "l_returnflag", "l_extendedprice", qs, width=width
+            ).collect()
+        }
+        want_rows = li.groupBy("l_returnflag").agg(
+            *[
+                F.percentile("l_extendedprice", F.lit(q)).alias(f"p{i}")
+                for i, q in enumerate(qs)
+            ]
+        ).collect()
+        want = {
+            (r.l_returnflag, q): round(r[f"p{i}"], 6)
+            for r in want_rows
+            for i, q in enumerate(qs)
+        }
+        assert got == want and len(got) == 3 * len(qs)
+
+    def test_duplicate_heavy_and_tiny_groups(self, spark):
+        """Groups of size 1 and 2 (k lands exactly on / between the only
+        rows) plus a group that is one giant tied run."""
+        from db_core_spark.operators.quantile import bucketed_exact_quantiles
+
+        rows = (
+            [("one", 42.5)]
+            + [("two", 10.0), ("two", 20.0)]
+            + [("tied", 7.0)] * 50
+        )
+        df = spark.createDataFrame(rows, "g string, v double")
+        qs = [0.0, 0.5, 0.9, 1.0]
+        got = {
+            (r.g, r.q): round(r.value, 9)
+            for r in bucketed_exact_quantiles(df, "g", "v", qs, width=8.0).collect()
+        }
+        want_rows = df.groupBy("g").agg(
+            *[F.percentile("v", F.lit(q)).alias(f"p{i}") for i, q in enumerate(qs)]
+        ).collect()
+        want = {
+            (r.g, q): round(r[f"p{i}"], 9)
+            for r in want_rows
+            for i, q in enumerate(qs)
+        }
+        assert got == want
+
+    def test_empty_input(self, spark):
+        from db_core_spark.operators.quantile import bucketed_exact_quantiles
+
+        empty = spark.createDataFrame([], "g string, v double")
+        out = bucketed_exact_quantiles(empty, "g", "v", [0.5])
+        assert out.columns == ["g", "q", "value"]
+        assert out.count() == 0
