@@ -318,12 +318,13 @@ def agg_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_median_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact median + interquartile range per group (continuous
-    interpolation, matching quantile_cont). Exact quantiles need the full
-    per-group value multiset — at 100 TB swap in percentile_approx (GK
-    sketch: mergeable partial state, shuffle = one sketch per group) and
-    accept the documented error bound; both surfaces are exposed
-    (agg_percentiles uses the same exact path, agg_approx_distinct shows
-    the sketch pattern)."""
+    interpolation, matching quantile_cont). F.percentile buffers the full
+    per-group value multiset — at 100 TB either swap in percentile_approx
+    (GK sketch: mergeable partial state, accept the documented error
+    bound) or keep EXACTNESS with bounded state via
+    operators/quantile.bucketed_exact_quantiles (the histogram + fenced
+    re-scan path agg_percentiles now ships; one pipeline per value column,
+    so this two-column query keeps the buffered form at fixture scale)."""
     li = table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.round(F.median("l_quantity"), 4).alias("median_qty"),
@@ -668,7 +669,8 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduction feature pipelines apply to heavy-tailed metrics before model
     consumption. Two aggregation passes over the same shuffle key: exact
     per-group percentiles (full-multiset percentile; at 100 TB swap in
-    percentile_approx's mergeable GK sketch), fences broadcast back, then a
+    percentile_approx's mergeable GK sketch, or stay exact with
+    operators/quantile.bucketed_exact_quantiles), fences broadcast back, then a
     plain clip-and-average hash aggregate. No window, no second wide
     shuffle — the same broadcast-back shape as anomaly_mad_robust."""
     o = table(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")

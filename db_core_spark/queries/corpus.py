@@ -1620,7 +1620,10 @@ def corpus_length_percentile_cutoffs(spark: SparkSession, sf_dir: str) -> DataFr
     of each language's docs fall under the GLOBAL p01 — the check that
     catches a global cutoff silently deleting a short-form language
     (CJK-style) that a per-language cutoff would keep. Exact percentiles
-    per group; the global bound is a broadcast scalar subquery."""
+    per group (language groups span the whole corpus — at 100 TB this is
+    the value-buffer hazard; operators/quantile.bucketed_exact_quantiles
+    keeps it exact with bounded state, as agg_percentiles demonstrates);
+    the global bound is a broadcast scalar subquery."""
     d = table(spark, sf_dir, "documents")
     g01 = d.agg(F.percentile("n_chars", F.lit(0.01)).alias("g"))
     return (
