@@ -643,3 +643,54 @@ class TestBucketedExactQuantiles:
         out = bucketed_exact_quantiles(empty, "g", "v", [0.5])
         assert out.columns == ["g", "q", "value"]
         assert out.count() == 0
+
+    def test_quantiles_match_percentile_generated(self, spark):
+        """Hypothesis: arbitrary grouped multisets — negative values
+        (negative bucket ids), heavy duplicates, single-element groups,
+        sub-1.0 widths — must reproduce F.percentile exactly. The Python
+        reference below re-implements the k=(n-1)*q interpolation
+        directly, so a bug shared between the operator and F.percentile
+        would still need BOTH engines to agree with plain sorted-list
+        math."""
+        from hypothesis import HealthCheck, given, settings, strategies as st
+
+        from db_core_spark.operators.quantile import bucketed_exact_quantiles
+
+        vals = st.integers(-40, 40).map(lambda i: i / 4.0)
+
+        @settings(
+            max_examples=8,
+            deadline=None,
+            suppress_health_check=[
+                HealthCheck.function_scoped_fixture,
+                HealthCheck.too_slow,
+            ],
+        )
+        @given(
+            ga=st.lists(vals, min_size=1, max_size=12),
+            gb=st.lists(vals, min_size=0, max_size=12),
+            q=st.sampled_from([0.0, 0.1, 0.5, 0.9, 1.0]),
+            width=st.sampled_from([0.25, 2.0, 64.0]),
+        )
+        def check(ga, gb, q, width):
+            rows = [("a", v) for v in ga] + [("b", v) for v in gb]
+            df = spark.createDataFrame(rows, "g string, v double")
+            got = {
+                r.g: round(r.value, 9)
+                for r in bucketed_exact_quantiles(
+                    df, "g", "v", [q], width=width
+                ).collect()
+            }
+
+            def ref(xs):
+                s = sorted(xs)
+                k = (len(s) - 1) * q
+                lo, hi = int(math.floor(k)), int(math.ceil(k))
+                return round(s[lo] + (k - math.floor(k)) * (s[hi] - s[lo]), 9)
+
+            want = {g: ref(xs) for g, xs in (("a", ga), ("b", gb)) if xs}
+            assert got == want
+
+        import math
+
+        check()
