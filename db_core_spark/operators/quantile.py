@@ -78,7 +78,7 @@ def bucketed_exact_quantiles(
     )
 
     # One row per (group, q, neighbor): the 1-indexed rank it needs.
-    q_frame = spark.createDataFrame([(float(q),) for q in qs], f"q double")
+    q_frame = spark.createDataFrame([(float(q),) for q in qs], "q double")
     ranks = (
         cum_b.select(g, "__n")
         .distinct()
