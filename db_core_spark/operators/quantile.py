@@ -3,8 +3,9 @@
 ``F.percentile`` (and DuckDB's ``quantile_cont``) materialize a per-group
 value buffer inside the aggregate — O(group rows) executor memory, the one
 shape that cannot survive a 100 TB group. This operator computes the SAME
-statistic (linear interpolation at rank ``k = (n-1)*q``, Spark/DuckDB
-semantics) with bounded state everywhere:
+statistic (Spark's own two-product interpolation
+``(ceil(k)-k)*v_lo + (k-floor(k))*v_hi`` at rank ``k = (n-1)*q``) with
+bounded state everywhere:
 
 1. Pass 1 hash-aggregates row COUNTS per ``(group, floor(value/width))``
    bucket — map-side combine, the shuffle carries O(groups x buckets) rows
@@ -37,7 +38,17 @@ binary floating point. Reference parity target:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window as W, functions as F
+import math
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+# Past this many fenced buckets the literal OR-chain predicate stops being a
+# cheap pushdown and starts being a giant Catalyst expression (interpreted
+# past codegen's 64KB method limit); fall back to a coarse global value
+# envelope — the inner join on (group, bucket) below is what enforces
+# exactness either way, the literal predicate only exists for row-group
+# pruning.
+_MAX_LITERAL_FENCES = 64
 
 
 def bucketed_exact_quantiles(
@@ -50,13 +61,23 @@ def bucketed_exact_quantiles(
 ) -> DataFrame:
     """Exact ``quantile_cont``-semantics quantiles of ``value_col`` per
     ``group_col``, one output row per (group, q): columns
-    ``(group_col, q, value)``. Values must be non-null numerics.
+    ``(group_col, q, value)``. Values must be non-null numerics; NULL
+    group keys form their own group (null-safe matching throughout, same
+    as groupBy). ``width`` must be a power of two — that is what makes
+    ``floor(v/width)`` and the literal bucket bounds agree exactly in
+    binary floating point (an arbitrary width lets a boundary value land
+    in bucket b in pass 1 but fail bucket b's range predicate in pass 2).
 
-    Equals ``F.percentile(value_col, q)`` exactly: both compute
-    ``v_lo + (k - floor(k)) * (v_hi - v_lo)`` at ``k = (n-1)*q`` over the
-    sorted group, and the neighbor values found here are the identical
-    order statistics.
+    Equals ``F.percentile(value_col, q)``: the neighbor values found here
+    are the identical order statistics, combined with Spark's own
+    two-product interpolation ``(ceil(k)-k)*v_lo + (k-floor(k))*v_hi`` at
+    ``k = (n-1)*q`` (returning ``v_lo`` outright when ``k`` is integral),
+    so the result is bit-identical to the buffered aggregate.
     """
+    if not qs or not all(0.0 <= float(q) <= 1.0 for q in qs):
+        raise ValueError(f"quantiles must be within [0, 1], got {qs}")
+    if not (width > 0 and math.frexp(width)[0] == 0.5):
+        raise ValueError(f"width must be a positive power of two, got {width}")
     spark = df.sparkSession
     g = group_col
     src = df.select(g, F.col(value_col).cast("double").alias("__v"))
@@ -105,9 +126,15 @@ def bucketed_exact_quantiles(
         .select(g, "q", "__n", "__k", "nb.kind", "nb.__rank")
     )
     # Crossing bucket for each needed rank: first bucket whose cumulative
-    # count reaches it, with that bucket's exclusive below-count.
+    # count reaches it, with that bucket's exclusive below-count. Joins on
+    # the group key are null-safe throughout: a NULL group is a real group
+    # under groupBy and must survive to the output.
+    cb_r = cum_b.select(
+        F.col(g).alias("__g1"), "__bkt", "__c", "__cb"
+    )
     fences_df = (
-        ranks.join(F.broadcast(cum_b.select(g, "__bkt", "__c", "__cb")), g)
+        ranks.join(F.broadcast(cb_r), F.col(g).eqNullSafe(F.col("__g1")))
+        .drop("__g1")
         .filter(F.col("__cb") >= F.col("__rank"))
         .groupBy(g, "q", "kind", "__rank", "__k")
         .agg(
@@ -132,12 +159,24 @@ def bucketed_exact_quantiles(
     fence_lit = spark.createDataFrame(fences, fences_df.schema)
 
     buckets = {(r[g], r["__bkt"], r["__below"]) for r in fences}
-    in_bucket = F.lit(False)
-    for grp, bkt, _below in sorted(buckets, key=lambda t: (str(t[0]), t[1])):
-        in_bucket = in_bucket | (
-            (F.col(g) == grp)
-            & (F.col("__v") >= bkt * width)
-            & (F.col("__v") < (bkt + 1) * width)
+    if len(buckets) <= _MAX_LITERAL_FENCES:
+        in_bucket = F.lit(False)
+        for grp, bkt, _below in sorted(buckets, key=lambda t: (str(t[0]), t[1])):
+            grp_match = (
+                F.col(g).isNull() if grp is None else (F.col(g) == F.lit(grp))
+            )
+            in_bucket = in_bucket | (
+                grp_match
+                & (F.col("__v") >= bkt * width)
+                & (F.col("__v") < (bkt + 1) * width)
+            )
+    else:
+        # Coarse pushdown envelope; the (group, bucket) join below does the
+        # exact per-group pruning.
+        lo_b = min(b for _grp, b, _w in buckets)
+        hi_b = max(b for _grp, b, _w in buckets)
+        in_bucket = (F.col("__v") >= lo_b * width) & (
+            F.col("__v") < (hi_b + 1) * width
         )
     bucket_rows = [(grp, bkt, below) for grp, bkt, below in buckets]
     bucket_schema = (
@@ -154,27 +193,51 @@ def bucketed_exact_quantiles(
     wv = W.partitionBy(g, "__bkt").orderBy("__v").rowsBetween(
         W.unboundedPreceding, 0
     )
+    bd = below_df.select(
+        F.col(g).alias("__g2"), F.col("__bkt").alias("__bkt2"), "__below"
+    )
     ranked = (
         per_value.withColumn("__within", F.sum("__c").over(wv))
-        .join(below_df, [g, "__bkt"])
+        .join(
+            bd,
+            F.col(g).eqNullSafe(F.col("__g2"))
+            & (F.col("__bkt") == F.col("__bkt2")),
+        )
+        .drop("__g2", "__bkt2")
         .withColumn("__cum", F.col("__below") + F.col("__within"))
     )
 
+    fl = fence_lit.select(
+        F.col(g).alias("__g3"),
+        F.col("__bkt").alias("__bkt3"),
+        "q",
+        "kind",
+        "__rank",
+        "__k",
+    )
     neighbor_vals = (
         ranked.join(
-            F.broadcast(fence_lit.select(g, "q", "kind", "__rank", "__k", "__bkt")),
-            [g, "__bkt"],
+            F.broadcast(fl),
+            F.col(g).eqNullSafe(F.col("__g3"))
+            & (F.col("__bkt") == F.col("__bkt3")),
         )
+        .drop("__g3", "__bkt3")
         .filter(F.col("__cum") >= F.col("__rank"))
         .groupBy(g, "q", "__k")
         .pivot("kind", ["lo", "hi"])
         .agg(F.min("__v"))
     )
+    # Spark's own PercentileBase interpolation, replicated operation for
+    # operation for bit-identical results: v_lo outright at an integral
+    # rank, else the TWO-PRODUCT form (ceil(k)-k)*v_lo + (k-floor(k))*v_hi
+    # (NOT v_lo + frac*(v_hi-v_lo), which can differ in the last ulp).
     return neighbor_vals.select(
         g,
         "q",
-        (
-            F.col("lo")
-            + (F.col("__k") - F.floor("__k")) * (F.col("hi") - F.col("lo"))
-        ).alias("value"),
+        F.when(F.ceil("__k") == F.floor("__k"), F.col("lo"))
+        .otherwise(
+            (F.ceil("__k") - F.col("__k")) * F.col("lo")
+            + (F.col("__k") - F.floor("__k")) * F.col("hi")
+        )
+        .alias("value"),
     )

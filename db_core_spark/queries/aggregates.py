@@ -199,10 +199,11 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(groups x buckets), map-side combined), a <=G x q x 2-row fence
     collect locating each quantile's neighbor ranks, then a pushed-down
     re-scan of only the fenced buckets where the grouped two-pass prefix
-    sum ranks the residual values. Same statistic to the bit: both engines
-    interpolate v_lo + (k - floor(k))*(v_hi - v_lo) at k = (n-1)*q, and
-    the neighbor order statistics found by rank are identical; pytest pins
-    parity against F.percentile across q values and partition counts."""
+    sum ranks the residual values. Same statistic to the bit: the operator
+    replicates F.percentile's own two-product interpolation
+    (ceil(k)-k)*v_lo + (k-floor(k))*v_hi at k = (n-1)*q over identical
+    neighbor order statistics; pytest pins parity against F.percentile
+    across q values and partition counts."""
     from db_core_spark.operators.quantile import bucketed_exact_quantiles
 
     li = table(spark, sf_dir, "lineitem")
@@ -969,12 +970,11 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     fences = crossing.collect()  # <= one row per group
     in_bucket = F.lit(False)  # empty input -> empty result, schema intact
     for r in fences:
-        cond = (
+        in_bucket = in_bucket | (
             (F.col("l_returnflag") == r["l_returnflag"])
             & (F.col("l_extendedprice") >= r["bkt"] * width)
             & (F.col("l_extendedprice") < (r["bkt"] + 1) * width)
         )
-        in_bucket = cond if in_bucket is None else (in_bucket | cond)
     sel = li.filter(in_bucket).join(
         F.broadcast(spark.createDataFrame(fences, crossing.schema)),
         "l_returnflag",

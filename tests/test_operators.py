@@ -592,7 +592,7 @@ class TestBucketedExactQuantiles:
         qs = [0.0, 0.01, 0.25, 0.5, 0.77, 0.95, 1.0]
         li = table(spark, SF_SMALL, "lineitem")
         got = {
-            (r.l_returnflag, r.q): round(r.value, 6)
+            (r.l_returnflag, r.q): r.value
             for r in bucketed_exact_quantiles(
                 li, "l_returnflag", "l_extendedprice", qs, width=width
             ).collect()
@@ -604,11 +604,11 @@ class TestBucketedExactQuantiles:
             ]
         ).collect()
         want = {
-            (r.l_returnflag, q): round(r[f"p{i}"], 6)
+            (r.l_returnflag, q): r[f"p{i}"]
             for r in want_rows
             for i, q in enumerate(qs)
         }
-        assert got == want and len(got) == 3 * len(qs)
+        assert got == want and len(got) == 3 * len(qs)  # bit-exact
 
     def test_duplicate_heavy_and_tiny_groups(self, spark):
         """Groups of size 1 and 2 (k lands exactly on / between the only
@@ -623,18 +623,18 @@ class TestBucketedExactQuantiles:
         df = spark.createDataFrame(rows, "g string, v double")
         qs = [0.0, 0.5, 0.9, 1.0]
         got = {
-            (r.g, r.q): round(r.value, 9)
+            (r.g, r.q): r.value
             for r in bucketed_exact_quantiles(df, "g", "v", qs, width=8.0).collect()
         }
         want_rows = df.groupBy("g").agg(
             *[F.percentile("v", F.lit(q)).alias(f"p{i}") for i, q in enumerate(qs)]
         ).collect()
         want = {
-            (r.g, q): round(r[f"p{i}"], 9)
+            (r.g, q): r[f"p{i}"]
             for r in want_rows
             for i, q in enumerate(qs)
         }
-        assert got == want
+        assert got == want  # bit-exact
 
     def test_empty_input(self, spark):
         from db_core_spark.operators.quantile import bucketed_exact_quantiles
@@ -694,3 +694,57 @@ class TestBucketedExactQuantiles:
         import math
 
         check()
+
+    def test_null_group_key_survives_and_inputs_validated(self, spark):
+        """A NULL group key is a real group under groupBy — null-safe
+        matching must carry it through both passes (the naive == filter
+        would silently drop it). Out-of-range/empty qs and a
+        non-power-of-two width raise instead of returning wrong or
+        missing rows."""
+        from db_core_spark.operators.quantile import bucketed_exact_quantiles
+
+        rows = [(None, 1.0), (None, 3.0), (None, 4.0), ("a", 5.0)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        got = {
+            (r.g, r.q): r.value
+            for r in bucketed_exact_quantiles(
+                df, "g", "v", [0.5], width=2.0
+            ).collect()
+        }
+        assert got == {(None, 0.5): 3.0, ("a", 0.5): 5.0}
+        for bad_qs in ([1.5], [-0.1], []):
+            with pytest.raises(ValueError):
+                bucketed_exact_quantiles(df, "g", "v", bad_qs)
+        with pytest.raises(ValueError):
+            bucketed_exact_quantiles(df, "g", "v", [0.5], width=10.0)
+        with pytest.raises(ValueError):
+            bucketed_exact_quantiles(df, "g", "v", [0.5], width=-64.0)
+
+    def test_envelope_fallback_above_literal_fence_cap(self, spark):
+        """More fenced buckets than _MAX_LITERAL_FENCES: the pushdown
+        predicate degrades to the coarse value envelope and the
+        (group, bucket) join alone must keep the result exact — 80 groups,
+        bit-equal to F.percentile."""
+        from db_core_spark.operators.quantile import (
+            _MAX_LITERAL_FENCES,
+            bucketed_exact_quantiles,
+        )
+
+        rows = [
+            (f"g{i:03d}", float(j + 3 * i)) for i in range(80) for j in range(5)
+        ]
+        df = spark.createDataFrame(rows, "g string, v double")
+        assert 80 > _MAX_LITERAL_FENCES
+        got = {
+            r.g: r.value
+            for r in bucketed_exact_quantiles(
+                df, "g", "v", [0.5], width=2.0
+            ).collect()
+        }
+        want = {
+            r.g: r.m
+            for r in df.groupBy("g")
+            .agg(F.percentile("v", F.lit(0.5)).alias("m"))
+            .collect()
+        }
+        assert got == want and len(got) == 80
