@@ -58,6 +58,10 @@ EXTRA = [
     "q9_product_profit",
     "q21_waiting_suppliers",
     "attribution_u_shaped",
+    # r7 continuation: the two bucketed-fence rewrites, measured by the
+    # driver from here on (headline basis unchanged for comparability)
+    "agg_weighted_median",
+    "agg_percentiles",
 ]
 
 
