@@ -73,6 +73,16 @@ def bucketed_exact_quantiles(
     two-product interpolation ``(ceil(k)-k)*v_lo + (k-floor(k))*v_hi`` at
     ``k = (n-1)*q`` (returning ``v_lo`` outright when ``k`` is integral),
     so the result is bit-identical to the buffered aggregate.
+
+    Build-time-snapshot semantics: unlike the lazy query builders in this
+    repo, calling this function RUNS Spark jobs (the histogram pass and
+    the fence collect) and bakes the collected fences into the returned
+    plan as literals. The result is therefore only valid for ``df``'s
+    data as of the call — re-executing the returned DataFrame after the
+    underlying source changes combines stale fences with fresh rows and
+    silently returns inconsistent quantiles. Rebuild (call again) after
+    any source mutation; point it at a snapshot/version-pinned read when
+    the source is a live versioned table.
     """
     if not qs or not all(0.0 <= float(q) <= 1.0 for q in qs):
         raise ValueError(f"quantiles must be within [0, 1], got {qs}")
@@ -147,8 +157,12 @@ def bucketed_exact_quantiles(
         )
         .select(g, "q", "kind", "__rank", "__k", "s.__bkt", "s.__below")
     )
-    fences = fences_df.collect()  # <= groups x |qs| x 2 rows
-    cum_b.unpersist()
+    try:
+        fences = fences_df.collect()  # <= groups x |qs| x 2 rows
+    finally:
+        # unpersist even when the collect (a full input scan) raises —
+        # otherwise the cached histogram leaks for the session lifetime
+        cum_b.unpersist()
     if not fences:
         return spark.createDataFrame(
             [], df.select(g).schema.add("q", "double").add("value", "double")

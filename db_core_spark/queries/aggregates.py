@@ -938,7 +938,15 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     a tied run crosses the half-weight threshold inside the same run, and
     MIN collapses the run to one value). The answer's bucket IS the
     crossing bucket: every price below it has cumulative weight < tw/2
-    (else an earlier bucket's end-cumulative would have crossed first)."""
+    (else an earlier bucket's end-cumulative would have crossed first).
+
+    Non-null group-key precondition: the pass-2 fence predicate matches
+    groups with plain ``==`` (sound here — ``l_returnflag`` is a NOT NULL
+    enum on this schema), so a NULL group key would be silently dropped
+    between passes. When copying this two-pass pattern to a NULLABLE
+    group key, use ``eqNullSafe``/``isNull`` fence matching — or use
+    ``operators/quantile.bucketed_exact_quantiles``, which is null-safe
+    throughout, instead of re-deriving the pattern inline."""
     from db_core_spark.operators.prefixrank import grouped_running_sum
 
     width = 64.0  # power of two: floor(price/width) exact at bucket edges
