@@ -150,6 +150,86 @@ def global_running_sums(
     return res.drop("__pid", *[f"__off_{i}" for i in range(len(value_cols))])
 
 
+def grouped_lagged_value(
+    df: DataFrame,
+    group_cols: list[str],
+    sort_cols: list[Column],
+    value_col: str,
+    *,
+    num_parts: int = 8,
+    out: str = "prev",
+) -> DataFrame:
+    """Per-GROUP ``LAG(value_col)`` in global ``sort_cols`` order for
+    LOW-CARDINALITY groups — the scale-safe replacement for
+    ``LAG(...) OVER (PARTITION BY tiny_key ORDER BY ...)``.
+
+    A window partitioned by a <=5-value key funnels every row of one key
+    through ONE task regardless of cluster size (the r7 verdict's
+    `events_interarrival_stats` finding — the same parallelism cap the
+    weighted-median rewrite removed). Here the range partitioner keys on
+    ``(group, sort)``, so one group SPANS many partitions; the only
+    sequential dependency a lag has across partition boundaries is each
+    partition's LAST row per group. Pass 1 collects exactly those —
+    O(num_parts + groups) rows, since a partition intersects at most two
+    group runs under range order — and a driver fold turns them into each
+    (partition, group)'s boundary predecessor. Pass 2 broadcasts the
+    boundaries back; every partition computes its LOCAL lag in parallel
+    (window partitioned by partition id + group) and the per-(partition,
+    group) FIRST row takes the broadcast boundary via coalesce. Identical
+    arithmetic to the tiny-key window; no single-partition-per-group
+    stage anywhere.
+
+    ``sort_cols`` must totally order rows within a group (include a
+    unique tiebreak) for the lag to be deterministic. ``out`` is NULL for
+    each group's globally-first row, exactly like ``LAG``. NULL group
+    keys form one group, same as a window partition.
+    """
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    all_sort = [F.col(c) for c in group_cols] + list(sort_cols)
+    staged = _staged(df, all_sort, num_parts)
+    tails = staged.groupBy("__pid", *group_cols).agg(
+        F.max_by(value_col, F.struct(*sort_cols)).alias("__last")
+    )
+    carry: dict[tuple, object] = {}
+    boundaries = []
+    for r in sorted(tails.collect(), key=lambda r: r["__pid"]):
+        key = tuple(r[g] for g in group_cols)
+        boundaries.append((r["__pid"], *key, carry.get(key)))
+        carry[key] = r["__last"]
+    group_fields = [staged.schema[g] for g in group_cols]
+    b_schema = T.StructType(
+        [T.StructField("__pid", T.IntegerType(), False)]
+        + [T.StructField(f.name, f.dataType, f.nullable) for f in group_fields]
+        + [T.StructField("__boundary", staged.schema[value_col].dataType, True)]
+    )
+    boundary_df = F.broadcast(
+        spark.createDataFrame(boundaries, b_schema).withColumnsRenamed(
+            {"__pid": "__bpid", **{g: f"__bg_{i}" for i, g in enumerate(group_cols)}}
+        )
+    )
+    # null-safe group matching: a NULL group key is a real group under a
+    # window partition and must receive its boundary (plain == would
+    # silently drop it between passes — the agg_weighted_median trap)
+    cond = F.col("__pid") == F.col("__bpid")
+    for i, g in enumerate(group_cols):
+        cond = cond & F.col(g).eqNullSafe(F.col(f"__bg_{i}"))
+    w_local = W.partitionBy("__pid", *group_cols).orderBy(*sort_cols)
+    return (
+        staged.join(boundary_df, cond, "left")
+        .withColumn(
+            out, F.coalesce(F.lag(value_col).over(w_local), F.col("__boundary"))
+        )
+        .drop(
+            "__pid",
+            "__bpid",
+            "__boundary",
+            *[f"__bg_{i}" for i in range(len(group_cols))],
+        )
+    )
+
+
 def grouped_running_sum(
     df: DataFrame,
     group_cols: list[str],

@@ -1357,16 +1357,17 @@ def forecast_backtest_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH gaps AS (
       SELECT event_type,
-             (epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY event_type
-                                                    ORDER BY ts, event_id)))
-               / 1000000.0 AS gap_s
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY event_type
+                                                    ORDER BY ts, event_id)
+               AS gap_us
       FROM events)
     SELECT event_type,
-           CAST(COUNT(gap_s) AS BIGINT) AS n_gaps,
-           ROUND(AVG(gap_s), 4) AS mean_gap_s,
-           ROUND(quantile_cont(gap_s, 0.5), 4) AS p50_gap_s,
-           ROUND(quantile_cont(gap_s, 0.95), 4) AS p95_gap_s,
-           ROUND(MAX(gap_s), 4) AS max_gap_s
+           CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+           ROUND((CAST(SUM(gap_us) AS DOUBLE) / 1000000.0)
+                 / COUNT(gap_us), 4) AS mean_gap_s,
+           ROUND(quantile_cont(gap_us, 0.5) / 1000000.0, 4) AS p50_gap_s,
+           ROUND(quantile_cont(gap_us, 0.95) / 1000000.0, 4) AS p95_gap_s,
+           ROUND(CAST(MAX(gap_us) AS DOUBLE) / 1000000.0, 4) AS max_gap_s
     FROM gaps
     GROUP BY event_type
     """,
@@ -1378,21 +1379,72 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumers and sets staleness alarms (a p95 gap above the alert
     threshold = the stream is bursty, not just slow).
 
-    100 TB shape: one type-keyed window for the lag (bounded partitions),
-    then a per-type percentile reduction; gaps, not raw timestamps,
-    aggregate."""
+    100 TB shape (the r7-verdict rewrite — this was the suite's last
+    fact-scale tiny-key window): the lag goes through
+    ``operators/prefixrank.grouped_lagged_value`` — range-partitioned on
+    (event_type, ts, event_id) with O(num_parts + types) boundary
+    stitching — so a <=5-value event_type key no longer caps the sort at
+    5 tasks. The gap frame (2 narrow columns) is pinned once via
+    localCheckpoint; COUNT/SUM/MAX fold map-side, and p50/p95 go through
+    ``operators/quantile.bucketed_exact_quantiles`` over INTEGER
+    microsecond gaps instead of ``F.percentile`` over continuous
+    seconds: per-group value buffers (distinct ~ rows for
+    microsecond-resolution doubles) become an O(types x buckets)
+    histogram, and each 2^20-us bucket holds <= 2^20 distinct integer
+    values BY CONSTRUCTION, bounded regardless of row count. All stats
+    are exact: integer-sum mean (one double division at the end, no
+    order-dependent float accumulation), and quantiles bit-identical to
+    ``F.percentile`` on the same gaps."""
+    from db_core_spark.operators.prefixrank import grouped_lagged_value
+    from db_core_spark.operators.quantile import bucketed_exact_quantiles
+
     e = table(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
-    w = W.partitionBy("event_type").orderBy("ts", "event_id")
-    gaps = e.select(
-        "event_type", ((us - F.lag(us).over(w)) / 1000000.0).alias("gap_s")
+    src = e.select("event_type", us.alias("us"), "event_id")
+    lagged = grouped_lagged_value(
+        src,
+        ["event_type"],
+        [F.col("us"), F.col("event_id")],
+        "us",
+        out="prev_us",
     )
-    return gaps.groupBy("event_type").agg(
-        F.count("gap_s").alias("n_gaps"),
-        F.round(F.avg("gap_s"), 4).alias("mean_gap_s"),
-        F.round(F.percentile("gap_s", F.lit(0.5)), 4).alias("p50_gap_s"),
-        F.round(F.percentile("gap_s", F.lit(0.95)), 4).alias("p95_gap_s"),
-        F.round(F.max("gap_s"), 4).alias("max_gap_s"),
+    # 2-column gap frame, materialized once: the bounded aggregates below
+    # (base stats + quantile histogram + fenced re-scan) each re-read it
+    # without re-running the staging shuffle or the lag window.
+    gaps = lagged.select(
+        "event_type", (F.col("us") - F.col("prev_us")).alias("gap_us")
+    ).localCheckpoint()
+    base = gaps.groupBy("event_type").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.round(
+            (F.sum("gap_us").cast("double") / F.lit(1000000.0))
+            / F.count("gap_us"),
+            4,
+        ).alias("mean_gap_s"),
+        F.round(F.max("gap_us").cast("double") / F.lit(1000000.0), 4).alias(
+            "max_gap_s"
+        ),
+    )
+    qdf = bucketed_exact_quantiles(
+        gaps.filter(F.col("gap_us").isNotNull()),
+        "event_type",
+        "gap_us",
+        [0.5, 0.95],
+        width=float(2**20),  # ~1.05 s buckets; <=2^20 distinct us values each
+    )
+    qp = (
+        qdf.groupBy("event_type")
+        .pivot("q", [0.5, 0.95])
+        .agg(F.first("value"))
+        .withColumnsRenamed({"0.5": "p50v", "0.95": "p95v"})
+    )
+    return base.join(qp, "event_type", "left").select(
+        "event_type",
+        "n_gaps",
+        "mean_gap_s",
+        F.round(F.col("p50v") / F.lit(1000000.0), 4).alias("p50_gap_s"),
+        F.round(F.col("p95v") / F.lit(1000000.0), 4).alias("p95_gap_s"),
+        "max_gap_s",
     )
 
 

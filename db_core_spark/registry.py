@@ -81,6 +81,11 @@ REVERIFY: dict[str, int] = {
     "q18_large_orders": 7,  # reuse the HAVING aggregate; one lineitem pass
     "dau_new_vs_returning": 7,  # one-shuffle collect_set rewrite
     "agg_percentiles": 7,  # bucketed exact quantiles replace value buffers
+    # r8: the r7-verdict scale-killer fix — lag via range-partitioned
+    # boundary stitching (grouped_lagged_value) + integer-us bucketed
+    # exact quantiles replace the 5-task event_type window + continuous
+    # F.percentile buffers; oracle restated over integer microsecond gaps
+    "events_interarrival_stats": 8,
 }
 
 

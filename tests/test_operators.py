@@ -440,11 +440,60 @@ class TestPrefixRankHelpers:
         }
         assert got == want
 
+    @pytest.mark.parametrize("parts", [1, 3, 8])
+    def test_grouped_lagged_value_matches_per_group_window(self, spark, parts):
+        """grouped_lagged_value (r8, the events_interarrival_stats rewrite)
+        vs the plain per-group LAG window, with groups far fewer than
+        partitions so every group spans multiple range partitions — each
+        partition's first row per group must take its predecessor from the
+        cross-partition boundary stitch, not the local window."""
+        from pyspark.sql import Window as W
+
+        from db_core_spark.operators.prefixrank import grouped_lagged_value
+
+        rows = [(i, ["a", "b", "c"][i % 3], (i * 7) % 13) for i in range(60)]
+        df = spark.createDataFrame(rows, "id long, g string, v long")
+        got = {
+            (r.g, r.id): r.prev
+            for r in grouped_lagged_value(
+                df, ["g"], [F.col("id")], "v", num_parts=parts, out="prev"
+            ).collect()
+        }
+        w = W.partitionBy("g").orderBy("id")
+        want = {
+            (r.g, r.id): r.prev
+            for r in df.withColumn("prev", F.lag("v").over(w)).collect()
+        }
+        assert got == want
+
+    def test_grouped_lagged_value_null_group_key(self, spark):
+        """A NULL group key is a real group under a window partition; the
+        boundary join must be null-safe or those rows silently lose their
+        cross-partition predecessor (the agg_weighted_median fence trap,
+        ADVICE r7)."""
+        from pyspark.sql import Window as W
+
+        from db_core_spark.operators.prefixrank import grouped_lagged_value
+
+        rows = [(None, 5, 1), (None, 9, 2), ("a", 1, 3), ("a", 2, 4), (None, 7, 5)]
+        df = spark.createDataFrame(rows, "g string, v long, id long")
+        key = lambda r: (str(r.g), r.v, r.id)  # noqa: E731
+        w = W.partitionBy("g").orderBy("v", "id")
+        want = sorted(df.withColumn("prev", F.lag("v").over(w)).collect(), key=key)
+        got = sorted(
+            grouped_lagged_value(
+                df, ["g"], [F.col("v"), F.col("id")], "v", num_parts=3, out="prev"
+            ).collect(),
+            key=key,
+        )
+        assert got == want
+
     def test_empty_input(self, spark):
         from db_core_spark.operators.prefixrank import (
             global_prefix_max,
             global_row_number,
             global_running_sum,
+            grouped_lagged_value,
             grouped_running_sum,
         )
 
@@ -456,6 +505,9 @@ class TestPrefixRankHelpers:
         empty_g = spark.createDataFrame([], "id long, g string, v double")
         assert (
             grouped_running_sum(empty_g, ["g"], [F.col("id")], "v").count() == 0
+        )
+        assert (
+            grouped_lagged_value(empty_g, ["g"], [F.col("id")], "v").count() == 0
         )
 
 
