@@ -62,6 +62,12 @@ EXTRA = [
     # driver from here on (headline basis unchanged for comparability)
     "agg_weighted_median",
     "agg_percentiles",
+    # r8: the three bounded-state rewrites (distributed lag + bucketed
+    # quantiles) — constants-dominated plans whose decade ratios the
+    # sf1 sweep should keep on record
+    "events_interarrival_stats",
+    "funnel_latency_percentiles",
+    "rfm_customer_segments",
 ]
 
 

@@ -120,6 +120,55 @@ SPINE_WHITELIST: dict[str, str] = {
 }
 
 
+# Exact-percentile buffer audit (r8, the r7-verdict watch item that followed
+# the events_interarrival_stats fix): ``F.percentile`` materializes a
+# per-group DISTINCT-value buffer inside the aggregate — O(group rows)
+# executor memory when the measure is continuous (microsecond latencies,
+# interpolated doubles), the one state shape that cannot survive a 100 TB
+# group. Every ``F.percentile`` call site under ``db_core_spark/queries/``
+# must either be listed here with a written justification that its input
+# domain is QUANTIZED (integer counts/days, 2-dp money — distinct values
+# bounded by the domain, not the row count) or grouped finely enough that
+# groups stay task-sized — or it must go through
+# ``operators/quantile.bucketed_exact_quantiles`` instead.
+# tests/test_plan_audits.py enumerates call sites by AST and fails on any
+# site missing from (or stale in) this dict, pinning the class shut the way
+# SPINE_WHITELIST does for single-partition windows. Keyed "file:function".
+PERCENTILE_BUFFER_WHITELIST: dict[str, str] = {
+    "aggregates.py:agg_median_iqr": (
+        "l_quantity is a small-integer domain (1..50) and l_extendedprice "
+        "is 2-dp money: per-returnflag distinct-value buffers are bounded "
+        "by the quantized domain, not the row count"
+    ),
+    "aggregates.py:agg_winsorized_mean": (
+        "o_totalprice is 2-dp money over a fixed price range: the global "
+        "buffer holds <= 100 x range distinct values regardless of order "
+        "count"
+    ),
+    "aggregates.py:agg_percentile_approx_error": (
+        "the exact side of the exact-vs-sketch audit IS the query's "
+        "purpose (run once at representative scale before switching to "
+        "the sketch); l_extendedprice is 2-dp quantized anyway"
+    ),
+    "analytics.py:priority_sla_aging": (
+        "days_to_ship is an integer day count bounded by the calendar "
+        "span of the order book, not by line-item volume"
+    ),
+    "corpus.py:corpus_length_percentile_cutoffs": (
+        "n_chars is an integer document length: distinct values bounded "
+        "by the max document size, not the corpus size"
+    ),
+    "timeseries.py:quantile_bucket_features": (
+        "l_extendedprice deciles over 2-dp money — quantized domain"
+    ),
+    "timeseries.py:anomaly_mad_robust": (
+        "events.value is 2-dp quantized; the second pass's |value - med| "
+        "shifts the same quantized domain by a per-group constant, so "
+        "distinct deviations stay <= 2x the domain size"
+    ),
+}
+
+
 _ATTR_REF_FULL = re.compile(r"([A-Za-z_][A-Za-z0-9_]*#\d+)")
 _ALIAS_AS = re.compile(r" AS ([A-Za-z_][A-Za-z0-9_]*#\d+)")
 

@@ -1810,11 +1810,23 @@ def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: per-customer Recency/Frequency/Monetary quartile
     scores 1-4 (recency inverted — recent buyers score high). Deliberately
-    NOT a global NTILE: quartile fences come from one percentile aggregate
-    (mergeable sketch at 100 TB) broadcast back as a single row, and each
-    score is 'how many fences does this value exceed' — a codegen'd
-    projection, no sort, no window, identical tie semantics on both
-    engines (value == fence falls in the lower bucket)."""
+    NOT a global NTILE: quartile fences come from one quantile pass
+    broadcast back as a single row, and each score is 'how many fences
+    does this value exceed' — a codegen'd projection, no sort, no window,
+    identical tie semantics on both engines (value == fence falls in the
+    lower bucket).
+
+    The fences go through ``operators/quantile.bucketed_exact_quantiles``
+    (r8 — the r7-verdict percentile-buffer watch item): a keyless
+    ``F.percentile`` buffers O(customers) distinct values in one task's
+    aggregate, while the bucketed pass melts the three RFM measures into
+    a (measure, value) frame — measure IS the operator's group key, so
+    all nine fences come from ONE histogram pass — and each 64-wide
+    bucket holds bounded distinct values (integer days/counts, 2-dp
+    money). Fence values are bit-identical to ``F.percentile``, so the
+    scores and the oracle are unchanged."""
+    from db_core_spark.operators.quantile import bucketed_exact_quantiles
+
     o = table(spark, sf_dir, "orders")
     mx = o.agg(F.max("o_orderdate").alias("max_d"))
     per_cust = (
@@ -1827,13 +1839,34 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("frequency"),
             F.round(F.sum("o_totalprice"), 2).alias("monetary"),
         )
+        .localCheckpoint()  # read 3x: melt/histogram, fence re-scan, scoring
     )
-    fences = per_cust.agg(
-        *[
-            F.percentile(c, q).alias(f"{c[0]}{i}")
-            for c in ("recency_days", "frequency", "monetary")
-            for i, q in ((1, 0.25), (2, 0.5), (3, 0.75))
-        ]
+    melted = per_cust.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("r").alias("m"),
+                    F.col("recency_days").cast("double").alias("val"),
+                ),
+                F.struct(
+                    F.lit("f").alias("m"),
+                    F.col("frequency").cast("double").alias("val"),
+                ),
+                F.struct(F.lit("m").alias("m"), F.col("monetary").alias("val")),
+            )
+        ).alias("x")
+    ).select("x.m", "x.val")
+    qdf = bucketed_exact_quantiles(melted, "m", "val", [0.25, 0.5, 0.75], width=64.0)
+    fences = (
+        qdf.select(
+            F.concat(F.col("m"), (F.col("q") * 4).cast("int").cast("string")).alias(
+                "k"
+            ),
+            "value",
+        )
+        .groupBy()
+        .pivot("k", [f"{c}{i}" for c in "rfm" for i in (1, 2, 3)])
+        .agg(F.first("value"))
     )
 
     def above(col, prefix):
@@ -2693,10 +2726,19 @@ def funnel_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: two conditional per-user aggregates (map-side combined
     on the user key; the purchase pass semi-joins the signup frame on the
-    SAME key so AQE plans one co-partitioned exchange), then one global
-    percentile reduction over |converted users| latencies. At larger
-    cardinalities swap percentile for approx_percentile; the plan is
-    otherwise unchanged."""
+    SAME key so AQE plans one co-partitioned exchange), then the global
+    percentile reduction goes through
+    ``operators/quantile.bucketed_exact_quantiles`` (r8 — the r7-verdict
+    percentile-buffer watch item): ``F.percentile`` over the continuous
+    ``secs`` measure buffers O(converted-users) distinct values in ONE
+    task's aggregate, while the bucketed pass carries an O(buckets)
+    histogram and each 1-second bucket holds <= 1e6 distinct values by
+    construction (secs is microsecond-quantized). The latency frame is
+    one narrow column pinned via localCheckpoint; results are
+    bit-identical to the buffered aggregate, so the oracle is
+    unchanged."""
+    from db_core_spark.operators.quantile import bucketed_exact_quantiles
+
     e = table(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     s = (
@@ -2712,15 +2754,29 @@ def funnel_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("pus").alias("pt"))
     )
-    lat = s.join(p, "user_id").select(
-        ((F.col("pt") - F.col("st")) / 1000000.0).alias("secs")
+    lat = (
+        s.join(p, "user_id")
+        .select(((F.col("pt") - F.col("st")) / 1000000.0).alias("secs"))
+        .withColumn("__grp", F.lit(1))
+        .localCheckpoint()
     )
-    return lat.agg(
+    base = lat.agg(
         F.count(F.lit(1)).alias("n_converted"),
-        F.round(F.percentile("secs", F.lit(0.25)), 2).alias("p25_secs"),
-        F.round(F.percentile("secs", F.lit(0.5)), 2).alias("p50_secs"),
-        F.round(F.percentile("secs", F.lit(0.9)), 2).alias("p90_secs"),
         F.round(F.max("secs"), 2).alias("max_secs"),
+    ).withColumn("__grp", F.lit(1))
+    qdf = bucketed_exact_quantiles(lat, "__grp", "secs", [0.25, 0.5, 0.9], width=1.0)
+    qp = (
+        qdf.groupBy("__grp")
+        .pivot("q", [0.25, 0.5, 0.9])
+        .agg(F.first("value"))
+        .withColumnsRenamed({"0.25": "q25", "0.5": "q50", "0.9": "q90"})
+    )
+    return base.join(qp, "__grp", "left").select(
+        "n_converted",
+        F.round(F.col("q25"), 2).alias("p25_secs"),
+        F.round(F.col("q50"), 2).alias("p50_secs"),
+        F.round(F.col("q90"), 2).alias("p90_secs"),
+        "max_secs",
     )
 
 

@@ -86,6 +86,11 @@ REVERIFY: dict[str, int] = {
     # exact quantiles replace the 5-task event_type window + continuous
     # F.percentile buffers; oracle restated over integer microsecond gaps
     "events_interarrival_stats": 8,
+    # r8: continuous-percentile buffer migration (r7-verdict watch item 2)
+    # — F.percentile over continuous/per-user measures replaced by
+    # bucketed_exact_quantiles; fences bit-identical, oracles unchanged
+    "funnel_latency_percentiles": 8,
+    "rfm_customer_segments": 8,
 }
 
 

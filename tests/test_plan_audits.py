@@ -592,3 +592,41 @@ def test_no_unbounded_global_window(spark, queries, name):
 
     plan = plan_of(queries[name].fn(spark, SF_SMALL))
     assert global_window_smells(plan) == [], f"{name}: unbounded global window"
+
+
+def test_percentile_buffer_sites_are_whitelisted():
+    """Pin the exact-percentile class shut (r8): every ``F.percentile``
+    call site under db_core_spark/queries/ holds an O(group-distinct)
+    value buffer in one task's aggregate, so each must carry a written
+    justification in planaudit.PERCENTILE_BUFFER_WHITELIST that its input
+    domain is quantized/bounded — or be migrated to
+    operators/quantile.bucketed_exact_quantiles (as
+    events_interarrival_stats, funnel_latency_percentiles and
+    rfm_customer_segments were). Asserts set EQUALITY so stale whitelist
+    entries fail too."""
+    import ast
+    import pathlib
+
+    from db_core_spark.plans.planaudit import PERCENTILE_BUFFER_WHITELIST
+
+    qdir = pathlib.Path(__file__).resolve().parent.parent / "db_core_spark" / "queries"
+    sites: set[str] = set()
+    for p in sorted(qdir.glob("*.py")):
+        tree = ast.parse(p.read_text())
+        funcs = [
+            (n.lineno, n.end_lineno, n.name)
+            for n in ast.walk(tree)
+            if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+        ]
+        for node in ast.walk(tree):
+            if (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr == "percentile"
+            ):
+                enc = [nm for s, e, nm in funcs if s <= node.lineno <= e]
+                sites.add(f"{p.name}:{enc[-1] if enc else '<module>'}")
+    assert sites == set(PERCENTILE_BUFFER_WHITELIST), (
+        f"unjustified new F.percentile sites: {sites - set(PERCENTILE_BUFFER_WHITELIST)}; "
+        f"stale whitelist entries: {set(PERCENTILE_BUFFER_WHITELIST) - sites}"
+    )
