@@ -216,10 +216,18 @@ def grouped_lagged_value(
     for i, g in enumerate(group_cols):
         cond = cond & F.col(g).eqNullSafe(F.col(f"__bg_{i}"))
     w_local = W.partitionBy("__pid", *group_cols).orderBy(*sort_cols)
+    # Branch on row_number, NOT coalesce(lag, boundary): lag is also NULL
+    # when the PREDECESSOR'S VALUE is null, and those rows must keep the
+    # null rather than resurrect the partition boundary. Both window
+    # expressions share one spec, so Catalyst computes them in a single
+    # Window node.
     return (
         staged.join(boundary_df, cond, "left")
         .withColumn(
-            out, F.coalesce(F.lag(value_col).over(w_local), F.col("__boundary"))
+            out,
+            F.when(
+                F.row_number().over(w_local) == 1, F.col("__boundary")
+            ).otherwise(F.lag(value_col).over(w_local)),
         )
         .drop(
             "__pid",

@@ -488,6 +488,74 @@ class TestPrefixRankHelpers:
         )
         assert got == want
 
+    def test_grouped_lagged_value_null_values_stay_null(self, spark):
+        """LAG of a NULL predecessor VALUE is NULL — a coalesce(lag,
+        boundary) formulation would resurrect the partition boundary for
+        any row following a null-valued row, not just partition-first
+        rows (caught in r8 review before it shipped; the operator
+        branches on row_number instead)."""
+        from pyspark.sql import Window as W
+
+        from db_core_spark.operators.prefixrank import grouped_lagged_value
+
+        rows = [("a", 1, 10), ("a", 2, None), ("a", 3, 30), ("a", 4, None)]
+        df = spark.createDataFrame(rows, "g string, id long, v long")
+        w = W.partitionBy("g").orderBy("id")
+        want = {
+            r.id: r.prev for r in df.withColumn("prev", F.lag("v").over(w)).collect()
+        }
+        for parts in (1, 2, 4):
+            got = {
+                r.id: r.prev
+                for r in grouped_lagged_value(
+                    df, ["g"], [F.col("id")], "v", num_parts=parts, out="prev"
+                ).collect()
+            }
+            assert got == want, f"num_parts={parts}: {got} != {want}"
+
+    def test_grouped_lagged_value_property(self, spark):
+        """Hypothesis sweep: random group/value sequences (nulls and
+        duplicate sort positions included via a unique id tiebreak) must
+        match the per-group window LAG for every partitioning."""
+        from hypothesis import HealthCheck, given, settings, strategies as st
+        from pyspark.sql import Window as W
+
+        from db_core_spark.operators.prefixrank import grouped_lagged_value
+
+        row = st.tuples(
+            st.sampled_from(["a", "b", None]),
+            st.integers(0, 3),
+            st.one_of(st.none(), st.integers(-5, 5)),
+        )
+
+        @settings(
+            max_examples=8,
+            deadline=None,
+            suppress_health_check=[
+                HealthCheck.function_scoped_fixture,
+                HealthCheck.too_slow,
+            ],
+        )
+        @given(spec=st.lists(row, min_size=1, max_size=12), parts=st.sampled_from([1, 3, 5]))
+        def check(spec, parts):
+            rows = [(g, t, i, v) for i, (g, t, v) in enumerate(spec)]
+            df = spark.createDataFrame(rows, "g string, t long, id long, v long")
+            w = W.partitionBy("g").orderBy("t", "id")
+            want = {
+                r.id: r.prev
+                for r in df.withColumn("prev", F.lag("v").over(w)).collect()
+            }
+            got = {
+                r.id: r.prev
+                for r in grouped_lagged_value(
+                    df, ["g"], [F.col("t"), F.col("id")], "v",
+                    num_parts=parts, out="prev",
+                ).collect()
+            }
+            assert got == want
+
+        check()
+
     def test_empty_input(self, spark):
         from db_core_spark.operators.prefixrank import (
             global_prefix_max,
