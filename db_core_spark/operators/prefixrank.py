@@ -175,9 +175,10 @@ def grouped_lagged_value(
     (partition, group)'s boundary predecessor. Pass 2 broadcasts the
     boundaries back; every partition computes its LOCAL lag in parallel
     (window partitioned by partition id + group) and the per-(partition,
-    group) FIRST row takes the broadcast boundary via coalesce. Identical
-    arithmetic to the tiny-key window; no single-partition-per-group
-    stage anywhere.
+    group) FIRST row — identified by row_number, NOT by a null lag, so a
+    NULL predecessor VALUE stays NULL — takes the broadcast boundary.
+    Identical arithmetic to the tiny-key window; no single-partition-
+    per-group stage anywhere.
 
     ``sort_cols`` must totally order rows within a group (include a
     unique tiebreak) for the lag to be deterministic. ``out`` is NULL for
