@@ -2771,7 +2771,7 @@ def funnel_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.first("value"))
         .withColumnsRenamed({"0.25": "q25", "0.5": "q50", "0.9": "q90"})
     )
-    return base.join(qp, "__grp", "left").select(
+    return base.join(F.broadcast(qp), "__grp", "left").select(
         "n_converted",
         F.round(F.col("q25"), 2).alias("p25_secs"),
         F.round(F.col("q50"), 2).alias("p50_secs"),

@@ -1438,7 +1438,7 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.first("value"))
         .withColumnsRenamed({"0.5": "p50v", "0.95": "p95v"})
     )
-    return base.join(qp, "event_type", "left").select(
+    return base.join(F.broadcast(qp), "event_type", "left").select(
         "event_type",
         "n_gaps",
         "mean_gap_s",
