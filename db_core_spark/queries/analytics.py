@@ -1054,7 +1054,7 @@ def sql_api_cte_window(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, lang, source,
              trim(regexp_replace(
                     translate(lower(text),
-                              '!"#$%&''()*+,-./:;<=>?@[\]^_`{|}~', ''),
+                              '!"#$%&''()*+,-./:;<=>?@[\\]^_`{|}~', ''),
                     '\\s+', ' ', 'g')) AS clean_text
       FROM documents
     ),

@@ -72,3 +72,53 @@ def test_entry_contract(spark):
     oracles = entrymod.oracle_sql()
     assert set(oracles) <= set(qs)
     assert len(qs) >= 40
+
+
+def test_events_interarrival_single_event_type_edge(spark, tmp_path):
+    """A type with only ONE event has zero gaps — the n_gaps=0 branch of
+    events_interarrival_stats that no sf fixture exercises (every fixture
+    type has thousands of events). COUNT=0 must surface as NULL mean/max
+    through the base aggregate AND as NULL p50/p95 through the quantile
+    left join (the histogram pass emits no rows for an all-NULL-gap group),
+    while a multi-event type in the same frame keeps exact interpolated
+    quantiles. Cross-checked bit-for-bit against the registered DuckDB
+    oracle on the same temp fixture."""
+    import duckdb
+
+    from db_core_spark.registry import all_queries
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 10, "solo", 1.0, "{}"),
+        (2, "2024-01-01 00:00:00", 11, "pair", 1.0, "{}"),
+        (3, "2024-01-01 00:00:01.5", 12, "pair", 1.0, "{}"),
+        (4, "2024-01-01 00:00:03.6", 13, "pair", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, "
+              "value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    df.coalesce(1).write.parquet(f"{tmp_path}/events.parquet")
+
+    rq = all_queries()["events_interarrival_stats"]
+    got = {
+        r["event_type"]: (
+            r["n_gaps"], r["mean_gap_s"], r["p50_gap_s"], r["p95_gap_s"],
+            r["max_gap_s"],
+        )
+        for r in rq.fn(spark, str(tmp_path)).collect()
+    }
+    assert got["solo"] == (0, None, None, None, None)
+    # gaps 1.5 s and 2.1 s: mean 1.8, p50 interpolates to 1.8,
+    # p95 = 1.5 + 0.95*0.6 = 2.07 (exact integer-microsecond arithmetic)
+    assert got["pair"] == (2, 1.8, 1.8, 2.07, 2.1)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    want = {
+        r[0]: tuple(r[1:]) for r in con.execute(rq.oracle).fetchall()
+    }
+    assert got == want
