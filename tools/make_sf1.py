@@ -16,13 +16,18 @@ customer) and the per-replica value distributions:
 - embeddings perturb dimension 0 by replica * 1e-3, keeping ANN workloads
   from degenerating into 10-way ties.
 
-Usage: python tools/make_sf1.py [out_dir]   (default /tmp/testdata_sf1)
-Deterministic; ~1-2 min on local[32]. Output is parquet-per-table, same
-layout as the driver's sf dirs, loadable via db_core_spark.tables.table.
+Usage: python tools/make_sf1.py [out_dir] [--reps N] [--tables a,b,c]
+(defaults: /tmp/testdata_sf1, 10 reps, all tables). ``--reps 100 --tables
+lineitem,orders,events`` builds the sf10 subset the SCALING two-decade
+readings use (VERDICT r7 item 6) without paying for 100x documents/
+embeddings nobody times at that scale. Deterministic; ~1-2 min on
+local[32] at the default. Output is parquet-per-table, same layout as the
+driver's sf dirs, loadable via db_core_spark.tables.table.
 """
 
 from __future__ import annotations
 
+import argparse
 import os
 import sys
 
@@ -38,7 +43,15 @@ REPS = 10
 
 
 def main() -> None:
-    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/testdata_sf1"
+    global REPS
+    ap = argparse.ArgumentParser()
+    ap.add_argument("out_dir", nargs="?", default="/tmp/testdata_sf1")
+    ap.add_argument("--reps", type=int, default=REPS)
+    ap.add_argument("--tables", default=None, help="comma list; default all")
+    ns = ap.parse_args()
+    out_dir = ns.out_dir
+    REPS = ns.reps
+    only = set(ns.tables.split(",")) if ns.tables else None
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("make-sf1")
 
@@ -125,6 +138,11 @@ def main() -> None:
             load("embeddings"), {"vec_id": maxes["vec"]}, transform=perturb_vec
         ),
     }
+    if only is not None:
+        unknown = only - set(plans)
+        if unknown:
+            raise SystemExit(f"unknown tables: {sorted(unknown)}")
+        plans = {k: v for k, v in plans.items() if k in only}
     for name, df in plans.items():
         dest = os.path.join(out_dir, f"{name}.parquet")
         # 32 files per fact table so local[32] scans parallelize like a real
