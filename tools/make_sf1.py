@@ -43,14 +43,21 @@ REPS = 10
 
 
 def main() -> None:
-    global REPS
+    global REPS, SRC
     ap = argparse.ArgumentParser()
     ap.add_argument("out_dir", nargs="?", default="/tmp/testdata_sf1")
     ap.add_argument("--reps", type=int, default=REPS)
     ap.add_argument("--tables", default=None, help="comma list; default all")
+    ap.add_argument(
+        "--src", default=SRC,
+        help="source sf dir to replicate (default sf0.1); pointing at a "
+        "previously built /tmp set compounds decades (sf10 x10 -> sf100) "
+        "without a 1000-branch union plan",
+    )
     ns = ap.parse_args()
     out_dir = ns.out_dir
     REPS = ns.reps
+    SRC = ns.src
     only = set(ns.tables.split(",")) if ns.tables else None
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("make-sf1")
