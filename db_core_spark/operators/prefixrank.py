@@ -25,6 +25,25 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 
+def _resolve_num_parts(df: DataFrame, num_parts: int | None) -> int:
+    """Resolve the staging parallelism: an explicit caller value wins;
+    the default scales with the CLUSTER (``defaultParallelism`` = total
+    executor cores), not a literal. A hardcoded small constant here is
+    the same species of cap these operators exist to remove — 8 range
+    partitions over a 100 TB fact table is ~12 TB per sort task no
+    matter how many executors the job has (r8 verdict). The boundary /
+    offset collects are O(num_parts + groups), so thousands of
+    partitions stay driver-cheap. Values are invariant to the partition
+    count (pytested at 1/3/8/explicit-N), so this is a parallelism
+    knob, never a semantics knob."""
+    if num_parts is not None:
+        return num_parts
+    try:
+        return max(2, df.sparkSession.sparkContext.defaultParallelism)
+    except Exception:  # Spark Connect: no SparkContext handle
+        return max(2, int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")))
+
+
 def _py_offset(dtype, v):
     """Coerce a driver-side offset value to the Python type Spark's row
     verifier accepts for ``dtype`` (the SUM result type): float for
@@ -41,13 +60,14 @@ def _py_offset(dtype, v):
     return int(v)
 
 
-def _staged(df: DataFrame, sort_cols: list[Column], num_parts: int) -> DataFrame:
+def _staged(df: DataFrame, sort_cols: list[Column], num_parts: int | None) -> DataFrame:
     """Range-partition + locally sort ``df`` on ``sort_cols``; tag partition id.
 
     localCheckpoint pins ONE materialization shared by both passes — without
     it pass 2 would re-run the (sampled) range partitioner and could disagree
     with the offsets pass 1 collected.
     """
+    num_parts = _resolve_num_parts(df, num_parts)
     return (
         df.repartitionByRange(num_parts, *sort_cols)
         .sortWithinPartitions(*sort_cols)
@@ -60,7 +80,7 @@ def global_row_number(
     df: DataFrame,
     sort_cols: list[Column],
     *,
-    num_parts: int = 8,
+    num_parts: int | None = None,
     out: str = "rk",
 ) -> tuple[DataFrame, int]:
     """Add 1-based global rank ``out`` in ``sort_cols`` order; return (df, n).
@@ -96,7 +116,7 @@ def global_running_sums(
     sort_cols: list[Column],
     value_cols: dict[str, str],
     *,
-    num_parts: int = 8,
+    num_parts: int | None = None,
 ) -> DataFrame:
     """Inclusive running sums of SEVERAL columns in one two-pass sweep.
 
@@ -156,7 +176,7 @@ def grouped_lagged_value(
     sort_cols: list[Column],
     value_col: str,
     *,
-    num_parts: int = 8,
+    num_parts: int | None = None,
     out: str = "prev",
 ) -> DataFrame:
     """Per-GROUP ``LAG(value_col)`` in global ``sort_cols`` order for
@@ -181,9 +201,16 @@ def grouped_lagged_value(
     per-group stage anywhere.
 
     ``sort_cols`` must totally order rows within a group (include a
-    unique tiebreak) for the lag to be deterministic. ``out`` is NULL for
-    each group's globally-first row, exactly like ``LAG``. NULL group
-    keys form one group, same as a window partition.
+    unique tiebreak) for the lag to be deterministic, and their VALUES
+    must be non-null: the pass-1 tail pick orders by ``max_by`` over a
+    struct of the sort values, and struct comparison's null placement is
+    not guaranteed to agree with the range partitioner's nulls-first row
+    order — a NULL sort value could elect the wrong boundary
+    predecessor. (NULL *group* keys are fine and form one group, same as
+    a window partition; it is the ordering columns that must be
+    non-null. Pre-filter or coalesce null sort values before calling.)
+    ``out`` is NULL for each group's globally-first row, exactly like
+    ``LAG``.
     """
     from pyspark.sql import types as T
 
@@ -245,7 +272,7 @@ def grouped_running_sum(
     sort_cols: list[Column],
     value_col: str,
     *,
-    num_parts: int = 8,
+    num_parts: int | None = None,
     out: str = "running",
 ) -> DataFrame:
     """Per-GROUP inclusive running sum for LOW-CARDINALITY groups.
@@ -263,7 +290,10 @@ def grouped_running_sum(
     Exactness note: the two-pass reorders float additions vs a sequential
     window; use with integer-valued or decimal weights when the result
     feeds a threshold comparison (callers on this fixture sum
-    integer-valued quantities — exact in double at any order).
+    integer-valued quantities — exact in double at any order). NULL group
+    keys form one ordinary group (null-safe offset matching), same as a
+    window partition; like :func:`grouped_lagged_value`, the sort VALUES
+    must be non-null.
     """
     from pyspark.sql import types as T
 
@@ -284,14 +314,30 @@ def grouped_running_sum(
         + [T.StructField(f.name, f.dataType, f.nullable) for f in group_fields]
         + [T.StructField("__offset", dtype, True)]
     )
-    offset_df = F.broadcast(spark.createDataFrame(offsets, off_schema))
+    offset_df = F.broadcast(
+        spark.createDataFrame(offsets, off_schema).withColumnsRenamed(
+            {"__pid": "__opid", **{g: f"__og_{i}" for i, g in enumerate(group_cols)}}
+        )
+    )
+    # null-safe group matching, same discipline as grouped_lagged_value: a
+    # NULL group key is a real group under a window partition and must
+    # receive its offset (a plain equi-join would silently DROP its rows
+    # between passes — the agg_weighted_median fence trap, r9)
+    cond = F.col("__pid") == F.col("__opid")
+    for i, g in enumerate(group_cols):
+        cond = cond & F.col(g).eqNullSafe(F.col(f"__og_{i}"))
     w_local = W.partitionBy("__pid", *group_cols).orderBy(*sort_cols).rowsBetween(
         W.unboundedPreceding, W.currentRow
     )
     return (
-        staged.join(offset_df, ["__pid", *group_cols])
+        staged.join(offset_df, cond)
         .withColumn(out, F.col("__offset") + F.sum(value_col).over(w_local))
-        .drop("__pid", "__offset")
+        .drop(
+            "__pid",
+            "__opid",
+            "__offset",
+            *[f"__og_{i}" for i in range(len(group_cols))],
+        )
     )
 
 
@@ -300,7 +346,7 @@ def global_prefix_max(
     sort_cols: list[Column],
     value_col: str,
     *,
-    num_parts: int = 8,
+    num_parts: int | None = None,
     out: str = "prefix_max",
 ) -> DataFrame:
     """EXCLUSIVE running max of ``value_col`` in ``sort_cols`` order — the
@@ -349,7 +395,7 @@ def global_running_sum(
     sort_cols: list[Column],
     value_col: str,
     *,
-    num_parts: int = 8,
+    num_parts: int | None = None,
     out: str = "cumsum",
 ) -> DataFrame:
     """Add the INCLUSIVE running sum of ``value_col`` in ``sort_cols`` order.

@@ -940,13 +940,12 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     crossing bucket: every price below it has cumulative weight < tw/2
     (else an earlier bucket's end-cumulative would have crossed first).
 
-    Non-null group-key precondition: the pass-2 fence predicate matches
-    groups with plain ``==`` (sound here — ``l_returnflag`` is a NOT NULL
-    enum on this schema), so a NULL group key would be silently dropped
-    between passes. When copying this two-pass pattern to a NULLABLE
-    group key, use ``eqNullSafe``/``isNull`` fence matching — or use
-    ``operators/quantile.bucketed_exact_quantiles``, which is null-safe
-    throughout, instead of re-deriving the pattern inline."""
+    NULL group keys are handled like any other group: the pass-2 fence
+    predicate and the fence join both match with ``eqNullSafe`` (same
+    discipline as ``operators/quantile.bucketed_exact_quantiles``), so a
+    NULL-keyed group flows through both passes intact instead of being
+    silently dropped by plain-equality matching — regression-pytested
+    with an injected NULL group."""
     from db_core_spark.operators.prefixrank import grouped_running_sum
 
     width = 64.0  # power of two: floor(price/width) exact at bucket edges
@@ -979,13 +978,19 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     in_bucket = F.lit(False)  # empty input -> empty result, schema intact
     for r in fences:
         in_bucket = in_bucket | (
-            (F.col("l_returnflag") == r["l_returnflag"])
+            F.col("l_returnflag").eqNullSafe(F.lit(r["l_returnflag"]))
             & (F.col("l_extendedprice") >= r["bkt"] * width)
             & (F.col("l_extendedprice") < (r["bkt"] + 1) * width)
         )
-    sel = li.filter(in_bucket).join(
-        F.broadcast(spark.createDataFrame(fences, crossing.schema)),
-        "l_returnflag",
+    fence_df = F.broadcast(
+        spark.createDataFrame(fences, crossing.schema).withColumnRenamed(
+            "l_returnflag", "__grp"
+        )
+    )
+    sel = (
+        li.filter(in_bucket)
+        .join(fence_df, F.col("l_returnflag").eqNullSafe(F.col("__grp")))
+        .drop("__grp")
     )
     cum = grouped_running_sum(
         sel, ["l_returnflag"], [F.col("l_extendedprice")], "l_quantity", out="cw_in"
@@ -1185,7 +1190,6 @@ def agg_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked, n = global_row_number(
         o.select("o_totalprice", "o_orderkey"),
         [F.col("o_totalprice"), F.col("o_orderkey")],
-        num_parts=32,
     )
     base, rem = n // 10, n % 10
     pivot = rem * (base + 1)

@@ -2287,7 +2287,7 @@ def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("n_click"),
     )
     cum = global_running_sum(
-        per_val, [F.col("value")], "cnt", num_parts=16, out="cum_incl"
+        per_val, [F.col("value")], "cnt", out="cum_incl"
     )
     midrank = (F.col("cum_incl") - F.col("cnt")) + (F.col("cnt") + 1) / 2.0
     agg = cum.agg(
@@ -3694,7 +3694,7 @@ def abc_part_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("r")
     )
     cum = global_running_sum(
-        rev, [F.col("r").desc(), F.col("l_partkey")], "r", num_parts=16, out="cum_r"
+        rev, [F.col("r").desc(), F.col("l_partkey")], "r", out="cum_r"
     )
     tot = F.broadcast(cum.agg(F.max("cum_r").alias("__t")))
     ranked = cum.crossJoin(tot).select(
@@ -3755,7 +3755,6 @@ def skyline_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         pts,
         [F.col("o_totalprice"), F.col("o_orderkey")],
         "d",
-        num_parts=8,
         out="best_d_cheaper",
     )
     return ranked.filter(

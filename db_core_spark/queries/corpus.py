@@ -1447,7 +1447,6 @@ def corpus_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_doc,
         [F.col("doc_id")],
         {"n_toks": "cum_tokens", "n_new_types": "vocab"},
-        num_parts=16,
     ).select("cum_tokens", "vocab")
     lv = F.log(F.col("vocab").cast("double"))
     ln = F.log(F.col("cum_tokens").cast("double"))

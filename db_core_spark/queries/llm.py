@@ -1057,7 +1057,7 @@ def pack_training_sequences_global_window(spark: SparkSession, sf_dir: str) -> D
 
 
 def pack_training_sequences_scalable(
-    spark: SparkSession, sf_dir: str, capacity: int = 2048, num_parts: int = 8
+    spark: SparkSession, sf_dir: str, capacity: int = 2048, num_parts: int | None = None
 ) -> DataFrame:
     """The 100 TB formulation of :func:`pack_training_sequences`: a
     distributed two-pass prefix sum instead of the single global window

@@ -577,7 +577,7 @@ def pipeline_multimodal_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # shard packing: two-pass prefix byte sum in doc_id order -> shard + offset
     packed = global_running_sum(
-        kept, [F.col("doc_id")], "n_bytes", num_parts=8, out="cum"
+        kept, [F.col("doc_id")], "n_bytes", out="cum"
     ).select(
         "doc_id",
         "dhash",

@@ -1437,8 +1437,15 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("q", [0.5, 0.95])
         .agg(F.first("value"))
         .withColumnsRenamed({"0.5": "p50v", "0.95": "p95v"})
+        .withColumnRenamed("event_type", "__qt")
     )
-    return base.join(F.broadcast(qp), "event_type", "left").select(
+    # eqNullSafe: every upstream stage (grouped_lagged_value,
+    # bucketed_exact_quantiles) treats a NULL event_type as one ordinary
+    # group — plain equality here would give that group stats but NULL
+    # quantiles, diverging from the oracle (ADVICE r8).
+    return base.join(
+        F.broadcast(qp), F.col("event_type").eqNullSafe(F.col("__qt")), "left"
+    ).drop("__qt").select(
         "event_type",
         "n_gaps",
         "mean_gap_s",

@@ -81,16 +81,36 @@ REVERIFY: dict[str, int] = {
     "q18_large_orders": 7,  # reuse the HAVING aggregate; one lineitem pass
     "dau_new_vs_returning": 7,  # one-shuffle collect_set rewrite
     "agg_percentiles": 7,  # bucketed exact quantiles replace value buffers
-    # r8: the r7-verdict scale-killer fix — lag via range-partitioned
-    # boundary stitching (grouped_lagged_value) + integer-us bucketed
-    # exact quantiles replace the 5-task event_type window + continuous
-    # F.percentile buffers; oracle restated over integer microsecond gaps
-    "events_interarrival_stats": 8,
+    # r8 entry for events_interarrival_stats (lag via boundary stitching +
+    # integer-us bucketed quantiles) is superseded by its r9 entry below.
     # r8: continuous-percentile buffer migration (r7-verdict watch item 2)
     # — F.percentile over continuous/per-user measures replaced by
     # bucketed_exact_quantiles; fences bit-identical, oracles unchanged
     "funnel_latency_percentiles": 8,
     "rfm_customer_segments": 8,
+    # r9: prefixrank staging parallelism now derives from
+    # defaultParallelism instead of 8/16/32 literals (r8 verdict #2 — the
+    # literal capped the fact-scale range sort at 8 tasks); every
+    # registered query riding a prefixrank operator re-verifies. Values
+    # are partition-count-invariant (parity pytests), so these confirm
+    # plan-shape changes only.
+    "events_interarrival_stats": 9,
+    "agg_weighted_median": 9,  # + null-safe fence match (r8 verdict #4)
+    "agg_value_deciles": 9,
+    "stats_mann_whitney_u": 9,
+    "abc_part_classification": 9,
+    "skyline_pareto_frontier": 9,
+    "zipf_token_slope": 9,
+    "corpus_heaps_law_fit": 9,
+    "pipeline_multimodal_prepare": 9,
+    "pack_training_sequences": 9,
+    # r9: blocked-cosine tile kernel scales B with the corpus
+    # (B = ceil(n/8192) instead of the hardcoded 16 — fixed B makes
+    # per-tile matmul memory quadratic, r8 verdict #1); threshold sweep
+    # re-routed onto the tile kernel (verdict #3); clusters inherit.
+    "embedding_neardup_pairs": 9,
+    "embedding_semantic_clusters": 9,
+    "embedding_threshold_sweep": 9,
 }
 
 

@@ -83,7 +83,7 @@ def export_training_shards(
     docs: DataFrame,
     out_dir: str,
     shard_tokens: int = 32768,
-    num_parts: int = 8,
+    num_parts: int | None = None,
 ) -> dict:
     """Export a document corpus as token-budgeted training shards with a
     verifiable manifest — the final materialization step of a pre-training
@@ -109,6 +109,9 @@ def export_training_shards(
 
     from pyspark.sql import Window as W, functions as F
 
+    from db_core_spark.operators.prefixrank import _resolve_num_parts
+
+    num_parts = _resolve_num_parts(docs, num_parts)
     toks = (
         docs.select(
             "doc_id",

@@ -659,3 +659,38 @@ def test_simhash_hamming_pairs_banded_equals_bruteforce(spark):
         if bin(sh[a] ^ sh[b]).count("1") <= 3
     }
     assert got == brute and brute  # equal and non-empty (fixture has dups)
+
+
+def test_blocked_cosine_pairs_invariant_to_tile_count(spark):
+    """Tiling only regroups the same exact similarities (r9: B now scales
+    with the corpus, B = ceil(n/tile_rows) from a cheap count — a FIXED B
+    makes per-tile matmul memory quadratic in the corpus, the r8 verdict's
+    OOM finding). The pair set must be IDENTICAL across tile_rows choices:
+    one giant tile (B=1), the production default, and tiny 16-row tiles
+    (B ~ n/16, dozens of tiles at sf0.001) — and must equal the
+    interpreted brute-force self-join."""
+    from db_core_spark.functions.vectors import cosine, to_double
+    from db_core_spark.queries.vectors import blocked_cosine_pairs
+    from db_core_spark.tables import table as tbl
+
+    e = tbl(spark, SF_SMALL, "embeddings")
+
+    def pairset(tile_rows):
+        return {
+            (r.vec_a, r.vec_b, r.cos_sim)
+            for r in blocked_cosine_pairs(spark, e, 0.4, tile_rows).collect()
+        }
+
+    one_tile = pairset(10**9)
+    default = pairset(8192)
+    many_tiles = pairset(16)
+    a = e.select(F.col("vec_id").alias("ia"), to_double("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("ib"), to_double("embedding").alias("vb"))
+    brute = {
+        (r.ia, r.ib, r.cos)
+        for r in a.join(b, F.col("ia") < F.col("ib"))
+        .select("ia", "ib", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"))
+        .filter(F.col("cos") >= 0.4)
+        .collect()
+    }
+    assert one_tile == default == many_tiles == brute and brute

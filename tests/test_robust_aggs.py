@@ -293,3 +293,48 @@ def test_weighted_median_empty_input_keeps_schema(spark, tmp_path):
     out = agg_weighted_median(spark, str(empty_dir))
     assert out.columns == ["l_returnflag", "weighted_median", "total_weight"]
     assert out.count() == 0
+
+
+def test_weighted_median_null_group_key_survives_both_passes(spark, tmp_path):
+    """A NULL group key must flow through the two-pass plan intact (r8
+    verdict #4 / r9 fix): the pass-2 fence predicate and the fence join
+    match with eqNullSafe, so the NULL-keyed group gets the same answer
+    the naive one-window formulation gives it — plain-equality matching
+    would silently DROP the group between passes (fence row collected,
+    zero fact rows matched back)."""
+    from db_core_spark.queries.aggregates import agg_weighted_median
+
+    li = table(spark, SF_SMALL, "lineitem")
+    # re-key ~a third of the rows to a NULL flag, deterministically
+    nulled = li.select(
+        F.when(F.col("l_orderkey") % 3 == 0, F.lit(None))
+        .otherwise(F.col("l_returnflag"))
+        .alias("l_returnflag"),
+        "l_extendedprice",
+        "l_quantity",
+    )
+    null_dir = tmp_path / "nullflag"
+    nulled.write.parquet(str(null_dir / "lineitem.parquet"))
+    got = {
+        r.l_returnflag: (r.weighted_median, r.total_weight)
+        for r in agg_weighted_median(spark, str(null_dir)).collect()
+    }
+    w = W.partitionBy("l_returnflag").orderBy("l_extendedprice").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    naive = (
+        nulled.withColumn("cw", F.sum("l_quantity").over(w))
+        .withColumn("tw", F.sum("l_quantity").over(W.partitionBy("l_returnflag")))
+        .filter(F.col("cw") >= F.col("tw") / 2)
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.min("l_extendedprice"), 2).alias("weighted_median"),
+            F.round(F.max("tw"), 2).alias("total_weight"),
+        )
+    )
+    want = {
+        r.l_returnflag: (r.weighted_median, r.total_weight)
+        for r in naive.collect()
+    }
+    assert None in got, "NULL group dropped between passes"
+    assert got == want and len(got) == 4

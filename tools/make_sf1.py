@@ -52,7 +52,10 @@ def main() -> None:
         "--src", default=SRC,
         help="source sf dir to replicate (default sf0.1); pointing at a "
         "previously built /tmp set compounds decades (sf10 x10 -> sf100) "
-        "without a 1000-branch union plan",
+        "without a 1000-branch union plan. The dir must contain every "
+        "table the selected --tables shift keys by (lineitem needs "
+        "orders/part/supplier present, orders and events need customer); "
+        "a missing stride table fails loudly before anything is written",
     )
     ns = ap.parse_args()
     out_dir = ns.out_dir
@@ -65,15 +68,34 @@ def main() -> None:
     def load(name):
         return table(spark, SRC, name)
 
-    maxes = {
-        "cust": load("customer").agg(F.max("c_custkey")).collect()[0][0] + 1,
-        "ord": load("orders").agg(F.max("o_orderkey")).collect()[0][0] + 1,
-        "part": load("part").agg(F.max("p_partkey")).collect()[0][0] + 1,
-        "supp": load("supplier").agg(F.max("s_suppkey")).collect()[0][0] + 1,
-        "ev": load("events").agg(F.max("event_id")).collect()[0][0] + 1,
-        "doc": load("documents").agg(F.max("doc_id")).collect()[0][0] + 1,
-        "vec": load("embeddings").agg(F.max("vec_id")).collect()[0][0] + 1,
+    # Strides are computed LAZILY, only for the tables actually being
+    # replicated (ADVICE r8): a --tables subset build must not crash
+    # loading tables it never touches — and when a stride SOURCE table is
+    # missing from --src (a subset-built dir), fail loudly with the fix
+    # before anything is written, not mid-plan.
+    _stride_src = {
+        "cust": ("customer", "c_custkey"),
+        "ord": ("orders", "o_orderkey"),
+        "part": ("part", "p_partkey"),
+        "supp": ("supplier", "s_suppkey"),
+        "ev": ("events", "event_id"),
+        "doc": ("documents", "doc_id"),
+        "vec": ("embeddings", "vec_id"),
     }
+    _stride_cache: dict[str, int] = {}
+
+    def stride(key: str) -> int:
+        if key not in _stride_cache:
+            tbl, col = _stride_src[key]
+            if not os.path.exists(os.path.join(SRC, f"{tbl}.parquet")):
+                raise SystemExit(
+                    f"--src {SRC} lacks {tbl}.parquet, needed to compute the "
+                    f"{col} key stride for a selected table; rebuild the "
+                    f"source dir including '{tbl}' in --tables (all tables "
+                    "shifting by the same key must share one stride)"
+                )
+            _stride_cache[key] = load(tbl).agg(F.max(col)).collect()[0][0] + 1
+        return _stride_cache[key]
 
     def replicate(df, shifts: dict[str, int], transform=None):
         """Union REPS copies; `shifts` maps key column -> per-replica stride."""
@@ -117,32 +139,36 @@ def main() -> None:
         )
 
     plans = {
-        "region": load("region"),
-        "nation": load("nation"),
-        "customer": replicate(load("customer"), {"c_custkey": maxes["cust"]}),
-        "supplier": replicate(load("supplier"), {"s_suppkey": maxes["supp"]}),
-        "part": replicate(load("part"), {"p_partkey": maxes["part"]}),
-        "orders": replicate(
-            load("orders"),
-            {"o_orderkey": maxes["ord"], "o_custkey": maxes["cust"]},
+        "region": lambda: load("region"),
+        "nation": lambda: load("nation"),
+        "customer": lambda: replicate(
+            load("customer"), {"c_custkey": stride("cust")}
         ),
-        "lineitem": replicate(
+        "supplier": lambda: replicate(
+            load("supplier"), {"s_suppkey": stride("supp")}
+        ),
+        "part": lambda: replicate(load("part"), {"p_partkey": stride("part")}),
+        "orders": lambda: replicate(
+            load("orders"),
+            {"o_orderkey": stride("ord"), "o_custkey": stride("cust")},
+        ),
+        "lineitem": lambda: replicate(
             load("lineitem"),
             {
-                "l_orderkey": maxes["ord"],
-                "l_partkey": maxes["part"],
-                "l_suppkey": maxes["supp"],
+                "l_orderkey": stride("ord"),
+                "l_partkey": stride("part"),
+                "l_suppkey": stride("supp"),
             },
         ),
-        "events": replicate(
+        "events": lambda: replicate(
             load("events"),
-            {"event_id": maxes["ev"], "user_id": maxes["cust"]},
+            {"event_id": stride("ev"), "user_id": stride("cust")},
         ),
-        "documents": replicate(
-            load("documents"), {"doc_id": maxes["doc"]}, transform=salt_text
+        "documents": lambda: replicate(
+            load("documents"), {"doc_id": stride("doc")}, transform=salt_text
         ),
-        "embeddings": replicate(
-            load("embeddings"), {"vec_id": maxes["vec"]}, transform=perturb_vec
+        "embeddings": lambda: replicate(
+            load("embeddings"), {"vec_id": stride("vec")}, transform=perturb_vec
         ),
     }
     if only is not None:
@@ -150,6 +176,7 @@ def main() -> None:
         if unknown:
             raise SystemExit(f"unknown tables: {sorted(unknown)}")
         plans = {k: v for k, v in plans.items() if k in only}
+    plans = {name: build() for name, build in plans.items()}
     for name, df in plans.items():
         dest = os.path.join(out_dir, f"{name}.parquet")
         # 32 files per fact table so local[32] scans parallelize like a real
