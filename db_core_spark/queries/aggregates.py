@@ -587,13 +587,16 @@ def pareto_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     'top 5% of customers drive X% of revenue' rollup.
 
     The global rank is the scale hazard (ROW_NUMBER over everything is a
-    single-partition window), so it uses the distributed two-pass prefix
-    rank, same pattern as `pack_training_sequences_scalable`:
-    range-partition by (revenue DESC, custkey), count per partition (tiny
-    driver list), broadcast exclusive offsets back, rank = offset + local
-    row_number — every stage parallel. The running share then lives on the
-    20-row ventile spine only."""
+    single-partition window), so it goes through the shared audited
+    two-pass prefix rank (`operators/prefixrank.global_row_number` —
+    range-partition by (revenue DESC, custkey) at cluster parallelism,
+    O(parts) offset collect, rank = offset + local row_number, every
+    stage parallel; r9 retired this query's hand-rolled copy of the
+    pattern and its literal 8-partition staging with it). The running
+    share then lives on the 20-row ventile spine only."""
     from pyspark.sql import Window as W
+
+    from db_core_spark.operators.prefixrank import global_row_number
 
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
@@ -605,23 +608,9 @@ def pareto_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "revenue"
             )
         )
-        .repartitionByRange(8, F.col("revenue").desc(), F.col("custkey"))
-        .sortWithinPartitions(F.col("revenue").desc(), F.col("custkey"))
-        .withColumn("pid", F.spark_partition_id())
     )
-    cr = cr.localCheckpoint()  # rank pass 1 + pass 2 share one materialization
-    counts = {r.pid: r.n for r in cr.groupBy("pid").agg(F.count("*").alias("n")).collect()}
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    n_cust = acc
-    offset_df = F.broadcast(
-        spark.createDataFrame(list(offsets.items()), "pid int, offset long")
-    )
-    w_local = W.partitionBy("pid").orderBy(F.col("revenue").desc(), F.col("custkey"))
-    ranked = cr.join(offset_df, "pid").withColumn(
-        "rk", F.col("offset") + F.row_number().over(w_local)
+    ranked, n_cust = global_row_number(
+        cr, [F.col("revenue").desc(), F.col("custkey")], out="rk"
     )
     v = (
         ranked.withColumn(

@@ -266,7 +266,9 @@ def blocked_cosine_pairs(
     b_side = v.join(F.broadcast(bp), v.blk == bp.bj).withColumn("side", F.lit("b"))
     both = a_side.unionByName(b_side)
 
-    def matmul(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    # no type hints: partial hints make applyInPandas emit a UserWarning
+    # ("cannot infer the eval type") on every driver run
+    def matmul(key, pdf):
         import numpy as np  # noqa: PLC0415
 
         bi, bj = key

@@ -104,6 +104,9 @@ REVERIFY: dict[str, int] = {
     "corpus_heaps_law_fit": 9,
     "pipeline_multimodal_prepare": 9,
     "pack_training_sequences": 9,
+    # r9: retired the hand-rolled literal-8 copy of the prefix-rank
+    # staging inside this query in favor of the shared operator
+    "pareto_revenue_concentration": 9,
     # r9: blocked-cosine tile kernel scales B with the corpus
     # (B = ceil(n/8192) instead of the hardcoded 16 — fixed B makes
     # per-tile matmul memory quadratic, r8 verdict #1); threshold sweep
