@@ -10,6 +10,7 @@ Default sf_dir is /root/testdata/sf0.01 (the driver's t2 scale).
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
@@ -25,9 +26,12 @@ from db_core_spark.tables import TABLES  # noqa: E402
 def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+        p = f"{sf_dir}/{t}.parquet"
+        # driver sf dirs ship one file per table; make_sf1.py synthesizes
+        # Spark-written DIRECTORIES — DuckDB needs a glob for those
+        if os.path.isdir(os.path.realpath(p)):
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     return con
 
 
