@@ -332,11 +332,18 @@ def kcore_decompose(edges: DataFrame, k: int, max_rounds: int = 30) -> DataFrame
     (pagerank/kmeans/closure): data stays distributed, the driver sees
     only the convergence counter. Rounds are bounded by max_rounds; the
     peel provably terminates in <= |V| rounds and empirically in a
-    handful."""
+    handful — and FAILS LOUDLY if max_rounds is exhausted before the
+    fixpoint, because a partially-peeled graph is a silently wrong
+    core, not an approximation."""
     ed = edges.select(
         F.col("a").alias("x"), F.col("b").alias("y")
     ).unionAll(edges.select(F.col("b").alias("x"), F.col("a").alias("y")))
-    cur = ed.persist()
+    # localCheckpoint, NOT persist: persist caches the data but keeps the
+    # LOGICAL plan growing — by round ~50 of a deep peel the nested-join
+    # plan stalls the optimizer (found by the r9 loud-fail pytest on a
+    # 100-node path). Checkpointing truncates lineage each round, same as
+    # the label-propagation loops, so round cost stays O(1) in rounds.
+    cur = ed.localCheckpoint()
     prev_n = -1
     for _ in range(max_rounds):
         deg = cur.groupBy("x").agg(F.count(F.lit(1)).alias("d"))
@@ -345,15 +352,19 @@ def kcore_decompose(edges: DataFrame, k: int, max_rounds: int = 30) -> DataFrame
         if n == prev_n:
             break
         prev_n = n
-        nxt = (
+        cur = (
             cur.join(F.broadcast(keep), "x", "left_semi")
             .join(
                 F.broadcast(keep.select(F.col("x").alias("y"))), "y", "left_semi"
             )
-            .persist()
+            .localCheckpoint()
         )
-        cur.unpersist()
-        cur = nxt
+    else:
+        raise RuntimeError(
+            f"kcore_decompose: peel did not reach a fixpoint in "
+            f"{max_rounds} rounds; raise max_rounds (each round strictly "
+            "shrinks the survivor set, so a larger cap always terminates)"
+        )
     out = cur.groupBy("x").agg(F.count(F.lit(1)).alias("core_degree")).select(
         F.col("x").alias("node"), "core_degree"
     )

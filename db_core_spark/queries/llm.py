@@ -771,6 +771,17 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = stepped.select("doc_id", "label")
         if changed == 0:
             break
+    else:
+        # fail LOUDLY rather than return silently under-converged labels:
+        # min-label propagation needs O(component diameter) rounds, and a
+        # >20-diameter near-dup chain is possible at corpus scale even
+        # though fixture graphs converge in 2-3 (the upgrade path for
+        # huge diameters is large-star/small-star, O(log n) rounds)
+        raise RuntimeError(
+            "dedup_cluster_components: label propagation did not converge "
+            "in 20 rounds (component diameter > 20); raise the round cap "
+            "or switch to the large-star/small-star formulation"
+        )
     return labels.select(
         F.col("label").alias("cluster_id"),
         "doc_id",

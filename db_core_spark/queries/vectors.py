@@ -671,6 +671,15 @@ def embedding_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = stepped.select("vec_id", "label")
         if changed == 0:
             break
+    else:
+        # loud-fail on under-convergence, same contract as
+        # dedup_cluster_components: silently wrong cluster labels are
+        # worse than an error naming the fix
+        raise RuntimeError(
+            "embedding_semantic_clusters: label propagation did not "
+            "converge in 20 rounds (component diameter > 20); raise the "
+            "round cap or switch to large-star/small-star"
+        )
     return labels.select(
         F.col("label").alias("cluster_id"),
         "vec_id",

@@ -107,6 +107,10 @@ REVERIFY: dict[str, int] = {
     # r9: retired the hand-rolled literal-8 copy of the prefix-rank
     # staging inside this query in favor of the shared operator
     "pareto_revenue_concentration": 9,
+    # r9: kcore peel persist -> localCheckpoint (persist kept the logical
+    # plan growing per round — deep peels stalled the optimizer) + loud
+    # fail on an exhausted round cap instead of a silently partial core
+    "graph_kcore_suppliers": 9,
     # r9: blocked-cosine tile kernel scales B with the corpus
     # (B = ceil(n/8192) instead of the hardcoded 16 — fixed B makes
     # per-tile matmul memory quadratic, r8 verdict #1); threshold sweep

@@ -694,3 +694,21 @@ def test_blocked_cosine_pairs_invariant_to_tile_count(spark):
         .collect()
     }
     assert one_tile == default == many_tiles == brute and brute
+
+
+def test_kcore_raises_loudly_when_round_cap_too_low(spark):
+    """r9 hardening: an exhausted round cap must RAISE, never return a
+    partially-peeled graph as if it were the core (silently wrong at
+    scale). A 100-node path with k=2 peels ~2 nodes per round from each
+    end — far more rounds than a cap of 3 — and its true 2-core is empty,
+    which the default cap must still compute."""
+    import pytest
+
+    from db_core_spark.queries.graph import kcore_decompose
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(100)], "a long, b long"
+    )
+    with pytest.raises(RuntimeError, match="did not reach a fixpoint"):
+        kcore_decompose(edges, k=2, max_rounds=3).collect()
+    assert kcore_decompose(edges, k=2, max_rounds=60).count() == 0
