@@ -334,7 +334,11 @@ def kcore_decompose(edges: DataFrame, k: int, max_rounds: int = 30) -> DataFrame
     peel provably terminates in <= |V| rounds and empirically in a
     handful — and FAILS LOUDLY if max_rounds is exhausted before the
     fixpoint, because a partially-peeled graph is a silently wrong
-    core, not an approximation."""
+    core, not an approximation. Note ``max_rounds`` must exceed the peel
+    DEPTH by one: the fixpoint is only observed by an extra confirming
+    round where the survivor count repeats (n == prev_n), so a peel that
+    converges exactly on the last permitted round still raises —
+    conservative by design (r9 ADVICE #4)."""
     ed = edges.select(
         F.col("a").alias("x"), F.col("b").alias("y")
     ).unionAll(edges.select(F.col("b").alias("x"), F.col("a").alias("y")))

@@ -88,36 +88,40 @@ REVERIFY: dict[str, int] = {
     # bucketed_exact_quantiles; fences bit-identical, oracles unchanged
     "funnel_latency_percentiles": 8,
     "rfm_customer_segments": 8,
-    # r9: prefixrank staging parallelism now derives from
-    # defaultParallelism instead of 8/16/32 literals (r8 verdict #2 — the
-    # literal capped the fact-scale range sort at 8 tasks); every
-    # registered query riding a prefixrank operator re-verifies. Values
-    # are partition-count-invariant (parity pytests), so these confirm
-    # plan-shape changes only.
-    "events_interarrival_stats": 9,
-    "agg_weighted_median": 9,  # + null-safe fence match (r8 verdict #4)
-    "agg_value_deciles": 9,
-    "stats_mann_whitney_u": 9,
-    "abc_part_classification": 9,
-    "skyline_pareto_frontier": 9,
-    "zipf_token_slope": 9,
-    "corpus_heaps_law_fit": 9,
-    "pipeline_multimodal_prepare": 9,
-    "pack_training_sequences": 9,
-    # r9: retired the hand-rolled literal-8 copy of the prefix-rank
-    # staging inside this query in favor of the shared operator
-    "pareto_revenue_concentration": 9,
-    # r9: kcore peel persist -> localCheckpoint (persist kept the logical
-    # plan growing per round — deep peels stalled the optimizer) + loud
-    # fail on an exhausted round cap instead of a silently partial core
+    # r9 entries (prefixrank defaultParallelism staging, null-safe fences,
+    # kcore localCheckpoint, tile kernel B=ceil(n/8192)) all self-
+    # neutralized against CORRECTNESS_r09; the names below carry r10.
+    #
+    # r10: prefixrank staging partition count is now size-aware —
+    # max(defaultParallelism, Catalyst est_bytes / 512 MB, capped at
+    # cores*64) so partition SIZE, not count, is the scaling invariant
+    # (r9 verdict #3: cores-only left ~10 GB sort partitions at 100 TB /
+    # 10k cores). At fixture SFs the resolved count is unchanged
+    # (estimates < 512 MB), but the resolver is shared-operator code, so
+    # every riding query re-verifies. events_interarrival_stats
+    # additionally rides grouped_lagged_value's new pass-1 NULL-sort-value
+    # probe (enforced contract, r9 verdict #6).
+    "events_interarrival_stats": 10,
+    "agg_weighted_median": 10,
+    "agg_value_deciles": 10,
+    "stats_mann_whitney_u": 10,
+    "abc_part_classification": 10,
+    "skyline_pareto_frontier": 10,
+    "zipf_token_slope": 10,
+    "corpus_heaps_law_fit": 10,
+    "pipeline_multimodal_prepare": 10,
+    "pack_training_sequences": 10,
+    "pareto_revenue_concentration": 10,
     "graph_kcore_suppliers": 9,
-    # r9: blocked-cosine tile kernel scales B with the corpus
-    # (B = ceil(n/8192) instead of the hardcoded 16 — fixed B makes
-    # per-tile matmul memory quadratic, r8 verdict #1); threshold sweep
-    # re-routed onto the tile kernel (verdict #3); clusters inherit.
-    "embedding_neardup_pairs": 9,
-    "embedding_semantic_clusters": 9,
-    "embedding_threshold_sweep": 9,
+    # r10: blocked-cosine tile kernel block assignment is
+    # pmod(hash(vec_id), B) — the raw `vec_id % B` silently DROPPED
+    # negative-id vectors (Spark % keeps the dividend's sign; a negative
+    # block id matches no tile-pair row) and skewed tiles on
+    # sparse/stride id domains (r9 verdict #1). Values are
+    # tiling-invariant; all three kernel consumers re-verify.
+    "embedding_neardup_pairs": 10,
+    "embedding_semantic_clusters": 10,
+    "embedding_threshold_sweep": 10,
 }
 
 

@@ -109,9 +109,9 @@ def export_training_shards(
 
     from pyspark.sql import Window as W, functions as F
 
-    from db_core_spark.operators.prefixrank import _resolve_num_parts
+    from db_core_spark.operators.prefixrank import resolve_num_parts
 
-    num_parts = _resolve_num_parts(docs, num_parts)
+    num_parts = resolve_num_parts(docs, num_parts)
     toks = (
         docs.select(
             "doc_id",

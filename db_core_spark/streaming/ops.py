@@ -685,8 +685,26 @@ def stream_into_database(events: DataFrame, db, checkpoint_dir: str, split_fn):
     )
 
 
+def _interval_timedelta(spec: str):
+    """Parse a Spark-style single-unit interval string ("2 hours",
+    "30 minutes") into a ``datetime.timedelta``. Loud on anything else —
+    the eviction horizon must never silently become zero."""
+    import datetime  # noqa: PLC0415
+    import re  # noqa: PLC0415
+
+    m = re.fullmatch(r"\s*(\d+)\s+(second|minute|hour|day|week)s?\s*", spec)
+    if not m:
+        raise ValueError(f"unsupported interval spec: {spec!r}")
+    return datetime.timedelta(**{m.group(2) + "s": int(m.group(1))})
+
+
 def stream_trending_topk(
-    events: DataFrame, sink_table: str, k: int = 3, window: str = "1 hour"
+    events: DataFrame,
+    sink_table: str,
+    k: int = 3,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    retain: str | None = "watermark",
 ):
     """Live trending top-k: watermarked tumbling counts stream into a
     foreachBatch stage that folds each batch's UPDATED windows into a
@@ -698,11 +716,23 @@ def stream_trending_topk(
     emission is windows x types rows — dashboard-sized by construction —
     which is what makes the driver-side fold legitimate here and exactly
     how live-trends sinks work. Results publish to temp view
-    ``sink_table`` as (window_start, event_type, n_events, rk)."""
+    ``sink_table`` as (window_start, event_type, n_events, rk).
+
+    DRIVER STATE IS BOUNDED (r9 verdict #4): before each re-rank, keys
+    whose window_start trails the newest window_start seen by more than
+    the ``retain`` horizon are evicted — the engine's watermark already
+    guarantees such windows receive no further updates, so on an
+    unbounded stream the dict holds only horizon/window x types entries
+    instead of one entry per window x type FOREVER. ``retain`` defaults
+    to the watermark horizon (the natural streaming bound, event-time
+    anchored so replays are deterministic); pass an explicit interval
+    for a longer dashboard lookback, or ``None`` for the unbounded
+    fold — only sensible for bounded replays (tests comparing against a
+    whole-history batch answer)."""
     from pyspark.sql import Window as W
 
     counts = (
-        events.withWatermark("ts", "2 hours")
+        events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
@@ -711,12 +741,21 @@ def stream_trending_topk(
             "n_events",
         )
     )
+    horizon = (
+        None
+        if retain is None
+        else _interval_timedelta(watermark if retain == "watermark" else retain)
+    )
     spark = events.sparkSession
     state: dict = {}
 
     def rank_batch(batch_df: DataFrame, epoch_id: int) -> None:
         for r in batch_df.collect():
             state[(r.window_start, r.event_type)] = r.n_events
+        if horizon is not None and state:
+            floor = max(ws for ws, _ in state) - horizon
+            for key in [key for key in state if key[0] < floor]:
+                del state[key]
         rows = [(ws, et, n) for (ws, et), n in state.items()]
         sdf = spark.createDataFrame(
             rows, "window_start timestamp, event_type string, n_events long"

@@ -696,6 +696,35 @@ def test_blocked_cosine_pairs_invariant_to_tile_count(spark):
     assert one_tile == default == many_tiles == brute and brute
 
 
+def test_blocked_cosine_pairs_invariant_to_id_domain(spark):
+    """r10: block assignment is pmod(hash(id), B), so the pair set must
+    survive ADVERSARIAL id domains — negative ids (Spark's % keeps the
+    dividend's sign, so a raw modulo gave a negative block id that
+    matched no tile-pair row and SILENTLY DROPPED the vector from both
+    sides) and strided ids (all-even after an upstream filter: a raw
+    modulo would empty half the tiles). Remapping ids is a bijection, so
+    the pair set under (2*id - 601) — negative AND stride-2 at once —
+    must be the original pair set mapped through the same bijection."""
+    from db_core_spark.queries.vectors import blocked_cosine_pairs
+    from db_core_spark.tables import table as tbl
+
+    e = tbl(spark, SF_SMALL, "embeddings")
+    # tiny tiles so sf0.001 still produces MANY blocks — the drop/skew
+    # bugs are invisible with B=1
+    base = {
+        (r.vec_a, r.vec_b, r.cos_sim)
+        for r in blocked_cosine_pairs(spark, e, 0.4, tile_rows=16).collect()
+    }
+    remap = e.withColumn("vec_id", (F.col("vec_id") * 2 - 601).cast("long"))
+    got = {
+        (r.vec_a, r.vec_b, r.cos_sim)
+        for r in blocked_cosine_pairs(spark, remap, 0.4, tile_rows=16).collect()
+    }
+    f = lambda i: 2 * i - 601  # noqa: E731
+    want = {(min(f(a), f(b)), max(f(a), f(b)), s) for a, b, s in base}
+    assert got == want and any(a < 0 for a, _, _ in got)
+
+
 def test_kcore_raises_loudly_when_round_cap_too_low(spark):
     """r9 hardening: an exhausted round cap must RAISE, never return a
     partially-peeled graph as if it were the core (silently wrong at

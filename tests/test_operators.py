@@ -513,6 +513,49 @@ class TestPrefixRankHelpers:
             }
             assert got == want, f"num_parts={parts}: {got} != {want}"
 
+    def test_grouped_lagged_value_null_sort_value_raises(self, spark):
+        """r10 (r9 verdict #6 / ADVICE r8 #3 full close): the non-null
+        sort-value contract is ENFORCED, not just documented — a NULL
+        sort value means the max_by-struct boundary election can disagree
+        with the range partitioner's nulls-first order, so the operator
+        must raise rather than risk a silently wrong boundary. Property
+        sweep: a NULL at ANY sort position, under any partitioning,
+        raises; the same frame with the null coalesced away succeeds."""
+        from hypothesis import HealthCheck, given, settings, strategies as st
+
+        from db_core_spark.operators.prefixrank import grouped_lagged_value
+
+        @settings(
+            max_examples=5,
+            deadline=None,
+            suppress_health_check=[
+                HealthCheck.function_scoped_fixture,
+                HealthCheck.too_slow,
+            ],
+        )
+        @given(null_at=st.integers(0, 9), parts=st.sampled_from([1, 3]))
+        def check(null_at, parts):
+            rows = [
+                (["a", "b"][i % 2], None if i == null_at else i, i, i * 2)
+                for i in range(10)
+            ]
+            df = spark.createDataFrame(rows, "g string, t long, id long, v long")
+            with pytest.raises(ValueError, match="NULL sort value"):
+                grouped_lagged_value(
+                    df, ["g"], [F.col("t"), F.col("id")], "v",
+                    num_parts=parts, out="prev",
+                ).collect()
+            ok = df.withColumn("t", F.coalesce("t", F.lit(-1)))
+            assert (
+                grouped_lagged_value(
+                    ok, ["g"], [F.col("t"), F.col("id")], "v",
+                    num_parts=parts, out="prev",
+                ).count()
+                == 10
+            )
+
+        check()
+
     def test_grouped_lagged_value_property(self, spark):
         """Hypothesis sweep: random group/value sequences (nulls and
         duplicate sort positions included via a unique id tiebreak) must

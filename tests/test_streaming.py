@@ -734,12 +734,14 @@ def test_native_stream_writer_conflict_with_concurrent_append(spark, tmp_path):
 def test_stream_trending_topk_converges_to_batch(spark, stream_dir, tmp_path):
     """Live trending: after the bounded stream drains, the sink view's
     per-window top-3 equals the batch operator's answer (rank re-derived
-    per batch over incrementally maintained counts)."""
+    per batch over incrementally maintained counts). retain=None is the
+    explicit whole-history mode this comparison needs — the production
+    default evicts windows beyond the watermark horizon (r10)."""
     from db_core_spark.registry import all_queries
     from db_core_spark.streaming.ops import stream_trending_topk
 
     q = stream_trending_topk(
-        events_stream(spark, stream_dir), sink_table="trending_sink"
+        events_stream(spark, stream_dir), sink_table="trending_sink", retain=None
     )
     try:
         q.processAllAvailable()
@@ -754,6 +756,44 @@ def test_stream_trending_topk_converges_to_batch(spark, stream_dir, tmp_path):
         (r.h, r.event_type, r.n, r.rk) for r in want_df.collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_trending_topk_evicts_beyond_watermark_horizon(
+    spark, stream_dir, tmp_path
+):
+    """r10 (r9 verdict #4): the live-trends sink's driver dict must NOT
+    grow one entry per window x event_type forever — with the default
+    retain="watermark", windows trailing the newest window_start by more
+    than the watermark horizon are evicted before each re-rank. The
+    fixture spans ~30 days (hundreds of hourly windows); after draining,
+    the sink view must hold only the <= 3 windows inside the 2-hour
+    horizon, each with the batch operator's counts and ranks."""
+    import datetime
+
+    from db_core_spark.registry import all_queries
+    from db_core_spark.streaming.ops import stream_trending_topk
+
+    q = stream_trending_topk(
+        events_stream(spark, stream_dir),
+        sink_table="trending_sink_evict",
+        watermark="2 hours",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.window_start, r.event_type, r.n_events, r.rk)
+        for r in spark.table("trending_sink_evict").collect()
+    }
+    rows = all_queries()["window_topk_trending"].fn(spark, SF_SMALL).collect()
+    mx = max(r.h for r in rows)
+    floor = mx - datetime.timedelta(hours=2)
+    want = {(r.h, r.event_type, r.n, r.rk) for r in rows if r.h >= floor}
+    assert got == want and got
+    # state is bounded: horizon/window + 1 windows survive, out of the
+    # fixture's hundreds — the eviction demonstrably fired
+    assert len({ws for ws, _, _, _ in got}) <= 3 < len({r.h for r in rows})
 
 
 def test_stream_session_bounce_converges_to_batch(spark, stream_dir, tmp_path):
