@@ -621,6 +621,36 @@ class TestPrefixRankHelpers:
             grouped_lagged_value(empty_g, ["g"], [F.col("id")], "v").count() == 0
         )
 
+    def test_resolve_num_parts_contract(self, spark):
+        """Pin the staging-parallelism resolver (r10): explicit wins; small
+        inputs resolve to cluster cores; the Catalyst size estimate floors
+        the count at est/512MB once it exceeds cores (partition SIZE is the
+        scaling invariant); and the cores*64 clamp bounds runaway
+        estimates. Built on spark.range so stats are metadata-only — no
+        job runs."""
+        import math
+
+        from db_core_spark.operators.prefixrank import (
+            _TARGET_PART_BYTES,
+            resolve_num_parts,
+        )
+
+        small = spark.range(0, 1000).selectExpr("id", "id * 2 as v")
+        cores = max(2, spark.sparkContext.defaultParallelism)
+        assert resolve_num_parts(small, 7) == 7  # explicit always wins
+        assert resolve_num_parts(small, None) == cores  # sub-512MB input
+
+        # ~8 bytes/row LongType: 40B rows estimates a few hundred GB —
+        # enough that est/512MB > cores but < cores*64 on any box
+        big = spark.range(0, 40_000_000_000).selectExpr("id", "id * 2 as v")
+        est = big._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        expect = min(max(cores, math.ceil(est / _TARGET_PART_BYTES)), cores * 64)
+        got = resolve_num_parts(big, None)
+        assert got == expect and got > cores
+
+        huge = spark.range(0, 4_000_000_000_000).selectExpr("id", "id * 2 as v")
+        assert resolve_num_parts(huge, None) == cores * 64  # clamp ceiling
+
 
 class TestAsofJoinProperty:
     """asof_join / asof_join_nearest vs an O(n*m) brute-force model on
