@@ -257,6 +257,17 @@ def blocked_cosine_pairs(
     tiles balanced for ANY id domain; tiling only regroups the same
     similarities, so results are invariant (pytested across tile_rows AND
     across negative/strided id domains).
+
+    ``vec_id`` must be UNIQUE, and the contract is enforced for free:
+    duplicate ids would silently corrupt the output (a same-id pair of
+    distinct vectors falls to the diagonal dedupe's ``id_a < id_b`` and
+    vanishes; against third vectors the dup emits conflicting
+    (vec_a, vec_b, cos_sim) rows). Because the hash is deterministic,
+    duplicates land in the SAME block, and every block is the a-side of
+    exactly one diagonal tile — so a per-diagonal-tile uniqueness check
+    observes every vector exactly once and raises loudly at zero extra
+    Spark jobs (no count-distinct pre-pass).
+
     The true 100 TB path prepends LSH/IVF candidate blocking
     (ann_lsh_topk / ann_ivf_topk) before the exact rescoring; similarity
     is rounded to 6 dp on both engines so threshold membership can't flip
@@ -284,6 +295,17 @@ def blocked_cosine_pairs(
         bi, bj = key
         a = pdf[pdf["side"] == "a"]
         b = pdf[pdf["side"] == "b"]
+        if bi == bj and a["vec_id"].duplicated().any():
+            # each block has exactly ONE diagonal tile, so this check sees
+            # every vector exactly once across the whole corpus
+            dups = a["vec_id"][a["vec_id"].duplicated()].head(3).tolist()
+            raise ValueError(
+                "blocked_cosine_pairs: duplicate vec_id values "
+                f"(e.g. {dups}) — duplicates silently corrupt the pair "
+                "set (same-id pairs vanish in the diagonal dedupe; pairs "
+                "against other vectors emit conflicting rows). "
+                "Deduplicate or re-key the input frame."
+            )
         if a.empty or b.empty:
             return pd.DataFrame({"vec_a": [], "vec_b": [], "cos_sim": []})
         A = np.stack(a["vec"].to_numpy())

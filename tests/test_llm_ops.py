@@ -725,6 +725,24 @@ def test_blocked_cosine_pairs_invariant_to_id_domain(spark):
     assert got == want and any(a < 0 for a, _, _ in got)
 
 
+def test_blocked_cosine_pairs_raises_on_duplicate_ids(spark):
+    """r10: duplicate vec_ids silently CORRUPT the pair set (a same-id
+    pair of distinct vectors vanishes in the diagonal dedupe; pairs
+    against third vectors emit conflicting rows), so the kernel's
+    uniqueness contract is enforced — duplicates land in one block
+    (deterministic hash), its diagonal tile sees them together, and the
+    worker raises. Unique ids (every other kernel test) stay green."""
+    import pytest
+
+    from db_core_spark.queries.vectors import blocked_cosine_pairs
+    from db_core_spark.tables import table as tbl
+
+    e = tbl(spark, SF_SMALL, "embeddings")
+    dup = e.unionByName(e.limit(1))  # one id now appears twice
+    with pytest.raises(Exception, match="duplicate vec_id"):
+        blocked_cosine_pairs(spark, dup, 0.4, tile_rows=16).collect()
+
+
 def test_kcore_raises_loudly_when_round_cap_too_low(spark):
     """r9 hardening: an exhausted round cap must RAISE, never return a
     partially-peeled graph as if it were the core (silently wrong at
