@@ -225,7 +225,14 @@ def blocked_radius_pairs(
     ``cell_deg`` must be large enough that every qualifying pair spans at
     most one cell boundary per axis (cell height 111.19*cell_deg km and
     width 111.19*cell_deg*cos(lat) km must both be >= radius_km).
-    Returns (id_a, id_b, dist) with id_a < id_b, each pair exactly once."""
+    Returns (id_a, id_b, dist) with id_a < id_b, each pair exactly once.
+
+    ``id`` must be UNIQUE: the same-cell dedupe keeps one of (p,q)/(q,p)
+    via id ordering, so a duplicated id silently drops that pair. Unlike
+    blocked_cosine_pairs (where the deterministic id hash co-locates
+    duplicates in one diagonal tile, making the check free), duplicates
+    here can sit in different cells, so enforcement would cost a
+    count-distinct pre-pass — contract documented instead."""
     home = points.select(
         "id", "lat", "lon",
         F.floor(F.col("lat") / cell_deg).alias("cx"),
