@@ -106,7 +106,11 @@ def _staged(df: DataFrame, sort_cols: list[Column], num_parts: int | None) -> Da
         df.repartitionByRange(num_parts, *sort_cols)
         .sortWithinPartitions(*sort_cols)
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint()
+        # eager=False: the checkpoint pins at the caller's FIRST action (the
+        # pass-1 collect always computes every partition), folding the
+        # former dedicated materialization job into it — one driver-blocking
+        # job saved per operator call, identical pinning afterwards (r10).
+        .localCheckpoint(eager=False)
     )
 
 

@@ -96,30 +96,35 @@ def bucketed_exact_quantiles(
         g, F.floor(F.col("__v") / width).alias("__bkt")
     ).agg(F.count(F.lit(1)).alias("__c"))
     wb = W.partitionBy(g).orderBy("__bkt")
-    # Persisted: the fence computation reads this tiny frame on two
-    # branches (per-group n for the rank targets, the cumulative itself
-    # for the crossing search) — without the persist each branch would
-    # recompute the full input scan + histogram.
-    cum_b = (
-        per_bucket.withColumn(
-            "__cb", F.sum("__c").over(wb.rowsBetween(W.unboundedPreceding, 0))
-        )
-        .withColumn("__n", F.sum("__c").over(W.partitionBy(g)))
-        .persist()
-    )
+    # One Window node provides BOTH the cumulative and the per-group total
+    # (two frames over the same partitioning), so the fence search is a
+    # single linear pipeline: histogram -> window -> per-row rank targets
+    # (a bucket-frame crossJoin with the tiny q list — O(groups x buckets
+    # x qs x 2) rows, bounded by construction) -> crossing min_by. r10:
+    # this replaces the former two-branch shape (persist the histogram,
+    # distinct per-group totals, crossJoin, re-join the cumulative) —
+    # three exchanges, a persist materialization and a broadcast fewer
+    # per call, with the identical fence rows.
+    cum_b = per_bucket.withColumn(
+        "__cb", F.sum("__c").over(wb.rowsBetween(W.unboundedPreceding, 0))
+    ).withColumn("__n", F.sum("__c").over(W.partitionBy(g)))
 
-    # One row per (group, q, neighbor): the 1-indexed rank it needs.
     q_frame = spark.createDataFrame([(float(q),) for q in qs], "q double")
-    ranks = (
-        cum_b.select(g, "__n")
-        .distinct()
-        .crossJoin(F.broadcast(q_frame))
+    # Every bucket row learns each quantile's 1-indexed neighbor ranks;
+    # buckets whose cumulative reaches a rank compete, min_by keeps the
+    # first (crossing) bucket with its exclusive below-count. NULL group
+    # keys survive: groupBy treats NULL as a real group end to end.
+    fences_df = (
+        cum_b.crossJoin(F.broadcast(q_frame))
         .withColumn("__k", (F.col("__n") - 1) * F.col("q"))
         .select(
             g,
             "q",
             "__n",
             "__k",
+            "__bkt",
+            "__c",
+            "__cb",
             F.explode(
                 F.array(
                     F.struct(
@@ -133,18 +138,7 @@ def bucketed_exact_quantiles(
                 )
             ).alias("nb"),
         )
-        .select(g, "q", "__n", "__k", "nb.kind", "nb.__rank")
-    )
-    # Crossing bucket for each needed rank: first bucket whose cumulative
-    # count reaches it, with that bucket's exclusive below-count. Joins on
-    # the group key are null-safe throughout: a NULL group is a real group
-    # under groupBy and must survive to the output.
-    cb_r = cum_b.select(
-        F.col(g).alias("__g1"), "__bkt", "__c", "__cb"
-    )
-    fences_df = (
-        ranks.join(F.broadcast(cb_r), F.col(g).eqNullSafe(F.col("__g1")))
-        .drop("__g1")
+        .select(g, "q", "__n", "__k", "nb.kind", "nb.__rank", "__bkt", "__c", "__cb")
         .filter(F.col("__cb") >= F.col("__rank"))
         .groupBy(g, "q", "kind", "__rank", "__k")
         .agg(
@@ -157,12 +151,7 @@ def bucketed_exact_quantiles(
         )
         .select(g, "q", "kind", "__rank", "__k", "s.__bkt", "s.__below")
     )
-    try:
-        fences = fences_df.collect()  # <= groups x |qs| x 2 rows
-    finally:
-        # unpersist even when the collect (a full input scan) raises —
-        # otherwise the cached histogram leaks for the session lifetime
-        cum_b.unpersist()
+    fences = fences_df.collect()  # <= groups x |qs| x 2 rows
     if not fences:
         return spark.createDataFrame(
             [], df.select(g).schema.add("q", "double").add("value", "double")

@@ -919,10 +919,15 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     price-range predicate, so parquet min/max row-group pruning applies at
     the scan (buckets are 64-wide, a power of two, so floor(price/64) and
     the literal bounds agree exactly in binary fp), and the within-bucket
-    running sum — N/buckets rows per group — goes through the grouped
-    two-pass prefix sum (operators/prefixrank.grouped_running_sum) so even
-    the residual slice is parallel, not funneled through one task per
-    group. Quantities are integer-valued, so re-ordered additions stay
+    running sum collapses duplicate prices into a per-(group, price)
+    weight first (map-side combined; prices are 2-dp, so one 64-wide
+    bucket holds <= 6,400 distinct values BY CONSTRUCTION at any corpus
+    size), then a bounded per-group window ranks the residual distinct
+    values — the same pass-2 shape as
+    operators/quantile.bucketed_exact_quantiles, at zero extra Spark jobs
+    (r10: replaces the grouped_running_sum staging, whose range sample +
+    localCheckpoint + offset collect cost three driver-blocking jobs per
+    call). Quantities are integer-valued, so re-ordered additions stay
     exact; equal-price tie order cannot change the answer (any ordering of
     a tied run crosses the half-weight threshold inside the same run, and
     MIN collapses the run to one value). The answer's bucket IS the
@@ -935,7 +940,6 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL-keyed group flows through both passes intact instead of being
     silently dropped by plain-equality matching — regression-pytested
     with an injected NULL group."""
-    from db_core_spark.operators.prefixrank import grouped_running_sum
 
     width = 64.0  # power of two: floor(price/width) exact at bucket edges
     li = table(spark, sf_dir, "lineitem").select(
@@ -981,9 +985,26 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(fence_df, F.col("l_returnflag").eqNullSafe(F.col("__grp")))
         .drop("__grp")
     )
-    cum = grouped_running_sum(
-        sel, ["l_returnflag"], [F.col("l_extendedprice")], "l_quantity", out="cw_in"
+    # Within-bucket prefix sum over DISTINCT PRICES, not rows (r10): prices
+    # are fixed-precision (2 dp), so one 64-wide bucket holds <= 6,400
+    # distinct values BY CONSTRUCTION at any corpus size — duplicates fold
+    # into the per-price weight via a map-side-combined aggregate, and the
+    # residual window runs over a bounded frame (the exact pass-2 shape
+    # operators/quantile.bucketed_exact_quantiles already uses). This
+    # replaces the grouped_running_sum staging (range partitioner sample +
+    # localCheckpoint + offset collect = three driver-blocking jobs) with
+    # ZERO extra jobs; the crossing price is unchanged because ties
+    # collapse identically (any ordering of a tied run crosses the
+    # half-weight threshold inside the run, and MIN collapses the run).
+    per_price = sel.groupBy("l_returnflag", "l_extendedprice", "below", "tw").agg(
+        F.sum("l_quantity").alias("__w")
     )
+    wv = (
+        W.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = per_price.withColumn("cw_in", F.sum("__w").over(wv))
     return (
         cum.filter(F.col("below") + F.col("cw_in") >= F.col("tw") / 2)
         .groupBy("l_returnflag")

@@ -1839,7 +1839,8 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("frequency"),
             F.round(F.sum("o_totalprice"), 2).alias("monetary"),
         )
-        .localCheckpoint()  # read 3x: melt/histogram, fence re-scan, scoring
+        .localCheckpoint(eager=False)  # read 3x: melt/histogram, fence
+        # re-scan, scoring; eager=False pins at the fence collect (full scan)
     )
     melted = per_cust.select(
         F.explode(
@@ -2758,7 +2759,7 @@ def funnel_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.join(p, "user_id")
         .select(((F.col("pt") - F.col("st")) / 1000000.0).alias("secs"))
         .withColumn("__grp", F.lit(1))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)  # pins at the fence collect (full scan)
     )
     base = lat.agg(
         F.count(F.lit(1)).alias("n_converted"),

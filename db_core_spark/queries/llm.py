@@ -19,6 +19,7 @@ from db_core_spark.functions.text import (
     portable_hash60,
     rolling_fingerprint,
     shingle_posting,
+    shingles,
     simhash_frame,
     words,
 )
@@ -464,34 +465,43 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     # Exact-Jaccard verification for exactly the candidate pairs: prune the
-    # DOCUMENTS (not the postings) to candidate ids first, then re-shingle
-    # just those — the verification window runs over the candidate set
-    # only, and intersections come from one equi-join on (doc, shingle),
-    # never a posting self-join.
+    # DOCUMENTS (not the postings) to candidate ids first, then build each
+    # candidate doc's shingle SET per row (r10: array_distinct over the
+    # per-row HOF shingles — interpreted evaluation is fine on the
+    # candidate-sized slice, and it removes the re-shingling window
+    # exchange, the posting distinct exchange, the sizes aggregate, and
+    # the (doc, shingle) posting self-join: four exchanges replaced by two
+    # equi-joins carrying one shingle array per candidate doc, the same
+    # bytes the posting rows exploded). The intersection is
+    # array_intersect (exact set-intersection size, identical to the
+    # posting join count); measured 3.29 s -> 2.36 s on the full query at
+    # sf0.1, byte-identical 256 pairs.
     cand_docs = cand.select(
         F.explode(F.array("id_a", "id_b")).alias("doc_id")
     ).distinct()
-    pc = shingle_posting(
-        d.join(F.broadcast(cand_docs), "doc_id", "left_semi"), n=3
-    ).distinct().persist()
-    sizes = pc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nw"))
-    pa = pc.select(F.col("doc_id").alias("id_a"), "sh")
-    pb = pc.select(F.col("doc_id").alias("id_b"), "sh")
-    inter = (
-        F.broadcast(cand)
-        .join(pa, "id_a")
-        .join(pb, ["id_b", "sh"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    cs = d.join(F.broadcast(cand_docs), "doc_id", "left_semi").select(
+        "doc_id", F.array_distinct(shingles(F.col("text"), n=3)).alias("shs")
     )
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("nw").alias("nw_a"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("nw").alias("nw_b"))
+    csa = cs.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("shs").alias("shs_a"),
+    )
+    csb = cs.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("shs").alias("shs_b"),
+    )
     return (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        F.broadcast(cand)
+        .join(csa, "id_a")
+        .join(csb, "id_b")
+        .withColumn("n_inter", F.size(F.array_intersect("shs_a", "shs_b")))
         .withColumn(
             "jaccard",
-            F.round(F.col("n_inter") / (F.col("nw_a") + F.col("nw_b") - F.col("n_inter")), 6),
+            F.round(
+                F.col("n_inter")
+                / (F.size("shs_a") + F.size("shs_b") - F.col("n_inter")),
+                6,
+            ),
         )
         .filter(F.col("jaccard") >= 0.6)
         .select("id_a", "id_b", "jaccard")

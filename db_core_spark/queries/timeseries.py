@@ -1413,7 +1413,7 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # without re-running the staging shuffle or the lag window.
     gaps = lagged.select(
         "event_type", (F.col("us") - F.col("prev_us")).alias("gap_us")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)  # pins at the fence collect (full scan)
     base = gaps.groupBy("event_type").agg(
         F.count("gap_us").alias("n_gaps"),
         F.round(

@@ -80,14 +80,26 @@ REVERIFY: dict[str, int] = {
     "window_moving_median": 7,  # bounded-frame array median replaces pandas
     "q18_large_orders": 7,  # reuse the HAVING aggregate; one lineitem pass
     "dau_new_vs_returning": 7,  # one-shuffle collect_set rewrite
-    "agg_percentiles": 7,  # bucketed exact quantiles replace value buffers
     # r8 entry for events_interarrival_stats (lag via boundary stitching +
     # integer-us bucketed quantiles) is superseded by its r9 entry below.
     # r8: continuous-percentile buffer migration (r7-verdict watch item 2)
     # — F.percentile over continuous/per-user measures replaced by
     # bucketed_exact_quantiles; fences bit-identical, oracles unchanged
-    "funnel_latency_percentiles": 8,
-    "rfm_customer_segments": 8,
+    # r10: bucketed_exact_quantiles' fence search collapsed to one linear
+    # pipeline (one Window node supplies cumulative AND per-group total; the
+    # former persist + distinct + cumulative re-join are gone — three
+    # exchanges and a persist materialization fewer per call, identical
+    # fence rows), so every rider re-verifies; funnel/rfm additionally
+    # pin their staging frame with localCheckpoint(eager=False) (the
+    # materialization folds into the fence collect, one job saved).
+    "funnel_latency_percentiles": 10,
+    "rfm_customer_segments": 10,
+    "agg_percentiles": 10,
+    # r10: minhash verification re-shingles candidates per-row
+    # (array_distinct + array_intersect replace the posting window /
+    # distinct / sizes-aggregate / posting self-join — four exchanges
+    # fewer); byte-identical pairs, measured at sf0.1 and sf1.
+    "minhash_lsh_pairs": 10,
     # r9 entries (prefixrank defaultParallelism staging, null-safe fences,
     # kcore localCheckpoint, tile kernel B=ceil(n/8192)) all self-
     # neutralized against CORRECTNESS_r09; the names below carry r10.

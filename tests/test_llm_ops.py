@@ -26,6 +26,19 @@ def test_minhash_lsh_matches_exact_jaccard(spark):
     assert lsh == exact
 
 
+def test_minhash_verification_jaccard_values_exact(spark):
+    """r10 internals regression: the per-row array verification
+    (array_distinct + array_intersect) must report the IDENTICAL jaccard
+    value per pair as the posting-equi-join formulation
+    (ngram_jaccard_pairs) — same set arithmetic, same 6-dp rounding."""
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(spark, SF_SMALL).collect()
+    }
+    for r in minhash_lsh_pairs(spark, SF_SMALL).collect():
+        assert exact[(r.id_a, r.id_b)] == r.jaccard, (r.id_a, r.id_b)
+
+
 def test_simhash_identical_for_exact_dups(spark):
     """Documents with identical text must get identical simhash."""
     from db_core_spark.tables import table
