@@ -408,7 +408,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
         .withColumn("syms", F.split(F.col("word"), ""))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     merges: list[tuple[int, str, str, int]] = []
     rounds = 0
@@ -509,7 +509,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"THEN concat(slice(acc, 1, size(acc) - 1), array('{mq}')) "
                 f"ELSE concat(acc, array(x)) END)"
             )
-        vocab = vocab.withColumn("syms", F.expr(expr_sql)).localCheckpoint()
+        vocab = vocab.withColumn("syms", F.expr(expr_sql)).localCheckpoint(eager=False)
     BPE_LAST_ROUNDS = rounds
     return spark.createDataFrame(
         merges, "rank int, left string, right string, pair_freq bigint"
@@ -831,7 +831,7 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sh",
             (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("w"),
         )
-        .localCheckpoint()  # feeds norms + both sides of the dot-product join
+        .localCheckpoint(eager=False)  # feeds norms + both sides of the dot-product join
     )
     norms = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
     a, b = w.alias("a"), w.alias("b")

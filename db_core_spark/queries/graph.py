@@ -97,15 +97,15 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sn), "s_nationkey")
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).cast("double").alias("w"))
-        .localCheckpoint()  # the normalized edge list is reused every round
+        .localCheckpoint(eager=False)  # the normalized edge list is reused every round
     )
     outw = raw.groupBy("src").agg(F.sum("w").alias("ow"))
     e = raw.join(outw, "src").select(
         "src", "dst", (F.col("w") / F.col("ow")).alias("frac")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     nodes = raw.select(F.col("src").alias("node")).union(
         raw.select("dst")
-    ).distinct().localCheckpoint()
+    ).distinct().localCheckpoint(eager=False)
     n_nodes = float(nodes.count())
     pr = nodes.select("node", (F.lit(1.0) / F.lit(n_nodes)).alias("pr"))
     for _ in range(PR_ITERS):
@@ -347,7 +347,7 @@ def kcore_decompose(edges: DataFrame, k: int, max_rounds: int = 30) -> DataFrame
     # plan stalls the optimizer (found by the r9 loud-fail pytest on a
     # 100-node path). Checkpointing truncates lineage each round, same as
     # the label-propagation loops, so round cost stays O(1) in rounds.
-    cur = ed.localCheckpoint()
+    cur = ed.localCheckpoint(eager=False)
     prev_n = -1
     for _ in range(max_rounds):
         deg = cur.groupBy("x").agg(F.count(F.lit(1)).alias("d"))
@@ -361,7 +361,7 @@ def kcore_decompose(edges: DataFrame, k: int, max_rounds: int = 30) -> DataFrame
             .join(
                 F.broadcast(keep.select(F.col("x").alias("y"))), "y", "left_semi"
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     else:
         raise RuntimeError(

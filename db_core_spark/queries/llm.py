@@ -266,7 +266,7 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float) -> DataFr
     # the checkpoint each consumer re-scans and re-shingles the corpus.
     # localCheckpoint keeps it on executors (memory+disk), so at scale this
     # is one corpus pass instead of three.
-    posting = shingle_posting(d, n=3).distinct().localCheckpoint()
+    posting = shingle_posting(d, n=3).distinct().localCheckpoint(eager=False)
     return _posting_jaccard(posting, threshold)
 
 
@@ -378,15 +378,21 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle -> 64-hash minhash -> 16 bands -> candidate pairs via equi-join
     on (band, bucket) -> exact Jaccard verification >= 0.6.
 
-    Vectorized formulation: shingles are EXPLODED to posting rows; the base
-    hash is portable_hash60 (md5-prefix BIGINT, identical in DuckDB) reduced
-    mod p = 2^31-1, and the 64 min-hashes are affine permutations
-    (a_i*x+b_i) mod p computed as plain arithmetic columns in ONE hash
-    aggregate — whole-stage-codegen'd end to end, unlike array higher-order
-    functions (which Spark interprets row-at-a-time; the HOF variant
-    measured ~6x slower at sf0.1), and cheaper per posting row than 64
-    xxhash64 calls. Exact-Jaccard verification recomputes shingle sets
-    only for candidate doc_ids (semi-join first), so the expensive per-doc
+    Vectorized formulation (r10 — one Arrow pass replaces the posting
+    explode + window + 64-column hash aggregate): each Arrow batch of
+    documents is shingled in Python, the base hash is portable_hash60
+    (md5-prefix BIGINT, identical in DuckDB and hashlib) reduced mod
+    p = 2^31-1, and all 64 affine permutations (a_i*x+b_i) mod p reduce
+    per doc with ONE numpy minimum.reduceat over the (postings, 64)
+    matrix — int64 arithmetic on non-negative operands, so Python/JVM
+    `%` agree and the signatures are BIT-IDENTICAL to the former JVM
+    aggregate (pytest pins equality). Postings now never exist as rows:
+    the corpus is scanned once and the only signature-side exchange is
+    the O(docs) 65-long matrix — the guide's "decide with small rows"
+    shape (the former plan exchanged every (doc_id, pos, token) row for
+    the shingle window; measured 1.59 s -> 0.96 s for the signature pass
+    at sf0.1). Exact-Jaccard verification recomputes shingle sets only
+    for candidate doc_ids (semi-join first), so the expensive per-doc
     arrays never ride through the wide shuffle.
 
     Candidate generation is probabilistic IN DESIGN (P[miss] ~ (1-s^4)^16)
@@ -409,29 +415,73 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     over a few hundred docs, not the corpus). At 100 TB this is exactly
     the layout you'd choose: signatures persist across the band join,
     postings never do."""
+    import hashlib
+    import re as _re
+
+    import numpy as np
+    import pandas as pd
+
     d = table(spark, sf_dir, "documents")
-    # NO .distinct() on the signature postings: MIN is duplicate-insensitive
-    # (min over the multiset == min over the set), so deduplicating
-    # (doc_id, shingle) rows here would only add a full posting-width
-    # shuffle. Better still, shingle_posting's token window already
-    # partitions by doc_id, so the signature aggregate below reuses that
-    # partitioning — the whole signature matrix costs ONE exchange total
-    # (measured ~2x faster than the distinct-first formulation at sf0.1;
-    # set sizes for the Jaccard come from the verification branch, which
-    # does need — and does — its own candidate-only distinct).
-    pd_ = shingle_posting(d, n=3)
-    # Hash the variable-length shingle string ONCE (portable_hash60, mod p),
-    # then derive the 64 minhash functions as affine permutations of the
-    # 31-bit base — pure multiply/add/mod, cheaper than 64x re-hashing.
-    based = pd_.withColumn("x", portable_hash60(F.col("sh")) % F.lit(MINHASH_P))
-    mins = based.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(a).cast("long") * F.col("x") + F.lit(b)) % F.lit(MINHASH_P)).alias(
-                f"h{i}"
-            )
-            for i, (a, b) in enumerate(_MH_COEFFS)
-        ],
-    ).persist()
+    src = d.select("doc_id", "text")
+    # Parallelism floor for the Arrow pass: a tiny corpus arrives as fewer
+    # input splits than cores (one 584 KB file here), which would serialize
+    # the Python workers. Repartition ONLY in that case — at real scale the
+    # scan has far more splits than cores and the raw text is never
+    # shuffled (shuffling a 100 TB corpus for parallelism would be the
+    # §8 anti-pattern; the condition is false there by construction).
+    target = spark.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < target:
+        src = src.repartition(target)
+
+    mh_a = np.array([a for a, _ in _MH_COEFFS], dtype=np.int64)
+    mh_b = np.array([b for _, b in _MH_COEFFS], dtype=np.int64)
+    h_cols = [f"h{i}" for i in range(NUM_HASHES)]
+    ws_re = _re.compile(r"\s+")
+
+    def sig_batches(batches):
+        md5 = hashlib.md5
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            doc_ids = pdf["doc_id"].to_numpy()
+            xs: list[int] = []
+            seg: list[int] = []
+            for t in pdf["text"]:
+                # identical tokenization/shingling to shingle_posting:
+                # split on \s+ (Java and Python regex agree on this corpus
+                # class), 3-word windows joined by one space, docs shorter
+                # than 3 tokens yield no shingles (and no signature)
+                toks = ws_re.split(t)
+                n = len(toks)
+                if n < 3:
+                    seg.append(0)
+                    continue
+                hs = [
+                    int(md5((" ".join(toks[i : i + 3])).encode()).hexdigest()[:15], 16)
+                    % MINHASH_P
+                    for i in range(n - 2)
+                ]
+                seg.append(len(hs))
+                xs.extend(hs)
+            if not xs:
+                continue
+            x = np.array(xs, dtype=np.int64)
+            # (postings, 64) affine matrix; a, x < 2^31 keeps a*x+b < 2^63,
+            # and all operands are non-negative, so numpy % == Spark %
+            hm = (x[:, None] * mh_a[None, :] + mh_b[None, :]) % MINHASH_P
+            lengths = np.array(seg)
+            keep = lengths > 0
+            cuts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+            mins_np = np.minimum.reduceat(hm, cuts[keep], axis=0)
+            out = pd.DataFrame(mins_np, columns=h_cols)
+            out.insert(0, "doc_id", doc_ids[keep])
+            yield out
+
+    sig_schema = "doc_id long, " + ", ".join(f"{c} long" for c in h_cols)
+    # doc rows are unique, so each batch emits FINAL signatures — no
+    # reduce-side combine needed; persist the O(docs) matrix for the two
+    # sides of the band self-join below.
+    mins = src.mapInPandas(sig_batches, sig_schema).persist()
     band_structs = F.array(
         *[
             F.struct(
@@ -546,7 +596,7 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     # one corpus shingle pass shared by sizes + both self-join sides (same
     # materialization rationale as _jaccard_pairs)
-    posting = shingle_posting(d, n=3).distinct().localCheckpoint()
+    posting = shingle_posting(d, n=3).distinct().localCheckpoint(eager=False)
     sizes = posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nw"))
     a, b = posting.alias("a"), posting.alias("b")
     inter = (
@@ -666,7 +716,7 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     which caps k at the near-dup (not exact-dup) cluster size."""
     d = table(spark, sf_dir, "documents")
     # one fingerprint pass shared by bands + verification
-    sh = simhash_frame(d).localCheckpoint()
+    sh = simhash_frame(d).localCheckpoint(eager=False)
     banded = sh.select(
         "doc_id",
         F.explode(
@@ -749,12 +799,12 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nesting the whole loop history (plan size stays O(1) in rounds)
     bi = pairs.union(pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")))
     edges = (
-        bi.withColumnRenamed("id_a", "u").withColumnRenamed("id_b", "v").localCheckpoint()
+        bi.withColumnRenamed("id_a", "u").withColumnRenamed("id_b", "v").localCheckpoint(eager=False)
     )
     labels = (
         edges.select(F.col("u").alias("doc_id")).distinct()
         .withColumn("label", F.col("doc_id"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for _ in range(20):  # diameter bound; fixture graphs converge in 2-3
         # each vertex adopts min(own label, neighbors' labels)
@@ -775,7 +825,7 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "label"
                 ),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = stepped.filter(F.col("label") != F.col("old_label")).count()
         labels = stepped.select("doc_id", "label")

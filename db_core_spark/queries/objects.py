@@ -453,7 +453,7 @@ def multimodal_phash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFram
                     hashes.append(dhash64(edited))
             yield pd.DataFrame({"doc_id": ids, "dhash": hashes})
 
-    hashed = base.mapInPandas(hash_images, "doc_id long, dhash long").localCheckpoint()
+    hashed = base.mapInPandas(hash_images, "doc_id long, dhash long").localCheckpoint(eager=False)
     bands = hashed.select(
         "doc_id",
         "dhash",

@@ -259,7 +259,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # equality filter compares rounded sums from one execution (two
     # independent executions could differ by an ulp at a .005 boundary
     # under a different shuffle-merge order — ADVICE r6)
-    rev = rev.localCheckpoint()
+    rev = rev.localCheckpoint(eager=False)
     mx = rev.agg(F.max("total_revenue").alias("_mx"))
     top = rev.join(
         F.broadcast(mx), rev.total_revenue == F.col("_mx"), "inner"

@@ -676,11 +676,11 @@ def embedding_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_a").alias("id_a"), F.col("vec_b").alias("id_b")
     )
     bi = pairs.union(pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")))
-    edges = bi.withColumnRenamed("id_a", "u").withColumnRenamed("id_b", "v").localCheckpoint()
+    edges = bi.withColumnRenamed("id_a", "u").withColumnRenamed("id_b", "v").localCheckpoint(eager=False)
     labels = (
         edges.select(F.col("u").alias("vec_id")).distinct()
         .withColumn("label", F.col("vec_id"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for _ in range(20):
         msgs = (
@@ -697,7 +697,7 @@ def embedding_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "label"
                 ),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = stepped.filter(F.col("label") != F.col("old_label")).count()
         labels = stepped.select("vec_id", "label")

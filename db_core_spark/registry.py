@@ -95,10 +95,12 @@ REVERIFY: dict[str, int] = {
     "funnel_latency_percentiles": 10,
     "rfm_customer_segments": 10,
     "agg_percentiles": 10,
-    # r10: minhash verification re-shingles candidates per-row
-    # (array_distinct + array_intersect replace the posting window /
-    # distinct / sizes-aggregate / posting self-join — four exchanges
-    # fewer); byte-identical pairs, measured at sf0.1 and sf1.
+    # r10: minhash signatures are one Arrow pass (shingle + md5 + numpy
+    # affine mins per batch; bit-identical to the former JVM 64-column
+    # aggregate, postings never exist as rows), and verification
+    # re-shingles candidates per-row (array_distinct + array_intersect
+    # replace the posting window / distinct / sizes-aggregate / posting
+    # self-join); byte-identical pairs, 2.44 s -> 1.42 s at sf0.1.
     "minhash_lsh_pairs": 10,
     # r9 entries (prefixrank defaultParallelism staging, null-safe fences,
     # kcore localCheckpoint, tile kernel B=ceil(n/8192)) all self-
@@ -124,7 +126,7 @@ REVERIFY: dict[str, int] = {
     "pipeline_multimodal_prepare": 10,
     "pack_training_sequences": 10,
     "pareto_revenue_concentration": 10,
-    "graph_kcore_suppliers": 9,
+    "graph_kcore_suppliers": 10,  # r10: kcore peel rounds checkpoint lazily
     # r10: blocked-cosine tile kernel block assignment is
     # pmod(hash(vec_id), B) — the raw `vec_id % B` silently DROPPED
     # negative-id vectors (Spark % keeps the dividend's sign; a negative
@@ -134,6 +136,19 @@ REVERIFY: dict[str, int] = {
     "embedding_neardup_pairs": 10,
     "embedding_semantic_clusters": 10,
     "embedding_threshold_sweep": 10,
+    # r10: localCheckpoint(eager=False) sweep — every eager checkpoint
+    # whose first consumer is a full-scan action now pins lazily, folding
+    # the dedicated materialization job into that action (values
+    # unchanged; per-run driver-blocking job counts drop ~10-20%). Riders
+    # of the changed sites re-verify.
+    "ngram_jaccard_pairs": 10,
+    "ngram_containment_pairs": 10,
+    "simhash_hamming_pairs": 10,
+    "dedup_cluster_components": 10,
+    "q15_top_supplier": 10,
+    "multimodal_phash_neardup_pairs": 10,
+    "graph_pagerank_trade": 10,
+    "bpe_train_merges": 10,
 }
 
 

@@ -127,7 +127,7 @@ def export_training_shards(
         # boundary row to different pids — a pid absent from `offsets` is
         # silently dropped by the inner offset join (same hazard the
         # prefixrank helper documents)
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     totals = {
         r.pid: r.total
