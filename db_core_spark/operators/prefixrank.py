@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from db_core_spark.operators.litframe import literal_frame
+
 
 import math
 
@@ -138,7 +140,7 @@ def global_row_number(
         offsets.append((pid, acc))
         acc += counts[pid]
     offset_df = F.broadcast(
-        spark.createDataFrame(offsets or [(0, 0)], "__pid int, __offset long")
+        literal_frame(spark, offsets or [(0, 0)], "__pid int, __offset long")
     )
     w_local = W.partitionBy("__pid").orderBy(*sort_cols)
     ranked = (
@@ -193,7 +195,8 @@ def global_running_sums(
         for row in offsets
     ]
     offset_df = F.broadcast(
-        spark.createDataFrame(
+        literal_frame(
+            spark,
             offsets
             or [(0, *[_py_offset(sum_types[c], 0) for c in value_cols])],
             off_schema,
@@ -239,8 +242,16 @@ def grouped_lagged_value(
     per-group stage anywhere.
 
     ``sort_cols`` must totally order rows within a group (include a
-    unique tiebreak) for the lag to be deterministic, and their VALUES
-    must be non-null: the pass-1 tail pick orders by ``max_by`` over a
+    unique tiebreak) for the lag to be deterministic — with one
+    documented exception: when ``value_col`` IS the last sort column,
+    rows tying on the full sort key all carry the same value, so every
+    candidate predecessor of any row is equal-valued and the lag's
+    VALUE (and any downstream multiset of lags/deltas) is deterministic
+    without a tiebreak; only the row-level attribution among tied rows
+    is arbitrary. Callers in that shape may omit the tiebreak and shed
+    its bytes from the range-partition shuffle (guide §2.3 — the r10
+    ``events_interarrival_stats`` change). Sort VALUES
+    must be non-null either way: the pass-1 tail pick orders by ``max_by`` over a
     struct of the sort values, and struct comparison's null placement is
     not guaranteed to agree with the range partitioner's nulls-first row
     order — a NULL sort value could elect the wrong boundary
@@ -290,7 +301,7 @@ def grouped_lagged_value(
         + [T.StructField("__boundary", staged.schema[value_col].dataType, True)]
     )
     boundary_df = F.broadcast(
-        spark.createDataFrame(boundaries, b_schema).withColumnsRenamed(
+        literal_frame(spark, boundaries, b_schema).withColumnsRenamed(
             {"__pid": "__bpid", **{g: f"__bg_{i}" for i, g in enumerate(group_cols)}}
         )
     )
@@ -372,7 +383,7 @@ def grouped_running_sum(
         + [T.StructField("__offset", dtype, True)]
     )
     offset_df = F.broadcast(
-        spark.createDataFrame(offsets, off_schema).withColumnsRenamed(
+        literal_frame(spark, offsets, off_schema).withColumnsRenamed(
             {"__pid": "__opid", **{g: f"__og_{i}" for i, g in enumerate(group_cols)}}
         )
     )
@@ -434,7 +445,7 @@ def global_prefix_max(
             T.StructField("__offmax", dtype, True),
         ]
     )
-    offset_df = F.broadcast(spark.createDataFrame(offsets or [(0, None)], schema))
+    offset_df = F.broadcast(literal_frame(spark, offsets or [(0, None)], schema))
     w_local = W.partitionBy("__pid").orderBy(*sort_cols).rowsBetween(
         W.unboundedPreceding, -1
     )
@@ -484,7 +495,7 @@ def global_running_sum(
     sum_type = part_agg.schema["total"].dataType
     offsets = [(pid, _py_offset(sum_type, off)) for pid, off in offsets]
     offset_df = F.broadcast(
-        spark.createDataFrame(offsets or [(0, _py_offset(sum_type, 0))], off_schema)
+        literal_frame(spark, offsets or [(0, _py_offset(sum_type, 0))], off_schema)
     )
     w_local = W.partitionBy("__pid").orderBy(*sort_cols).rowsBetween(
         W.unboundedPreceding, W.currentRow

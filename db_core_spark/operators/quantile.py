@@ -40,7 +40,9 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, Window as W, functions as F
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+from db_core_spark.operators.litframe import literal_frame
 
 # Past this many fenced buckets the literal OR-chain predicate stops being a
 # cheap pushdown and starts being a giant Catalyst expression (interpreted
@@ -58,7 +60,8 @@ def bucketed_exact_quantiles(
     qs: list[float],
     *,
     width: float = 64.0,
-) -> DataFrame:
+    bucket_aggs: dict[str, tuple[Column, Column]] | None = None,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Exact ``quantile_cont``-semantics quantiles of ``value_col`` per
     ``group_col``, one output row per (group, q): columns
     ``(group_col, q, value)``. Values must be non-null numerics; NULL
@@ -73,6 +76,33 @@ def bucketed_exact_quantiles(
     two-product interpolation ``(ceil(k)-k)*v_lo + (k-floor(k))*v_hi`` at
     ``k = (n-1)*q`` (returning ``v_lo`` outright when ``k`` is integral),
     so the result is bit-identical to the buffered aggregate.
+
+    ``bucket_aggs`` (opt-in fusion, r10): per-group base statistics that
+    ride the quantile machinery at ZERO extra jobs. Each entry maps an
+    output name to ``(per_bucket_expr, recombine_expr)``: the first is
+    evaluated per (group, bucket) inside the pass-1 histogram aggregate
+    against ``df``'s ORIGINAL columns (so exact integer/decimal
+    arithmetic survives — the internal ``__v`` is a double cast); the
+    second recombines the per-bucket column (same name) across a group's
+    buckets and is applied by the operator over the existing per-group
+    fence window (e.g. ``F.sum("gap_sum")`` recombines a per-bucket
+    ``F.sum("gap_us")``; a per-bucket COUNT recombines with SUM). The
+    recombined totals travel on the fence rows the operator already
+    collects, so the return value becomes ``(quantiles_df, stats_df)``
+    where ``stats_df`` is a tiny LITERAL frame — one row per group with
+    columns ``(group_col, __n, *bucket_aggs)``, ``__n`` being the
+    non-null value count — that costs no scan, no shuffle and no job to
+    consume. In this mode ``value_col`` MAY contain NULLs: null-valued
+    rows form a NULL ``__bkt`` histogram row that keeps all-NULL groups
+    visible in ``stats_df`` (``__n = 0``, NULL stats) but never enters
+    the quantile computation, matching ``F.percentile``'s skip-nulls
+    semantics. Per-bucket exprs must themselves ignore NULL values (sum /
+    max / count(col) all do). Recombined longs/doubles round-trip the
+    driver exactly (Python ints are exact; floats are IEEE doubles), so
+    downstream arithmetic on ``stats_df`` is bit-identical to a direct
+    aggregation. Without ``bucket_aggs`` nothing changes: same
+    single-DataFrame return, same plan, same non-null contract as
+    before.
 
     Build-time-snapshot semantics: unlike the lazy query builders in this
     repo, calling this function RUNS Spark jobs (the histogram pass and
@@ -90,12 +120,21 @@ def bucketed_exact_quantiles(
         raise ValueError(f"width must be a positive power of two, got {width}")
     spark = df.sparkSession
     g = group_col
-    src = df.select(g, F.col(value_col).cast("double").alias("__v"))
+    if bucket_aggs:
+        # keep the original columns alive for the caller's exact-typed
+        # aggregates (Catalyst prunes the unused ones from pass 2)
+        src = df.withColumn("__v", F.col(value_col).cast("double"))
+    else:
+        src = df.select(g, F.col(value_col).cast("double").alias("__v"))
 
     per_bucket = src.groupBy(
         g, F.floor(F.col("__v") / width).alias("__bkt")
-    ).agg(F.count(F.lit(1)).alias("__c"))
+    ).agg(
+        F.count(F.lit(1)).alias("__c"),
+        *[c.alias(n) for n, (c, _re) in (bucket_aggs or {}).items()],
+    )
     wb = W.partitionBy(g).orderBy("__bkt")
+    wg = W.partitionBy(g)
     # One Window node provides BOTH the cumulative and the per-group total
     # (two frames over the same partitioning), so the fence search is a
     # single linear pipeline: histogram -> window -> per-row rank targets
@@ -104,23 +143,44 @@ def bucketed_exact_quantiles(
     # this replaces the former two-branch shape (persist the histogram,
     # distinct per-group totals, crossJoin, re-join the cumulative) —
     # three exchanges, a persist materialization and a broadcast fewer
-    # per call, with the identical fence rows.
+    # per call, with the identical fence rows. In fusion mode the SAME
+    # window additionally recombines the caller's per-bucket aggregates
+    # into per-group totals (extra frames over the same partitioning —
+    # no new exchange, no new job).
+    #
+    # NULL-bucket rows (null-valued input rows; fusion mode only) flow
+    # THROUGH the window so all-NULL groups stay visible to stats: they
+    # order first (ASC NULLS FIRST) and contribute 0 to the cumulative /
+    # total via the null-guarded count, and their per-bucket agg values
+    # are NULL by the caller contract, so every fence value and every
+    # recombined stat is identical to a pre-filtered run.
+    c_nn = F.when(F.col("__bkt").isNotNull(), F.col("__c")).otherwise(F.lit(0))
     cum_b = per_bucket.withColumn(
-        "__cb", F.sum("__c").over(wb.rowsBetween(W.unboundedPreceding, 0))
-    ).withColumn("__n", F.sum("__c").over(W.partitionBy(g)))
+        "__cb", F.sum(c_nn).over(wb.rowsBetween(W.unboundedPreceding, 0))
+    ).withColumn("__n", F.sum(c_nn).over(wg))
+    for name, (_bexpr, recombine) in (bucket_aggs or {}).items():
+        cum_b = cum_b.withColumn(name, recombine.over(wg))
 
-    q_frame = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    q_frame = literal_frame(spark, [(float(q),) for q in qs], "q double")
     # Every bucket row learns each quantile's 1-indexed neighbor ranks;
     # buckets whose cumulative reaches a rank compete, min_by keeps the
     # first (crossing) bucket with its exclusive below-count. NULL group
     # keys survive: groupBy treats NULL as a real group end to end.
+    stat_names = ["__n", *bucket_aggs] if bucket_aggs else []
+    crossing = F.col("__cb") >= F.col("__rank")
+    if bucket_aggs:
+        # all-NULL groups have no crossing bucket; let their (single)
+        # NULL-bucket row through so the group appears in stats_df —
+        # min_by ignores the NULL ordering key, so the fence fields come
+        # back NULL and pass 2 skips them below.
+        crossing = crossing | ((F.col("__n") == 0) & F.col("__bkt").isNull())
     fences_df = (
         cum_b.crossJoin(F.broadcast(q_frame))
         .withColumn("__k", (F.col("__n") - 1) * F.col("q"))
         .select(
             g,
             "q",
-            "__n",
+            *stat_names,
             "__k",
             "__bkt",
             "__c",
@@ -138,8 +198,10 @@ def bucketed_exact_quantiles(
                 )
             ).alias("nb"),
         )
-        .select(g, "q", "__n", "__k", "nb.kind", "nb.__rank", "__bkt", "__c", "__cb")
-        .filter(F.col("__cb") >= F.col("__rank"))
+        .select(
+            g, "q", *stat_names, "__k", "nb.kind", "nb.__rank", "__bkt", "__c", "__cb"
+        )
+        .filter(crossing)
         .groupBy(g, "q", "kind", "__rank", "__k")
         .agg(
             F.min_by(
@@ -147,21 +209,41 @@ def bucketed_exact_quantiles(
                     F.col("__bkt"), (F.col("__cb") - F.col("__c")).alias("__below")
                 ),
                 F.col("__bkt"),
-            ).alias("s")
+            ).alias("s"),
+            # constant per group; first() just carries them to the collect
+            *[F.first(n).alias(n) for n in stat_names],
         )
-        .select(g, "q", "kind", "__rank", "__k", "s.__bkt", "s.__below")
+        .select(g, "q", "kind", "__rank", "__k", "s.__bkt", "s.__below", *stat_names)
     )
     fences = fences_df.collect()  # <= groups x |qs| x 2 rows
+
+    def stats_frame() -> DataFrame:
+        """One literal row per group: (group, __n, *recombined stats) —
+        deduped from the collected fence rows, zero extra Spark work."""
+        schema = df.select(g).schema
+        ftypes = {f.name: f.dataType for f in fences_df.schema.fields}
+        for n in stat_names:
+            schema = schema.add(n, ftypes[n])
+        seen: dict = {}
+        for r in fences:
+            seen.setdefault(r[g], tuple([r[g], *(r[n] for n in stat_names)]))
+        return literal_frame(spark, list(seen.values()), schema)
+
     if not fences:
-        return spark.createDataFrame(
-            [], df.select(g).schema.add("q", "double").add("value", "double")
+        empty = literal_frame(
+            spark, [], df.select(g).schema.add("q", "double").add("value", "double")
         )
+        return (empty, stats_frame()) if bucket_aggs else empty
     # The collected fences ARE the frame the rank-matching join needs —
     # rebuild it as literals so the final plan never re-runs the fence
     # subtree (which would cost a second full input scan).
-    fence_lit = spark.createDataFrame(fences, fences_df.schema)
+    fence_lit = literal_frame(spark, fences, fences_df.schema)
 
-    buckets = {(r[g], r["__bkt"], r["__below"]) for r in fences}
+    # all-NULL-group pass-through rows (fusion mode) carry NULL fence
+    # fields — they exist only for stats_frame() and own no pass-2 bucket
+    buckets = {
+        (r[g], r["__bkt"], r["__below"]) for r in fences if r["__bkt"] is not None
+    }
     if len(buckets) <= _MAX_LITERAL_FENCES:
         in_bucket = F.lit(False)
         for grp, bkt, _below in sorted(buckets, key=lambda t: (str(t[0]), t[1])):
@@ -185,7 +267,7 @@ def bucketed_exact_quantiles(
     bucket_schema = (
         df.select(g).schema.add("__bkt", "long").add("__below", "long")
     )
-    below_df = F.broadcast(spark.createDataFrame(bucket_rows, bucket_schema))
+    below_df = F.broadcast(literal_frame(spark, bucket_rows, bucket_schema))
 
     per_value = (
         src.filter(in_bucket)
@@ -234,7 +316,7 @@ def bucketed_exact_quantiles(
     # operation for bit-identical results: v_lo outright at an integral
     # rank, else the TWO-PRODUCT form (ceil(k)-k)*v_lo + (k-floor(k))*v_hi
     # (NOT v_lo + frac*(v_hi-v_lo), which can differ in the last ulp).
-    return neighbor_vals.select(
+    result = neighbor_vals.select(
         g,
         "q",
         F.when(F.ceil("__k") == F.floor("__k"), F.col("lo"))
@@ -244,3 +326,4 @@ def bucketed_exact_quantiles(
         )
         .alias("value"),
     )
+    return (result, stats_frame()) if bucket_aggs else result

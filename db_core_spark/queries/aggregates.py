@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from db_core_spark.operators.litframe import literal_frame
 from db_core_spark.registry import query
 from db_core_spark.tables import table
 
@@ -752,7 +753,7 @@ def agg_histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame
             W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
         ),
     ).crossJoin(F.broadcast(stats))
-    qs = spark.createDataFrame([(0.5,), (0.9,), (0.99,)], "q double")
+    qs = literal_frame(spark, [(0.5,), (0.9,), (0.99,)], "q double")
     hit = (
         qs.join(cum, F.col("cum") >= F.col("q") * F.col("n"))
         .groupBy("q")
@@ -976,7 +977,7 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_extendedprice") < (r["bkt"] + 1) * width)
         )
     fence_df = F.broadcast(
-        spark.createDataFrame(fences, crossing.schema).withColumnRenamed(
+        literal_frame(spark, fences, crossing.schema).withColumnRenamed(
             "l_returnflag", "__grp"
         )
     )

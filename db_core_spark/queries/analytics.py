@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from db_core_spark.operators.litframe import literal_frame
 from db_core_spark.registry import query
 from db_core_spark.tables import table
 
@@ -1828,19 +1829,32 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from db_core_spark.operators.quantile import bucketed_exact_quantiles
 
     o = table(spark, sf_dir, "orders")
-    mx = o.agg(F.max("o_orderdate").alias("max_d"))
+    # r10: the global max order date is the max of the per-customer maxes,
+    # so it comes from the tiny per-customer frame instead of a dedicated
+    # full orders scan — one O(N) pass fewer per call. It is COLLECTED and
+    # re-injected as a literal (the same build-time-snapshot pattern as
+    # the quantile fences below, which already pin this query's results
+    # to per_cust's data as of the call): a broadcast-crossJoin would
+    # replicate the max-aggregate subtree under every consumer branch of
+    # per_cust. The collect is the first action on per_cust, so the lazy
+    # checkpoint pins there and the scan runs exactly once.
     per_cust = (
-        o.crossJoin(F.broadcast(mx))
-        .groupBy("o_custkey")
+        o.groupBy("o_custkey")
         .agg(
-            F.datediff(F.max("max_d"), F.max("o_orderdate"))
-            .cast("long")
-            .alias("recency_days"),
+            F.max("o_orderdate").alias("last_d"),
             F.count(F.lit(1)).alias("frequency"),
             F.round(F.sum("o_totalprice"), 2).alias("monetary"),
         )
         .localCheckpoint(eager=False)  # read 3x: melt/histogram, fence
-        # re-scan, scoring; eager=False pins at the fence collect (full scan)
+        # re-scan, scoring; eager=False pins at the max_d collect
+    )
+    max_d = per_cust.agg(F.max("last_d")).collect()[0][0]  # None iff empty
+    max_d_lit = F.lit(max_d).cast(per_cust.schema["last_d"].dataType)
+    per_cust = per_cust.select(
+        "o_custkey",
+        F.datediff(max_d_lit, "last_d").cast("long").alias("recency_days"),
+        "frequency",
+        "monetary",
     )
     melted = per_cust.select(
         F.explode(
@@ -2735,9 +2749,10 @@ def funnel_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     task's aggregate, while the bucketed pass carries an O(buckets)
     histogram and each 1-second bucket holds <= 1e6 distinct values by
     construction (secs is microsecond-quantized). The latency frame is
-    one narrow column pinned via localCheckpoint; results are
-    bit-identical to the buffered aggregate, so the oracle is
-    unchanged."""
+    one narrow column pinned via localCheckpoint; COUNT/MAX ride the
+    histogram pass as per-bucket aggregates (r10 fusion — no dedicated
+    base-stats scan); results are bit-identical to the buffered
+    aggregate, so the oracle is unchanged."""
     from db_core_spark.operators.quantile import bucketed_exact_quantiles
 
     e = table(spark, sf_dir, "events")
@@ -2761,11 +2776,26 @@ def funnel_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("__grp", F.lit(1))
         .localCheckpoint(eager=False)  # pins at the fence collect (full scan)
     )
-    base = lat.agg(
-        F.count(F.lit(1)).alias("n_converted"),
-        F.round(F.max("secs"), 2).alias("max_secs"),
+    # r10 fusion: COUNT/MAX ride the quantile pass as per-bucket aggregates
+    # recombined on the fence window and returned as a literal stats frame,
+    # so the former dedicated base-stats scan of the latency frame is gone —
+    # one O(converted-users) scan fewer, at zero extra jobs. The global agg
+    # over the (<=1-row) literal frame keeps the empty-funnel row
+    # (coalesce(sum, 0) == count(*) on zero rows); secs is non-null by
+    # construction so __n == count(*), and max-of-bucket maxes == the max
+    # to the bit.
+    qdf, stats = bucketed_exact_quantiles(
+        lat,
+        "__grp",
+        "secs",
+        [0.25, 0.5, 0.9],
+        width=1.0,
+        bucket_aggs={"__mx": (F.max("secs"), F.max("__mx"))},
+    )
+    base = stats.agg(
+        F.coalesce(F.sum("__n"), F.lit(0).cast("long")).alias("n_converted"),
+        F.round(F.max("__mx"), 2).alias("max_secs"),
     ).withColumn("__grp", F.lit(1))
-    qdf = bucketed_exact_quantiles(lat, "__grp", "secs", [0.25, 0.5, 0.9], width=1.0)
     qp = (
         qdf.groupBy("__grp")
         .pivot("q", [0.25, 0.5, 0.9])
@@ -3961,7 +3991,8 @@ def dq_join_fanout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         audit("orders_x_lineitem", o, li, "o_orderkey", "l_orderkey"),
         audit("lineitem_x_part", li, p, "l_partkey", "p_partkey"),
     ]
-    return spark.createDataFrame(
+    return literal_frame(
+        spark,
         rows,
         "join_name string, left_rows long, joined_rows long, left_unmatched long",
     )

@@ -1382,10 +1382,14 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape (the r7-verdict rewrite — this was the suite's last
     fact-scale tiny-key window): the lag goes through
     ``operators/prefixrank.grouped_lagged_value`` — range-partitioned on
-    (event_type, ts, event_id) with O(num_parts + types) boundary
-    stitching — so a <=5-value event_type key no longer caps the sort at
-    5 tasks. The gap frame (2 narrow columns) is pinned once via
-    localCheckpoint; COUNT/SUM/MAX fold map-side, and p50/p95 go through
+    (event_type, ts) with O(num_parts + types) boundary stitching — so a
+    <=5-value event_type key no longer caps the sort at 5 tasks, and the
+    staging shuffle carries no tiebreak column (the lag value IS the sort
+    key, so ties are value-harmless — the operator's documented
+    exception). The gap frame (2 narrow columns) is pinned once via
+    localCheckpoint; COUNT/SUM/MAX ride the quantile histogram pass as
+    per-bucket aggregates (r10 fusion — no dedicated base-stats scan),
+    and p50/p95 go through
     ``operators/quantile.bucketed_exact_quantiles`` over INTEGER
     microsecond gaps instead of ``F.percentile`` over continuous
     seconds: per-group value buffers (distinct ~ rows for
@@ -1400,37 +1404,59 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = table(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
-    src = e.select("event_type", us.alias("us"), "event_id")
+    # No event_id tiebreak (r10): the lag VALUE is the sort key itself, so
+    # rows tying on (event_type, us) all carry the same predecessor value —
+    # the gap multiset is deterministic without it (the operator's
+    # documented value-equals-sort-key exception) and the range-partition
+    # shuffle sheds a long column (guide §2.3: shuffle fewer bytes).
+    src = e.select("event_type", us.alias("us"))
     lagged = grouped_lagged_value(
         src,
         ["event_type"],
-        [F.col("us"), F.col("event_id")],
+        [F.col("us")],
         "us",
         out="prev_us",
     )
-    # 2-column gap frame, materialized once: the bounded aggregates below
-    # (base stats + quantile histogram + fenced re-scan) each re-read it
-    # without re-running the staging shuffle or the lag window.
+    # 2-column gap frame, materialized once: the quantile histogram and
+    # the fenced re-scan each re-read it without re-running the staging
+    # shuffle or the lag window.
     gaps = lagged.select(
         "event_type", (F.col("us") - F.col("prev_us")).alias("gap_us")
     ).localCheckpoint(eager=False)  # pins at the fence collect (full scan)
-    base = gaps.groupBy("event_type").agg(
-        F.count("gap_us").alias("n_gaps"),
-        F.round(
-            (F.sum("gap_us").cast("double") / F.lit(1000000.0))
-            / F.count("gap_us"),
-            4,
-        ).alias("mean_gap_s"),
-        F.round(F.max("gap_us").cast("double") / F.lit(1000000.0), 4).alias(
-            "max_gap_s"
-        ),
-    )
-    qdf = bucketed_exact_quantiles(
-        gaps.filter(F.col("gap_us").isNotNull()),
+    # r10 fusion: COUNT/SUM/MAX ride the quantile pass as per-bucket
+    # aggregates over the ORIGINAL integer gap_us (exact long arithmetic,
+    # order-independent re-combine on the fence window), returned as a
+    # literal per-group stats frame — the former dedicated base-stats scan
+    # of the gap frame is gone, one O(rows) scan fewer at zero extra jobs.
+    # gaps goes in UNFILTERED: each group's first row (NULL gap) lands in
+    # a NULL-bucket histogram row, keeping single-event types visible in
+    # stats (__n=0, NULL sum/max — exactly the old unfiltered groupBy)
+    # while the operator excludes NULL values from the quantiles, same as
+    # the old isNotNull pre-filter.
+    qdf, stats = bucketed_exact_quantiles(
+        gaps,
         "event_type",
         "gap_us",
         [0.5, 0.95],
         width=float(2**20),  # ~1.05 s buckets; <=2^20 distinct us values each
+        bucket_aggs={
+            "__s": (F.sum("gap_us"), F.sum("__s")),
+            "__mx": (F.max("gap_us"), F.max("__mx")),
+        },
+    )
+    # identical arithmetic to the former direct aggregation: sum-of-bucket
+    # long sums == the long sum, max-of-bucket maxes == the max, and __n
+    # counts only non-null values exactly like count(gap_us).
+    base = stats.select(
+        "event_type",
+        F.col("__n").alias("n_gaps"),
+        F.round(
+            (F.col("__s").cast("double") / F.lit(1000000.0)) / F.col("__n"),
+            4,
+        ).alias("mean_gap_s"),
+        F.round(F.col("__mx").cast("double") / F.lit(1000000.0), 4).alias(
+            "max_gap_s"
+        ),
     )
     qp = (
         qdf.groupBy("event_type")

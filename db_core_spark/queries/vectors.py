@@ -10,6 +10,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from db_core_spark.functions.vectors import cosine, norm, to_double
+from db_core_spark.operators.litframe import literal_frame
 from db_core_spark.registry import query
 from db_core_spark.tables import table
 
@@ -280,8 +281,10 @@ def blocked_cosine_pairs(
     v = e.select("vec_id", to_double("embedding").alias("vec")).withColumn(
         "blk", F.pmod(F.hash("vec_id"), F.lit(B)).cast("int")
     )
-    bp = spark.createDataFrame(
-        [(i, j) for i, j in combinations_with_replacement(range(B), 2)], "bi int, bj int"
+    bp = literal_frame(
+        spark,
+        [(i, j) for i, j in combinations_with_replacement(range(B), 2)],
+        "bi int, bj int",
     )
     a_side = v.join(F.broadcast(bp), v.blk == bp.bi).withColumn("side", F.lit("a"))
     b_side = v.join(F.broadcast(bp), v.blk == bp.bj).withColumn("side", F.lit("b"))
@@ -590,7 +593,8 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # exact cosine re-rank of the shortlist only: broadcast the (tiny)
     # query vectors; the corpus side is a semi-pruned id join
-    qdf = spark.createDataFrame(
+    qdf = literal_frame(
+        spark,
         [(int(r.vec_id), [float(x) for x in r.vec]) for r in qrows],
         "q_id long, q_vec array<double>",
     )
@@ -1073,7 +1077,7 @@ def kmeans_lloyd(
     assigned = None
     for _ in range(iters):
         cdf = F.broadcast(
-            spark.createDataFrame(cents, "cluster int, cent array<double>")
+            literal_frame(spark, cents, "cluster int, cent array<double>")
         )
         # d2 and the updated centroids are quantized to 6 dp with the
         # portable half-up floor: assignments and trajectories are then

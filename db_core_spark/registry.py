@@ -149,6 +149,23 @@ REVERIFY: dict[str, int] = {
     "multimodal_phash_neardup_pairs": 10,
     "graph_pagerank_trade": 10,
     "bpe_train_merges": 10,
+    # r10 batch 2: driver-literal frames (quantile q/fence/below frames,
+    # prefixrank offsets/boundaries, the weighted-median fence, the
+    # histogram-sketch q frame) are Arrow-backed single-partition scans
+    # instead of 32-partition pickled-Python RDDs (operators/litframe.py —
+    # 0.40 s -> 0.08 s per downstream action, values identical); the
+    # quantile operator additionally grew the opt-in bucket_aggs fusion
+    # (funnel/interarrival base stats ride the fence window, one full
+    # input scan fewer), rfm derives its global max order date from the
+    # per-customer frame (one full orders scan fewer), and interarrival's
+    # staging sheds the event_id tiebreak (lag value == sort key, so ties
+    # are value-harmless). The tile-pair / centroid / query-vector /
+    # audit-result literals in vectors.py and analytics.py ride the same
+    # litframe conversion. Riders not already re-fronted above:
+    "agg_histogram_quantile_sketch": 10,
+    "embedding_kmeans_lloyd": 10,
+    "embedding_pq_topk": 10,
+    "dq_join_fanout_audit": 10,
 }
 
 

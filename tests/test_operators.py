@@ -941,3 +941,69 @@ class TestBucketedExactQuantiles:
             .collect()
         }
         assert got == want and len(got) == 80
+
+    def test_bucket_aggs_fusion_mode(self, spark):
+        """bucket_aggs (r10 fusion): the quantiles must be bit-identical to
+        the plain mode over the non-null values, and the literal stats
+        frame (per-bucket aggregates recombined on the fence window) must
+        equal a direct COUNT/SUM/MAX aggregation over the input — NULL
+        values land in a NULL-bucket histogram row (keeping all-NULL
+        groups visible in stats with __n=0 / NULL aggregates) but never
+        enter the quantiles. Empty input returns the (empty, empty-stats)
+        tuple."""
+        from db_core_spark.operators.quantile import bucketed_exact_quantiles
+
+        rows = (
+            [("a", 1.0), ("a", None), ("a", 5.0), ("a", 130.0)]
+            + [("b", -7.5)]
+            + [("allnull", None), ("allnull", None)]
+        )
+        df = spark.createDataFrame(rows, "g string, v double")
+        qs = [0.0, 0.5, 1.0]
+        qdf, stats = bucketed_exact_quantiles(
+            df,
+            "g",
+            "v",
+            qs,
+            width=64.0,
+            bucket_aggs={
+                "__s": (F.sum("v"), F.sum("__s")),
+                "__mx": (F.max("v"), F.max("__mx")),
+            },
+        )
+        got_q = {(r.g, r.q): r.value for r in qdf.collect()}
+        want_q = {
+            (r.g, r.q): r.value
+            for r in bucketed_exact_quantiles(
+                df.filter(F.col("v").isNotNull()), "g", "v", qs, width=64.0
+            ).collect()
+        }
+        assert got_q == want_q  # bit-exact, and no rows for the all-NULL group
+        assert not any(g == "allnull" for g, _ in got_q)
+
+        assert stats.columns == ["g", "__n", "__s", "__mx"]
+        # subscript access: attribute access on __-prefixed names would be
+        # name-mangled inside this class body
+        got_s = {r["g"]: (r["__n"], r["__s"], r["__mx"]) for r in stats.collect()}
+        want_s = {
+            r.g: (r.n, r.s, r.mx)
+            for r in df.groupBy("g")
+            .agg(
+                F.count("v").alias("n"),
+                F.sum("v").alias("s"),
+                F.max("v").alias("mx"),
+            )
+            .collect()
+        }
+        assert got_s == want_s and got_s["allnull"] == (0, None, None)
+
+        empty = spark.createDataFrame([], "g string, v double")
+        eq, es = bucketed_exact_quantiles(
+            empty,
+            "g",
+            "v",
+            [0.5],
+            bucket_aggs={"__s": (F.sum("v"), F.sum("__s"))},
+        )
+        assert eq.columns == ["g", "q", "value"] and eq.count() == 0
+        assert es.count() == 0 and es.columns == ["g", "__n", "__s"]
