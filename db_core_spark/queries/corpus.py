@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from db_core_spark.operators.litframe import literal_frame
 from db_core_spark.functions.text import EN_STOPWORDS, shingle_posting
 from db_core_spark.registry import query
 from db_core_spark.tables import table
@@ -511,8 +512,8 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         vocab = vocab.withColumn("syms", F.expr(expr_sql)).localCheckpoint(eager=False)
     BPE_LAST_ROUNDS = rounds
-    return spark.createDataFrame(
-        merges, "rank int, left string, right string, pair_freq bigint"
+    return literal_frame(
+        spark, merges, "rank int, left string, right string, pair_freq bigint"
     )
 
 

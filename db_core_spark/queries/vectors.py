@@ -1317,7 +1317,7 @@ def ann_ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine(F.col("q_vec"), F.col("vec")), 6).alias("cos_sim"),
         )
     )
-    probes = spark.createDataFrame([(1,), (2,), (4,), (8,)], "nprobe int")
+    probes = literal_frame(spark, [(1,), (2,), (4,), (8,)], "nprobe int")
     expanded = cand.join(
         F.broadcast(probes), F.col("cell_rank") <= F.col("nprobe")
     )
@@ -1381,7 +1381,7 @@ def logreg_train(
     n = data.count()
     for it in range(iters):
         wdf = F.broadcast(
-            spark.createDataFrame([(W,)], "W: array<array<double>>")
+            literal_frame(spark, [(W,)], "W array<array<double>>")
         )
         scores = F.transform(
             F.col("W"),
@@ -1536,7 +1536,8 @@ def embedding_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", to_double(F.col("embedding")).alias("vec"), "label"
     )
     _W, hist = logreg_train(vecs, n_classes=10, iters=12, lr=10.0)
-    return spark.createDataFrame(
+    return literal_frame(
+        spark,
         [
             (it, math.floor(l * 1e6 + 0.5) / 1e6, math.floor(a * 1e6 + 0.5) / 1e6)
             for it, l, a in hist
@@ -1620,7 +1621,8 @@ def embedding_pca_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     total_var = float(np.trace(C))
     cdf = F.broadcast(
-        spark.createDataFrame(
+        literal_frame(
+            spark,
             [(c, ev, v, [float(x) for x in mu]) for c, ev, v in comps],
             "comp int, eigval double, cvec array<double>, mu array<double>",
         )

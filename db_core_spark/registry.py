@@ -166,6 +166,9 @@ REVERIFY: dict[str, int] = {
     "embedding_kmeans_lloyd": 10,
     "embedding_pq_topk": 10,
     "dq_join_fanout_audit": 10,
+    "ann_ivf_recall_sweep": 10,
+    "embedding_logreg_train": 10,
+    "embedding_pca_whitening": 10,
 }
 
 
