@@ -112,32 +112,67 @@ def simhash_frame(df, id_col: str = "doc_id", text_col: str = "text",
                   bits: int = 60):
     """(id, simhash) frame: engine-portable SimHash over ``bits`` low bits
     of the portable_hash60 word hash (oracle-checkable in DuckDB, unlike
-    xxhash64), in the CODEGEN posting-aggregate formulation — explode
-    distinct words, hash once, fold ``bits`` conditional +/-1 vote sums in
-    ONE hash aggregate, assemble the fingerprint from the vote signs. Same
-    arithmetic as a per-row array-HOF fold, but every operator whole-stage-
-    codegen'd (interpreted array HOFs measured 4x slower at sf0.1 — the
-    same lesson as minhash's posting formulation). One shuffle on the id;
-    the DuckDB oracle's unnest x range(bits) tally IS this plan."""
-    w = df.select(
-        id_col,
-        F.explode(F.array_distinct(F.split(F.col(text_col), r"\s+"))).alias("word"),
-    )
-    h = w.withColumn("hw", portable_hash60(F.col("word")))
-    votes = h.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.when(F.shiftright("hw", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"_v{b}")
-            for b in range(bits)
-        ]
-    )
-    fp = F.lit(0).cast("long")
-    for b in range(bits):
-        fp = fp + F.when(
-            F.col(f"_v{b}") > 0, F.lit(1 << b).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-    return votes.select(id_col, fp.alias("simhash"))
+    xxhash64), computed in ONE Arrow pass (r10, the minhash-signature
+    lesson): the fingerprint is per-ROW computable — distinct words, md5
+    per word, a (words x bits) +/-1 vote tally, sign-assembled — so a
+    single mapInPandas over the text scan replaces the former explode ->
+    posting shuffle -> 60-conditional-sum aggregate. The posting rows
+    never exist: NO exchange at all (the former plan shipped a
+    docs x 61-column partial-agg shuffle and, on a small corpus, ran the
+    whole explode+hash+tally on the scan's ONE input split). Bit-identical
+    to the aggregate formulation — same \\s+ tokenization, same md5-prefix
+    hash, same integer vote arithmetic (pinned by
+    tests/test_llm_ops.py::test_simhash_arrow_pass_matches_agg_formulation);
+    the DuckDB oracle's unnest x range(bits) tally is unchanged.
+
+    NULL text rows vanish from the output, matching the aggregate
+    formulation (explode of split(NULL) drops the row)."""
+    import hashlib
+    import re as _re
+
+    import numpy as np
+    import pandas as pd
+
+    src = df.select(id_col, text_col)
+    # Parallelism floor, same condition as minhash_lsh_pairs' signature
+    # pass: a tiny corpus arrives as fewer input splits than cores (one
+    # small parquet file at fixture SFs) which would serialize the Python
+    # workers; at real scale the scan has more splits than cores and the
+    # raw text is never shuffled.
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < target:
+        src = src.repartition(target)
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    ws_re = _re.compile(r"\s+")
+    shifts = np.arange(bits, dtype=np.int64)
+
+    def simhash_batches(batches):
+        md5 = hashlib.md5
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out_ids, out_fps = [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                if t is None:
+                    continue
+                # identical tokenization to the aggregate formulation:
+                # split on \s+, distinct words (order-free: votes are sums)
+                ws = set(ws_re.split(t))
+                hs = np.fromiter(
+                    (int(md5(w.encode()).hexdigest()[:15], 16) for w in ws),
+                    dtype=np.int64,
+                    count=len(ws),
+                )
+                # (words, bits) 0/1 matrix -> +/-1 votes -> sign bits;
+                # all-integer arithmetic, exact (hash < 2^60, fp < 2^60)
+                votes = (2 * ((hs[:, None] >> shifts[None, :]) & 1) - 1).sum(axis=0)
+                out_ids.append(i)
+                out_fps.append(int(((votes > 0).astype(np.int64) << shifts).sum()))
+            if out_ids:
+                yield pd.DataFrame({id_col: out_ids, "simhash": out_fps})
+
+    return src.mapInPandas(simhash_batches, f"{id_col} {id_type}, simhash long")
 
 
 def rolling_fingerprint(items: Column) -> Column:

@@ -108,19 +108,30 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct().localCheckpoint(eager=False)
     n_nodes = float(nodes.count())
     pr = nodes.select("node", (F.lit(1.0) / F.lit(n_nodes)).alias("pr"))
-    for _ in range(PR_ITERS):
+    for i in range(PR_ITERS):
         contrib = (
             e.join(F.broadcast(pr), e.src == pr.node)
             .groupBy("dst")
             .agg(F.sum(F.col("frac") * F.col("pr")).alias("m"))
         )
-        pr = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
+        pr = nodes.join(F.broadcast(contrib), nodes.node == contrib.dst, "left").select(
             "node",
             (
                 F.lit((1 - DAMPING) / n_nodes)
                 + F.lit(DAMPING) * F.coalesce(F.col("m"), F.lit(0.0))
             ).alias("pr"),
         )
+        if i < PR_ITERS - 1:
+            # Truncate lineage each round (same idiom as kcore_decompose /
+            # the label-propagation loops): without this the FINAL plan
+            # nests all five rounds (30 Exchanges, and Catalyst loses the
+            # rank frame's size so the per-round nodes⟗contrib join falls
+            # back to a 25-row SortMergeJoin). Lazy, so no per-round job —
+            # the chain materializes bottom-up inside the final action; the
+            # rank vector itself stays distributed (O(nodes), never
+            # collected). contrib is broadcast for the same reason pr is:
+            # the rank side is the small side of every round's join.
+            pr = pr.localCheckpoint(eager=False)
     return pr.select(F.col("node").alias("nation"), F.round("pr", 6).alias("pagerank"))
 
 

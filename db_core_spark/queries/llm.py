@@ -667,11 +667,13 @@ def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     simhash_frame), identical in Spark and DuckDB, so the ENTIRE
     fingerprint — every bit of every document — is value-hash-verified by
     the oracle (this query was rows-only while it used Spark-specific
-    xxhash64). Fingerprints come from the codegen posting-aggregate
-    formulation (explode distinct words -> one hash aggregate of 60 vote
-    sums — 4x faster than the interpreted array-HOF fold at sf0.1); the
-    oracle recomputes the identical tally relationally via unnest x
-    range(60). 100 TB shape: one shuffle on doc_id, then pure projection."""
+    xxhash64). Fingerprints come from the one-pass Arrow formulation
+    (r10, simhash_frame: the fingerprint is per-row computable, so one
+    mapInPandas does distinct words + md5 + the vectorized 60-bit vote
+    tally — the former explode -> posting shuffle -> 60-conditional-sum
+    aggregate is gone, and with it the plan's only exchange); the oracle
+    recomputes the identical tally relationally via unnest x range(60).
+    100 TB shape: a zero-exchange map over the text scan."""
     d = table(spark, sf_dir, "documents")
     sh = simhash_frame(d)
     return sh.select(

@@ -143,7 +143,13 @@ REVERIFY: dict[str, int] = {
     # of the changed sites re-verify.
     "ngram_jaccard_pairs": 10,
     "ngram_containment_pairs": 10,
+    # r10 resume 6: simhash_frame is a one-pass Arrow map (per-row distinct
+    # words + md5 + vectorized vote tally in mapInPandas; bit-identical to
+    # the retired explode/posting-shuffle/60-sum aggregate, parity-pinned by
+    # test_simhash_arrow_pass_matches_agg_formulation) — both fingerprint
+    # consumers re-verify.
     "simhash_hamming_pairs": 10,
+    "simhash_buckets": 10,
     "dedup_cluster_components": 10,
     "q15_top_supplier": 10,
     "multimodal_phash_neardup_pairs": 10,

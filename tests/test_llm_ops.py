@@ -772,3 +772,42 @@ def test_kcore_raises_loudly_when_round_cap_too_low(spark):
     with pytest.raises(RuntimeError, match="did not reach a fixpoint"):
         kcore_decompose(edges, k=2, max_rounds=3).collect()
     assert kcore_decompose(edges, k=2, max_rounds=60).count() == 0
+
+
+def test_simhash_arrow_pass_matches_agg_formulation(spark):
+    """r10: simhash_frame computes fingerprints in ONE Arrow pass (per-row
+    distinct-word md5 + vectorized vote tally in mapInPandas). This pins it
+    bit-identical to the retired JVM posting-aggregate formulation (explode
+    distinct words -> portable_hash60 -> 60 conditional +/-1 vote sums ->
+    sign assembly) on every fixture doc — same tokenization, same hash,
+    same integer arithmetic."""
+    from db_core_spark.functions.text import portable_hash60, simhash_frame
+    from db_core_spark.tables import table as tbl
+
+    d = tbl(spark, SF_SMALL, "documents")
+    got = {r.doc_id: r.simhash for r in simhash_frame(d).collect()}
+
+    bits = 60
+    w = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.col("text"), r"\s+"))).alias("word"),
+    )
+    h = w.withColumn("hw", portable_hash60(F.col("word")))
+    votes = h.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("hw", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"_v{b}")
+            for b in range(bits)
+        ]
+    )
+    fp = F.lit(0).cast("long")
+    for b in range(bits):
+        fp = fp + F.when(
+            F.col(f"_v{b}") > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    want = {
+        r.doc_id: r.simhash
+        for r in votes.select("doc_id", fp.alias("simhash")).collect()
+    }
+    assert got == want and got
