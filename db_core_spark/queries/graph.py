@@ -77,7 +77,19 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-join of the (small) rank vector onto the partitioned edge list
     + one aggregate — edges are the 100 TB side and are scanned once per
     round, never reshuffled (the edge list is pre-normalized ONCE). The
-    driver only orchestrates; no rank data is collected."""
+    driver only orchestrates; no rank data is collected.
+
+    The returned plan deliberately nests all PR_ITERS rounds (r10,
+    measured): PR_ITERS is a compile-time constant, so plan depth is
+    bounded by design — unlike kcore's data-dependent peel, which MUST
+    checkpoint per round. Truncating lineage here with per-round
+    localCheckpoint(eager=False) was built and interleave-measured at
+    sf0.1: the flat plan costs +40..+120% wall clock (four checkpoint
+    materialization barriers and extra broadcast builds of O(nations)
+    frames replace one pipelined AQE execution whose per-round exchanges
+    move only O(nations) rows), and a broadcast hint on the contrib join
+    alone is noise-neutral. Both variants rejected; see
+    OPTIMIZATION_r10.md resume 6."""
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
@@ -108,30 +120,19 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct().localCheckpoint(eager=False)
     n_nodes = float(nodes.count())
     pr = nodes.select("node", (F.lit(1.0) / F.lit(n_nodes)).alias("pr"))
-    for i in range(PR_ITERS):
+    for _ in range(PR_ITERS):
         contrib = (
             e.join(F.broadcast(pr), e.src == pr.node)
             .groupBy("dst")
             .agg(F.sum(F.col("frac") * F.col("pr")).alias("m"))
         )
-        pr = nodes.join(F.broadcast(contrib), nodes.node == contrib.dst, "left").select(
+        pr = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
             "node",
             (
                 F.lit((1 - DAMPING) / n_nodes)
                 + F.lit(DAMPING) * F.coalesce(F.col("m"), F.lit(0.0))
             ).alias("pr"),
         )
-        if i < PR_ITERS - 1:
-            # Truncate lineage each round (same idiom as kcore_decompose /
-            # the label-propagation loops): without this the FINAL plan
-            # nests all five rounds (30 Exchanges, and Catalyst loses the
-            # rank frame's size so the per-round nodes⟗contrib join falls
-            # back to a 25-row SortMergeJoin). Lazy, so no per-round job —
-            # the chain materializes bottom-up inside the final action; the
-            # rank vector itself stays distributed (O(nodes), never
-            # collected). contrib is broadcast for the same reason pr is:
-            # the rank side is the small side of every round's join.
-            pr = pr.localCheckpoint(eager=False)
     return pr.select(F.col("node").alias("nation"), F.round("pr", 6).alias("pagerank"))
 
 

@@ -630,19 +630,3 @@ def test_percentile_buffer_sites_are_whitelisted():
         f"unjustified new F.percentile sites: {sites - set(PERCENTILE_BUFFER_WHITELIST)}; "
         f"stale whitelist entries: {set(PERCENTILE_BUFFER_WHITELIST) - sites}"
     )
-
-
-def test_pagerank_final_plan_is_one_flat_round(spark, queries):
-    """graph_pagerank_trade truncates lineage each power iteration
-    (localCheckpoint, same idiom as kcore_decompose): the FINAL plan must
-    hold exactly ONE round — a broadcast of the rank vector onto the
-    checkpointed edge frame, one contribution aggregate, and a broadcast
-    left join back onto the node set. Before the r10 fix the returned plan
-    nested all five rounds (30 Exchanges) and the per-round 25-row
-    nodes⟗contrib join fell back to SortMergeJoin because the nested rank
-    frame had no size estimate."""
-    plan = plan_of(queries["graph_pagerank_trade"].fn(spark, SF_SMALL))
-    assert "SortMergeJoin" not in plan, plan
-    # one partial+final aggregate pair == one round (each node name appears
-    # twice in formatted output: tree line + detail header)
-    assert plan.count("HashAggregate") <= 4, plan
