@@ -1058,66 +1058,113 @@ def kmeans_lloyd(
 ) -> tuple[DataFrame, list[float]]:
     """Distributed Lloyd k-means over (vec_id, vec: array<double>) with
     deterministic seeding: the canonical iterate-on-the-driver loop —
-    centroids (k x dim doubles, metadata-sized) broadcast down, ONE
-    assignment pass per round (k-row broadcast join + min_by, the corpus
-    never shuffles for assignment), centroid update as a posexplode ->
-    (cluster, dim) hash aggregate whose k*dim result returns to the
-    driver. Data never leaves the cluster; only centroids round-trip —
-    the same fixed-round shape as graph_pagerank_trade. Returns the final
-    assignment frame and the per-iteration inertia history (computed on
-    the PRE-update centroids, so it is provably non-increasing — the
-    Lloyd convergence guarantee pytest pins)."""
-    from pyspark.sql import SparkSession as _S
+    centroids (k x dim doubles, metadata-sized) ship down each round
+    inside ONE Arrow pass (r10; the logreg_train / covariance_sketch
+    partial-moments pattern): every batch computes its q6-quantized
+    squared distances via numpy, assigns by (min d2, min cluster id), and
+    emits a single partial row (per-cluster counts, per-cluster
+    coordinate sums, inertia sum). The former formulation broadcast-
+    joined a k-row centroid frame and folded distances through
+    interpreted zip_with/aggregate HOFs per (vector, centroid), shuffled
+    the full vectors through a min_by groupBy, and ran TWO driver
+    actions per round (inertia + a posexplode (cluster, dim) average) —
+    interleaved A/B at sf0.1: 8.0-8.7 s before, ~2 s after. Data never
+    leaves the cluster; only O(k x dim) partials round-trip; one action
+    per round. Returns the final assignment frame (assignment under the
+    last round's PRE-update centroids, lazily recomputed by the same
+    Arrow kernel) and the per-iteration inertia history (computed on the
+    PRE-update centroids, so it is provably non-increasing — the Lloyd
+    convergence guarantee pytest pins).
 
-    spark = _S.getActiveSession()
+    Float parity: numpy's distance/mean summation order differs from the
+    HOF fold's — the same ~1e-13-noise class the q6 quantization of d2
+    and of every updated centroid was designed to absorb between Spark
+    and the DuckDB oracle replay. Ties in the assignment argmin resolve
+    to the lowest cluster id in numpy (first index over id-sorted
+    centroids), the struct-min plan, and the oracle alike. Clusters that
+    lose every member disappear from the next round's centroid set in
+    both formulations (no (cluster, dim) rows -> no centroid)."""
+    import numpy as np
+    import pandas as pd
+
     dim = len(vecs.select("vec").first().vec)
     seeds = vecs.filter(F.col("vec_id") % 31 == 0).orderBy("vec_id").limit(k)
     cents = [(i, list(r.vec)) for i, r in enumerate(seeds.collect())]
     history: list[float] = []
-    assigned = None
-    for _ in range(iters):
-        cdf = F.broadcast(
-            literal_frame(spark, cents, "cluster int, cent array<double>")
-        )
-        # d2 and the updated centroids are quantized to 6 dp with the
-        # portable half-up floor: assignments and trajectories are then
-        # bit-reproducible ACROSS ENGINES (the DuckDB oracle replays every
-        # round), at a perturbation (~1e-6) far below fixture inertia scale.
-        d2 = (
-            F.floor(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("vec"), F.col("cent"), lambda a, b: (a - b) * (a - b)
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
+    src = vecs.select("vec_id", "vec")
+
+    def q6(x):
+        return np.floor(x * 1e6 + 0.5) / 1e6
+
+    def make_partials(cent_list):
+        # cent_list is id-sorted, so argmin's first-index tie rule IS the
+        # lowest-cluster-id rule of the former struct-min plan
+        C = np.array([c for _, c in cent_list], dtype=np.float64)
+        kk = len(cent_list)
+
+        def partials(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                X = np.array(pdf["vec"].tolist(), dtype=np.float64)  # (b, d)
+                # d2 quantized to 6 dp with the portable half-up floor:
+                # assignments and trajectories are bit-reproducible ACROSS
+                # ENGINES (the DuckDB oracle replays every round), at a
+                # perturbation (~1e-6) far below fixture inertia scale
+                D = q6(((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2))
+                a = D.argmin(axis=1)  # (b,) centroid INDEX
+                d2 = D[np.arange(len(a)), a]
+                counts = np.bincount(a, minlength=kk)
+                sums = np.zeros((kk, X.shape[1]))
+                np.add.at(sums, a, X)
+                yield pd.DataFrame(
+                    {
+                        "counts": [counts.tolist()],
+                        "sums": [sums.ravel().tolist()],
+                        "inertia": [float(d2.sum())],
+                    }
                 )
-                * 1e6
-                + 0.5
-            )
-            / 1e6
-        )
-        assigned = (
-            vecs.join(cdf)
-            .select("vec_id", "vec", F.struct(d2.alias("d2"), F.col("cluster")).alias("s"))
-            .groupBy("vec_id", "vec")
-            .agg(F.min("s").alias("best"))
-            .select("vec_id", "vec", F.col("best.cluster").alias("cluster"), F.col("best.d2").alias("d2"))
-        )
-        row = assigned.agg(F.sum("d2").alias("inertia")).collect()[0]
-        history.append(float(row.inertia))
-        upd = (
-            assigned.select("cluster", F.posexplode("vec").alias("dim", "x"))
-            .groupBy("cluster", "dim")
-            .agg(F.avg("x").alias("m"))
-            .collect()
-        )
-        by_c: dict[int, list[float]] = {}
-        for r in upd:
-            by_c.setdefault(r.cluster, [0.0] * dim)[r.dim] = (
-                math.floor(r.m * 1e6 + 0.5) / 1e6
-            )
-        cents = sorted(by_c.items())
+
+        return partials
+
+    def make_assign(cent_list):
+        C = np.array([c for _, c in cent_list], dtype=np.float64)
+        ids = [cid for cid, _ in cent_list]
+
+        def assign(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                X = np.array(pdf["vec"].tolist(), dtype=np.float64)
+                D = q6(((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2))
+                a = D.argmin(axis=1)
+                out = pdf[["vec_id", "vec"]].copy()
+                out["cluster"] = [ids[i] for i in a]
+                out["d2"] = D[np.arange(len(a)), a]
+                yield out
+
+        return assign
+
+    part_schema = "counts array<long>, sums array<double>, inertia double"
+    for _ in range(iters):
+        pre_update = cents
+        counts = np.zeros(len(cents), dtype=np.int64)
+        sums = np.zeros((len(cents), dim))
+        inertia = 0.0
+        for r in src.mapInPandas(make_partials(cents), part_schema).collect():
+            counts += np.asarray(r.counts, dtype=np.int64)
+            sums += np.asarray(r.sums).reshape(len(cents), dim)
+            inertia += r.inertia
+        history.append(float(inertia))
+        cents = [
+            (cid, [math.floor(s / c * 1e6 + 0.5) / 1e6 for s in svec])
+            for (cid, _), c, svec in zip(pre_update, counts, sums.tolist())
+            if c > 0  # memberless clusters drop out, as before
+        ]
+    assigned = src.mapInPandas(
+        make_assign(pre_update),
+        "vec_id long, vec array<double>, cluster int, d2 double",
+    )
     return assigned, history
 
 
@@ -1358,19 +1405,33 @@ def logreg_train(
     classifier a curation pipeline trains at corpus scale.
 
     Same iterate-on-the-driver shape as kmeans_lloyd: the weight matrix
-    (n_classes x (dim+1), metadata-sized) broadcasts down each round; ONE
-    pass computes row-local class scores -> softmax (pure array
-    expressions, no shuffle, no Python), and the gradient
-    (softmax - onehot) (x) x folds through a posexplode -> (class, dim)
-    hash aggregate whose n_classes*(dim+1) result returns to the driver
-    for the update. Data never leaves the cluster; only gradients
-    round-trip. Loss/accuracy fold into the SAME aggregation pass.
-    Deterministic: W0 = 0, no sampling. Returns (weights, history of
-    (iter, mean_loss, train_acc)) — mean loss is provably decreasing for
-    small enough lr (convex objective)."""
-    from pyspark.sql import SparkSession as _S
+    (n_classes x (dim+1), metadata-sized) ships down each round inside ONE
+    Arrow pass (r10; covariance_sketch's partial-moments pattern): every
+    batch computes scores = X @ W^T, the softmax, and its partial
+    (gradient matrix, loss sum, hit count) via numpy matmuls, and emits a
+    single O(n_classes*(dim+1)) row. The former formulation cross-joined a
+    weight frame and folded the gradient through interpreted array HOFs
+    and a posexplode x posexplode blow-up — n * n_classes * (dim+1) rows
+    per round through a (cls, dim) hash aggregate; 650x the input rows,
+    and the registry's slowest query by an order of magnitude
+    (interleaved A/B at sf0.1: 131-163 s before, 3.4-5.1 s after). Data
+    never leaves the cluster; only
+    O(classes x dim) partials round-trip. Loss/accuracy fold into the
+    SAME pass. Deterministic: W0 = 0, no sampling; partials fold on the
+    driver in partition order. Returns (weights, history of (iter,
+    mean_loss, train_acc)) — mean loss is provably decreasing for small
+    enough lr (convex objective).
 
-    spark = _S.getActiveSession()
+    Float parity: scores/softmax/partial sums run in a different
+    summation order than the retired HOF plan — the SAME ~1e-13-noise
+    class the q6-quantized weight update (below) and the q6 history
+    rounding were designed to absorb between Spark and the DuckDB oracle
+    replay; ties in the hit argmax resolve to the first class index in
+    numpy, the HOF plan, and the oracle's ROW_NUMBER alike (load-bearing
+    at iteration 0, where W = 0 makes every score equal)."""
+    import numpy as np
+    import pandas as pd
+
     dim = len(vecs.select("vec").first().vec)
     xb_dim = dim + 1
     W = [[0.0] * xb_dim for _ in range(n_classes)]
@@ -1379,82 +1440,48 @@ def logreg_train(
         "label", F.concat(F.col("vec"), F.array(F.lit(1.0))).alias("xb")
     ).persist()
     n = data.count()
+    part_schema = "g array<double>, lsum double, hsum long"
     for it in range(iters):
-        wdf = F.broadcast(
-            literal_frame(spark, [(W,)], "W array<array<double>>")
-        )
-        scores = F.transform(
-            F.col("W"),
-            lambda wc: F.aggregate(
-                F.zip_with(wc, F.col("xb"), lambda a, b: a * b),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-        )
-        mx = F.array_max(F.col("scores"))
-        exps = F.transform(F.col("scores"), lambda s: F.exp(s - mx))
-        z = F.aggregate(F.col("exps"), F.lit(0.0), lambda a, x: a + x)
-        probs = F.transform(F.col("exps"), lambda e: e / z)
-        scored = (
-            data.crossJoin(wdf)
-            .withColumn("scores", scores)
-            .withColumn("exps", exps)
-            .withColumn("probs", probs)
-            .withColumn(
-                "loss", -F.log(F.element_at(F.col("probs"), F.col("label") + 1))
-            )
-            .withColumn(
-                "hit",
-                (
-                    F.expr("array_position(scores, array_max(scores))")
-                    == F.col("label") + 1
-                ).cast("int"),
-            )
-        )
-        # gradient rows: one explode over classes, then one over dims of
-        # the per-class contribution vector (p_c - 1{y=c}) * xb
-        grad_rows = (
-            scored.select(
-                "label", "xb", "loss", "hit",
-                F.posexplode("probs").alias("cls", "p"),
-            )
-            .withColumn(
-                "gvec",
-                F.transform(
-                    F.col("xb"),
-                    lambda xd: (
-                        F.col("p")
-                        - (F.col("cls") == F.col("label")).cast("double")
-                    )
-                    * xd,
-                ),
-            )
-            .select(
-                "cls", "loss", "hit", F.posexplode("gvec").alias("dim", "g")
-            )
-        )
-        agg = (
-            grad_rows.groupBy("cls", "dim")
-            .agg(
-                F.sum("g").alias("gsum"),
-                F.sum("loss").alias("lsum"),
-                F.sum("hit").alias("hsum"),
-            )
-            .collect()
-        )
-        # loss/hit sums are replicated across the (cls, dim) grid — read
-        # them once from the (0, 0) row, which aggregated every vec's row
-        total_loss = next(r.lsum for r in agg if r.cls == 0 and r.dim == 0)
-        total_hit = next(r.hsum for r in agg if r.cls == 0 and r.dim == 0)
+        w_np = np.array(W, dtype=np.float64)  # (C, d1), captured per round
+
+        def grad_partials(batches, w_np=w_np):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                X = np.array(pdf["xb"].tolist(), dtype=np.float64)  # (b, d1)
+                y = pdf["label"].to_numpy()
+                S = X @ w_np.T  # (b, C)
+                S -= S.max(axis=1, keepdims=True)
+                E = np.exp(S)
+                P = E / E.sum(axis=1, keepdims=True)
+                idx = np.arange(len(y))
+                loss = float(-np.log(P[idx, y]).sum())
+                # first index achieving the max — same tie rule as
+                # array_position(scores, array_max(scores)) and the
+                # oracle's ROW_NUMBER (ORDER BY s DESC, cls)
+                hit = int((S.argmax(axis=1) == y).sum())
+                P[idx, y] -= 1.0  # softmax - onehot
+                G = P.T @ X  # (C, d1)
+                yield pd.DataFrame(
+                    {"g": [G.ravel().tolist()], "lsum": [loss], "hsum": [hit]}
+                )
+
+        G = np.zeros((n_classes, xb_dim))
+        total_loss, total_hit = 0.0, 0
+        for r in data.mapInPandas(grad_partials, part_schema).collect():
+            G += np.asarray(r.g).reshape(n_classes, xb_dim)
+            total_loss += r.lsum
+            total_hit += r.hsum
         history.append((it, total_loss / n, total_hit / n))
         # q6-quantized weight update: the gradient sum's float ordering is
         # engine-specific at ~1e-13, so quantizing each updated weight to
         # 6 dp (portable half-up floor) keeps the whole GD trajectory
         # bit-equal between Spark and the DuckDB oracle replay
-        for r in agg:
-            W[r.cls][r.dim] = (
-                math.floor((W[r.cls][r.dim] - lr / n * r.gsum) * 1e6 + 0.5) / 1e6
-            )
+        for c in range(n_classes):
+            for d2 in range(xb_dim):
+                W[c][d2] = (
+                    math.floor((W[c][d2] - lr / n * G[c, d2]) * 1e6 + 0.5) / 1e6
+                )
     data.unpersist()
     return W, history
 

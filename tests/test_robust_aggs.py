@@ -338,3 +338,23 @@ def test_weighted_median_null_group_key_survives_both_passes(spark, tmp_path):
     }
     assert None in got, "NULL group dropped between passes"
     assert got == want and len(got) == 4
+
+
+def test_kmeans_arrow_assignment_tie_picks_lowest_cluster(spark):
+    """r10: the Arrow assignment kernel must keep the struct-min tie rule —
+    a vector exactly equidistant (after q6 quantization) to two centroids
+    lands in the LOWER cluster id (numpy argmin first-index over id-sorted
+    centroids == the retired struct(d2, cluster) min == the oracle's
+    ROW_NUMBER tiebreak)."""
+    from db_core_spark.queries.vectors import kmeans_lloyd
+
+    vecs = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (31, [2.0, 0.0]), (1, [1.0, 0.0]), (2, [1.0, 0.0])],
+        "vec_id long, vec array<double>",
+    )
+    # seeds (vec_id % 31 == 0, ordered): cluster 0 = [0,0], cluster 1 = [2,0];
+    # the two midpoint vectors tie at d2 = 1.0 against both
+    assigned, _ = kmeans_lloyd(vecs, k=2, iters=1)
+    got = {r.vec_id: (r.cluster, r.d2) for r in assigned.collect()}
+    assert got[1] == (0, 1.0) and got[2] == (0, 1.0), got
+    assert got[0][0] == 0 and got[31][0] == 1, got
