@@ -110,8 +110,14 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB this is exactly the shape you want: one shuffle on user_id,
     then an embarrassingly parallel per-key scan — state is O(1) per key, so
-    the same kernel is the batch twin of a streaming stateful operator."""
+    the same kernel is the batch twin of a streaming stateful operator.
+    The shuffle is an explicit size-aware repartition on the key (see
+    applyinpandas_udaf_gini): AQE's byte-based coalescing is blind to the
+    per-group Python-call cost of the grouped-map stage."""
+    from db_core_spark.operators.prefixrank import resolve_num_parts
+
     e = table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    e = e.repartition(resolve_num_parts(e, None), "user_id")
 
     def ewma_block(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"]).head(EWMA_MAX_EVENTS)

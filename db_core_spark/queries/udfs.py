@@ -66,22 +66,33 @@ def applyinpandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map applyInPandas: per-customer z-score of order totals.
     One shuffle on the group key; each group is a pandas DataFrame in an
     executor Python worker. The oracle repeats it with window functions
-    (pandas .std(ddof=1) == STDDEV_SAMP)."""
+    (pandas .std(ddof=1) == STDDEV_SAMP).
+
+    The group exchange is an explicit size-aware repartition (see
+    applyinpandas_udaf_gini below — AQE's byte-based coalescing squeezed
+    the 15k per-group Python calls onto 2 partitions; 20.1 s -> ~2 s at
+    sf0.1), and the floor quantization is vectorized numpy instead of a
+    per-element .apply(math.floor) round-trip (guide §4: the Python that
+    does run must be vectorized)."""
+    import math  # noqa: PLC0415
+
+    import numpy as np
+
+    from db_core_spark.operators.prefixrank import resolve_num_parts
 
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
-        import math  # noqa: PLC0415
-
         sd = pdf["o_totalprice"].std(ddof=1)
         mu = pdf["o_totalprice"].mean()
         if sd is None or (isinstance(sd, float) and (math.isnan(sd) or sd == 0.0)):
             z = pd.Series([None] * len(pdf), dtype="float64")
         else:
-            z = ((pdf["o_totalprice"] - mu) / sd * 10000 + 0.5).apply(math.floor) / 10000
+            z = np.floor((pdf["o_totalprice"] - mu) / sd * 10000 + 0.5) / 10000
         return pd.DataFrame(
             {"o_custkey": pdf["o_custkey"], "o_orderkey": pdf["o_orderkey"], "zscore": z}
         )
 
     o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    o = o.repartition(resolve_num_parts(o, None), "o_custkey")
     return o.groupBy("o_custkey").applyInPandas(
         zscore, schema="o_custkey long, o_orderkey long, zscore double"
     )
@@ -110,25 +121,39 @@ def applyinpandas_udaf_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UDAF-via-applyInPandas: one output row per group (Gini coefficient of
     each customer's order values — a spend-concentration metric with no
     built-in aggregate). The oracle derives the same estimator with window
-    functions."""
+    functions.
+
+    The group exchange is an EXPLICIT size-aware repartition on the group
+    key (resolve_num_parts — cores floor, 512 MB partitions at scale; the
+    grouped Python stage reuses it, so no second exchange): AQE's
+    byte-based coalescing is blind to per-group PYTHON-call cost and
+    squeezed the 15k customer groups onto 2 post-coalesce partitions —
+    2 cores eating 15k interpreter round-trips (measured 14.6 s in the
+    Python stage at sf0.1; ~1 s spread over the cluster). The same guard
+    every Arrow pass here carries, driven by the shared resolver instead
+    of a constant."""
+    import math  # once per executor import of this module, not per group
+
+    import numpy as np
+
+    from db_core_spark.operators.prefixrank import resolve_num_parts
 
     def gini(pdf: pd.DataFrame) -> pd.DataFrame:
-        import math  # noqa: PLC0415
-
-        x = pdf["o_totalprice"].sort_values().to_numpy()
+        x = np.sort(pdf["o_totalprice"].to_numpy())
         n = len(x)
         if n < 2:
             return pd.DataFrame(columns=["o_custkey", "gini", "n_orders"]).astype(
                 {"o_custkey": "int64", "gini": "float64", "n_orders": "int64"}
             )
-        i = pd.RangeIndex(1, n + 1).to_numpy()
+        i = np.arange(1, n + 1)
         g = 2.0 * (i * x).sum() / (n * x.sum()) - (n + 1.0) / n
         g = math.floor(g * 1000000 + 0.5) / 1000000
         return pd.DataFrame(
-            {"o_custkey": [pdf["o_custkey"].iloc[0]], "gini": [g], "n_orders": [n]}
+            {"o_custkey": [pdf["o_custkey"].iat[0]], "gini": [g], "n_orders": [n]}
         )
 
     o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    o = o.repartition(resolve_num_parts(o, None), "o_custkey")
     return o.groupBy("o_custkey").applyInPandas(
         gini, schema="o_custkey long, gini double, n_orders long"
     )

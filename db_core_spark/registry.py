@@ -175,6 +175,17 @@ REVERIFY: dict[str, int] = {
     "ann_ivf_recall_sweep": 10,
     "embedding_logreg_train": 10,
     "embedding_pca_whitening": 10,
+    # r10 resume 6: the grouped-map Python stages get an EXPLICIT
+    # size-aware repartition on the group key (resolve_num_parts) — AQE's
+    # byte-based coalescing squeezed their thousands of per-group Python
+    # calls onto 2 post-coalesce partitions (zscore 20.1 s -> 2.3 s, gini
+    # 15.2 s -> 2.0 s, ewma 3.0 s -> 0.8 s at sf0.1); zscore's floor
+    # quantization additionally vectorized (np.floor for .apply). The
+    # logreg/kmeans partial-moments Arrow rewrites above re-use their
+    # existing r10 entries.
+    "applyinpandas_zscore": 10,
+    "applyinpandas_udaf_gini": 10,
+    "ewma_user_value": 10,
 }
 
 
