@@ -68,6 +68,17 @@ EXTRA = [
     "events_interarrival_stats",
     "funnel_latency_percentiles",
     "rfm_customer_segments",
+    # r10 resume 6: the registry's former heavy tail, rewritten as Arrow
+    # partial-moments kernels / one-pass fingerprints / size-aware
+    # grouped-map repartitions — added so the driver keeps their decade
+    # and core-count scaling on record (headline basis unchanged)
+    "embedding_logreg_train",
+    "embedding_kmeans_lloyd",
+    "applyinpandas_zscore",
+    "applyinpandas_udaf_gini",
+    "ewma_user_value",
+    "simhash_buckets",
+    "simhash_hamming_pairs",
 ]
 
 
