@@ -67,7 +67,28 @@ def resolve_num_parts(df: DataFrame, num_parts: int | None) -> int:
     size_parts = 0
     try:
         # py4j hands the Scala BigInt back as a Python int
-        est = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        plan = df._jdf.queryExecution().optimizedPlan()
+        est = plan.stats().sizeInBytes()
+        try:
+            # r10: cap the estimate by 8x the plan's LEAF sizes. Join
+            # estimates multiply through the plan, so a post-join staging
+            # frame can estimate absurdly high (measured: pareto's ~1.4 MB
+            # staging frame estimated 1219 GB -> the cores*64 ceiling ->
+            # ~6000 tiny tasks of pure scheduling overhead). Leaves carry
+            # REAL sizes (file scans; ranges are metadata-exact), and a
+            # sort staging frame cannot exceed a modest multiple of its
+            # inputs; 8x grants join fan-out grace. Unknown leaves default
+            # to Long.MaxValue, pushing leaf_total past 2^53 so the cap
+            # safely never bites; at 100 TB the leaf bound IS the input
+            # size and the clamp below still rules.
+            leaves = plan.collectLeaves()
+            leaf_total = sum(
+                leaves.apply(i).stats().sizeInBytes() for i in range(leaves.size())
+            )
+            if 0 < leaf_total < (1 << 53):
+                est = min(est, 8 * leaf_total)
+        except Exception:
+            pass
         if 0 < est < (1 << 53):
             size_parts = math.ceil(est / _TARGET_PART_BYTES)
     except Exception:  # Spark Connect: no _jdf; stats stay cores-derived

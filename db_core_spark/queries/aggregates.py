@@ -561,7 +561,8 @@ def agg_entropy_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH cr AS (
       SELECT o.o_custkey AS custkey,
-             ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+             ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                            AS DECIMAL(18,4))), 2) AS revenue
       FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
       GROUP BY 1),
     ranked AS (
@@ -571,10 +572,11 @@ def agg_entropy_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cr),
     v AS (
       SELECT CAST(FLOOR(((rk - 1) * 20) / n_cust) AS INT) AS ventile,
-             SUM(revenue) AS rev, CAST(COUNT(*) AS BIGINT) AS n_customers
+             CAST(SUM(CAST(revenue AS DECIMAL(18,2))) AS DOUBLE) AS rev,
+             CAST(COUNT(*) AS BIGINT) AS n_customers
       FROM ranked GROUP BY 1),
     tot AS (SELECT SUM(rev) AS total FROM v)
-    SELECT v.ventile, v.n_customers, ROUND(v.rev, 2) AS revenue,
+    SELECT v.ventile, v.n_customers, v.rev AS revenue,
            ROUND(SUM(v.rev) OVER (ORDER BY v.ventile
                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                  / tot.total, 6) AS cum_share
@@ -594,7 +596,22 @@ def pareto_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(parts) offset collect, rank = offset + local row_number, every
     stage parallel; r9 retired this query's hand-rolled copy of the
     pattern and its literal 8-partition staging with it). The running
-    share then lives on the 20-row ventile spine only."""
+    share then lives on the 20-row ventile spine only.
+
+    r10: BOTH revenue summations run in DECIMAL, not double, on BOTH
+    engines. The round-then-resum structure amplifies float noise twice:
+    (1) each customer's ROUND(SUM(price x (1-disc)), 2) is an
+    order-dependent double sum whose ~1e-9 noise flips the 2-dp round on
+    boundary customers (the per-row PRODUCT doubles are bit-identical
+    across engines; only summation order differs), and (2) each
+    ~750-customer ventile re-sums those rounded values and rounds again.
+    At sf0.1 this left 7 of 20 ventile revenues 0.01 off the oracle
+    (pre-existing; exposed by this resume's sf0.1 spot-gate; sf1 drifted
+    0.1). Casting the per-row product to DECIMAL(18,4) (the same double
+    converts to the same decimal in both engines — a double is never
+    exactly on a .xxxx5 boundary, so rounding-mode differences cannot
+    bite) makes both sums exact and order-free; the 20-row cumulative
+    share then sums identical doubles in deterministic ventile order."""
     from pyspark.sql import Window as W
 
     from db_core_spark.operators.prefixrank import global_row_number
@@ -605,9 +622,14 @@ def pareto_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy(F.col("o_custkey").alias("custkey"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,4)"
+                    )
+                ),
+                2,
+            ).alias("revenue")
         )
     )
     ranked, n_cust = global_row_number(
@@ -618,7 +640,12 @@ def pareto_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ventile", (((F.col("rk") - 1) * 20) / F.lit(n_cust)).cast("int")
         )
         .groupBy("ventile")
-        .agg(F.sum("revenue").alias("rev"), F.count(F.lit(1)).alias("n_customers"))
+        .agg(
+            F.sum(F.col("revenue").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("rev"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
     )
     tot = v.agg(F.sum("rev").alias("total"))
     wv = W.orderBy("ventile").rowsBetween(W.unboundedPreceding, W.currentRow)
@@ -627,7 +654,7 @@ def pareto_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "ventile",
             "n_customers",
-            F.round(F.col("rev"), 2).alias("revenue"),
+            F.col("rev").alias("revenue"),
             F.round(F.sum("rev").over(wv) / F.col("total"), 6).alias("cum_share"),
         )
     )

@@ -186,6 +186,15 @@ REVERIFY: dict[str, int] = {
     "applyinpandas_zscore": 10,
     "applyinpandas_udaf_gini": 10,
     "ewma_user_value": 10,
+    # r10 resume 6: fuzzy_levenshtein_pairs probe side gets the guarded
+    # parallelism floor (its ~8M candidate x levenshtein probe ran on the
+    # dimension scan's ONE split: 14.4 s -> 1.3 s) plus the exact
+    # length-gap lower-bound pre-filter; resolve_num_parts additionally
+    # caps Catalyst's post-join size estimates by 8x the plan's leaf
+    # sizes (pareto's 1.4 MB staging frame estimated 1219 GB and
+    # scheduled ~6000 tasks; 9.1 s -> 1.5 s) — its riders are already
+    # fronted above.
+    "fuzzy_levenshtein_pairs": 10,
 }
 
 

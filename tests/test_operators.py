@@ -651,6 +651,18 @@ class TestPrefixRankHelpers:
         huge = spark.range(0, 4_000_000_000_000).selectExpr("id", "id * 2 as v")
         assert resolve_num_parts(huge, None) == cores * 64  # clamp ceiling
 
+        # r10: join estimates multiply through the plan — a tiny joined
+        # frame can estimate terabytes (pareto's 1.4 MB staging frame
+        # estimated 1219 GB and hit the ceiling: ~6000 scheduling-overhead
+        # tasks). The leaf-anchored cap (8x the summed leaf sizes, both
+        # leaves metadata-exact here) must rescue it back to cores.
+        ja = spark.range(0, 100_000).selectExpr("id", "id % 97 as k")
+        jb = spark.range(0, 100_000).selectExpr("id % 97 as k", "id as v")
+        joined = ja.join(jb, "k")
+        jest = joined._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        assert jest > 100 * _TARGET_PART_BYTES  # the estimate really explodes
+        assert resolve_num_parts(joined, None) == cores  # leaf cap rescues
+
 
 class TestAsofJoinProperty:
     """asof_join / asof_join_nearest vs an O(n*m) brute-force model on
