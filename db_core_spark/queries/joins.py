@@ -17,7 +17,8 @@ from db_core_spark.tables import table
     "join_inner_agg",
     oracle="""
     SELECT o.o_orderkey,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
            COUNT(*) AS n_items
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     WHERE o.o_orderstatus = 'O'
@@ -29,14 +30,32 @@ from db_core_spark.tables import table
 def join_inner_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inner equi-join + aggregation + HAVING. Both sides shuffle on the
     join key; the groupBy reuses the same hash partitioning (one shuffle,
-    not two) because the agg key == join key."""
+    not two) because the agg key == join key.
+
+    r10: the per-order revenue sums DECIMAL(18,4) on both engines — with
+    28k output groups, order-dependent double-sum noise flipped the 2-dp
+    round on 17 of them at sf0.1 (pre-existing; found by this round's
+    full sf0.1 gate, the graded sf0.01 gate always passed). Same
+    exact-and-order-free decimal pattern as pareto_revenue_concentration;
+    the per-row product doubles are bit-identical across engines and
+    never land exactly on a .xxxx5 cast boundary, so the cast is
+    portable. Output stays DOUBLE."""
     o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
     li = table(spark, sf_dir, "lineitem")
     return (
         o.join(li, o.o_orderkey == li.l_orderkey, "inner")
         .groupBy("o_orderkey")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,4)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
         .filter(F.col("n_items") >= 4)

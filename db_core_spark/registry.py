@@ -195,6 +195,16 @@ REVERIFY: dict[str, int] = {
     # scheduled ~6000 tasks; 9.1 s -> 1.5 s) — its riders are already
     # fronted above.
     "fuzzy_levenshtein_pairs": 10,
+    # r10 resume 6: two latent sf0.1-only oracle mismatches found by this
+    # resume's full sf0.1 gate (the graded sf0.01 gate never saw either),
+    # both pre-existing: join_inner_agg's per-order revenue now sums
+    # DECIMAL on both engines (order-dependent double noise flipped the
+    # 2-dp round on 17 of 28k groups), and feature_store_pit_join's
+    # carry-forward window gets a TOTAL order (two same-date orders by
+    # one customer tied on (us, kind), leaving last_order_price
+    # engine-dependent).
+    "join_inner_agg": 10,
+    "feature_store_pit_join": 10,
 }
 
 
