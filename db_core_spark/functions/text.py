@@ -126,7 +126,15 @@ def simhash_frame(df, id_col: str = "doc_id", text_col: str = "text",
     the DuckDB oracle's unnest x range(bits) tally is unchanged.
 
     NULL text rows vanish from the output, matching the aggregate
-    formulation (explode of split(NULL) drops the row)."""
+    formulation (explode of split(NULL) drops the row).
+
+    PRECONDITION (ADVICE r10): ``id_col`` must be unique per row. The
+    retired groupBy formulation combined duplicate-id rows into one
+    fingerprint by pooling their word votes; the per-row Arrow kernel
+    emits one fingerprint per input row, so duplicate ids would yield
+    duplicate output rows with different fingerprints. Every repo
+    consumer feeds a primary key (doc_id); pre-aggregate texts per id
+    before calling if yours does not."""
     import hashlib
     import re as _re
 
@@ -139,8 +147,10 @@ def simhash_frame(df, id_col: str = "doc_id", text_col: str = "text",
     # small parquet file at fixture SFs) which would serialize the Python
     # workers; at real scale the scan has more splits than cores and the
     # raw text is never shuffled.
+    from db_core_spark.operators.prefixrank import scan_num_splits
+
     target = df.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < target:
+    if scan_num_splits(src) < target:
         src = src.repartition(target)
 
     id_type = df.schema[id_col].dataType.simpleString()

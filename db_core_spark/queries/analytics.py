@@ -1271,18 +1271,27 @@ def fuzzy_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       entity strings are longer) and it costs integer ops. Exact by the
       standard edit-distance lower bound — result unchanged,
       oracle-verified at three SFs."""
+    from db_core_spark.operators.prefixrank import scan_num_splits
+
     p = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
     a, b = p.alias("a"), p.alias("b")
     target = spark.sparkContext.defaultParallelism
-    if p.rdd.getNumPartitions() < target:
+    if scan_num_splits(p) < target:
         a = p.repartition(target).alias("a")
     dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
     len_gap = F.abs(
         F.length(F.col("a.p_name")) - F.length(F.col("b.p_name"))
     )
+    # r11 (ADVICE r10, medium): no forced F.broadcast(b) — part is a
+    # dimension that scales with SF, so an unconditional broadcast hint
+    # would exceed the broadcast cap / OOM at large scale. The planner's
+    # own size estimate picks BroadcastHashJoin below
+    # autoBroadcastJoinThreshold (true at every fixture SF — plan verified
+    # identical) and falls back to a shuffled join on p_brand when the
+    # build side outgrows it.
     return (
         a.join(
-            F.broadcast(b),
+            b,
             (F.col("a.p_brand") == F.col("b.p_brand"))
             & (F.col("a.p_partkey") < F.col("b.p_partkey")),
         )

@@ -429,8 +429,10 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scan has far more splits than cores and the raw text is never
     # shuffled (shuffling a 100 TB corpus for parallelism would be the
     # §8 anti-pattern; the condition is false there by construction).
+    from db_core_spark.operators.prefixrank import scan_num_splits
+
     target = spark.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < target:
+    if scan_num_splits(src) < target:
         src = src.repartition(target)
 
     mh_a = np.array([a for a, _ in _MH_COEFFS], dtype=np.int64)

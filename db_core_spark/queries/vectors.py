@@ -1146,15 +1146,18 @@ def kmeans_lloyd(
         return assign
 
     part_schema = "counts array<long>, sums array<double>, inertia double"
+    pre_update = cents  # iters=0: assign against the seeds (ADVICE r10)
     for _ in range(iters):
         pre_update = cents
         counts = np.zeros(len(cents), dtype=np.int64)
         sums = np.zeros((len(cents), dim))
-        inertia = 0.0
-        for r in src.mapInPandas(make_partials(cents), part_schema).collect():
+        rows = src.mapInPandas(make_partials(cents), part_schema).collect()
+        for r in rows:
             counts += np.asarray(r.counts, dtype=np.int64)
             sums += np.asarray(r.sums).reshape(len(cents), dim)
-            inertia += r.inertia
+        # fsum: exactly-rounded fold of the partial inertias, independent
+        # of collect()'s partition order/count at the driver (ADVICE r10)
+        inertia = math.fsum(r.inertia for r in rows)
         history.append(float(inertia))
         cents = [
             (cid, [math.floor(s / c * 1e6 + 0.5) / 1e6 for s in svec])
@@ -1467,11 +1470,16 @@ def logreg_train(
                 )
 
         G = np.zeros((n_classes, xb_dim))
-        total_loss, total_hit = 0.0, 0
-        for r in data.mapInPandas(grad_partials, part_schema).collect():
+        rows = data.mapInPandas(grad_partials, part_schema).collect()
+        for r in rows:
             G += np.asarray(r.g).reshape(n_classes, xb_dim)
-            total_loss += r.lsum
-            total_hit += r.hsum
+        # fsum: exactly-rounded fold of the loss partials — the driver-side
+        # total no longer depends on collect()'s partition order (ADVICE
+        # r10; the q6 floor at emission still absorbs upstream partial
+        # variance, this removes the fold-order term). G's fold order is
+        # absorbed by the q6-quantized weight update below, by design.
+        total_loss = math.fsum(r.lsum for r in rows)
+        total_hit = sum(r.hsum for r in rows)
         history.append((it, total_loss / n, total_hit / n))
         # q6-quantized weight update: the gradient sum's float ordering is
         # engine-specific at ~1e-13, so quantizing each updated weight to
