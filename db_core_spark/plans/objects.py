@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession, functions as F, types as T
 
+from db_core_spark.operators.litframe import literal_frame
 from db_core_spark.plans.versioned import Transaction, VersionedTable
 
 OBJECT_SCHEMA = T.StructType(
@@ -76,7 +77,7 @@ class ObjectStore:
         stale = [(obj_id, c) for c in old if c > new_last]
         if stale:
             txn.delete_keys([{"obj_id": o, "chunk_no": c} for o, c in stale])
-        txn.upsert(self.spark.createDataFrame(rows, OBJECT_SCHEMA))
+        txn.upsert(literal_frame(self.spark, rows, OBJECT_SCHEMA))
 
     def write_at(self, txn: Transaction, obj_id: int, offset: int, data: bytes) -> None:
         """Overwrite bytes at offset (seek + write_next: write_ins overwrite
@@ -103,7 +104,7 @@ class ObjectStore:
             piece = bytes(span[i * cs : (i + 1) * cs])
             if piece:
                 new_rows.append((obj_id, c, piece))
-        txn.upsert(self.spark.createDataFrame(new_rows, OBJECT_SCHEMA))
+        txn.upsert(literal_frame(self.spark, new_rows, OBJECT_SCHEMA))
 
     def append(self, txn: Transaction, obj_id: int, data: bytes) -> None:
         """Append at EOF (write_append, block_driver.rs:384-455)."""

@@ -49,6 +49,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F, types as T
 
 from db_core_spark.config import DEFAULT_CONFIG, EngineConfig
+from db_core_spark.operators.litframe import literal_frame
 
 META_COLS = ("_csn", "_opseq", "_deleted")
 
@@ -115,6 +116,29 @@ def bucket_of_py(values, num_buckets: int) -> int:
 
     s = "\x00".join(canon(v) for v in values)
     return zlib.crc32(s.encode("utf-8")) % num_buckets
+
+
+def _staging_parts(df: DataFrame, num_buckets: int) -> int:
+    """Shuffle width for a staged op write: enough partitions that each
+    write task handles ~128 MB (guide §6 output sizing), clamped to
+    [1, num_buckets] — hash-partitioning on the bucket column can never
+    populate more than num_buckets tasks, and a tiny commit (the common
+    transactional case) needs exactly ONE task instead of num_buckets
+    stubs of pure scheduling overhead. Catalyst's optimizedPlan estimate
+    is free (no data read); an unknown estimate (e.g. a Python-RDD or
+    DataSource scan) keeps the full num_buckets width, the pre-r11
+    behavior. The output-file invariant is unchanged at every width: each
+    bucket lands in exactly one task, so partitionBy writes at most one
+    file per non-empty bucket."""
+    try:
+        est = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        if 0 < est < (1 << 53):
+            import math  # noqa: PLC0415
+
+            return max(1, min(num_buckets, math.ceil(est / (128 << 20))))
+    except Exception:
+        pass
+    return num_buckets
 
 
 def publish_manifest(log_dir: str, name: str, manifest: dict) -> bool:
@@ -460,7 +484,7 @@ class VersionedTable:
                 T.StructField("_deleted", T.BooleanType()),
             ]
         )
-        return self.spark.createDataFrame([], full)
+        return literal_frame(self.spark, [], full)
 
     def _pad_missing(self, df: DataFrame) -> DataFrame:
         """Schema evolution: files written before an alter_add_column lack
@@ -505,8 +529,13 @@ class VersionedTable:
                 "basePath", self._data_dir
             ).parquet(*[o["dir"] for o in delta_dirs])
             # partition discovery yields tsn/opseq dir columns; map tsn->csn
-            # via a broadcast join on the (tiny) manifest map
-            mapping = self.spark.createDataFrame(
+            # via a broadcast join on the (tiny) manifest map — a
+            # literal_frame (r11): the map is O(delta commits) driver rows,
+            # and the classic createDataFrame path made every consumer of
+            # the core read path schedule a 32-task Python-RDD scan just to
+            # deserialize it (the r10 litframe finding, deferred then)
+            mapping = literal_frame(
+                self.spark,
                 [
                     (os.path.basename(os.path.dirname(o["dir"])).split("=", 1)[1],
                      int(o["opseq"]), int(o["csn"]))
@@ -703,14 +732,22 @@ class VersionedTable:
                 .option("includeMeta", "true")
                 .load()
             )
-            if resolved.limit(1).count() == 0:
-                # partitionBy writes NO files for empty input, which would
-                # leave an unreadable checkpoint dir (e.g. every key
-                # tombstoned): write one empty non-partitioned file so the
-                # fold base always parses; bucket-pruned readers skip it
+            # r11: write first, then probe the result driver-side — the
+            # former limit(1).count() emptiness pre-check cost a full extra
+            # datasource read job per checkpoint just to pick the writer
+            # branch. partitionBy writes NO parquet files for empty input,
+            # which would leave an unreadable checkpoint dir (e.g. every
+            # key tombstoned) — detected from the written dir (os.walk, no
+            # job) and repaired by one empty non-partitioned file so the
+            # fold base always parses; bucket-pruned readers skip it.
+            resolved.write.partitionBy("bucket").mode("overwrite").parquet(out_dir)
+            wrote_any = any(
+                f.endswith(".parquet")
+                for _, _, files in os.walk(out_dir)
+                for f in files
+            )
+            if not wrote_any:
                 resolved.drop("bucket").write.mode("overwrite").parquet(out_dir)
-            else:
-                resolved.write.partitionBy("bucket").mode("overwrite").parquet(out_dir)
         else:
             vs = self._versions(csn)
             w = W.partitionBy(*self.key_cols).orderBy(F.desc("_csn"), F.desc("_opseq"))
@@ -1066,7 +1103,7 @@ class VersionedTable:
         ]
         if not wanted_typed:
             return {"applied": 0, "deleted": 0, "conflicts": len(conflicts)}
-        wanted = self.spark.createDataFrame(wanted_typed, key_schema)
+        wanted = literal_frame(self.spark, wanted_typed, key_schema)
         latest = latest_all.join(F.broadcast(wanted), kc, "left_semi")
         data_cols = [f.name for f in self.schema.fields]
         ups = latest.filter(F.col("_change") != "delete").select(*data_cols)
@@ -1339,7 +1376,7 @@ class Transaction:
         if not isinstance(keys, DataFrame):
             key_schema = T.StructType([self.table.schema[k] for k in kc])
             rows = [tuple(k[c] for c in kc) if isinstance(k, dict) else tuple(k) for k in keys]
-            keys = self.table.spark.createDataFrame(rows, key_schema)
+            keys = literal_frame(self.table.spark, rows, key_schema)
         self._ops.append(_Op("delete", keys.select(*kc), opseq=len(self._ops)))
 
     def savepoint(self) -> int:
@@ -1523,9 +1560,9 @@ class Transaction:
                 # to one file per non-empty bucket (at real scale you'd
                 # repartition(N >= B, "bucket") to keep write parallelism)
                 full = full.withColumn("bucket", bucket_expr(t.bucket_cols, t.num_buckets))
-                full.repartition(t.num_buckets, F.col("bucket")).write.partitionBy(
-                    "bucket"
-                ).mode("errorifexists").parquet(out_dir)
+                full.repartition(
+                    _staging_parts(full, t.num_buckets), F.col("bucket")
+                ).write.partitionBy("bucket").mode("errorifexists").parquet(out_dir)
             else:
                 full.write.mode("errorifexists").parquet(out_dir)
             # an op that staged ZERO rows (empty upsert / delete of nothing)

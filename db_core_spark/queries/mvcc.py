@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from db_core_spark.operators.litframe import literal_frame
 from db_core_spark.registry import query
 from db_core_spark.tables import table
 
@@ -274,7 +275,7 @@ def group_txn_two_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     g.commit()
     # a second group claims manifests on both tables, then its coordinator
     # dies before publishing the marker: readers must force-abort it
-    poison = spark.createDataFrame([(-1, -1, -1)], schema)
+    poison = literal_frame(spark, [(-1, -1, -1)], schema)
     dead = db.begin()
     dead.upsert("evens", poison)
     dead.upsert("odds", poison)
@@ -654,15 +655,15 @@ def versioned_commit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_cols=["k"], schema=schema,
     )
     t = vt.begin()
-    t.upsert(spark.createDataFrame([(1, 10), (2, 20), (3, 30)], schema))
+    t.upsert(literal_frame(spark, [(1, 10), (2, 20), (3, 30)], schema))
     t.commit()
     t = vt.begin()
-    t.upsert(spark.createDataFrame([(4, 40), (5, 50)], schema))
+    t.upsert(literal_frame(spark, [(4, 40), (5, 50)], schema))
     t.delete_keys([(1,)])
     t.commit()
     register(spark)
     (
-        spark.createDataFrame([(6, 60), (7, 70), (8, 80), (9, 90)], schema)
+        literal_frame(spark, [(6, 60), (7, 70), (8, 80), (9, 90)], schema)
         .coalesce(1)
         .write.format("versioned")
         .mode("append")
@@ -672,7 +673,7 @@ def versioned_commit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     vt.checkpoint()
     t = vt.begin()
     t.delete_keys([(6,)])
-    t.upsert(spark.createDataFrame([(2, 22)], schema))
+    t.upsert(literal_frame(spark, [(2, 22)], schema))
     t.commit()
 
     import pyarrow.dataset as pads
@@ -696,8 +697,8 @@ def versioned_commit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_up += len(d) - dl
             n_del += dl
         out.append((m["csn"], kind, n_up, n_del))
-    return spark.createDataFrame(
-        out, "csn int, commit_kind string, n_upserts int, n_deletes int"
+    return literal_frame(
+        spark, out, "csn int, commit_kind string, n_upserts int, n_deletes int"
     )
 
 
@@ -734,25 +735,29 @@ def versioned_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, tempfile.mkdtemp(prefix="vt_evo_") + "/t", key_cols=["k"], schema=s1
     )
     t = vt.begin()
-    t.upsert(spark.createDataFrame([(1, 10), (2, 20), (3, 30)], s1))
+    t.upsert(literal_frame(spark, [(1, 10), (2, 20), (3, 30)], s1))
     t.commit()
     pre_csn = vt.latest_csn()
     vt.alter_add_column("region", T.StringType())
     s2 = vt.schema
     t = vt.begin()
-    t.upsert(spark.createDataFrame([(4, 40, "emea"), (5, 50, "apac")], s2))
+    t.upsert(literal_frame(spark, [(4, 40, "emea"), (5, 50, "apac")], s2))
     t.commit()
 
     def audit(df, phase_no, phase):
-        n = df.count()
-        n_null = df.filter(F.col("region").isNull()).count()
-        return (phase_no, phase, n, n_null, n - n_null)
+        # one aggregation job instead of two full counts (r11)
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("region").isNull(), 1)).alias("n_null"),
+        ).first()
+        return (phase_no, phase, row.n, row.n_null, row.n - row.n_null)
 
     rows = [
         audit(vt.snapshot(as_of_csn=pre_csn), 1, "pre_alter"),
         audit(vt.snapshot(), 2, "post_alter"),
     ]
-    return spark.createDataFrame(
+    return literal_frame(
+        spark,
         rows,
         "phase_no int, phase string, n_rows long, n_null_region long, "
         "n_with_region long",
@@ -799,23 +804,36 @@ def versioned_restore_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_cols=["k"], schema=schema, num_buckets=4,
     )
     t = vt.begin()
-    t.upsert(spark.createDataFrame([(i, i * 10) for i in range(1, 5)], schema))
+    t.upsert(literal_frame(spark, [(i, i * 10) for i in range(1, 5)], schema))
     t.commit()
     good_csn = vt.latest_csn()
 
     def phase(no, name):
-        snap = vt.snapshot()
-        n = snap.count()
-        # tombstoned keys visible in the raw version stream at latest csn
+        # ONE aggregation job per phase (r11): the per-key resolution that
+        # snapshot() + the tombstone anti-join each re-derived is computed
+        # once — newest version per key (max_by over the (csn, opseq)
+        # total order) plus an any-tombstone flag — and both audit counts
+        # come back in a single collect. Values identical by the
+        # visibility rule: snapshot rows = keys whose newest version is
+        # live; tombstoned keys = keys with a delete in history whose
+        # newest version is the delete (a key whose newest version is
+        # live is in the snapshot and was never counted).
         hist = vt._versions(None)
-        n_del = (
-            hist.filter(F.col("_deleted"))
-            .select("k")
-            .distinct()
-            .join(snap.select("k"), "k", "left_anti")
-            .count()
+        row = (
+            hist.groupBy("k")
+            .agg(
+                F.max_by("_deleted", F.struct("_csn", "_opseq")).alias("newest_del"),
+                F.max(F.col("_deleted").cast("int")).alias("any_del"),
+            )
+            .agg(
+                F.count(F.when(~F.col("newest_del"), 1)).alias("n"),
+                F.count(
+                    F.when(F.col("newest_del") & (F.col("any_del") == 1), 1)
+                ).alias("n_del"),
+            )
+            .first()
         )
-        return (no, name, n, n_del)
+        return (no, name, row.n, row.n_del)
 
     rows = [phase(1, "initial")]
     t = vt.begin()
@@ -823,7 +841,7 @@ def versioned_restore_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.commit()
     t = vt.begin()
     t.delete_keys([(2,)])
-    t.upsert(spark.createDataFrame([(3, 999)], schema))
+    t.upsert(literal_frame(spark, [(3, 999)], schema))
     t.commit()
     rows.append(phase(2, "after_damage"))
     vt.restore(good_csn)
@@ -836,6 +854,6 @@ def versioned_restore_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     if [r.v for r in vt.lookup({"k": 3}).collect()] != [30]:
         raise AssertionError("post-migration point lookup wrong")
     rows.append(phase(4, "after_rebucket"))
-    return spark.createDataFrame(
-        rows, "phase_no int, phase string, n_rows long, n_deleted_keys long"
+    return literal_frame(
+        spark, rows, "phase_no int, phase string, n_rows long, n_deleted_keys long"
     )

@@ -12,6 +12,8 @@ import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+from db_core_spark.operators.litframe import literal_frame
 from pyspark.sql import types as T
 
 
@@ -138,8 +140,8 @@ def export_training_shards(
         offsets[pid] = acc
         acc += totals[pid]
     offset_df = F.broadcast(
-        spark.createDataFrame(
-            [(pid, off) for pid, off in offsets.items()], "pid int, offset long"
+        literal_frame(
+            spark, [(pid, off) for pid, off in offsets.items()], "pid int, offset long"
         )
     )
     w_local = (

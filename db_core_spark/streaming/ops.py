@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from db_core_spark.operators.litframe import literal_frame
+
 
 def tumbling_counts(
     events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
@@ -757,8 +759,8 @@ def stream_trending_topk(
             for key in [key for key in state if key[0] < floor]:
                 del state[key]
         rows = [(ws, et, n) for (ws, et), n in state.items()]
-        sdf = spark.createDataFrame(
-            rows, "window_start timestamp, event_type string, n_events long"
+        sdf = literal_frame(
+            spark, rows, "window_start timestamp, event_type string, n_events long"
         )
         wr = W.partitionBy("window_start").orderBy(
             F.col("n_events").desc(), "event_type"
