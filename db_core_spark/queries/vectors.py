@@ -676,46 +676,17 @@ def embedding_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster diameter. Keep-one-per-cluster is then `is_canonical`."""
     from pyspark.sql import Window as PW
 
+    from db_core_spark.operators.components import min_label_components
+
     pairs = embedding_neardup_pairs(spark, sf_dir).select(
         F.col("vec_a").alias("id_a"), F.col("vec_b").alias("id_b")
     )
     bi = pairs.union(pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")))
-    edges = bi.withColumnRenamed("id_a", "u").withColumnRenamed("id_b", "v").localCheckpoint(eager=False)
-    labels = (
-        edges.select(F.col("u").alias("vec_id")).distinct()
-        .withColumn("label", F.col("vec_id"))
-        .localCheckpoint(eager=False)
-    )
-    for _ in range(20):
-        msgs = (
-            edges.join(labels, edges.v == labels.vec_id)
-            .groupBy("u")
-            .agg(F.min("label").alias("nbr_min"))
-        )
-        stepped = (
-            labels.join(msgs, labels.vec_id == msgs.u, "left")
-            .select(
-                "vec_id",
-                F.col("label").alias("old_label"),
-                F.least(F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))).alias(
-                    "label"
-                ),
-            )
-            .localCheckpoint(eager=False)
-        )
-        changed = stepped.filter(F.col("label") != F.col("old_label")).count()
-        labels = stepped.select("vec_id", "label")
-        if changed == 0:
-            break
-    else:
-        # loud-fail on under-convergence, same contract as
-        # dedup_cluster_components: silently wrong cluster labels are
-        # worse than an error naming the fix
-        raise RuntimeError(
-            "embedding_semantic_clusters: label propagation did not "
-            "converge in 20 rounds (component diameter > 20); raise the "
-            "round cap or switch to large-star/small-star"
-        )
+    edges = bi.withColumnRenamed("id_a", "u").withColumnRenamed("id_b", "v")
+    # r11: shared pointer-doubling operator — rounds 17 -> 5 at sf0.1
+    # (the near-dup chain diameter is ~16 here, 3 short of the old
+    # loud-fail cap), convergence counted every K-th round
+    labels = min_label_components(edges, "vec_id")
     return labels.select(
         F.col("label").alias("cluster_id"),
         "vec_id",

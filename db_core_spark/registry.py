@@ -205,6 +205,56 @@ REVERIFY: dict[str, int] = {
     # engine-dependent).
     "join_inner_agg": 10,
     "feature_store_pit_join": 10,
+    # ---- r11 (second optimization round) ----
+    # Versioned/mvcc family: the _versions tsn->csn manifest map,
+    # delete_keys' list path, merge_from's wanted frame and the queries'
+    # own commit-input/result frames are Arrow literal_frames; staged op
+    # writes shuffle through a size-aware width (1 task for tiny commits,
+    # num_buckets at scale); checkpoint() writes first and probes the
+    # produced files instead of a limit(1).count() pre-read; the
+    # restore_rebucket / schema_evolution audit probes fold their two
+    # counts into one aggregation. Values identical (oracle-green at
+    # sf0.001/0.01/0.1); every query exercising VersionedTable re-verifies.
+    "versioned_commit_audit": 11,
+    "versioned_restore_rebucket": 11,
+    "versioned_schema_evolution": 11,
+    "versioned_merge_upsert": 11,
+    "versioned_point_lookup": 11,
+    "versioned_snapshot_diff": 11,
+    "versioned_clone_divergence": 11,
+    "versioned_view_masked_sql": 11,
+    "versioned_branch_merge": 11,
+    "versioned_incremental_mv": 11,
+    "versioned_datasource_agg": 11,
+    "versioned_cdc_feed": 11,
+    "versioned_cdc_preimages": 11,
+    "group_txn_two_tables": 11,
+    "object_chunked_scan": 11,
+    "object_reassembly": 11,
+    "object_seek_slice": 11,
+    "multimodal_binary_meta": 11,
+    "stream_native_sink_versioned": 11,
+    "stream_group_sink_database": 11,
+    "stream_clone_fork_diff": 11,
+    "funnel_signup_to_purchase": 11,
+    # r11: connected-components loops share min_label_components (pointer
+    # doubling, rounds O(log diameter) — 17 -> 5 at sf0.1 — convergence
+    # counted every 2nd round; fixpoint equality pinned by pytest + the
+    # recursive-CTE oracles at 3 SFs).
+    "dedup_cluster_components": 11,
+    "dedup_keep_best_quality": 11,
+    "embedding_semantic_clusters": 11,
+    # r11: fuzzy joins without the forced broadcast hint (planner decides
+    # by size — identical plan at fixture SFs, no OOM path at scale); the
+    # split-count guards read scan_num_splits (inputFiles arithmetic)
+    # instead of df.rdd.getNumPartitions(); logreg/kmeans driver folds use
+    # math.fsum (order-independent).
+    "fuzzy_levenshtein_pairs": 11,
+    "minhash_lsh_pairs": 11,
+    "simhash_buckets": 11,
+    "simhash_hamming_pairs": 11,
+    "embedding_kmeans_lloyd": 11,
+    "embedding_logreg_train": 11,
 }
 
 
@@ -275,16 +325,22 @@ def _driver_history() -> tuple[frozenset[str], frozenset[str], frozenset[str]]:
     )
 
 
-def _green_rounds() -> dict[str, int]:
-    """name -> highest round number with a fully-green driver row. Used to
+def _green_rounds() -> tuple[dict[str, int], dict[str, int]]:
+    """(green, rows_only): name -> highest round number with a fully-green /
+    an intentional rows-only (``err == "no_oracle"``) driver row. Used to
     self-neutralize REVERIFY entries: green evidence from a round >= the
-    change round supersedes the re-verify request."""
+    change round supersedes the re-verify request — and for a registration
+    that HAS no oracle, a rows-only row at such a round is the strongest
+    evidence the driver can ever produce, so it neutralizes too (r11: the
+    r10 entries for the two oracle-None vector queries could otherwise
+    never clear and would pin window slots forever)."""
     import json
     import re as _re
     from pathlib import Path
 
     repo = Path(__file__).resolve().parent.parent
     out: dict[str, int] = {}
+    ro: dict[str, int] = {}
     for path in sorted(repo.glob("CORRECTNESS_r*.json")):
         m = _re.search(r"_r(\d+)\.json$", path.name)
         if not m:
@@ -295,14 +351,17 @@ def _green_rounds() -> dict[str, int]:
         except (OSError, ValueError):
             continue
         for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
             if (
-                isinstance(row, dict)
-                and row.get("rows_match")
+                row.get("rows_match")
                 and row.get("schema_match")
                 and row.get("hash_match")
             ):
                 out[name] = max(out.get(name, 0), rnd)
-    return out
+            elif row.get("err") == "no_oracle":
+                ro[name] = max(ro.get(name, 0), rnd)
+    return out, ro
 
 
 def all_queries() -> dict[str, RegisteredQuery]:
@@ -310,11 +369,26 @@ def all_queries() -> dict[str, RegisteredQuery]:
     from db_core_spark import queries as _q  # noqa: F401
 
     green, rows_only, errored = _driver_history()
-    green_rounds = _green_rounds()
+    green_rounds, rows_only_rounds = _green_rounds()
+
+    def _needs_reverify(name: str, since_round: int) -> bool:
+        if green_rounds.get(name, -1) >= since_round:
+            return False
+        rq = _REGISTRY.get(name)
+        # oracle-None registration: a driver rows-only row at/after the
+        # change round is the maximum obtainable evidence — neutralize
+        if (
+            rq is not None
+            and rq.oracle is None
+            and rows_only_rounds.get(name, -1) >= since_round
+        ):
+            return False
+        return True
+
     reverify = frozenset(
         name
         for name, since_round in REVERIFY.items()
-        if green_rounds.get(name, -1) < since_round
+        if _needs_reverify(name, since_round)
     )
     rank = {c: i for i, c in enumerate(CATEGORY_PRIORITY)}
     order = {name: i for i, name in enumerate(_REGISTRY)}

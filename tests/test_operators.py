@@ -1019,3 +1019,98 @@ class TestBucketedExactQuantiles:
         )
         assert eq.columns == ["g", "q", "value"] and eq.count() == 0
         assert es.count() == 0 and es.columns == ["g", "__n", "__s"]
+
+
+class TestMinLabelComponents:
+    """Pointer-doubling connected components (operators/components.py, r11):
+    fixpoint equality with plain min-label propagation, log-round
+    convergence on a long chain, and the every-K convergence observation."""
+
+    def _plain_components(self, spark, edges, id_col):
+        """The retired r10 formulation: one round per diameter unit,
+        convergence counted every round. Kept here as the semantics
+        oracle for the doubling rewrite."""
+        edges = edges.localCheckpoint(eager=False)
+        labels = (
+            edges.select(F.col("u").alias(id_col)).distinct()
+            .withColumn("label", F.col(id_col))
+            .localCheckpoint(eager=False)
+        )
+        for _ in range(200):
+            msgs = (
+                edges.join(labels, edges.v == labels[id_col])
+                .groupBy("u")
+                .agg(F.min("label").alias("nbr_min"))
+            )
+            stepped = (
+                labels.join(msgs, labels[id_col] == msgs.u, "left")
+                .select(
+                    id_col,
+                    F.col("label").alias("old_label"),
+                    F.least(
+                        F.col("label"),
+                        F.coalesce(F.col("nbr_min"), F.col("label")),
+                    ).alias("label"),
+                )
+                .localCheckpoint(eager=False)
+            )
+            changed = stepped.filter(F.col("label") != F.col("old_label")).count()
+            labels = stepped.select(id_col, "label")
+            if changed == 0:
+                return labels
+        raise AssertionError("plain propagation did not converge")
+
+    def _bi(self, spark, pairs):
+        df = spark.createDataFrame(pairs, "u long, v long")
+        return df.union(df.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+    def test_matches_plain_propagation_on_mixed_graph(self, spark):
+        from db_core_spark.operators.components import min_label_components
+
+        # chain of 40 (diameter 39 — worst case for plain propagation),
+        # a star, a triangle with a pendant, and two isolated edges;
+        # ids deliberately non-contiguous and partly negative
+        chain = [(i * 3, (i + 1) * 3) for i in range(40)]
+        star = [(1000, x) for x in (1001, 1002, 1003, 1004)]
+        tri = [(-5, -4), (-4, -3), (-3, -5), (-3, -2)]
+        iso = [(5000, 5001), (7000, 7001)]
+        edges = self._bi(spark, chain + star + tri + iso)
+        got = {
+            (r.nid, r.label)
+            for r in min_label_components(edges, "nid").collect()
+        }
+        want = {
+            (r.nid, r.label)
+            for r in self._plain_components(spark, edges, "nid").collect()
+        }
+        assert got == want
+        # and the labels really are the component minima
+        chain_ids = {i * 3 for i in range(41)}
+        assert {lab for (n, lab) in got if n in chain_ids} == {0}
+        assert {lab for (n, lab) in got if -5 <= n <= -2} == {-5}
+
+    def test_long_chain_converges_within_log_rounds(self, spark):
+        from db_core_spark.operators import components as C
+
+        # diameter 120 chain: plain propagation would need >120 rounds;
+        # doubling must finish inside the 20-round cap (log2(120) ~ 7)
+        edges = self._bi(spark, [(i, i + 1) for i in range(120)])
+        labels = C.min_label_components(edges, "nid", max_rounds=20)
+        assert labels.filter(F.col("label") != 0).count() == 0
+
+    def test_check_every_values_equivalent(self, spark):
+        from db_core_spark.operators.components import min_label_components
+
+        edges = self._bi(spark, [(i, i + 1) for i in range(17)] + [(100, 101)])
+        base = {
+            (r.nid, r.label)
+            for r in min_label_components(edges, "nid", check_every=1).collect()
+        }
+        for k in (2, 3, 5):
+            got = {
+                (r.nid, r.label)
+                for r in min_label_components(
+                    edges, "nid", check_every=k
+                ).collect()
+            }
+            assert got == base, f"check_every={k} diverged"

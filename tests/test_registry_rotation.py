@@ -67,7 +67,7 @@ def test_reverify_band_outranks_breadth_but_not_errored(monkeypatch):
     green = set(qs) - {errored_name, converted}
 
     # no green row since the change round -> every re-verify is live
-    monkeypatch.setattr(registry, "_green_rounds", dict)
+    monkeypatch.setattr(registry, "_green_rounds", lambda: ({}, {}))
     order = _order_with_history(monkeypatch, green, {converted}, {errored_name})
     assert order[0] == errored_name
     band = set(registry.REVERIFY)
@@ -87,7 +87,7 @@ def test_reverify_self_neutralizes_on_later_green(monkeypatch):
     # every re-verify satisfied (green at exactly its change round) ->
     # pure category-priority order; no REVERIFY name at the window front
     monkeypatch.setattr(
-        registry, "_green_rounds", lambda: dict(registry.REVERIFY)
+        registry, "_green_rounds", lambda: (dict(registry.REVERIFY), {})
     )
     order = _order_with_history(monkeypatch, green, set(), set())
     first_cat = qs[order[0]].category
@@ -96,7 +96,7 @@ def test_reverify_self_neutralizes_on_later_green(monkeypatch):
     # but a green round OLDER than the change round keeps this one live
     stale = dict(registry.REVERIFY)
     stale[reverify_name] = since_round - 1
-    monkeypatch.setattr(registry, "_green_rounds", lambda: stale)
+    monkeypatch.setattr(registry, "_green_rounds", lambda: (stale, {}))
     order = _order_with_history(monkeypatch, green, set(), set())
     assert order[0] == reverify_name
 
