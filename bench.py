@@ -79,6 +79,16 @@ EXTRA = [
     "ewma_user_value",
     "simhash_buckets",
     "simhash_hamming_pairs",
+    # r11: the versioned write path (litframe inputs, size-aware staging
+    # width, folded audit probes), the pointer-doubling component loops,
+    # and the size-gated fuzzy join — added so the driver keeps their
+    # decade and core-count scaling on record (headline basis unchanged)
+    "versioned_commit_audit",
+    "versioned_restore_rebucket",
+    "dedup_cluster_components",
+    "dedup_keep_best_quality",
+    "embedding_semantic_clusters",
+    "fuzzy_levenshtein_pairs",
 ]
 
 

@@ -60,6 +60,7 @@ def changes(spark, vt, tmp_path, tag):
     }
 
 
+@pytest.mark.heavy
 def test_insert_update_delete_change_shapes(vt, spark, tmp_path):
     # csn 1: pure inserts -> no preimages
     t = vt.begin()
@@ -86,6 +87,7 @@ def test_insert_update_delete_change_shapes(vt, spark, tmp_path):
     }
 
 
+@pytest.mark.heavy
 def test_multi_op_txn_preimages_fold_through_earlier_ops(vt, spark, tmp_path):
     """op0 updates k=1, op1 deletes k=1 IN THE SAME txn: the delete's
     preimage must be op0's new value (running-state fold), so a consumer's
@@ -109,6 +111,7 @@ def test_multi_op_txn_preimages_fold_through_earlier_ops(vt, spark, tmp_path):
     assert vt.snapshot().count() == 0
 
 
+@pytest.mark.heavy
 def test_preimages_off_by_default(spark, tmp_path):
     vt = VersionedTable.create(
         spark, str(tmp_path / "plain"), key_cols=["k"], schema=SCHEMA,
@@ -131,6 +134,7 @@ def test_preimages_off_by_default(spark, tmp_path):
     assert (1, "a", 11, 3, "update_preimage") in got
 
 
+@pytest.mark.heavy
 def test_incremental_mv_with_retraction(vt, spark, tmp_path):
     """The point of before-images: maintain SUM(v) GROUP BY grp purely from
     the change feed — updates retract the old value, deletes retract the
@@ -165,6 +169,7 @@ def test_incremental_mv_with_retraction(vt, spark, tmp_path):
     } == {("a", 35), ("b", 5)}
 
 
+@pytest.mark.heavy
 def test_preimg_dirs_invisible_to_snapshot_readers(vt, spark, tmp_path):
     t = vt.begin()
     t.upsert(rows(spark, (1, "a", 10)))

@@ -75,6 +75,7 @@ def test_clone_as_of_past_csn(vt, spark, tmp_path):
     assert rows_of(c.snapshot()) == {1: ("a", 1.0)}
 
 
+@pytest.mark.heavy
 def test_clone_survives_source_vacuum_and_vice_versa(vt, spark, tmp_path):
     for i in range(4):
         put(spark, vt, [(1, f"v{i}", float(i))])
@@ -151,6 +152,7 @@ def test_clone_race_with_vacuum_fails_loudly(vt, spark, tmp_path, monkeypatch):
         vt.clone(str(tmp_path / "clone"))
 
 
+@pytest.mark.heavy
 def test_clone_concurrent_commit_sees_consistent_cut(vt, spark, tmp_path):
     """A commit landing while clone runs either makes the clone snapshot or
     misses it entirely — the clone equals the source AS OF the csn it
@@ -187,6 +189,7 @@ def test_clone_concurrent_commit_sees_consistent_cut(vt, spark, tmp_path):
         assert rows_of(c.snapshot()) == rows_of(vt.snapshot(as_of_csn=pinned))
 
 
+@pytest.mark.heavy
 def test_clone_inherits_exactly_once_epoch_markers(vt, spark, tmp_path):
     """The exactly-once streaming sink records (writer, epoch) in each
     manifest; a clone carries those markers, so REPLAYING an already-applied
@@ -211,6 +214,7 @@ def test_clone_inherits_exactly_once_epoch_markers(vt, spark, tmp_path):
     assert commit_microbatch(vt, df0, 0, "w1") is False
 
 
+@pytest.mark.heavy
 def test_branch_merge_from_clone(spark, tmp_path):
     """Git-style workflow: clone at a cut, diverge both sides, merge the
     branch back — disjoint changes (upserts AND a delete) fold in one
@@ -258,6 +262,7 @@ def test_branch_merge_from_clone(spark, tmp_path):
     assert res3 == {"applied": 0, "deleted": 0, "conflicts": 1}
 
 
+@pytest.mark.heavy
 def test_branch_merge_boolean_and_timestamp_keys(spark, tmp_path):
     """Regression: write_keys are str()-encoded from arrow values
     ('True', '2024-01-01 00:00:00'), while a Spark cast('string') yields
@@ -327,6 +332,7 @@ def test_merge_from_refuses_vacuum_reclaimed_window(spark, tmp_path):
         src.merge_from(br)
 
 
+@pytest.mark.heavy
 def test_merge_from_upsert_then_delete_same_txn(spark, tmp_path):
     """One branch txn upserts then deletes the same key: both change rows
     share one csn, so 'latest change per key' is undecidable from _csn

@@ -117,6 +117,7 @@ def test_overwrite_mode_rejected(vt, spark):
         df.write.format("versioned").mode("overwrite").option("path", vt.path).save()
 
 
+@pytest.mark.heavy
 def test_cdc_stream_tails_commit_log(vt, spark, tmp_path):
     _commit(vt, spark, [(1, "a", 1.0), (2, "b", 2.0)])
     t = vt.begin()
@@ -174,6 +175,7 @@ def test_stream_requires_cdc_option(vt, spark, tmp_path):
         q.awaitTermination(60)
 
 
+@pytest.mark.heavy
 def test_cdc_to_incremental_rollup(vt, spark, tmp_path):
     """End-to-end incremental materialized view: CDC stream from one
     versioned table drives a foreachBatch rollup into another — each

@@ -298,6 +298,7 @@ def test_snapshot_pin_detects_and_refuses_torn_cuts(db, spark):
     assert db._pin_is_consistent({"a": csns["a"] - 1, "b": csns["b"] - 1})
 
 
+@pytest.mark.heavy
 def test_snapshot_pin_consistent_under_concurrent_group_commits(db, spark):
     """Stress the retry loop: while a writer thread lands group commits
     across both tables, every pin snapshot_pin returns must be a clean cut
@@ -353,6 +354,7 @@ def test_group_txn_reads_see_one_consistent_cut(db, spark):
     reader.rollback()
 
 
+@pytest.mark.heavy
 def test_database_clone_consistent_cut_and_independence(db, spark, tmp_path):
     """Database.clone: every multi-table group is fully inside or fully
     outside the clone, the group log starts empty, and both databases

@@ -3,6 +3,8 @@ that have no SQL oracle."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from db_core_spark.queries.llm import (
@@ -595,6 +597,7 @@ def test_dominant_colors_palette_properties(spark):
     }
 
 
+@pytest.mark.heavy
 def test_bpe_train_exact_with_partial_head(spark, monkeypatch):
     """Force the heavy-hitter head to cover only a few words: the tail
     trigram accounting must keep every admitted pick provably exact —
@@ -622,6 +625,7 @@ def test_bpe_train_exact_with_partial_head(spark, monkeypatch):
         assert corpus.BPE_LAST_ROUNDS >= 1
 
 
+@pytest.mark.heavy
 def test_bpe_train_fallback_when_simulation_blocked(spark, monkeypatch):
     """If the batched round simulation admits ZERO picks (bounds blocked the
     best exact candidate), the trainer must fall back to the always-exact
@@ -756,6 +760,7 @@ def test_blocked_cosine_pairs_raises_on_duplicate_ids(spark):
         blocked_cosine_pairs(spark, dup, 0.4, tile_rows=16).collect()
 
 
+@pytest.mark.heavy
 def test_kcore_raises_loudly_when_round_cap_too_low(spark):
     """r9 hardening: an exhausted round cap must RAISE, never return a
     partially-peeled graph as if it were the core (silently wrong at

@@ -663,6 +663,46 @@ class TestPrefixRankHelpers:
         assert jest > 100 * _TARGET_PART_BYTES  # the estimate really explodes
         assert resolve_num_parts(joined, None) == cores  # leaf cap rescues
 
+    def test_resolve_num_parts_fanout_join_bound(self, spark):
+        """r11 (VERDICT r10 #5): pin the leaf cap's behavior for a join
+        whose TRUE output genuinely exceeds 8x its leaves. The resolver
+        cannot statically tell phantom-high from true-high estimates, so
+        the documented contract is: partitions are sized for 8x the leaf
+        bytes (each sort partition then holds ~fanout/8 x 512 MB — spill
+        territory, never failure), floored at cores, and an explicit
+        num_parts always escapes the cap."""
+        import math
+
+        from db_core_spark.operators.prefixrank import (
+            _TARGET_PART_BYTES,
+            resolve_num_parts,
+        )
+
+        cores = max(2, spark.sparkContext.defaultParallelism)
+        # leaves ~2 x 32 GB (metadata-exact ranges); join on a 1000-value
+        # key gives a true ~4M x fanout — Catalyst's estimate blows past
+        # 8x leaves, so the cap engages on a REAL fanout this time
+        ja = spark.range(0, 4_000_000_000).selectExpr("id", "id % 1000 as k")
+        jb = spark.range(0, 4_000_000_000).selectExpr("id % 1000 as k", "id as v")
+        joined = ja.join(jb, "k")
+        plan = joined._jdf.queryExecution().optimizedPlan()
+        est = plan.stats().sizeInBytes()
+        leaves = plan.collectLeaves()
+        leaf_total = sum(
+            leaves.apply(i).stats().sizeInBytes() for i in range(leaves.size())
+        )
+        assert est > 8 * leaf_total  # the cap really engages
+        expect = min(
+            max(cores, math.ceil(8 * leaf_total / _TARGET_PART_BYTES)),
+            cores * 64,
+        )
+        got = resolve_num_parts(joined, None)
+        assert got == expect
+        assert got > cores  # big leaves still scale the count past cores
+        assert got < math.ceil(est / _TARGET_PART_BYTES)  # capped below est
+        # the escape hatch for known-fanout callers
+        assert resolve_num_parts(joined, 12345) == 12345
+
 
 class TestAsofJoinProperty:
     """asof_join / asof_join_nearest vs an O(n*m) brute-force model on

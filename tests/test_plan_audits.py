@@ -71,6 +71,7 @@ def test_topk_per_group_uses_window_group_limit(spark, queries):
     assert "WindowGroupLimit" in plan, "per-group top-k should prune pre-shuffle"
 
 
+@pytest.mark.heavy
 def test_no_cartesian_products_anywhere(spark, queries):
     """No oracle-checked relational query may plan a CartesianProduct.
     (BroadcastNestedLoop is allowed: the intentionally-theta joins bound one
@@ -458,6 +459,7 @@ def test_key_skew_topk_avoids_global_sort(spark, queries):
     assert "TakeOrderedAndProject" in plan, "top-10 must not be a global sort"
 
 
+@pytest.mark.heavy
 def test_no_row_at_a_time_python_udf_anywhere(spark, queries):
     """No registered query may plan a BatchEvalPython node (row-at-a-time
     Python UDF — the 10-100x slow path). Arrow-vectorized Python

@@ -69,6 +69,7 @@ def test_append_mode_watermark_finalizes_only_closed_windows(spark, stream_dir, 
         assert (max_ts - ws).total_seconds() >= 30 * 60
 
 
+@pytest.mark.heavy
 def test_late_rows_dropped_in_append_mode(spark, tmp_path):
     """Stage with 20% true late arrivals; append-mode totals must be LESS
     than the batch totals (late rows dropped), and never greater."""
@@ -197,6 +198,7 @@ def test_stream_static_join_converges_to_batch(spark, stream_dir, tmp_path):
     )
 
 
+@pytest.mark.heavy
 def test_stream_stream_join_converges_to_batch(spark, stream_dir, tmp_path):
     from db_core_spark.streaming import events_stream, stream_stream_join
 
@@ -243,6 +245,7 @@ def test_foreachbatch_versioned_sink_commits_per_batch(spark, stream_dir, tmp_pa
     )
 
 
+@pytest.mark.heavy
 def test_incremental_rollup_materialization_converges(spark, stream_dir, tmp_path):
     """Continuous-aggregate pattern (hypertable-rollup style): the streaming
     tumbling aggregate is folded into a VersionedTable via foreachBatch in
@@ -308,6 +311,7 @@ def test_microbatch_replay_is_exactly_once_for_cdc(spark, tmp_path):
     assert vt.latest_csn() == 2
 
 
+@pytest.mark.heavy
 def test_stream_stream_left_outer_inner_part_and_closed_nulls(spark, stream_dir, tmp_path):
     """Stream-stream LEFT OUTER: the matched (inner) rows all emit, and
     null-padded rows (a) never appear for clicks that DO have an in-window
@@ -382,6 +386,7 @@ def test_dedup_within_watermark_bounds(spark, stream_dir, tmp_path):
     assert gaps.count() == 0
 
 
+@pytest.mark.heavy
 def test_stream_ewma_converges_to_batch_twin(spark, stream_dir, tmp_path):
     """The stateful streaming EWMA's final per-user emission must equal the
     batch `ewma_user_value` result exactly (same float64 recurrence, same
@@ -436,6 +441,7 @@ def test_stream_ohlc_converges_to_batch_twin(spark, stream_dir, tmp_path):
     assert final == expect
 
 
+@pytest.mark.heavy
 def test_session_overlap_streams_converge_to_batch_twin(spark, stream_dir, tmp_path):
     """Two independently-sessionized streams (clicks, purchases) overlap-join
     downstream of their sinks — the production shape for cross-stream
@@ -612,6 +618,7 @@ def test_stream_incremental_dedup_converges_to_batch_semantics(spark, tmp_path):
     assert set(kept_hashes) == expect_fresh
 
 
+@pytest.mark.heavy
 def test_native_stream_writer_exactly_once(spark, stream_dir, tmp_path):
     """.writeStream.format('versioned'): one ACID manifest per micro-batch
     carrying (writer, epoch); the snapshot equals the batch fixture, and a
@@ -880,6 +887,7 @@ def test_native_stream_writer_identity_per_checkpoint(spark, tmp_path):
     assert vt.snapshot().count() == 4
 
 
+@pytest.mark.heavy
 def test_streamed_window_ks_equals_batch_monitor(spark, stream_dir, tmp_path):
     """The live value-distribution drift monitor is the watermarked
     tumbling BIN-count stream (bin edges fixed, as a deployed monitor

@@ -121,6 +121,7 @@ def test_conflict_detection_and_retry(vt, spark):
     assert rows_of(vt.snapshot())[11] == ("d", 1.0)
 
 
+@pytest.mark.heavy
 def test_concurrent_increments_no_lost_updates(vt, spark):
     """4 threads x 5 read-modify-write txns on one row; retry on conflict;
     final amount == 20 (instance.rs:713-759, reduced iteration count for
@@ -155,6 +156,7 @@ def test_concurrent_increments_no_lost_updates(vt, spark):
     assert rows_of(vt.snapshot())[1] == ("ctr", float(N * THREADS))
 
 
+@pytest.mark.heavy
 def test_run_transaction_retries_lost_update(vt, spark):
     """The bounded-wait helper IS the whole retry story for the reference's
     lost-update test (instance.rs:713-759): concurrent read-modify-write
@@ -288,6 +290,7 @@ def test_recovery_fold_ignores_staged_uncommitted(vt, spark, tmp_path):
     assert reopened.latest_csn() == 1
 
 
+@pytest.mark.heavy
 def test_checkpoint_and_vacuum(vt, spark):
     for i in range(4):
         t = vt.begin()
@@ -563,6 +566,7 @@ def test_auto_maintain_batch_commits(spark, tmp_path):
     assert {r.k for r in vt.snapshot().collect()} == {0, 1, 2}
 
 
+@pytest.mark.heavy
 def test_checkpoint_of_fully_deleted_table(vt, spark):
     """Edge: every key tombstoned -> the resolved snapshot is EMPTY, and a
     partitionBy write would emit zero files, leaving an unreadable
@@ -587,6 +591,7 @@ def test_checkpoint_of_fully_deleted_table(vt, spark):
     assert rows_of(vt.snapshot()) == {3: ("c", 3.0)}
 
 
+@pytest.mark.heavy
 def test_restore_resurrects_earlier_state(vt, spark):
     """Port of the reference's checkpoint-restore test concern
     (block_driver.rs:1045-1056: restoring makes a deleted object visible
@@ -611,6 +616,7 @@ def test_restore_resurrects_earlier_state(vt, spark):
     assert rows_of(vt.snapshot(pre_restore)) == {1: ("edited", 9.0), 3: ("later", 3.0)}
 
 
+@pytest.mark.heavy
 def test_alter_add_column_schema_evolution(vt, spark):
     """Schema evolution: after alter_add_column, rows written earlier read
     back with the new column null on BOTH engines (bucketed in-partition
@@ -716,6 +722,7 @@ def test_torn_and_foreign_log_files_are_ignored(vt, spark, tmp_path):
     assert rows_of(reopened.snapshot()) == before_rows
 
 
+@pytest.mark.heavy
 def test_diff_between_snapshots(vt, spark):
     """diff(A, B) must show exactly the semantic changes between the two
     RESOLVED endpoints: unchanged keys absent, intermediate churn invisible,
@@ -896,6 +903,7 @@ def test_merge_matches_null_key_rows(spark, tmp_path):
     assert sum(1 for k, _, _ in got if k is None) == 1
 
 
+@pytest.mark.heavy
 def test_checkpoint_twice_at_same_csn_is_idempotent(spark, tmp_path):
     """Re-checkpointing with no new commits must be a no-op. The naive
     re-resolve would mode('overwrite') the live checkpoint dir WHILE the
