@@ -91,6 +91,18 @@ EXTRA = [
     "fuzzy_levenshtein_pairs",
 ]
 
+# The r11 additions get the SAME sf0.001 codegen/machinery warm-up the
+# headline set has always had (measured: the first versioned-table query
+# in a session pays ~6 s of one-time Python-DataSource + parquet-writer
+# machinery init that no later call pays — 9.2 s first call vs 2.8 s
+# steady-state for versioned_commit_audit; constant in data size, fully
+# amortized in any real deployment, exactly the class the module
+# docstring's warm-up rationale excludes). Scoped to the NEW entries
+# only: the 17 pre-existing extras keep their exact r7-r10 measurement
+# protocol (single-shot, no warm-up) so round-over-round comparisons
+# stay valid. Recorded in OPTIMIZATION_r11.md.
+EXTRA_WARM = EXTRA[-6:]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -110,7 +122,7 @@ def main() -> None:
     spark.range(1000).count()
     warm_dir = "/root/testdata/sf0.001"
     if not cold and os.path.isdir(warm_dir) and warm_dir != sf_dir:
-        for name in HEADLINE:
+        for name in HEADLINE + EXTRA_WARM:
             try:
                 qs[name].fn(spark, warm_dir).count()
             except Exception as e:  # never let warm-up sink the bench
