@@ -159,6 +159,19 @@ def simhash_frame(df, id_col: str = "doc_id", text_col: str = "text",
 
     def simhash_batches(batches):
         md5 = hashlib.md5
+        # r11 (guide §4.2): per-task memo of word -> hash — the corpus
+        # vocabulary is tiny relative to (doc, word) pairs, so nearly
+        # every md5 after the first few docs is a repeat; a dict hit
+        # replaces the md5+hexdigest+int round. Values identical.
+        cache: dict[str, int] = {}
+
+        def wh(w: str) -> int:
+            v = cache.get(w)
+            if v is None:
+                v = int(md5(w.encode()).hexdigest()[:15], 16)
+                cache[w] = v
+            return v
+
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -170,7 +183,7 @@ def simhash_frame(df, id_col: str = "doc_id", text_col: str = "text",
                 # split on \s+, distinct words (order-free: votes are sums)
                 ws = set(ws_re.split(t))
                 hs = np.fromiter(
-                    (int(md5(w.encode()).hexdigest()[:15], 16) for w in ws),
+                    (wh(w) for w in ws),
                     dtype=np.int64,
                     count=len(ws),
                 )

@@ -442,6 +442,24 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def sig_batches(batches):
         md5 = hashlib.md5
+        # r11 (guide §4.2): per-TASK memo of shingle -> base hash. The md5
+        # + hexdigest + int parse per shingle is the kernel's dominant CPU
+        # (sf1 profile: the signature stage burned ~3x more CPU-seconds at
+        # 32 workers than 8 for identical output — pure per-shingle Python
+        # work under contention), and near-dup corpora repeat shingles
+        # heavily, so a dict hit (~0.05 us) replaces an md5 round (~1 us)
+        # for every repeat. Values identical by construction; memory is
+        # bounded by the task's distinct-shingle count (O(task text bytes)
+        # — the same order the shingle lists themselves already cost).
+        cache: dict[str, int] = {}
+
+        def h(s: str) -> int:
+            v = cache.get(s)
+            if v is None:
+                v = int(md5(s.encode()).hexdigest()[:15], 16) % MINHASH_P
+                cache[s] = v
+            return v
+
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -458,11 +476,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if n < 3:
                     seg.append(0)
                     continue
-                hs = [
-                    int(md5((" ".join(toks[i : i + 3])).encode()).hexdigest()[:15], 16)
-                    % MINHASH_P
-                    for i in range(n - 2)
-                ]
+                hs = [h(" ".join(toks[i : i + 3])) for i in range(n - 2)]
                 seg.append(len(hs))
                 xs.extend(hs)
             if not xs:
