@@ -278,6 +278,23 @@ def blocked_cosine_pairs(
 
     n = e.count()  # parquet metadata count — no column data read
     B = max(1, math.ceil(n / tile_rows))
+    # r11 guarded parallelism floor (guide §2.6), the same idiom as the
+    # Arrow text kernels: below ~tile_rows vectors the size rule yields
+    # B=1 — ONE tile pair, so the entire n x n matmul ran on a single
+    # task (measured: a 1.45 s one-task stage behind a 2.2 s query at
+    # sf0.1's 5000 vectors). Floor B so the B(B+1)/2 unordered tile
+    # pairs cover the cluster's cores, bounded so a block never shrinks
+    # below ~256 vectors (tiles too small to amortize a task). At scale
+    # ceil(n/tile_rows) >> the floor and the size rule governs alone —
+    # this is fixture-visible parallelism, not a local[32] tuning.
+    # Results are invariant to B (tiling only regroups the same exact
+    # similarities; pytested across tile_rows AND id domains).
+    try:
+        cores = max(2, spark.sparkContext.defaultParallelism)
+    except Exception:  # Spark Connect: no SparkContext handle
+        cores = 2
+    b_floor = math.ceil((math.sqrt(8 * cores + 1) - 1) / 2)
+    B = max(B, min(b_floor, math.ceil(n / 256)) or 1, 1)
     v = e.select("vec_id", to_double("embedding").alias("vec")).withColumn(
         "blk", F.pmod(F.hash("vec_id"), F.lit(B)).cast("int")
     )

@@ -255,6 +255,14 @@ REVERIFY: dict[str, int] = {
     "simhash_hamming_pairs": 11,
     "embedding_kmeans_lloyd": 11,
     "embedding_logreg_train": 11,
+    # r11: blocked_cosine_pairs gains a guarded cores-derived floor on
+    # the block count (below ~tile_rows vectors the size rule gave B=1 —
+    # the whole n x n matmul on ONE task; measured 2.0-2.15 -> 1.0-1.2 s
+    # for embedding_neardup_pairs at sf0.1). Results invariant to B
+    # (pytested); both direct kernel consumers re-verify
+    # (embedding_semantic_clusters already carries its r11 entry above).
+    "embedding_neardup_pairs": 11,
+    "embedding_threshold_sweep": 11,
 }
 
 
